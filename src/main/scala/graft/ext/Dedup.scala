@@ -1,0 +1,204 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Large-scale training-data deduplication operators over `documents`:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup (see Similarity for ANN search).
+  *
+  * Scale notes:
+  *  - exact dedup: one shuffle on the 128-bit content hash (not the full
+  *    text), high-cardinality key → even partitions at any scale.
+  *  - n-gram Jaccard: document-frequency cutoff bounds the shingle
+  *    self-join fan-out (a shingle occurring in k docs contributes k²
+  *    pairs; dropping hot shingles caps k). This is the standard guard
+  *    that keeps the candidate join sub-quadratic at 100 TB.
+  *  - MinHash+LSH: fixed 64-permutation signature (shuffle carries 64
+  *    longs/doc, not the text); banding (16 bands × 4 rows) turns
+  *    all-pairs into an equi-join on (band, band-hash) buckets.
+  *  - SimHash: 64-bit signature via per-bit majority vote — one groupBy;
+  *    candidate pairs from 16-bit band equality (pigeonhole: hamming ≤ 3
+  *    guarantees a matching band).
+  */
+object Dedup {
+
+  /** Distinct lowercase word 3-grams per document. */
+  private[ext] def wordGrams(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(array().cast(ArrayType(StringType)))).as("gram"))
+      .distinct()
+
+  /** Exact dedup: group by content hash, keep lowest doc_id per group. */
+  def xDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("text_hash")
+
+  /** N-gram Jaccard near-dup: top-20 most similar pairs by word-3-gram
+    * Jaccard, with a document-frequency cutoff (gram in ≤ 50 docs) bounding
+    * the candidate join.
+    */
+  def xDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(Tables.documents(spark, dir))
+    val rare = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df") <= 50).select("gram"),
+      Seq("gram"))
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter_grams"))
+    val jacc = col("inter_grams") / (col("sa.sz") + col("sb.sz") - col("inter_grams"))
+    inter
+      .join(broadcast(sizes.as("sa")), col("d1") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("d2") === col("sb.doc_id"))
+      .orderBy(jacc.desc, col("d1"), col("d2"))
+      .limit(20)
+      .select(col("d1"), col("d2"), col("inter_grams"), round(jacc, 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup (no SQL oracle — hash functions are
+    * engine-specific; driver does a rows-only check).
+    *
+    * 64 "permutations" h_i(g) = xxhash64(i, g); signature = min over the
+    * doc's grams per i. LSH: 16 bands of 4 rows; candidates collide on
+    * (band, hash of the band's 4 mins). Estimated Jaccard = fraction of
+    * equal signature components.
+    */
+  def xDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 64
+    val bandRows = 4
+    val grams = wordGrams(Tables.documents(spark, dir))
+    val sigAggs = (0 until nHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    val sigs = grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until nHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i")): _*).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val matches: Column = (0 until nHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(matches / lit(nHashes.toDouble), 4).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), col("d1"), col("d2"))
+  }
+
+  /** SimHash near-dup (no SQL oracle — rows-only check). 64-bit signature:
+    * bit i set iff the sum over tokens of ±1 (by token-hash bit i) is
+    * positive. Candidates from 16-bit band collisions; emit hamming ≤ 6.
+    */
+  def xDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sh = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, expr(s"shiftleft(cast(1 as bigint), $i)")).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sigs = sums.select(col("doc_id"), sh.as("simhash"))
+    val bandStructs = (0 until 4).map(k =>
+      struct(lit(k).as("band"), expr(s"(simhash >> ${k * 16}) & 65535").as("bits")))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bits").as("bits"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+  }
+
+  /** Embedding-cosine near-dup, label-blocked exact variant: exact cosine
+    * over pairs within the same label block (blocking keeps the pair join
+    * linear in block size; the unblocked scale path is the LSH ANN in
+    * Similarity).
+    */
+  def xDedupEmbCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+    val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine",
+        round(expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("n1") * col("n2")), 4))
+      .filter(col("cosine") >= 0.8)
+      .select(col("label"), col("id1"), col("id2"), col("cosine"))
+      .orderBy("label", "id1", "id2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact"         -> (xDedupExact _),
+    "x_dedup_ngram_jaccard" -> (xDedupNgramJaccard _),
+    "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
+    "x_dedup_simhash"       -> (xDedupSimhash _),
+    "x_dedup_emb_cosine"    -> (xDedupEmbCosine _))
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keep_doc_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY text_hash""".stripMargin,
+    "x_dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))),
+        |rare AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) <= 50) f USING (gram)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_grams
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter_grams,
+        |  round(inter_grams / (sa.sz + sb.sz - inter_grams), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON d1 = sa.doc_id
+        |JOIN sz sb ON d2 = sb.doc_id
+        |ORDER BY inter_grams / (sa.sz + sb.sz - inter_grams) DESC, d1, d2
+        |LIMIT 20""".stripMargin,
+    "x_dedup_emb_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.8
+        |ORDER BY a.label, id1, id2""".stripMargin)
+}

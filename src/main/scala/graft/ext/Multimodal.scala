@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat assets as opaque `binary` columns with
+  * typed metadata, and run batched decode / feature-extraction over
+  * partitions.
+  *
+  * The image/audio decode itself is STUBBED (decode libs are not in this
+  * container) with a deterministic fake; the Spark-side plumbing — binary
+  * schema, metadata projection, partition-batched UDF shape, fixed-size
+  * feature vectors — is real and tested. At scale the binary column rides
+  * in parquet alongside its metadata; metadata-only queries never touch the
+  * bytes thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  /** Metadata extraction over a binary asset column (oracle-checked):
+    * byte length, content digest, fake format tag.
+    */
+  def xMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("asset"))
+      .select(col("doc_id"),
+        octet_length(col("asset")).cast("long").as("n_bytes"),
+        sha2(col("asset"), 256).as("digest"),
+        when(octet_length(col("asset")) % 3 === 0, "jpeg")
+          .when(octet_length(col("asset")) % 3 === 1, "png")
+          .otherwise("webp").as("format"))
+      .orderBy("doc_id")
+
+  /** Partition-batched feature extraction with a STUB decoder (rows-only
+    * check). A real deployment swaps `stubDecode` for an image/audio
+    * decoder; the mapPartitions batch shape and the fixed-size
+    * Array[Float] output schema are the production plumbing.
+    */
+  def xMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // STUB: deterministic fake "feature extraction" from raw bytes.
+    def stubDecode(bytes: Array[Byte]): Array[Float] =
+      Array.tabulate(8) { i =>
+        var h = 1125899906842597L + i
+        var j = i
+        while (j < bytes.length) { h = h * 31 + bytes(j); j += 8 }
+        (math.floorMod(h, 1000L)) / 1000.0f
+      }
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("asset"))
+      .as[(Long, Array[Byte])]
+    assets
+      .mapPartitions(_.map { case (id, bytes) => (id, stubDecode(bytes)) })
+      .toDF("doc_id", "features")
+      .select(col("doc_id"), size(col("features")).as("n_features"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_multimodal_meta"     -> (xMultimodalMeta _),
+    "x_multimodal_features" -> (xMultimodalFeatures _))
+
+  val oracle: Map[String, String] = Map(
+    "x_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'jpeg'
+        |    WHEN octet_length(text::BLOB) % 3 = 1 THEN 'png'
+        |    ELSE 'webp' END AS format
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

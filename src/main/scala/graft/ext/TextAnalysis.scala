@@ -1,0 +1,143 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language ID
+  * (marker-token heuristic), quality scoring, token counting, and
+  * document fingerprinting.
+  *
+  * Scale notes: all four are embarrassingly parallel narrow maps (plus one
+  * small marker-table broadcast join for language ID) — no fact-side
+  * shuffle except the final per-doc / per-source rollups, which carry
+  * pre-aggregated rows only.
+  */
+object TextAnalysis {
+
+  private val markers: Seq[(String, String)] = Seq(
+    ("the", "en"), ("and", "en"), ("of", "en"),
+    ("der", "de"), ("und", "de"), ("das", "de"),
+    ("el", "es"), ("los", "es"), ("las", "es"))
+
+  /** Language ID: per-language marker-token counts, argmax with
+    * deterministic tie-break, 'und' fallback when no marker matches.
+    */
+  def xTextLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val m = spark.createDataFrame(markers).toDF("tok", "cand_lang")
+    val counts = toks.join(broadcast(m), Seq("tok"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("n"), col("cand_lang"))
+    val best = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    docs.select("doc_id", "lang")
+      .join(best.select("doc_id", "cand_lang", "n"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("n"), lit(0L)).as("n_markers"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, avg token length, stopword ratio,
+    * punctuation ratio, composite score in [0,1].
+    */
+  def xTextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_alpha_chars", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))"))
+      .withColumn("n_dots",
+        length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_alpha_chars") / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("n_dots") / length(col("text")), 4).as("punct_ratio"),
+        round(least(lit(1.0), col("n_tokens") / 100.0)
+          * (lit(1.0) - col("n_stop") / col("n_tokens")), 4).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Token counting per source: whitespace tokens + regex word tokens. */
+  def xTextTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
+          .as("word_tokens"),
+        sum(length(col("text"))).as("total_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** Document fingerprinting: content hash of normalized text +
+    * order-insensitive vocabulary fingerprint (sorted distinct words).
+    */
+  def xTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), " ", "")).as("content_hash"),
+        md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))
+          .as("vocab_fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_langid"      -> (xTextLangId _),
+    "x_text_quality"     -> (xTextQuality _),
+    "x_text_tokens"      -> (xTextTokens _),
+    "x_text_fingerprint" -> (xTextFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "x_text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |m(tok, cand_lang) AS (VALUES
+        |  ('the','en'), ('and','en'), ('of','en'),
+        |  ('der','de'), ('und','de'), ('das','de'),
+        |  ('el','es'), ('los','es'), ('las','es')),
+        |c AS (
+        |  SELECT doc_id, cand_lang, COUNT(*) AS n
+        |  FROM toks JOIN m USING (tok) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, cand_lang, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand_lang) AS rn
+        |  FROM c)
+        |SELECT d.doc_id, d.lang AS actual_lang,
+        |  COALESCE(b.cand_lang, 'und') AS pred_lang,
+        |  COALESCE(b.n, 0) AS n_markers
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  round(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))
+        |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round((length(text) - length(replace(text, '.', ''))) / length(text), 4) AS punct_ratio,
+        |  round(least(CAST(1.0 AS DOUBLE), len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE))
+        |    * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))
+        |      / len(string_split(text, ' '))), 4) AS quality_score
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "x_text_tokens" ->
+      """SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS word_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "x_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(replace(lower(text), ' ', '')) AS content_hash,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS vocab_fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantics specs for every SparkEntry query on sf0.001.
+  * The DuckDB-oracle hash check is the driver's t2 gate (and
+  * tools/selfcheck.py locally); these specs pin row-level invariants that
+  * hold regardless of scale factor.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns a non-degenerate result") {
+    val empties = Seq("x_dedup_emb_cosine", "x_dedup_simhash") // may legitimately have 0 pairs
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      if (!empties.contains(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+
+  test("w3 upsert dedup yields one row per key") {
+    val df = ops.Ingest.w3UpsertDedup(spark, sf)
+    assert(df.count() == df.select("user_id", "event_type").distinct().count())
+  }
+
+  test("j2 fact build preserves fact rows (left joins drop nothing)") {
+    val fact = ops.Marts.j2FactBuild(spark, sf).count()
+    val src = ops.Staging.stgPrices(spark, sf).count()
+    assert(fact == src)
+  }
+
+  test("w1 shares sum to 100 within each group") {
+    import org.apache.spark.sql.functions._
+    val bad = ops.Analytics.w1ShareOfGroup(spark, sf)
+      .groupBy("l_returnflag").agg(sum("pct_of_flag").as("tot"))
+      .filter(abs(col("tot") - 100.0) > 0.05)
+    assert(bad.count() == 0)
+  }
+
+  test("dq checks report zero violations on clean testdata") {
+    import org.apache.spark.sql.functions._
+    val viol = ops.Quality.dqChecks(spark, sf).filter(col("n_violations") > 0)
+    assert(viol.count() == 0)
+  }
+
+  test("knn returns exactly 5 neighbors per query vector") {
+    import org.apache.spark.sql.functions._
+    val counts = ext.Similarity.xKnnBruteForce(spark, sf)
+      .groupBy("query_id").count().filter(col("count") =!= 5)
+    assert(counts.count() == 0)
+  }
+
+  test("ann lsh neighbors are a subset of the same bucket with valid cosines") {
+    import org.apache.spark.sql.functions._
+    val df = ext.Similarity.xAnnLsh(spark, sf)
+    assert(df.filter(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
+  }
+
+  test("sessionize: total events per user equals raw event count") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_raw"))
+    val ses = ext.Sessionize.xSessionize(spark, sf)
+    val joined = ses.join(raw, "user_id")
+      .filter(col("total_events") =!= col("n_raw"))
+    assert(joined.count() == 0)
+  }
+
+  test("exact dedup: no duplicate content hashes collapse distinct docs") {
+    import org.apache.spark.sql.functions._
+    val df = ext.Dedup.xDedupExact(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n_copies")).head.getLong(0) == docs)
+  }
+
+  test("multimodal features: fixed 8-dim vectors for every doc") {
+    import org.apache.spark.sql.functions._
+    val df = ext.Multimodal.xMultimodalFeatures(spark, sf)
+    assert(df.filter(col("n_features") =!= 8).count() == 0)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Self-check: mimic the driver's t2 gate. Run graft.Verify first to
+produce <out>/<query>/ parquet + <out>/oracle_sql.json, then compare each
+Spark result against DuckDB running the oracle SQL on the same tables.
+
+Usage: selfcheck.py [sf_dir] [verify_out]
+"""
+import sys, json, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails, passes = [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        odf = con.sql(sql).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {str(e)[:200]}"))
+        continue
+    try:
+        sdf = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+    except Exception as e:
+        fails.append((name, f"spark result missing: {str(e)[:120]}"))
+        continue
+    if sorted(odf.columns) != sorted(sdf.columns):
+        fails.append((name, f"columns differ: oracle={sorted(odf.columns)} spark={sorted(sdf.columns)}"))
+        continue
+    cols = sorted(odf.columns)
+    odf, sdf = odf[cols], sdf[cols]
+    if len(odf) != len(sdf):
+        fails.append((name, f"row count differs: oracle={len(odf)} spark={len(sdf)}"))
+        continue
+    o = odf.sort_values(cols).reset_index(drop=True)
+    s = sdf.sort_values(cols).reset_index(drop=True)
+    bad = None
+    for c in cols:
+        ov, sv = o[c], s[c]
+        if ov.dtype.kind == "f" or sv.dtype.kind == "f":
+            ovf = ov.astype(float); svf = sv.astype(float)
+            mask = ~((ovf.isna() & svf.isna()) |
+                     ((ovf - svf).abs() <= 1e-9 + 1e-9 * ovf.abs()))
+        else:
+            mask = ~((ov.isna() & sv.isna()) | (ov.astype(str) == sv.astype(str)))
+        if mask.any():
+            i = int(mask.idxmax())
+            bad = f"col {c} row {i}: oracle={o[c][i]!r} spark={s[c][i]!r} ({int(mask.sum())} diffs)"
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+missing = sorted(set(json.load(open(f"{out}/oracle_sql.json")).keys()))
+sys.exit(1 if fails else 0)
