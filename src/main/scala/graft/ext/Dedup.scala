@@ -139,15 +139,15 @@ object Dedup {
     */
   def xDedupEmbCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v"))))
     val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
       .withColumn("cosine",
-        round(expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+        round(graft.functions.VectorFunctions.dotProduct(col("v1"), col("v2"))
           / (col("n1") * col("n2")), 4))
       .filter(col("cosine") >= 0.8)
       .select(col("label"), col("id1"), col("id2"), col("cosine"))

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,12 +33,16 @@ object Similarity {
     }
   }
 
+  /** Norm via the codegen'd dot_product expression (graft.functions):
+    * float→double widening is exact, and the sequential-add fold order is
+    * identical to the SQL `aggregate(zip_with(...))` formulation, so
+    * results stay bit-compatible with the DuckDB oracle.
+    */
   private def withVecNorm(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 as double), (acc, x) -> acc + x * x))"))
+    df.withColumn("v", col("embedding"))
+      .withColumn("nrm", sqrt(VectorFunctions.dotProduct(col("embedding"), col("embedding"))))
 
-  private val dot =
-    expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+  private val dot = VectorFunctions.dotProduct(col("v1"), col("v2"))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. Queries are
     * broadcast; ranking ties broken on (rounded cosine, neighbor_id).

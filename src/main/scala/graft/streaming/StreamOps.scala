@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extensions (the reference is batch-only — SURVEY.md
+  * §2.9; these are the streaming shape of its analytics, plus streaming
+  * sessionization mirroring ext.Sessionize).
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded
+  * (late events beyond 10 min are dropped); sessionization state is one
+  * small struct per active user key, expired by event-time timeout.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, n_events: Int, duration_minutes: Double)
+
+  private val gapMs = 30L * 60 * 1000
+
+  /** Watermarked tumbling-window counts per event_type — the streaming
+    * form of the A6/A2 rollups.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Stateful streaming sessionization: a 30-minute inactivity gap closes a
+    * session; closed sessions are emitted (Append mode). State per user is
+    * one (start, last, n) triple; event-time timeout flushes idle users.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions)
+  }
+
+  private[streaming] def updateSessions(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val out = scala.collection.mutable.Buffer[SessionOut]()
+    def close(s: SessionState): Unit =
+      out += SessionOut(userId, s.n, (s.last - s.start) / 60000.0)
+    if (state.hasTimedOut) {
+      state.getOption.foreach(close)
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            close(s)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+    }
+    out.iterator
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the custom expression, kroger-shaped ingest, the pipeline
+  * materialization, and Structured Streaming sessionization.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("dot_product matches the SQL aggregate/zip_with fold bitwise") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("dot_expr",
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
+      .withColumn("dot_native",
+        functions.VectorFunctions.dotProduct(col("embedding"), col("embedding")))
+    assert(e.filter(col("dot_expr") =!= col("dot_native")).count() == 0)
+  }
+
+  test("dot_product works via SQL registration") {
+    functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("kroger flatten: items[0], to_json categories, null-price skip, upsert") {
+    import spark.implicits._
+    val json = Seq(
+      """{"productId":"p1","description":"d1","brand":"b1","categories":["produce","fresh"],"items":[{"itemId":"i1","size":"1lb","price":{"regular":3.5,"promo":2.5,"effectiveDate":{"value":"2026-01-01"},"expirationDate":{"value":"2026-02-01"}},"fulfillment":{"instore":true,"delivery":false,"curbside":true,"shiptohome":false},"inventory":{"stockLevel":"HIGH"}}]}""",
+      """{"productId":"p2","description":"d2","brand":"b2","categories":[],"items":[{"itemId":"i2","size":"2lb","price":{"regular":null,"promo":null,"effectiveDate":null,"expirationDate":null},"fulfillment":null,"inventory":null}]}""",
+      """{"productId":"p1","description":"d1-new","brand":"b1","categories":["produce"],"items":[{"itemId":"i1","size":"1lb","price":{"regular":3.75,"promo":null,"effectiveDate":{"value":"2026-03-01"},"expirationDate":null},"fulfillment":{"instore":true,"delivery":true,"curbside":false,"shiptohome":false},"inventory":{"stockLevel":"LOW"}}]}"""
+    ).toDF("value")
+    val parsed = ops.KrogerIngest.parseProducts(spark, json)
+    val flat = ops.KrogerIngest.flattenProducts(parsed)
+    // p2 has no regular price -> skipped
+    assert(flat.count() == 2)
+    val p1 = flat.filter(col("product_id") === "p1" && col("regular_price") === 3.5).head
+    assert(p1.getAs[String]("categories") == """["produce","fresh"]""")
+    assert(p1.getAs[String]("stock_level") == "HIGH")
+    // upsert keeps latest row per composite key
+    val versioned = flat.withColumn("fetched_at",
+      when(col("description") === "d1-new", lit("2026-02-01 00:00:00").cast("timestamp"))
+        .otherwise(lit("2026-01-01 00:00:00").cast("timestamp")))
+    val merged = ops.KrogerIngest.upsert(
+      versioned.filter(col("description") === "d1"),
+      versioned.filter(col("description") === "d1-new"),
+      Seq("product_id", "item_id"), "fetched_at")
+    assert(merged.count() == 1)
+    assert(merged.head.getAs[String]("description") == "d1-new")
+  }
+
+  test("kroger locations flatten dedups across batches") {
+    import spark.implicits._
+    val json = Seq(
+      """{"locationId":"L1","name":"Store 1","chain":"K","address":{"addressLine1":"1 Main","city":"X","state":"OH","zipCode":"45202"},"geolocation":{"latitude":39.1,"longitude":-84.5}}""",
+      """{"locationId":"L1","name":"Store 1","chain":"K","address":{"addressLine1":"1 Main","city":"X","state":"OH","zipCode":"45202"},"geolocation":{"latitude":39.1,"longitude":-84.5}}""",
+      """{"locationId":"L2","name":"Store 2","chain":"K","address":{"addressLine1":"2 Oak","city":"Y","state":"KY","zipCode":"41011"},"geolocation":{"latitude":39.0,"longitude":-84.6}}"""
+    ).toDF("value")
+    val flat = ops.KrogerIngest.flattenLocations(
+      ops.KrogerIngest.parseLocations(spark, json))
+    assert(flat.count() == 2)
+    assert(flat.filter(col("zip_code") === "45202").count() == 1)
+  }
+
+  test("pipeline materializes all layers and passes dq checks") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val counts = Pipeline.run(spark, sf, out)
+    assert(counts.values.forall(_ > 0))
+    assert(counts("fact_prices") == ops.Staging.stgPrices(spark, sf).count())
+  }
+
+  test("streaming sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // user 1: two events 5 min apart, then a 60-min gap -> first session closes
+    input.addData(
+      streaming.StreamOps.Event(1, ts(0), 1, "click", 1.0),
+      streaming.StreamOps.Event(2, ts(5), 1, "click", 1.0))
+    query.processAllAvailable()
+    input.addData(streaming.StreamOps.Event(3, ts(65), 1, "click", 1.0))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT * FROM sessions_out").collect()
+    query.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("n_events") == 2)
+    assert(out.head.getAs[Double]("duration_minutes") == 5.0)
+  }
+
+  test("streaming windowed counts aggregates per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData(
+      streaming.StreamOps.Event(1, ts(0), 1, "click", 2.0),
+      streaming.StreamOps.Event(2, ts(1), 2, "click", 3.0),
+      streaming.StreamOps.Event(3, ts(6), 1, "buy", 5.0))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT event_type, n, total_value FROM win_out").collect()
+    query.stop()
+    assert(out.exists(r => r.getString(0) == "click" && r.getLong(1) == 2 && r.getDouble(2) == 5.0))
+    assert(out.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
+  }
+}
