@@ -46,11 +46,20 @@ object Dedup {
     * the candidate join.
     */
   def xDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // The (doc_id, gram) relation feeds four consumers (df cutoff, both
+    // self-join sides, per-doc sizes); persist it instead of re-exploding
+    // the corpus each time. At cluster scale this is a parquet-materialized
+    // shingle table partitioned by gram hash.
     val grams = wordGrams(Tables.documents(spark, dir))
-    val rare = grams.join(
-      grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
-        .filter(col("gram_df") <= 50).select("gram"),
-      Seq("gram"))
+    // df cutoff via a count window over the same `gram` partitioning the
+    // self-join shuffles on — one exchange serves both, vs a separate
+    // groupBy+join round trip.
+    val rare = grams
+      .withColumn("gram_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("gram_df") <= 50)
+      .drop("gram_df")
+      .persist()
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a").join(rare.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -78,7 +87,10 @@ object Dedup {
     val bandRows = 4
     val grams = wordGrams(Tables.documents(spark, dir))
     val sigAggs = (0 until nHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
-    val sigs = grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // Signature table feeds the banding AND both sides of the verification
+    // join — persist so the 64-aggregate pass runs once (at cluster scale:
+    // a materialized signature table, bucketed by doc_id).
+    val sigs = grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*).persist()
     val bandStructs = (0 until nHashes / bandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i")): _*).as("sig"))
@@ -116,7 +128,8 @@ object Dedup {
     val sh = (0 until 64)
       .map(i => when(col(s"b$i") > 0, expr(s"shiftleft(cast(1 as bigint), $i)")).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val sigs = sums.select(col("doc_id"), sh.as("simhash"))
+    // One row per doc; persisted because both self-join sides consume it.
+    val sigs = sums.select(col("doc_id"), sh.as("simhash")).persist()
     val bandStructs = (0 until 4).map(k =>
       struct(lit(k).as("band"), expr(s"(simhash >> ${k * 16}) & 65535").as("bits")))
     val bands = sigs.select(col("doc_id"), col("simhash"),

@@ -83,10 +83,13 @@ object Similarity {
     }
     val sigBuckets = (0 until nTables).map(t =>
       struct(lit(t).as("tbl"), col(s"bucket_$t").as("bucket")))
+    // Query side and corpus side both read this; persist to hash the
+    // corpus through the hyperplanes once.
     val buckets = withBuckets.select(col("vec_id"), col("v"), col("nrm"),
         explode(array(sigBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist()
     val q = buckets.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
         col("v").as("v1"), col("nrm").as("n1"))
