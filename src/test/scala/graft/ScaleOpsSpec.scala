@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the scale toolkit: salted skew joins, bucketed co-located
+  * joins (asserting the shuffle-free plan), and approximate-stat bounds.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted join returns the same rows as the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey")
+    val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_name")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val plain = li.join(sup, Seq("l_suppkey")).count()
+    val salted = ext.Skew.saltedJoin(li, sup, "l_suppkey", salts = 8).count()
+    assert(salted == plain)
+  }
+
+  test("salted count equals plain count per key") {
+    val li = Tables.lineitem(spark, sf)
+    val plain = li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    val salted = ext.Skew.saltedCount(li, "l_suppkey", salts = 8)
+    assert(plain.join(salted.withColumnRenamed("n", "n2"), "l_suppkey")
+      .filter(col("n") =!= col("n2")).count() == 0)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ext.Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_extendedprice"),
+        "li_bucketed", buckets = 8, key = "l_suppkey")
+      ext.Bucketing.writeBucketed(
+        Tables.supplier(spark, sf).select("s_suppkey", "s_name"),
+        "sup_bucketed", buckets = 8, key = "s_suppkey")
+      val joined = ext.Bucketing.bucketedJoin(spark,
+        "li_bucketed", "sup_bucketed", "l_suppkey", "s_suppkey")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$physical")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approx stats stay within documented error bounds") {
+    val rows = ext.Approx.xApproxStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactD = r.getAs[Long]("exact_distinct").toDouble
+      val approxD = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approxD - exactD) / exactD < 0.1,
+        s"HLL error too large: $exactD vs $approxD")
+      val exactM = r.getAs[Double]("exact_median")
+      val approxM = r.getAs[Double]("approx_median")
+      assert(math.abs(approxM - exactM) / exactM < 0.05,
+        s"approx median error too large: $exactM vs $approxM")
+    }
+  }
+}
