@@ -86,11 +86,55 @@ object TextAnalysis {
           .as("vocab_fingerprint"))
       .orderBy("doc_id")
 
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df). The idf join is a
+    * broadcast (vocabulary ≪ corpus); the corpus-size scalar rejoins via a
+    * 1-row broadcast cross join. Scores rounded to 6 decimals before
+    * ranking so libm 1-ulp ln() differences can't flip the order vs the
+    * oracle; ties broken on the term.
+    */
+  def xTextTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Deterministic stratified train/val/test split: bucket by the md5 of
+    * the doc id (stable under corpus growth — adding docs never reassigns
+    * existing ones), 80/10/10, reported per (split, lang).
+    */
+  def xTrainValSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+      lit(100))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_langid"      -> (xTextLangId _),
     "x_text_quality"     -> (xTextQuality _),
     "x_text_tokens"      -> (xTextTokens _),
-    "x_text_fingerprint" -> (xTextFingerprint _))
+    "x_text_fingerprint" -> (xTextFingerprint _),
+    "x_text_tfidf"       -> (xTextTfidf _),
+    "x_train_val_split"  -> (xTrainValSplit _))
 
   val oracle: Map[String, String] = Map(
     "x_text_langid" ->
@@ -134,6 +178,35 @@ object TextAnalysis {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "x_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tfidf
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "x_train_val_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
     "x_text_fingerprint" ->
       """SELECT doc_id,
         |  md5(replace(lower(text), ' ', '')) AS content_hash,

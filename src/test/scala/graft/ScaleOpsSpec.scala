@@ -40,6 +40,20 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("bucketed join plans without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // The JVM-shared session may use an earlier suite's warehouse dir;
+    // clear both catalog entries and any orphaned locations from prior runs.
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_bucketed", "sup_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     try {
       ext.Bucketing.writeBucketed(
         Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_extendedprice"),
