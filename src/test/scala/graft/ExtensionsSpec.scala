@@ -75,11 +75,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(flat.filter(col("zip_code") === "45202").count() == 1)
   }
 
-  test("pipeline materializes all layers and passes dq checks") {
+  test("pipeline materializes all layers, passes dq checks, serves all charts") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     val counts = Pipeline.run(spark, sf, out)
     assert(counts.values.forall(_ > 0))
     assert(counts("fact_prices") == ops.Staging.stgPrices(spark, sf).count())
+    Dashboard.charts(spark, sf, out).foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name is empty")
+    }
   }
 
   test("streaming sessionization emits closed sessions") {
