@@ -20,8 +20,12 @@ object Bench {
     "x_dedup_ngram_jaccard",
     "x_dedup_minhash_lsh",
     "x_knn_bruteforce",
+    "x_ann_lsh",
+    "x_dedup_emb_cosine",
     "x_text_quality",
-    "x_text_tokens")
+    "x_text_tokens",
+    "x_text_tfidf",
+    "x_train_val_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Dashboard {
 
-  /** Chart 1: quartile box data per brand from the materialized fact. */
-  def chart1BoxData(spark: SparkSession, martDir: String): DataFrame = {
+  /** Chart 1: quartile box data per brand from the materialized fact,
+    * windowed to a date range — with the reference's empty-input fallback
+    * (app.py:84-113): if the window has no rows, re-plan unfiltered. The
+    * emptiness probe is a cheap `limit(1)` scan, not a full count.
+    */
+  def chart1BoxData(spark: SparkSession, martDir: String,
+      from: String = "1998-01-01", to: String = "1998-03-31"): DataFrame = {
     val fact = spark.read.parquet(s"$martDir/fact_prices")
-    fact.filter(col("p_brand").isNotNull && col("regular_price") > 0)
-      .groupBy(col("p_brand"))
+      .filter(col("p_brand").isNotNull && col("regular_price") > 0)
+    val windowed = fact.filter(col("effective_date").between(from, to))
+    val base = if (windowed.limit(1).isEmpty) fact else windowed
+    base.groupBy(col("p_brand"))
       .agg(
         round(percentile(col("regular_price"), lit(0.25)), 4).as("q1"),
         round(percentile(col("regular_price"), lit(0.5)), 4).as("median"),

@@ -22,14 +22,32 @@ object Similarity {
   private val nTables = 4  // OR-amplification: candidate if ANY table collides
   private val planesPerTable = 8 // 2^8 = 256 buckets per table
 
-  /** Deterministic random hyperplanes (seed 42), one nested-array literal
-    * per hash table.
+  /** Deterministic random hyperplanes (seed 42), one plane matrix per hash
+    * table, captured in the signature UDF's closure — embedding them as
+    * literal array expressions would rebuild 8×64 doubles per row and
+    * bloat codegen.
     */
-  private lazy val tablePlanes: Seq[org.apache.spark.sql.Column] = {
+  private lazy val tablePlanes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
-    (0 until nTables).map { _ =>
-      val planes = Array.fill(planesPerTable, dims)(rng.nextGaussian())
-      array(planes.map(p => array(p.map(lit): _*)): _*)
+    Array.fill(nTables)(Array.fill(planesPerTable, dims)(rng.nextGaussian()))
+  }
+
+  /** Sign-signature of a vector under one table's hyperplanes → bucket id. */
+  private def bucketUdf(t: Int) = {
+    val planes = tablePlanes(t)
+    udf { (v: Seq[Float]) =>
+      var bucket = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { d += v(i) * plane(i); i += 1 }
+        bucket = bucket * 2 + (if (d > 0) 1L else 0L)
+        p += 1
+      }
+      bucket
     }
   }
 
@@ -73,13 +91,8 @@ object Similarity {
     */
   def xAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e0 = withVecNorm(Tables.embeddings(spark, dir))
-    val withBuckets = tablePlanes.zipWithIndex.foldLeft(e0) { case (df, (planes, t)) =>
-      df.withColumn(s"planes_$t", planes)
-        .withColumn(s"bucket_$t",
-          expr(s"""aggregate(
-            transform(planes_$t, p -> aggregate(zip_with(v, p, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) > cast(0.0 as double)),
-            cast(0 as bigint), (acc, b) -> acc * 2 + if(b, 1, 0))"""))
-        .drop(s"planes_$t")
+    val withBuckets = (0 until nTables).foldLeft(e0) { (df, t) =>
+      df.withColumn(s"bucket_$t", bucketUdf(t)(col("embedding")))
     }
     val sigBuckets = (0 until nTables).map(t =>
       struct(lit(t).as("tbl"), col(s"bucket_$t").as("bucket")))

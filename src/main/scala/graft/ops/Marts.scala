@@ -54,7 +54,7 @@ object Marts {
       .join(broadcast(p), prices("l_partkey") === p("p_partkey"), "left")
       .join(broadcast(s), prices("l_suppkey") === s("s_suppkey"), "left")
       .select(prices("l_orderkey"), prices("l_linenumber"),
-        prices("l_partkey"), prices("l_suppkey"),
+        prices("l_partkey"), prices("l_suppkey"), col("effective_date"),
         col("regular_price"), col("promo_price"), col("discount_amount"),
         col("discount_pct"), col("p_brand"), col("p_type"), col("s_name"),
         col("s_nationkey"))
@@ -175,12 +175,13 @@ object Marts {
     "j2_fact_build" ->
       """WITH prices AS (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(l_shipdate AS DATE) AS effective_date,
         |    l_extendedprice AS regular_price,
         |    l_extendedprice * (1 - l_discount) AS promo_price,
         |    l_extendedprice * l_discount AS discount_amount,
         |    CASE WHEN l_discount > 0 THEN round(l_discount * 100, 2) ELSE 0.0 END AS discount_pct
         |  FROM lineitem WHERE l_extendedprice > 0)
-        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, effective_date,
         |  regular_price, promo_price, discount_amount, discount_pct,
         |  p_brand, p_type, s_name, s_nationkey
         |FROM prices

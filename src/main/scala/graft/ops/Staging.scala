@@ -37,6 +37,7 @@ object Staging {
       .filter(col("l_extendedprice") > 0)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("effective_date"),
         col("l_extendedprice").as("regular_price"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("promo_price"),
         (col("l_extendedprice") * col("l_discount")).as("discount_amount"),
