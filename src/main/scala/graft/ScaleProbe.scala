@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: synthesizes an N× lineitem (distinct order keys per
+  * replica, same dim tables) and times the headline relational queries at
+  * 1× and N× to evidence the scaling claims in SCALE.md.
+  *
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [workDir] [replicas]
+  * Prints one JSON line: {"q":{"name":{"x1":s,"xN":s},...}}
+  */
+object ScaleProbe {
+  val probeQueries: Vector[String] = Vector(
+    "j2_fact_build", "a2_category_rollup", "a4_percentile_rollup",
+    "j3_a3_supplier_rollup", "w1_share_of_group", "p4p5_derived_prices")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val nReplicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Build the 10x dir: replicated lineitem with shifted order keys,
+    // dims/other tables reused from the base directory.
+    val li = Tables.lineitem(spark, base)
+    val replicas = (0 until nReplicas).map(r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L)))
+    replicas.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "documents", "embeddings").foreach { t =>
+      val target = java.nio.file.Paths.get(s"$work/$t.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.createSymbolicLink(target,
+        java.nio.file.Paths.get(s"$base/$t.parquet"))
+    }
+
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up
+    time(base, "a2_category_rollup")
+    val results = probeQueries.map { q =>
+      q -> (time(base, q), time(work, q))
+    }
+    val json = results.map { case (q, (x1, xn)) =>
+      f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
+    }.mkString("{\"q\":{", ",", "}}")
+    println(json)
+    spark.stop()
+  }
+}
