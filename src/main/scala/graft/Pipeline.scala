@@ -25,7 +25,8 @@ object Pipeline {
       "fact_prices"   -> ops.Marts.factBuild(spark, sfDir),
       "mart_category_distribution" -> ops.Marts.a2CategoryRollup(spark, sfDir),
       "mart_supplier_sales"        -> ops.Marts.supplierRollup(spark, sfDir),
-      "mart_price_by_category"     -> ops.Marts.a4PercentileRollup(spark, sfDir))
+      "mart_price_by_category"     -> ops.Marts.a4PercentileRollup(spark, sfDir),
+      "clean_documents" -> ext.Dedup.dedupCorpus(Tables.documents(spark, sfDir)))
     val counts = layers.map { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()

@@ -34,6 +34,18 @@ object Dedup {
           .otherwise(array().cast(ArrayType(StringType)))).as("gram"))
       .distinct()
 
+  /** User-facing composed API: the deduplicated corpus itself — keep the
+    * lowest doc_id per normalized content hash. One shuffle on the hash;
+    * the winner is re-joined by (hash, doc_id) so the output carries the
+    * full document row without shuffling the text twice (the hash join's
+    * build side is one slim row per group).
+    */
+  def dedupCorpus(docs: DataFrame): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(lower(trim(col("text")))))
+    val keep = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    hashed.join(keep, Seq("__h", "doc_id")).drop("__h")
+  }
+
   /** Exact dedup: group by content hash, keep lowest doc_id per group. */
   def xDedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

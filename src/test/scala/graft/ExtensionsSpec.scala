@@ -107,6 +107,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("duration_minutes") == 5.0)
   }
 
+  test("streaming sessionization agrees with the batch operator on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.001 events through the streaming operator in one batch: every
+    // session except each user's last closes when the next event arrives,
+    // so emitted-closed-count must land in [sum(n_sessions) - n_users,
+    // sum(n_sessions)] from the batch operator (timeouts may close some
+    // trailing sessions depending on the final watermark).
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => streaming.StreamOps.Event(
+        r.getLong(0), new java.sql.Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode("append").start()
+    input.addData(raw.toSeq)
+    query.processAllAvailable()
+    val emitted = spark.sql("SELECT count(*) FROM parity_out").head.getLong(0)
+    query.stop()
+    val batch = ext.Sessionize.xSessionize(spark, sf)
+      .agg(sum("n_sessions").as("total"), count(lit(1)).as("users")).head
+    val total = batch.getLong(0)
+    val users = batch.getLong(1)
+    assert(emitted >= total - users && emitted <= total,
+      s"emitted=$emitted not in [${total - users}, $total]")
+  }
+
+  test("dedupCorpus keeps one row per distinct content") {
+    val docs = Tables.documents(spark, sf)
+    val clean = ext.Dedup.dedupCorpus(docs)
+    assert(clean.count() ==
+      docs.select(md5(lower(trim(col("text"))))).distinct().count())
+    assert(clean.columns.sorted.sameElements(docs.columns.sorted))
+  }
+
   test("streaming windowed counts aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
