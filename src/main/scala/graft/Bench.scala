@@ -44,16 +44,22 @@ object Bench {
     // doesn't pay one-time class-loading cost.
     try SparkEntry.queries("a6_twokey_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,10 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -39,6 +41,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query inventory + failures, so the local gate (tools/selfcheck.py)
+    // can verify rows-only queries produced output instead of skipping them.
+    val allKeys = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    val failedKeys = failed.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      s"""{"queries": $allKeys, "failed": $failedKeys}""")
     spark.stop()
   }
 }

@@ -62,25 +62,26 @@ object Dedup {
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
     // shingle table partitioned by gram hash.
-    val grams = wordGrams(Tables.documents(spark, dir))
-    // df cutoff via a count window over the same `gram` partitioning the
-    // self-join shuffles on — one exchange serves both, vs a separate
-    // groupBy+join round trip.
-    val rare = grams
-      .withColumn("gram_df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .filter(col("gram_df") <= 50)
-      .drop("gram_df")
-      .persist()
+    val grams = wordGrams(Tables.documents(spark, dir)).persist()
+    // df cutoff via partial-aggregated groupBy + join — NOT a count window
+    // over gram, which would funnel every row of a hot shingle into one
+    // task before the filter could drop it (the exact straggler the cutoff
+    // exists to prevent).
+    val rare = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df") <= 50).select("gram"),
+      Seq("gram")).persist()
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a").join(rare.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter_grams"))
     val jacc = col("inter_grams") / (col("sa.sz") + col("sb.sz") - col("inter_grams"))
+    // sizes is per-document cardinality — shuffle-join it (AQE may still
+    // broadcast at small scale); never force-broadcast corpus-sized data.
     inter
-      .join(broadcast(sizes.as("sa")), col("d1") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("d2") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
       .orderBy(jacc.desc, col("d1"), col("d2"))
       .limit(20)
       .select(col("d1"), col("d2"), col("inter_grams"), round(jacc, 6).as("jaccard"))

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: brute-force is O(Q·N) — fine when the query set Q is small
   * and broadcastable (here: broadcast the queries, stream the corpus).
-  * The LSH variant buckets the corpus by a 16-bit hyperplane signature so
-  * each query only scans its bucket (~N/2^16 of the corpus), which is the
+  * The LSH variant buckets the corpus by 8-bit hyperplane signatures in 4
+  * hash tables so each query scans ~4/256 of the corpus, which is the
   * shape that survives N at 100 TB; hyperplanes are deterministic
   * (seed 42), so results are reproducible across runs and executors.
   */

@@ -21,6 +21,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full joins would emit the exploded small-side replicas as
+    // extra null-extended rows — only big-side-preserving joins are sound.
+    val ok = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -99,17 +99,22 @@ object KrogerIngest {
       .filter(col("regular_price").isNotNull)
 
   /** S5/S6/W3: INSERT OR REPLACE semantics — union existing + incoming,
-    * keep the newest row per key (orderCol desc, with the remaining output
-    * column order as an implicit total tiebreak via a row_number window).
+    * keep the newest row per key. On an orderCol tie the INCOMING row wins
+    * (REPLACE semantics: a re-ingested batch stamped with the same
+    * fetched_at must still overwrite), enforced by an explicit source
+    * priority column rather than union order, which Spark does not
+    * guarantee to survive the window shuffle.
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
       orderCol: String): DataFrame = {
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, monotonically_increasing_id())
-    existing.unionByName(incoming)
+      .orderBy(col(orderCol).desc, col("__src").desc)
+    tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__src")
   }
 
   /** Parse raw JSON strings into the typed payload shape (spark.read.json

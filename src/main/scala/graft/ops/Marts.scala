@@ -47,7 +47,7 @@ object Marts {
   def factBuild(spark: SparkSession, dir: String): DataFrame = {
     val prices = Staging.stgPrices(spark, dir)
     val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
     val s = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     prices

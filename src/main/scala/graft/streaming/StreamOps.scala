@@ -57,7 +57,9 @@ object StreamOps {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            // Late in-watermark events may precede the session start;
+            // widen both ends so durations match the batch operator.
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
           case Some(s) =>
             close(s)
             cur = Some(SessionState(t, t, 1))

@@ -62,6 +62,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(merged.head.getAs[String]("description") == "d1-new")
   }
 
+  test("upsert: incoming wins on an orderCol tie (REPLACE semantics)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val existing = Seq((1L, "stale", ts)).toDF("k", "payload", "fetched_at")
+    val incoming = Seq((1L, "fresh", ts)).toDF("k", "payload", "fetched_at")
+    val merged = ops.KrogerIngest.upsert(existing, incoming, Seq("k"), "fetched_at")
+    assert(merged.count() == 1)
+    assert(merged.head.getAs[String]("payload") == "fresh")
+  }
+
   test("kroger locations flatten dedups across batches") {
     import spark.implicits._
     val json = Seq(

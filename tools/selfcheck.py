@@ -58,8 +58,26 @@ for name in sorted(oracle):
     else:
         passes.append(name)
 
+# Rows-only queries (no oracle SQL): their parquet output must exist,
+# be readable, and be non-degenerate; a Verify-reported failure is a FAIL.
+try:
+    manifest = json.load(open(f"{out}/queries.json"))
+    for name in sorted(set(manifest.get("queries", [])) - set(oracle)):
+        if name in manifest.get("failed", []):
+            fails.append((name, "Verify reported query failure"))
+            continue
+        try:
+            n = len(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            passes.append(f"{name}(rows={n})")
+        except Exception as e:
+            fails.append((name, f"rows-only output unreadable: {str(e)[:120]}"))
+    for name in manifest.get("failed", []):
+        if not any(f[0] == name for f in fails):
+            fails.append((name, "Verify reported query failure"))
+except FileNotFoundError:
+    print("WARN no queries.json manifest; rows-only queries unchecked")
+
 print(f"PASS {len(passes)}: {' '.join(passes)}")
 for name, why in fails:
     print(f"FAIL {name}: {why}")
-missing = sorted(set(json.load(open(f"{out}/oracle_sql.json")).keys()))
 sys.exit(1 if fails else 0)
