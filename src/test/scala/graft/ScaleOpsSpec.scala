@@ -70,6 +70,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental merge equals the full rebuild") {
+    import org.apache.spark.sql.functions.to_date
+    val li = Tables.lineitem(spark, sf)
+    val keys = Seq("l_suppkey")
+    val old_ = li.filter(to_date(col("l_shipdate")) < "1999-01-01")
+    val delta = li.filter(to_date(col("l_shipdate")) >= "1999-01-01")
+    val full = ops.Incremental.additiveRollup(li, keys, "l_extendedprice")
+    val merged = ops.Incremental.merge(
+      ops.Incremental.additiveRollup(old_, keys, "l_extendedprice"),
+      ops.Incremental.additiveRollup(delta, keys, "l_extendedprice"),
+      keys, "l_extendedprice")
+    val joined = ops.Incremental.finalizeView(full, "l_extendedprice").as("f")
+      .join(ops.Incremental.finalizeView(merged, "l_extendedprice").as("m"), keys)
+    assert(joined.count() == full.count())
+    val bad = joined.filter(
+      col("f.n_l_extendedprice") =!= col("m.n_l_extendedprice") ||
+      col("f.min_l_extendedprice") =!= col("m.min_l_extendedprice") ||
+      col("f.max_l_extendedprice") =!= col("m.max_l_extendedprice") ||
+      abs(col("f.sum_l_extendedprice") - col("m.sum_l_extendedprice")) > 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("plan shapes: fact build broadcasts dims and pushes filters to the scan") {
+    val plan = ops.Marts.j2FactBuild(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(plan.contains("PushedFilters"), "scan-level pushdown expected")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for dim joins")
+  }
+
   test("approx stats stay within documented error bounds") {
     val rows = ext.Approx.xApproxStats(spark, sf).collect()
     assert(rows.nonEmpty)
