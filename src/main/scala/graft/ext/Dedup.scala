@@ -62,7 +62,12 @@ object Dedup {
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
     // shingle table partitioned by gram hash.
-    val grams = wordGrams(Tables.documents(spark, dir)).persist()
+    // Shuffle 8-byte gram hashes, not gram strings (xxhash64 collision at
+    // this vocabulary ~1e-11 — far below any float-compare tolerance; the
+    // intersection/size counts are otherwise identical to string grams).
+    val grams = wordGrams(Tables.documents(spark, dir))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .persist()
     // df cutoff via partial-aggregated groupBy + join — NOT a count window
     // over gram, which would funnel every row of a hot shingle into one
     // task before the filter could drop it (the exact straggler the cutoff

@@ -11,16 +11,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: brute-force is O(Q·N) — fine when the query set Q is small
   * and broadcastable (here: broadcast the queries, stream the corpus).
-  * The LSH variant buckets the corpus by 8-bit hyperplane signatures in 4
-  * hash tables so each query scans ~4/256 of the corpus, which is the
-  * shape that survives N at 100 TB; hyperplanes are deterministic
-  * (seed 42), so results are reproducible across runs and executors.
+  * The LSH variant buckets the corpus by 6-bit hyperplane signatures in 6
+  * hash tables so each query scans ~6/64 of the corpus, which is the
+  * shape that survives N at 100 TB (tune bits up as N grows); hyperplanes
+  * are deterministic (seed 42), so results reproduce across runs and
+  * executors.
   */
 object Similarity {
 
   private val dims = 64
-  private val nTables = 4  // OR-amplification: candidate if ANY table collides
-  private val planesPerTable = 8 // 2^8 = 256 buckets per table
+  // OR-amplification: candidate if ANY table collides. 6 tables × 6-bit
+  // signatures: for neighbors at cos θ, per-table collision is
+  // (1 - θ/π)^6, OR'd over 6 tables — ~0.7 recall at cos 0.75 while each
+  // query scans ~6/64 of the corpus.
+  private val nTables = 6
+  private val planesPerTable = 6 // 2^6 = 64 buckets per table
 
   /** Deterministic random hyperplanes (seed 42), one plane matrix per hash
     * table, captured in the signature UDF's closure — embedding them as
@@ -82,8 +87,8 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN (no SQL oracle — rows-only check): 4 hash tables of
-    * 8 random hyperplanes each (8-bit signature → 256 buckets/table).
+  /** LSH-bucketed ANN (no SQL oracle — rows-only check): 6 hash tables of
+    * 6 random hyperplanes each (6-bit signature → 64 buckets/table).
     * A corpus vector is a candidate if it collides with the query in ANY
     * table (OR-amplification); exact cosine re-rank over the deduped
     * candidates, top-5 per query vec_id < 10. At scale each query scans
@@ -123,9 +128,81 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN (no SQL oracle — rows-only check): deterministic
+    * coarse quantizer (centroids seeded from the first K vectors, one
+    * Lloyd refinement), corpus partitioned by nearest centroid, queries
+    * probe the nProbe nearest cells and re-rank exactly within them.
+    * At scale the inverted lists are the partition layout: each query
+    * reads nProbe/K of the corpus. Centroids are tiny (K × dims) and ride
+    * in task closures like any broadcast constant.
+    */
+  def xAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val nProbe = 4
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    // deterministic seed centroids: the first k vectors by id
+    val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def nearest(cs: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cc = cs(c)
+        val n = math.min(v.length, cc.length)
+        while (i < n) { val t = v(i) - cc(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // one Lloyd refinement: per-cell mean over the assigned vectors
+    val assigned0 = e.withColumn("cell", nearest(seeds)(col("embedding")))
+    val refined: Array[Array[Double]] = assigned0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }.toArray
+    val assigned = e.withColumn("cell", nearest(refined)(col("embedding"))).persist()
+    // queries probe the nProbe nearest refined centroids
+    val probe = udf { (v: Seq[Float]) =>
+      refined.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cc = refined(c)
+        val n = math.min(v.length, cc.length)
+        while (i < n) { val t = v(i) - cc(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"),
+        explode(probe(col("embedding"))).as("cell"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("cosine_raw"), 6).desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine_raw", dot / (col("n1") * col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),
-    "x_ann_lsh"        -> (xAnnLsh _))
+    "x_ann_lsh"        -> (xAnnLsh _),
+    "x_ann_ivf"        -> (xAnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "x_knn_bruteforce" ->

@@ -30,6 +30,15 @@ object StreamOps {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup: drop replayed events by id, with state bounded
+    * by the watermark (ids older than the watermark are forgotten — the
+    * streaming form of the keyed upsert's dedup guarantee).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful streaming sessionization: a 30-minute inactivity gap closes a
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.

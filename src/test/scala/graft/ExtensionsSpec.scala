@@ -155,6 +155,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(clean.columns.sorted.sameElements(docs.columns.sorted))
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData(
+      streaming.StreamOps.Event(1, ts(0), 1, "click", 1.0),
+      streaming.StreamOps.Event(1, ts(0), 1, "click", 1.0), // same-batch dup
+      streaming.StreamOps.Event(2, ts(1), 2, "click", 1.0))
+    query.processAllAvailable()
+    input.addData(streaming.StreamOps.Event(2, ts(2), 2, "click", 1.0)) // replay
+    query.processAllAvailable()
+    val n = spark.sql("SELECT count(*) FROM dedup_out").head.getLong(0)
+    query.stop()
+    assert(n == 2, s"expected 2 unique events, got $n")
+  }
+
+  test("ann variants recover most of the exact top-5 (recall@5)") {
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = topSets(ext.Similarity.xKnnBruteForce(spark, sf))
+    for ((name, approx) <- Seq(
+        "lsh" -> topSets(ext.Similarity.xAnnLsh(spark, sf)),
+        "ivf" -> topSets(ext.Similarity.xAnnIvf(spark, sf)))) {
+      val recalls = exact.map { case (q, ex) =>
+        approx.get(q).map(ap => (ap intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.3, s"$name mean recall@5 too low: $mean")
+      info(s"$name mean recall@5 = $mean")
+    }
+  }
+
   test("streaming windowed counts aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
