@@ -1,0 +1,97 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` stream table: funnel
+  * conversion and weekly cohort retention — the aggregate shapes a
+  * product data pipeline serves next to the price marts.
+  *
+  * Scale notes: both shuffle once on user_id (high-cardinality key), then
+  * roll up to tiny outputs; the funnel's step join is per-user (no
+  * cross-user fan-out). Event times are compared at µs precision
+  * (`ts div 1000` on the epoch-nano Long ↔ epoch_us(CAST AS TIMESTAMP)).
+  */
+object EventAnalytics {
+
+  private def withTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+
+  /** Funnel: signup → first purchase at-or-after the signup. One row:
+    * users entering the funnel, conversions, conversion percent, median
+    * hours to convert.
+    */
+  def xFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(Tables.events(spark, dir))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_signup"))
+    val conversions = ev.filter(col("event_type") === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter(col("ts_us") >= col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_convert"))
+    signups.join(conversions, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("signup_users"),
+        count(col("t_convert")).as("converted_users"),
+        round(count(col("t_convert")) / count(lit(1)) * 100, 2).as("conversion_pct"),
+        round(percentile((col("t_convert") - col("t_signup")) / 3600000000.0, lit(0.5)), 3)
+          .as("median_hours_to_convert"))
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week; for each
+    * (cohort, week-offset), how many distinct users were active.
+    */
+  def xRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(Tables.events(spark, dir))
+      .withColumn("week",
+        to_date(date_trunc("week", timestamp_micros(col("ts_us")))))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.select(col("user_id"), col("week")).distinct()
+      .join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_funnel"           -> (xFunnel _),
+    "x_retention_cohort" -> (xRetentionCohort _))
+
+  val oracle: Map[String, String] = Map(
+    "x_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |signups AS (
+        |  SELECT user_id, MIN(ts_us) AS t_signup
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |conversions AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t_convert
+        |  FROM ev e JOIN signups s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= s.t_signup
+        |  GROUP BY e.user_id)
+        |SELECT COUNT(*) AS signup_users,
+        |  COUNT(t_convert) AS converted_users,
+        |  round(COUNT(t_convert) / COUNT(*) * 100, 2) AS conversion_pct,
+        |  round(percentile_cont(0.5) WITHIN GROUP (
+        |    ORDER BY (t_convert - t_signup) / CAST(3600000000.0 AS DOUBLE)), 3)
+        |    AS median_hours_to_convert
+        |FROM signups LEFT JOIN conversions USING (user_id)""".stripMargin,
+    "x_retention_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM ev)
+        |SELECT cohort_week,
+        |  CAST((week - cohort_week) / 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM active JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin)
+}
