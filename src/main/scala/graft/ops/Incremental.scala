@@ -44,4 +44,23 @@ object Incremental {
     val c = valueCol
     state.withColumn(s"avg_$c", round(col(s"sum_$c") / col(s"n_$c"), 2))
   }
+
+  /** Mergeable distinct counts: per-key HLL sketches (binary state).
+    * HLL merge is a per-register max — associative and commutative — so
+    * delta sketches union into the mart sketch exactly like the additive
+    * sums above; `hll_sketch_estimate` serves the approximate
+    * COUNT(DISTINCT) without ever rescanning history.
+    */
+  def distinctSketch(df: DataFrame, keys: Seq[String], col_ : String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(col_)).as(s"hll_$col_"))
+
+  def mergeSketches(a: DataFrame, b: DataFrame, keys: Seq[String], col_ : String): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col(s"hll_$col_")).as(s"hll_$col_"))
+
+  def estimateDistinct(state: DataFrame, col_ : String): DataFrame =
+    state.withColumn(s"approx_distinct_$col_",
+      hll_sketch_estimate(col(s"hll_$col_")))
 }

@@ -92,6 +92,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("hll sketch merge equals the full sketch and tracks the exact distinct count") {
+    import org.apache.spark.sql.functions.to_date
+    val li = Tables.lineitem(spark, sf)
+    val keys = Seq("l_returnflag")
+    val old_ = li.filter(to_date(col("l_shipdate")) < "1999-01-01")
+    val delta = li.filter(to_date(col("l_shipdate")) >= "1999-01-01")
+    val full = ops.Incremental.estimateDistinct(
+      ops.Incremental.distinctSketch(li, keys, "l_partkey"), "l_partkey")
+    val merged = ops.Incremental.estimateDistinct(
+      ops.Incremental.mergeSketches(
+        ops.Incremental.distinctSketch(old_, keys, "l_partkey"),
+        ops.Incremental.distinctSketch(delta, keys, "l_partkey"),
+        keys, "l_partkey"), "l_partkey")
+    val cmp = full.select(col("l_returnflag"), col("approx_distinct_l_partkey").as("f"))
+      .join(merged.select(col("l_returnflag"), col("approx_distinct_l_partkey").as("m")),
+        "l_returnflag")
+    assert(cmp.filter(col("f") =!= col("m")).count() == 0, "merge must equal full sketch")
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_partkey").as("x"))
+    val err = cmp.join(exact, "l_returnflag")
+      .filter(abs(col("f") - col("x")) / col("x") > 0.05)
+    assert(err.count() == 0, "HLL estimate should be within 5% of exact")
+  }
+
   test("plan shapes: fact build broadcasts dims and pushes filters to the scan") {
     val plan = ops.Marts.j2FactBuild(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
