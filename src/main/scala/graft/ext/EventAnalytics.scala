@@ -56,9 +56,40 @@ object EventAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** As-of join: each purchase matched to the user's most recent click
+    * at-or-before it. Composed from built-ins as union + sorted window
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding) — ONE
+    * shuffle on user_id and a per-partition sort, instead of a per-user
+    * range join whose fan-out is |purchases|×|clicks|. Ties at the same
+    * microsecond resolve click-before-purchase, then higher event_id —
+    * fully deterministic.
+    */
+  def xAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(Tables.events(spark, dir))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "click", col("ts_us")).as("click_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof_click_id"),
+        round((col("ts_us") - col("asof_click_ts")) / 60000000.0, 3)
+          .as("minutes_since_click"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_funnel"           -> (xFunnel _),
-    "x_retention_cohort" -> (xRetentionCohort _))
+    "x_retention_cohort" -> (xRetentionCohort _),
+    "x_asof_join"        -> (xAsofJoin _))
 
   val oracle: Map[String, String] = Map(
     "x_funnel" ->
@@ -80,6 +111,25 @@ object EventAnalytics {
         |    ORDER BY (t_convert - t_signup) / CAST(3600000000.0 AS DOUBLE)), 3)
         |    AS median_hours_to_convert
         |FROM signups LEFT JOIN conversions USING (user_id)""".stripMargin,
+    "x_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |win AS (
+        |  SELECT user_id, event_id, ts_us, tag,
+        |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+        |    last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, asof_click_id,
+        |  round((ts_us - asof_click_ts) / CAST(60000000.0 AS DOUBLE), 3) AS minutes_since_click
+        |FROM win WHERE tag = 1
+        |ORDER BY purchase_id""".stripMargin,
     "x_retention_cohort" ->
       """WITH ev AS (
         |  SELECT user_id,
