@@ -25,13 +25,17 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Dedup {
 
-  /** Distinct lowercase word 3-grams per document. */
+  /** Distinct lowercase word 3-grams per document. The distinct (and every
+    * downstream shuffle) runs over the 8-byte xxhash64 of the gram, never
+    * the gram string (collision odds at this vocabulary ~1e-11).
+    */
   private[ext] def wordGrams(docs: DataFrame): DataFrame =
     docs.withColumn("ws", split(lower(col("text")), " "))
       .select(col("doc_id"), explode(
         when(size(col("ws")) >= 3,
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-          .otherwise(array().cast(ArrayType(StringType)))).as("gram"))
+          .otherwise(array().cast(ArrayType(StringType)))).as("gram_str"))
+      .select(col("doc_id"), xxhash64(col("gram_str")).as("gram"))
       .distinct()
 
   /** User-facing composed API: the deduplicated corpus itself — keep the
@@ -62,12 +66,7 @@ object Dedup {
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
     // shingle table partitioned by gram hash.
-    // Shuffle 8-byte gram hashes, not gram strings (xxhash64 collision at
-    // this vocabulary ~1e-11 — far below any float-compare tolerance; the
-    // intersection/size counts are otherwise identical to string grams).
-    val grams = wordGrams(Tables.documents(spark, dir))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-      .persist()
+    val grams = wordGrams(Tables.documents(spark, dir)).persist()
     // df cutoff via partial-aggregated groupBy + join — NOT a count window
     // over gram, which would funnel every row of a hot shingle into one
     // task before the filter could drop it (the exact straggler the cutoff

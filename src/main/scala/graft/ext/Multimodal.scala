@@ -57,9 +57,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Partition-batched frame sampling + resize plumbing (rows-only check).
+    * Treats each asset as a fake "video": fixed-size frames at a byte
+    * stride, every Nth frame sampled, each "resized" by the stub into a
+    * 4-float thumbnail signature. The schema shape — one row per
+    * (asset, frame_index) with a fixed-length vector — is the real
+    * contract a decoder plugs into; STUB marks the fake decode.
+    */
+  def xMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameBytes = 64
+    val sampleEvery = 4
+    // STUB: a real implementation decodes frames and resizes pixels; the
+    // deterministic fake hashes each sampled frame window into 4 floats.
+    def sampleFrames(bytes: Array[Byte]): Seq[(Int, Array[Float])] = {
+      val nFrames = math.max(bytes.length / frameBytes, 1)
+      (0 until nFrames by sampleEvery).map { f =>
+        val off = f * frameBytes
+        val thumb = Array.tabulate(4) { i =>
+          var h = 17L + i
+          var j = off + i
+          val end = math.min(off + frameBytes, bytes.length)
+          while (j < end) { h = h * 31 + bytes(j); j += 4 }
+          math.floorMod(h, 997L) / 997.0f
+        }
+        (f, thumb)
+      }
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        sampleFrames(bytes).map { case (f, thumb) => (id, f, thumb) }
+      })
+      .toDF("doc_id", "frame_index", "thumb")
+      .select(col("doc_id"), col("frame_index"),
+        size(col("thumb")).as("thumb_dims"),
+        round(element_at(col("thumb"), 1), 4).as("t0"))
+      .orderBy("doc_id", "frame_index")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_multimodal_meta"     -> (xMultimodalMeta _),
-    "x_multimodal_features" -> (xMultimodalFeatures _))
+    "x_multimodal_features" -> (xMultimodalFeatures _),
+    "x_multimodal_frames"   -> (xMultimodalFrames _))
 
   val oracle: Map[String, String] = Map(
     "x_multimodal_meta" ->
