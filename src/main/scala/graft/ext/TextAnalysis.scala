@@ -41,6 +41,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-n-gram language ID: score each language by occurrences of
+    * its characteristic char trigrams anywhere in the text (not just at
+    * token boundaries), argmax with deterministic tie-break. Occurrence
+    * counting via length arithmetic keeps it a pure narrow map — the same
+    * expression runs in the oracle.
+    */
+  private val charTrigrams: Seq[(String, String)] = Seq(
+    ("the", "en"), ("ing", "en"), ("and", "en"),
+    ("der", "de"), ("sch", "de"), ("ein", "de"),
+    ("los", "es"), ("ión", "es"), ("que", "es"))
+
+  def xTextLangIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val langs = charTrigrams.map(_._2).distinct.sorted
+    def occurrences(g: String) =
+      (length(col("text")) - length(expr(s"replace(text, '$g', '')"))) / g.length
+    val scoreCols = langs.map { l =>
+      charTrigrams.filter(_._2 == l).map(t => occurrences(t._1))
+        .reduce(_ + _).cast("long").as(s"score_$l")
+    }
+    val scored = Tables.documents(spark, dir)
+      .select((col("doc_id") +: col("lang").as("actual_lang") +: scoreCols): _*)
+    // argmax with lexicographic tie-break; 'und' when every score is 0
+    val best = langs.foldLeft((lit(0L), lit("und"))) { case ((bs, bl), l) =>
+      val s = col(s"score_$l")
+      (when(s > bs, s).otherwise(bs), when(s > bs, lit(l)).otherwise(bl))
+    }
+    scored
+      .withColumn("pred_lang", best._2)
+      .withColumn("best_score", best._1)
+      .select("doc_id", "actual_lang", "pred_lang", "best_score")
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: token count, avg token length, stopword ratio,
     * punctuation ratio, composite score in [0,1].
     */
@@ -130,6 +163,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_langid"      -> (xTextLangId _),
+    "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
     "x_text_tokens"      -> (xTextTokens _),
     "x_text_fingerprint" -> (xTextFingerprint _),
@@ -178,6 +212,27 @@ object TextAnalysis {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "x_text_langid_ngram" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    CAST((length(text) - length(replace(text, 'der', ''))) / 3
+        |      + (length(text) - length(replace(text, 'sch', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ein', ''))) / 3 AS BIGINT) AS score_de,
+        |    CAST((length(text) - length(replace(text, 'the', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ing', ''))) / 3
+        |      + (length(text) - length(replace(text, 'and', ''))) / 3 AS BIGINT) AS score_en,
+        |    CAST((length(text) - length(replace(text, 'los', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ión', ''))) / 3
+        |      + (length(text) - length(replace(text, 'que', ''))) / 3 AS BIGINT) AS score_es
+        |  FROM documents)
+        |SELECT doc_id, actual_lang,
+        |  CASE WHEN greatest(score_de, score_en, score_es) = 0 THEN 'und'
+        |    WHEN score_de = greatest(score_de, score_en, score_es) THEN 'de'
+        |    WHEN score_en = greatest(score_de, score_en, score_es) THEN 'en'
+        |    ELSE 'es' END AS pred_lang,
+        |  greatest(score_de, score_en, score_es) AS best_score
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
     "x_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
