@@ -62,12 +62,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // A failed query reports -1 and is excluded from the total, so a
+      // crash can't read as a fast success.
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,9 +39,16 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "events", "documents", "embeddings").foreach { t =>
-      val target = java.nio.file.Paths.get(s"$work/$t.parquet")
-      java.nio.file.Files.deleteIfExists(target)
-      java.nio.file.Files.createSymbolicLink(target,
+      val target = new java.io.File(s"$work/$t.parquet")
+      // A crashed prior run may have left a real directory here, which
+      // deleteIfExists can't remove — delete recursively.
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (target.exists() || java.nio.file.Files.isSymbolicLink(target.toPath)) rm(target)
+      java.nio.file.Files.createSymbolicLink(target.toPath,
         java.nio.file.Paths.get(s"$base/$t.parquet"))
     }
 

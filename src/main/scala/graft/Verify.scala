@@ -25,6 +25,9 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release any subtrees the query pinned (dedup/ANN persist their
+      // signature tables) so cache doesn't accumulate across ~50 queries.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

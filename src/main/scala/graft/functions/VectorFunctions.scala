@@ -38,6 +38,8 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -47,6 +49,10 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // A null element nulls the whole product, matching the
+      // aggregate(zip_with(...)) SQL formulation (x*y -> null, acc+null
+      // -> null) — not silently-treated-as-zero.
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -66,6 +72,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
          |${ev.value} = $acc;

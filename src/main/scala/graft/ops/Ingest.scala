@@ -45,8 +45,11 @@ object Ingest {
     * (read as epoch-nanos Long — Tables.eventsRaw).
     */
   def w3UpsertDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Order on µs-truncated ts: DuckDB reads the TIMESTAMP(NANOS) column
+    // at µs precision, so ranking on raw nanos would tie-break differently
+    // from the oracle whenever two events share a microsecond.
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -109,8 +109,14 @@ object KrogerIngest {
       orderCol: String): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(incoming.withColumn("__src", lit(1)))
+    // Final tiebreak: a content hash over the whole row, so two same-key
+    // same-timestamp rows inside one batch resolve identically on every
+    // run and partitioning (arbitrary but deterministic — the reference's
+    // sequential INSERT OR REPLACE keeps whichever applied last, an order
+    // a distributed union does not preserve).
+    val contentTiebreak = xxhash64(tagged.columns.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, col("__src").desc)
+      .orderBy(col(orderCol).desc, col("__src").desc, contentTiebreak.desc)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

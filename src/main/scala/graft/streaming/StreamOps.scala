@@ -65,13 +65,19 @@ object StreamOps {
       events.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            // Late in-watermark events may precede the session start;
-            // widen both ends so durations match the batch operator.
+          case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+            // In-reach event (possibly out-of-order within the session's
+            // gap window): widen both ends so durations match batch.
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-          case Some(s) =>
+          case Some(s) if t > s.last + gapMs =>
             close(s)
             cur = Some(SessionState(t, t, 1))
+          case Some(_) =>
+            // Too-late event beyond the current session's backward reach:
+            // state only tracks the latest session, so emit it as its own
+            // single-event session (the batch operator, which sorts
+            // globally, would have started a separate session here too).
+            close(SessionState(t, t, 1))
           case None =>
             cur = Some(SessionState(t, t, 1))
         }

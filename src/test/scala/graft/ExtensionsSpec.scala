@@ -36,6 +36,53 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("dot_product propagates null elements like the SQL fold") {
+    functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS d").head
+    assert(r.isNullAt(0), "null element must null the product, not read as 0")
+  }
+
+  test("upsert winner is deterministic across partitionings on full ties") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val batch = Seq((1L, "a", ts), (1L, "b", ts)).toDF("k", "payload", "fetched_at")
+    val winners = Seq(1, 7).map { parts =>
+      ops.KrogerIngest.upsert(
+        batch.repartition(parts).limit(0), batch.repartition(parts),
+        Seq("k"), "fetched_at").head.getAs[String]("payload")
+    }
+    assert(winners.distinct.size == 1, s"nondeterministic winners: $winners")
+  }
+
+  test("streaming sessionization does not merge events beyond the session's backward reach") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    input.addData(
+      streaming.StreamOps.Event(1, ts(180), 1, "click", 1.0),
+      streaming.StreamOps.Event(2, ts(185), 1, "click", 1.0))
+    query.processAllAvailable()
+    // A 3h-earlier replay: the runtime's watermark filter drops it before
+    // the state function, and the backward-reach guard is the defense for
+    // the residual band (watermark < t < start - gap). Either way the
+    // [180,185] session must NOT widen into a 185-minute monster.
+    input.addData(streaming.StreamOps.Event(3, ts(0), 1, "click", 1.0))
+    query.processAllAvailable()
+    input.addData(streaming.StreamOps.Event(4, ts(300), 1, "click", 1.0))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT n_events, duration_minutes FROM late_out").collect()
+    query.stop()
+    assert(out.exists(r => r.getInt(0) == 2 && r.getDouble(1) == 5.0),
+      s"expected the [180,185] session intact, got: ${out.mkString(";")}")
+    assert(!out.exists(r => r.getDouble(1) > 10.0),
+      s"merged too-late event: ${out.mkString(";")}")
+  }
+
   test("kroger flatten: items[0], to_json categories, null-price skip, upsert") {
     import spark.implicits._
     val json = Seq(
