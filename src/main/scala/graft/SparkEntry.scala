@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Staging.queries ++ ops.Marts.queries ++ ops.Analytics.queries ++
-      ops.Ingest.queries ++ ops.Quality.queries ++
+      ops.Ingest.queries ++ ops.Quality.queries ++ ops.KrogerModels.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Sessionize.queries ++
       ext.Multimodal.queries ++ ext.Approx.queries ++ ext.EventAnalytics.queries

@@ -115,6 +115,22 @@ object KrogerModels {
         round(percentile(col("regular_price"), lit(0.75)), 4).as("p75_price"))
       .orderBy("effective_date", "category")
 
+  /** Rows-only gated query: the full actual-schema DAG on generated data
+    * (ignores the testdata dir — the kroger path has its own distributed
+    * generator). Returns the category mart; the driver checks rows exist.
+    */
+  def xKrogerMartDemo(spark: SparkSession, dir: String): DataFrame = {
+    val stgPr = stgPrices(KrogerDataGen.rawPrices(spark, 1000, 20))
+    val dimP = dimProducts(stgProducts(KrogerDataGen.rawProducts(spark, 1000)))
+    val dimL = dimLocations(stgLocations(KrogerDataGen.rawLocations(spark, 20)))
+    martCategoryDistribution(factPrices(stgPr, dimP, dimL))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kroger_mart_demo" -> (xKrogerMartDemo _))
+
+  val oracle: Map[String, String] = Map()
+
   /** The 16 dbt schema tests (schema.yml; SURVEY §2.11) over built models:
     * returns (check_name, n_violations) — all must be 0.
     */
