@@ -33,6 +33,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("representative queries are run-to-run deterministic") {
+    // Nondeterministic output is the silent killer for the hash-compare
+    // gate; re-run a cross-section (windows, percentiles, top-k, ANN,
+    // floating aggregates) and require identical collected results.
+    val sample = Seq("a4_percentile_rollup", "w3_upsert_dedup",
+      "x_knn_bruteforce", "x_dedup_ngram_jaccard", "x_text_tfidf",
+      "x_sessionize", "x_dedup_emb_cosine")
+    sample.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      assert(a == b, s"$name differs between runs")
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without query: $missing")
