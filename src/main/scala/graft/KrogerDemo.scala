@@ -36,16 +36,17 @@ object KrogerDemo {
     val dimL = ops.KrogerModels.dimLocations(stgL)
     val fact = ops.KrogerModels.factPrices(stgPr, dimP, dimL)
 
+    val martLoc = ops.KrogerModels.martLocationSales(fact, dimL)
     val layers = Seq(
       "stg_products" -> stgP, "stg_locations" -> stgL, "stg_prices" -> stgPr,
       "dim_products" -> dimP, "dim_locations" -> dimL, "fact_prices" -> fact,
       "mart_category_distribution" -> ops.KrogerModels.martCategoryDistribution(fact),
-      "mart_location_sales" -> ops.KrogerModels.martLocationSales(fact, dimL),
+      "mart_location_sales" -> martLoc,
       "mart_price_by_category" -> ops.KrogerModels.martPriceByCategory(fact))
     layers.foreach { case (name, df) => println(s"$name: ${df.count()} rows") }
 
     val tests = ops.KrogerModels.schemaTests(stgP, stgL, stgPr, dimP, dimL,
-      fact, ops.KrogerModels.martLocationSales(fact, dimL))
+      fact, martLoc)
     val violations = tests.filter(col("n_violations") > 0).count()
     println(s"schema tests: ${tests.count()} checks, $violations violations")
     require(violations == 0, "schema tests failed")

@@ -67,6 +67,22 @@ object Similarity {
 
   private val dot = VectorFunctions.dotProduct(col("v1"), col("v2"))
 
+  /** Shared exact re-rank tail: candidate pairs (query_id, neighbor_id,
+    * v1, n1, v2, n2) → top-k by cosine with deterministic tie-breaks.
+    */
+  private def rerankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("cosine_raw"), 6).desc, col("neighbor_id"))
+    pairs
+      .withColumn("cosine_raw", dot / (col("n1") * col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. Queries are
     * broadcast; ranking ties broken on (rounded cosine, neighbor_id).
     */
@@ -75,16 +91,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"), col("nrm").as("n2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(round(col("cosine_raw"), 6).desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_raw", dot / (col("n1") * col("n2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
-        round(col("cosine_raw"), 4).as("cosine"))
-      .orderBy("query_id", "rank")
+    rerankTopK(broadcast(q).join(c, col("query_id") =!= col("neighbor_id")), 5)
   }
 
   /** LSH-bucketed ANN (no SQL oracle — rows-only check): 6 hash tables of
@@ -113,19 +120,10 @@ object Similarity {
         col("v").as("v1"), col("nrm").as("n1"))
     val c = buckets.select(col("vec_id").as("neighbor_id"), col("tbl"),
       col("bucket"), col("v").as("v2"), col("nrm").as("n2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(round(col("cosine_raw"), 6).desc, col("neighbor_id"))
-    broadcast(q).join(c, Seq("tbl", "bucket"))
+    rerankTopK(broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2")
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine_raw", dot / (col("n1") * col("n2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine_raw"), 4).as("cosine"))
-      .orderBy("query_id", "rank")
+      .dropDuplicates("query_id", "neighbor_id"), 5)
   }
 
   /** IVF-style ANN (no SQL oracle — rows-only check): deterministic
@@ -184,19 +182,10 @@ object Similarity {
         explode(probe(col("embedding"))).as("cell"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
       col("v").as("v2"), col("nrm").as("n2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(round(col("cosine_raw"), 6).desc, col("neighbor_id"))
-    broadcast(q).join(c, Seq("cell"))
+    rerankTopK(broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2")
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine_raw", dot / (col("n1") * col("n2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cosine_raw"), 4).as("cosine"))
-      .orderBy("query_id", "rank")
+      .dropDuplicates("query_id", "neighbor_id"), 5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -26,8 +26,7 @@ object Analytics {
     mart.join(broadcast(n), mart("s_nationkey") === n("n_nationkey"), "left")
       .filter(col("n_name").isNotNull)
       .groupBy(col("n_name"))
-      .agg(round(sum(col("avg_price").cast("decimal(18,2)")).cast("double")
-          / count(col("avg_price")), 2).as("nation_avg_price"),
+      .agg(Marts.avgMoney(col("avg_price")).as("nation_avg_price"),
         sum(col("total_products")).as("total_products"))
       .orderBy("n_name")
   }
@@ -50,8 +49,7 @@ object Analytics {
       .filter(col("l_discount") > 0)
       .groupBy(col("p_brand"))
       .agg(round(avg(col("l_discount") * 100), 2).as("avg_discount_pct"),
-        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-          / count(col("l_extendedprice")), 2).as("avg_regular_price"),
+        Marts.avgMoney(col("l_extendedprice")).as("avg_regular_price"),
         count(lit(1)).as("promo_items"))
       .filter(col("promo_items") >= 5)
       .orderBy(desc("avg_discount_pct"), col("p_brand"))

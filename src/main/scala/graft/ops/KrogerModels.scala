@@ -138,12 +138,9 @@ object KrogerModels {
       stgPrices: DataFrame, dimP: DataFrame, dimL: DataFrame,
       fact: DataFrame, martLoc: DataFrame): DataFrame = {
     def unique(df: DataFrame, k: String, name: String) =
-      df.groupBy(col(k)).agg(count(lit(1)).as("c")).filter(col("c") > 1)
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("check_name"), col("n_violations"))
+      Quality.uniqueViolations(df, k, name)
     def notNull(df: DataFrame, k: String, name: String) =
-      df.filter(col(k).isNull).agg(count(lit(1)).as("n_violations"))
-        .select(lit(name).as("check_name"), col("n_violations"))
+      Quality.notNullViolations(df, col(k), name)
     Seq(
       unique(stgProducts, "product_id", "stg_products_pid_unique"),
       unique(stgLocations, "location_id", "stg_locations_lid_unique"),

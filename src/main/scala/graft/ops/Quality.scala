@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  private def uniqueViolations(df: DataFrame, key: String, name: String): DataFrame =
+  private[ops] def uniqueViolations(df: DataFrame, key: String, name: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .agg(coalesce(count(lit(1)), lit(0L)).as("n_violations"))
+      .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
 
-  private def notNullViolations(df: DataFrame, c: Column, name: String): DataFrame =
+  private[ops] def notNullViolations(df: DataFrame, c: Column, name: String): DataFrame =
     df.filter(c.isNull)
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"))
