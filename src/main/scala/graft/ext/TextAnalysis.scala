@@ -96,6 +96,37 @@ object TextAnalysis {
           * (lit(1.0) - col("n_stop") / col("n_tokens")), 4).as("quality_score"))
       .orderBy("doc_id")
 
+  /** Document chunking: sliding token windows (size 32, stride 24, 8-token
+    * overlap) — the canonical LLM-pretraining preprocessing step. Pure
+    * narrow explode: no shuffle until a consumer aggregates.
+    */
+  def xTextChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(greatest(size(ws) - 1, 0) / 24 as int)),
+          |  i -> struct(cast(i as bigint) as chunk_id, slice(ws, i * 24 + 1, 32) as ctoks))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(col("c.ctoks")).cast("long").as("n_tokens"),
+        element_at(col("c.ctoks"), 1).as("first_token"),
+        md5(concat_ws(" ", col("c.ctoks"))).as("chunk_hash"))
+      .filter(col("n_tokens") > 0)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Entity redaction: mask a term set behind a placeholder and report the
+    * masked-token count — the PII-scrubbing shape (here with benign terms;
+    * a real deployment swaps in its entity patterns).
+    */
+  def xTextRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(lower(text), ' '), x -> x IN ('customer', 'order')))")
+          .cast("long").as("n_masked"),
+        md5(regexp_replace(lower(col("text")), "\\b(customer|order)\\b", "<ENT>"))
+          .as("redacted_hash"))
+      .orderBy("doc_id")
+
   /** Token counting per source: whitespace tokens + regex word tokens. */
   def xTextTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -168,6 +199,8 @@ object TextAnalysis {
     "x_text_tokens"      -> (xTextTokens _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_text_tfidf"       -> (xTextTfidf _),
+    "x_text_chunk"       -> (xTextChunk _),
+    "x_text_redact"      -> (xTextRedact _),
     "x_train_val_split"  -> (xTrainValSplit _))
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +283,30 @@ object TextAnalysis {
         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tfidf
         |FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "x_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, start // 24 AS chunk_id,
+        |    ws[start + 1 : least(start + 32, len(ws))] AS ctoks
+        |  FROM s WHERE start < len(ws))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(ctoks) AS BIGINT) AS n_tokens,
+        |  ctoks[1] AS first_token,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_hash
+        |FROM c WHERE len(ctoks) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x IN ('customer', 'order'))) AS BIGINT) AS n_masked,
+        |  md5(regexp_replace(lower(text), '\b(customer|order)\b', '<ENT>', 'g')) AS redacted_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "x_train_val_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,
