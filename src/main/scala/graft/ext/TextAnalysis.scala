@@ -192,7 +192,59 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** Winnowing fingerprint (rows-only check — the polynomial rolling hash
+    * has no DuckDB twin): k-gram rolling hashes over the normalized text,
+    * minimum per sliding window (MOSS-style winnowing) → a compact,
+    * position-robust fingerprint set per document. Computed in
+    * mapPartitions: O(n) per doc via the rolling update, no per-gram
+    * string allocation.
+    */
+  def xTextWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8       // gram length (chars)
+    val w = 16      // winnow window
+    val B = 257L
+    val M = 1000000007L
+    def fingerprints(text: String): Array[Long] = {
+      val s = text.toLowerCase.replace(" ", "")
+      if (s.length < k) return Array(s.hashCode.toLong)
+      var pow = 1L
+      (1 until k).foreach(_ => pow = pow * B % M)
+      val hashes = new Array[Long](s.length - k + 1)
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        h = (h * B + s.charAt(i)) % M
+        if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * B) % M
+        if (i >= k - 1) hashes(i - k + 1) = h
+        i += 1
+      }
+      // winnow: minimum hash of each w-sized window, deduped consecutive
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var j = 0
+      while (j <= hashes.length - w || (j == 0 && hashes.nonEmpty)) {
+        val end = math.min(j + w, hashes.length)
+        var mn = Long.MaxValue
+        var p = j
+        while (p < end) { if (hashes(p) < mn) mn = hashes(p); p += 1 }
+        if (out.isEmpty || out.last != mn) out += mn
+        j += 1
+      }
+      out.toArray
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val fp = fingerprints(text).sorted
+        (id, fp.length, fp.take(4).mkString(","))
+      })
+      .toDF("doc_id", "n_fingerprints", "fingerprint_head")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_winnow"      -> (xTextWinnow _),
     "x_text_langid"      -> (xTextLangId _),
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
