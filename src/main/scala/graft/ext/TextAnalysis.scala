@@ -127,6 +127,27 @@ object TextAnalysis {
           .as("redacted_hash"))
       .orderBy("doc_id")
 
+  /** Corpus-LM quality signal: mean unigram log-probability per document,
+    * with the unigram model estimated from the corpus itself (the
+    * CCNet-style perplexity filter, reduced to its self-contained unigram
+    * form). Rare-token-heavy (gibberish-like) documents score low. The
+    * frequency table is a broadcast join; the corpus total is a 1-row
+    * broadcast.
+    */
+  def xTextUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("t"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("n") / col("t"))), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting per source: whitespace tokens + regex word tokens. */
   def xTextTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -252,6 +273,7 @@ object TextAnalysis {
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_text_tfidf"       -> (xTextTfidf _),
     "x_text_chunk"       -> (xTextChunk _),
+    "x_text_unigram_logprob" -> (xTextUnigramLogprob _),
     "x_text_redact"      -> (xTextRedact _),
     "x_train_val_split"  -> (xTrainValSplit _))
 
@@ -352,6 +374,18 @@ object TextAnalysis {
         |  md5(array_to_string(ctoks, ' ')) AS chunk_hash
         |FROM c WHERE len(ctoks) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(AVG(ln(n / (SELECT t FROM tot))), 4) AS avg_logprob
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "x_text_redact" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(lower(text), ' '),
