@@ -99,7 +99,7 @@ object Similarity {
     * A corpus vector is a candidate if it collides with the query in ANY
     * table (OR-amplification); exact cosine re-rank over the deduped
     * candidates, top-5 per query vec_id < 10. At scale each query scans
-    * ~nTables/256 of the corpus instead of all of it.
+    * ~nTables/2^planesPerTable (6/64) of the corpus instead of all of it.
     */
   def xAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e0 = withVecNorm(Tables.embeddings(spark, dir))

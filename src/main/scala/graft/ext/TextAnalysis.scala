@@ -131,8 +131,11 @@ object TextAnalysis {
     * with the unigram model estimated from the corpus itself (the
     * CCNet-style perplexity filter, reduced to its self-contained unigram
     * form). Rare-token-heavy (gibberish-like) documents score low. The
-    * frequency table is a broadcast join; the corpus total is a 1-row
-    * broadcast.
+    * frequency-table join is deliberately NOT hinted: at 100 TB the
+    * vocabulary is billions of tokens and a forced broadcast would OOM the
+    * driver — AQE broadcasts it when it measures small, shuffles when not,
+    * and the result is join-strategy-independent. The corpus total stays a
+    * 1-row broadcast.
     */
   def xTextUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -140,7 +143,7 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
     val total = freq.agg(sum(col("n")).as("t"))
-    toks.join(broadcast(freq), Seq("tok"))
+    toks.join(freq, Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -171,9 +174,11 @@ object TextAnalysis {
           .as("vocab_fingerprint"))
       .orderBy("doc_id")
 
-  /** TF-IDF: top-3 terms per document by tf·ln(N/df). The idf join is a
-    * broadcast (vocabulary ≪ corpus); the corpus-size scalar rejoins via a
-    * 1-row broadcast cross join. Scores rounded to 6 decimals before
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df). The idf join is
+    * unhinted — the vocabulary grows with the corpus (billions of terms at
+    * 100 TB), so AQE picks broadcast vs shuffle from measured size instead
+    * of a hard-coded driver-memory ceiling; the corpus-size scalar rejoins
+    * via a 1-row broadcast cross join. Scores rounded to 6 decimals before
     * ranking so libm 1-ulp ln() differences can't flip the order vs the
     * oracle; ties broken on the term.
     */
@@ -187,7 +192,7 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -220,44 +225,50 @@ object TextAnalysis {
     * mapPartitions: O(n) per doc via the rolling update, no per-gram
     * string allocation.
     */
-  def xTextWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private[graft] def winnowFingerprints(text: String): Array[Long] = {
     val k = 8       // gram length (chars)
     val w = 16      // winnow window
     val B = 257L
     val M = 1000000007L
-    def fingerprints(text: String): Array[Long] = {
-      val s = text.toLowerCase.replace(" ", "")
-      if (s.length < k) return Array(s.hashCode.toLong)
-      var pow = 1L
-      (1 until k).foreach(_ => pow = pow * B % M)
-      val hashes = new Array[Long](s.length - k + 1)
-      var h = 0L
-      var i = 0
-      while (i < s.length) {
-        h = (h * B + s.charAt(i)) % M
-        if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * B) % M
-        if (i >= k - 1) hashes(i - k + 1) = h
-        i += 1
-      }
-      // winnow: minimum hash of each w-sized window, deduped consecutive
-      val out = scala.collection.mutable.ArrayBuffer[Long]()
-      var j = 0
-      while (j <= hashes.length - w || (j == 0 && hashes.nonEmpty)) {
-        val end = math.min(j + w, hashes.length)
-        var mn = Long.MaxValue
-        var p = j
-        while (p < end) { if (hashes(p) < mn) mn = hashes(p); p += 1 }
-        if (out.isEmpty || out.last != mn) out += mn
-        j += 1
-      }
-      out.toArray
+    val s = text.toLowerCase.replace(" ", "")
+    if (s.length < k) return Array(s.hashCode.toLong)
+    // Weight of the outgoing char at subtraction time: the update below
+    // multiplies the accumulator by B *before* subtracting, so s(i-k)
+    // carries B^k there (not the textbook B^(k-1)). Using B^(k-1) made
+    // hashes accumulate the whole prefix — identical k-grams at
+    // different positions hashed differently, which defeats winnowing.
+    var pow = 1L
+    (1 to k).foreach(_ => pow = pow * B % M)
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * B + s.charAt(i)) % M
+      if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * B) % M
+      if (i >= k - 1) hashes(i - k + 1) = h
+      i += 1
     }
+    // winnow: minimum hash of each w-sized window, deduped consecutive
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var j = 0
+    while (j <= hashes.length - w || (j == 0 && hashes.nonEmpty)) {
+      val end = math.min(j + w, hashes.length)
+      var mn = Long.MaxValue
+      var p = j
+      while (p < end) { if (hashes(p) < mn) mn = hashes(p); p += 1 }
+      if (out.isEmpty || out.last != mn) out += mn
+      j += 1
+    }
+    out.toArray
+  }
+
+  def xTextWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val fp = fingerprints(text).sorted
+        val fp = winnowFingerprints(text).sorted
         (id, fp.length, fp.take(4).mkString(","))
       })
       .toDF("doc_id", "n_fingerprints", "fingerprint_head")

@@ -239,6 +239,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: documents sharing a long substring share fingerprints") {
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+    val a = ext.TextAnalysis.winnowFingerprints("intro alpha " + shared).toSet
+    val b = ext.TextAnalysis.winnowFingerprints(
+      "a completely different very long preamble text here " + shared).toSet
+    val overlap = (a intersect b).size.toDouble / math.min(a.size, b.size)
+    assert(overlap >= 0.5,
+      s"shared-substring fingerprints barely overlap: $overlap (a=${a.size}, b=${b.size})")
+    // k-gram locality: the same text shifted by a prefix yields the same
+    // gram hashes, so a doc must share all fingerprints with itself+prefix
+    val self = ext.TextAnalysis.winnowFingerprints(shared).toSet
+    assert((self intersect a).nonEmpty && (self intersect b).nonEmpty)
+  }
+
   test("streaming windowed counts aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
