@@ -46,7 +46,8 @@ object KrogerDemo {
     layers.foreach { case (name, df) => println(s"$name: ${df.count()} rows") }
 
     val tests = ops.KrogerModels.schemaTests(stgP, stgL, stgPr, dimP, dimL,
-      fact, martLoc)
+      fact, ops.KrogerModels.martCategoryDistribution(fact), martLoc,
+      ops.KrogerModels.martPriceByCategory(fact))
     val violations = tests.filter(col("n_violations") > 0).count()
     println(s"schema tests: ${tests.count()} checks, $violations violations")
     require(violations == 0, "schema tests failed")

@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Staging.queries ++ ops.Marts.queries ++ ops.Analytics.queries ++
-      ops.Ingest.queries ++ ops.Quality.queries ++ ops.KrogerModels.queries ++
+      ops.Ingest.queries ++ ops.Quality.queries ++ ops.KrogerTpch.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Sessionize.queries ++
       ext.Multimodal.queries ++ ext.Approx.queries ++ ext.EventAnalytics.queries
@@ -30,7 +30,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Staging.oracle ++ ops.Marts.oracle ++ ops.Analytics.oracle ++
-      ops.Ingest.oracle ++ ops.Quality.oracle ++
+      ops.Ingest.oracle ++ ops.Quality.oracle ++ ops.KrogerTpch.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++
       ext.TextAnalysis.oracle ++ ext.Sessionize.oracle ++
       ext.Multimodal.oracle ++ ext.Approx.oracle ++ ext.EventAnalytics.oracle

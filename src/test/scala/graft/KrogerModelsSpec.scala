@@ -67,7 +67,10 @@ class KrogerModelsSpec extends AnyFunSuite {
     val martLoc = ops.KrogerModels.martLocationSales(fact, dimL)
     assert(martLoc.count() > 0)
     assert(ops.KrogerModels.martPriceByCategory(fact).count() > 0)
-    val tests = ops.KrogerModels.schemaTests(stgP, stgL, stgPr, dimP, dimL, fact, martLoc)
+    val tests = ops.KrogerModels.schemaTests(stgP, stgL, stgPr, dimP, dimL, fact,
+      ops.KrogerModels.martCategoryDistribution(fact), martLoc,
+      ops.KrogerModels.martPriceByCategory(fact))
+    assert(tests.count() == 16)
     assert(tests.filter(col("n_violations") > 0).count() == 0)
   }
 
