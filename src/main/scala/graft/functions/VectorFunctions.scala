@@ -85,6 +85,85 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** hyperplane_signature(v): sign-bit signature of a vector under a fixed
+  * hyperplane matrix — the LSH bucket id, as a codegen'd expression. The
+  * plane matrix rides along as a referenced constant object
+  * (ctx.addReferenceObj), NOT as literal array expressions: the generated
+  * code is one tight double loop regardless of matrix size, so the
+  * corpus scan stays inside WholeStageCodegen (the per-row UDF this
+  * replaces forced a BatchEvalPython-style codegen break... in Scala's
+  * case an opaque invoke + Seq boxing per row).
+  *
+  * Null vector → null signature; null elements contribute 0 (embeddings
+  * are dense; a missing dimension shouldn't void the bucket).
+  */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.numElements(), plane.length)
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          d += (if (f) v.getFloat(i).toDouble else v.getDouble(i)) * plane(i)
+        }
+        i += 1
+      }
+      bucket = bucket * 2 + (if (d > 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val bucket = ctx.freshName("bucket")
+      val plane = ctx.freshName("plane")
+      s"""
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $plane = $mat[$p];
+         |  double $d = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $plane.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) { $d += ((double) $a.$get($i)) * $plane[$i]; }
+         |  }
+         |  $bucket = $bucket * 2L + ($d > 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register dot_product for SQL/expr use on this session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -96,5 +175,11 @@ object VectorFunctions {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a),
       GraftSqlBridge.expression(b)))
+  }
+
+  /** Column API: hyperplane LSH bucket signature of vector `v`. */
+  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(HyperplaneSignature(GraftSqlBridge.expression(v), planes))
   }
 }
