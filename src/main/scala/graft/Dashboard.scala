@@ -111,6 +111,43 @@ object Dashboard {
     "chart4_discount" -> chart4DiscountBar(spark, martDir),
     "chart5_quadrant" -> chart5Quadrant(spark, martDir))
 
+  /** Per-chart degradation arm — the reference wraps EVERY chart in
+    * try/except plus an empty-state alert (app.py:116,175,275,350,401 and
+    * the per-chart `except` guards): a chart never propagates an
+    * exception or an empty frame to the page. Spark analog: Left(alert
+    * message) when the chart's plan fails to build/execute or yields no
+    * rows (probed with a cheap limit(1), not a full count), Right(df)
+    * otherwise.
+    */
+  def render(chart: => DataFrame, emptyMsg: String, failMsg: String): Either[String, DataFrame] =
+    try {
+      val df = chart
+      if (df.limit(1).isEmpty) Left(emptyMsg) else Right(df)
+    } catch {
+      case e: Exception => Left(s"$failMsg: ${e.getMessage}")
+    }
+
+  /** The five charts behind their degradation arms, with the reference's
+    * alert texts.
+    */
+  def renderAll(spark: SparkSession, sfDir: String,
+      martDir: String): Map[String, Either[String, DataFrame]] = Map(
+    "chart1_box" -> render(chart1BoxData(spark, martDir),
+      "No price data available for the box plot.",
+      "Price distribution chart unavailable"),
+    "chart2_geo" -> render(chart2GeoData(spark, sfDir, martDir),
+      "No store location data available for the map.",
+      "Fulfillment & pricing map unavailable"),
+    "chart3_stock" -> render(chart3StockShare(spark, martDir),
+      "No stock-availability data available.",
+      "Stock availability chart unavailable"),
+    "chart4_discount" -> render(chart4DiscountBar(spark, martDir),
+      "No promotional-discount data available.",
+      "Discount-depth chart unavailable"),
+    "chart5_quadrant" -> render(chart5Quadrant(spark, martDir),
+      "No category value data available.",
+      "Category value map unavailable"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val martDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"

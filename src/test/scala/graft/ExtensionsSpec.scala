@@ -140,6 +140,34 @@ class ExtensionsSpec extends AnyFunSuite {
     Dashboard.charts(spark, sf, out).foreach { case (name, df) =>
       assert(df.count() > 0, s"$name is empty")
     }
+    // healthy marts → every degradation arm yields the chart, not the alert
+    Dashboard.renderAll(spark, sf, out).foreach { case (name, r) =>
+      assert(r.isRight, s"$name degraded on healthy data: $r")
+    }
+  }
+
+  test("every chart degrades to its empty-state alert instead of throwing") {
+    // Arm 1 — zero-row marts (schema intact, no data): every chart builds
+    // but yields no rows → the empty-state alert text, like app.py's
+    // `if df.empty: return _empty(...)` guards.
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    ops.Marts.factBuild(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$empty/fact_prices")
+    ops.Marts.supplierRollup(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$empty/mart_supplier_sales")
+    val degraded = Dashboard.renderAll(spark, sf, empty)
+    assert(degraded.size == 5)
+    degraded.foreach { case (name, r) =>
+      assert(r.isLeft, s"$name did not degrade on empty marts")
+      assert(r.swap.exists(_.toLowerCase.contains("no ")), s"$name alert text: $r")
+    }
+    // Arm 2 — broken serving dir (marts missing entirely): the plan fails
+    // to build → the exception arm, like app.py's per-chart `except`.
+    val missing = s"$empty/does_not_exist"
+    Dashboard.renderAll(spark, sf, missing).foreach { case (name, r) =>
+      assert(r.isLeft, s"$name did not degrade on missing marts")
+      assert(r.swap.exists(_.contains("unavailable")), s"$name alert text: $r")
+    }
   }
 
   test("streaming sessionization emits closed sessions") {
@@ -265,6 +293,33 @@ class ExtensionsSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.isDefined
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("minhash and simhash recover the strongest exact-Jaccard pairs") {
+    // Ground truth: the exact n-gram Jaccard top-20 (oracle-gated query).
+    // The testdata plants near-duplicates at J >= 0.97, so the sketches
+    // must surface essentially all of them: MinHash 16x4 banding misses a
+    // J=0.97 pair with probability (1-0.97^4)^16 ~ 1e-15, and SimHash on
+    // near-identical token multisets lands within the hamming<=6 emit cut.
+    val exact = ext.Dedup.xDedupNgramJaccard(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("jaccard")))
+      .toMap
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    assert(strong.size >= 10, s"expected planted near-dups, got ${strong.size}")
+    val mh = ext.Dedup.xDedupMinhashLsh(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("est_jaccard")))
+      .toMap
+    val mhRecall = strong.count(mh.contains).toDouble / strong.size
+    assert(mhRecall >= 0.9, s"minhash recall on strong pairs: $mhRecall")
+    // 64-permutation estimator: std ~ sqrt(J(1-J)/64) < 0.04 at J~0.97
+    strong.filter(mh.contains).foreach { p =>
+      assert(math.abs(mh(p) - exact(p)) <= 0.2,
+        s"pair $p: est=${mh(p)} exact=${exact(p)}")
+    }
+    val sh = ext.Dedup.xDedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val shRecall = strong.count(sh.contains).toDouble / strong.size
+    assert(shRecall >= 0.8, s"simhash recall on strong pairs: $shRecall")
   }
 
   test("winnowing: documents sharing a long substring share fingerprints") {
