@@ -25,7 +25,11 @@ object Bench {
     "x_text_quality",
     "x_text_tokens",
     "x_text_tfidf",
-    "x_train_val_split")
+    "x_train_val_split",
+    "x_asof_join",
+    "x_funnel",
+    "x_retention_cohort",
+    "x_kroger_mart_demo")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,9 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scaling probe: synthesizes an N× lineitem (distinct order keys per
-  * replica, same dim tables) and times the headline relational queries at
-  * 1× and N× to evidence the scaling claims in SCALE.md.
+/** Scaling probe: synthesizes an N× fact side (distinct keys per replica,
+  * same dim tables) and times the headline queries at 1× and N× to
+  * evidence the scaling claims in SCALE.md. `lineitem` replicates with
+  * shifted order keys for the relational set; `documents` / `embeddings`
+  * replicate with shifted doc/vec ids for the dedup/ANN set — replication
+  * is the dedup worst case (every gram's document frequency multiplies by
+  * N, every LSH bucket fills N×), so it stresses exactly the guards
+  * (df cutoff, banding, bucketing) that keep those operators sub-quadratic.
   *
   * Usage: runMain graft.ScaleProbe [baseSfDir] [workDir] [replicas]
   * Prints one JSON line: {"q":{"name":{"x1":s,"xN":s},...}}
@@ -13,7 +18,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   val probeQueries: Vector[String] = Vector(
     "j2_fact_build", "a2_category_rollup", "a4_percentile_rollup",
-    "j3_a3_supplier_rollup", "w1_share_of_group", "p4p5_derived_prices")
+    "j3_a3_supplier_rollup", "w1_share_of_group", "p4p5_derived_prices",
+    "x_dedup_exact", "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh",
+    "x_ann_lsh", "x_text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -30,15 +37,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Build the 10x dir: replicated lineitem with shifted order keys,
+    // Build the Nx dir: replicated fact-side tables with shifted keys,
     // dims/other tables reused from the base directory.
-    val li = Tables.lineitem(spark, base)
-    val replicas = (0 until nReplicas).map(r =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L)))
-    replicas.reduce(_ unionByName _)
+    def replicateBy(df: org.apache.spark.sql.DataFrame, key: String, shift: Long) =
+      (0 until nReplicas).map(r =>
+        df.withColumn(key, col(key) + lit(r * shift))).reduce(_ unionByName _)
+    replicateBy(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
       .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    replicateBy(Tables.documents(spark, base), "doc_id", 10000000L)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    replicateBy(Tables.embeddings(spark, base), "vec_id", 10000000L)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "events", "documents", "embeddings").foreach { t =>
+      "events").foreach { t =>
       val target = new java.io.File(s"$work/$t.parquet")
       // A crashed prior run may have left a real directory here, which
       // deleteIfExists can't remove — delete recursively.
@@ -53,6 +64,9 @@ object ScaleProbe {
     }
 
     def time(dir: String, name: String): Double = {
+      // dedup/ANN queries persist signature subtrees — drop them so no
+      // probe is served warm from a previous one.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

@@ -68,7 +68,12 @@ try:
             continue
         try:
             n = len(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
-            passes.append(f"{name}(rows={n})")
+            if n == 0:
+                # "non-degenerate" means non-empty: a rows-only query that
+                # regresses to 0 rows must fail the gate, not slip through.
+                fails.append((name, "rows-only output empty"))
+            else:
+                passes.append(f"{name}(rows={n})")
         except Exception as e:
             fails.append((name, f"rows-only output unreadable: {str(e)[:120]}"))
     for name in manifest.get("failed", []):
