@@ -122,6 +122,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for dim joins")
   }
 
+  test("plan shapes: the kroger fact build broadcasts both dims") {
+    val plan = ops.KrogerTpch.xKrogerMartDemo(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the price fact must not shuffle for its dim joins")
+  }
+
   test("approx stats stay within documented error bounds") {
     val rows = ext.Approx.xApproxStats(spark, sf).collect()
     assert(rows.nonEmpty)
