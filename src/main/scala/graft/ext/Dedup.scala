@@ -57,11 +57,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy("text_hash")
 
-  /** N-gram Jaccard near-dup: top-20 most similar pairs by word-3-gram
-    * Jaccard, with a document-frequency cutoff (gram in ≤ 50 docs) bounding
-    * the candidate join.
+  /** Scored near-dup candidate pairs (d1 < d2, inter_grams, unrounded
+    * jaccard) with the document-frequency cutoff bounding the self-join —
+    * the shared engine behind the top-k query and the clustering operator.
     */
-  def xDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // The (doc_id, gram) relation feeds four consumers (df cutoff, both
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
@@ -80,15 +80,66 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter_grams"))
-    val jacc = col("inter_grams") / (col("sa.sz") + col("sb.sz") - col("inter_grams"))
     // sizes is per-document cardinality — shuffle-join it (AQE may still
     // broadcast at small scale); never force-broadcast corpus-sized data.
     inter
       .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
-      .orderBy(jacc.desc, col("d1"), col("d2"))
+      .select(col("d1"), col("d2"), col("inter_grams"),
+        (col("inter_grams") / (col("sa.sz") + col("sb.sz") - col("inter_grams")))
+          .as("jaccard"))
+  }
+
+  /** N-gram Jaccard near-dup: top-20 most similar pairs by word-3-gram
+    * Jaccard, with a document-frequency cutoff (gram in ≤ 50 docs) bounding
+    * the candidate join.
+    */
+  def xDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(spark, dir)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(20)
-      .select(col("d1"), col("d2"), col("inter_grams"), round(jacc, 6).as("jaccard"))
+      .select(col("d1"), col("d2"), col("inter_grams"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** Near-duplicate CLUSTERS: connected components over the candidate
+    * pairs at Jaccard ≥ 0.5, labeled by the minimum doc_id in each
+    * component — the operator that turns pairwise near-dup evidence into
+    * keep/drop groups (keep cluster_id, drop the rest).
+    *
+    * Implementation: iterative min-label propagation to fixpoint. Each
+    * round is one join + groupBy (all distributed); the driver only
+    * checks the converged flag, so rounds ≤ component diameter — near-dup
+    * graphs are star-like (a source document and its variants), so this
+    * converges in a handful of rounds even at corpus scale. (The
+    * large-star/small-star optimization drops the round count to
+    * O(log diameter) without changing the plan shape; unnecessary here.)
+    */
+  def xDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).filter(col("jaccard") >= 0.5)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(
+          labels.select(col("doc_id").as("b"), col("label").as("nbr_label")),
+          Seq("b"))
+        .groupBy(col("a").as("doc_id")).agg(min("nbr_label").as("min_nbr"))
+      val next = labels.join(prop, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("label"), col("min_nbr")).as("label"))
+        .persist()
+      converged = next.join(
+          labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
   }
 
   /** MinHash + LSH near-dup (no SQL oracle — hash functions are
@@ -187,6 +238,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact"         -> (xDedupExact _),
     "x_dedup_ngram_jaccard" -> (xDedupNgramJaccard _),
+    "x_dedup_cluster"       -> (xDedupCluster _),
     "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
     "x_dedup_simhash"       -> (xDedupSimhash _),
     "x_dedup_emb_cosine"    -> (xDedupEmbCosine _))
@@ -220,6 +272,39 @@ object Dedup {
         |JOIN sz sb ON d2 = sb.doc_id
         |ORDER BY inter_grams / (sa.sz + sb.sz - inter_grams) DESC, d1, d2
         |LIMIT 20""".stripMargin,
+    "x_dedup_cluster" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))),
+        |rare AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) <= 50) f USING (gram)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_grams
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+        |  WHERE inter_grams / (sa.sz + sb.sz - inter_grams) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_emb_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

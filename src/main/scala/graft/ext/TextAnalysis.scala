@@ -201,6 +201,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Benchmark decontamination: per-document overlap of its distinct word
+    * 3-grams with an evaluation set's gram vocabulary (here: docs from
+    * source 'src0' stand in for the held-out benchmark; a real deployment
+    * points this at its eval suites). Training docs with high overlap are
+    * the ones leaking test data. Both sides of the vocabulary join stay
+    * distributed — the eval vocabulary grows with the eval corpus, so no
+    * broadcast hint (AQE broadcasts it while it's actually small); the
+    * join key here is the gram string for oracle parity, and at 100 TB
+    * the production path joins on xxhash64(gram) (8 bytes/key, collision
+    * odds ~1e-11) exactly like Dedup.wordGrams.
+    */
+  def xTextContamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .select(col("doc_id"), col("source"), explode(
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val evalVocab = grams.filter(col("source") === "src0")
+      .select("gram").distinct().withColumn("hit", lit(1))
+    grams.filter(col("source") =!= "src0")
+      .join(evalVocab, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified train/val/test split: bucket by the md5 of
     * the doc id (stable under corpus growth — adding docs never reassigns
     * existing ones), 80/10/10, reported per (split, lang).
@@ -286,6 +316,7 @@ object TextAnalysis {
     "x_text_chunk"       -> (xTextChunk _),
     "x_text_unigram_logprob" -> (xTextUnigramLogprob _),
     "x_text_redact"      -> (xTextRedact _),
+    "x_text_contamination" -> (xTextContamination _),
     "x_train_val_split"  -> (xTrainValSplit _))
 
   val oracle: Map[String, String] = Map(
@@ -403,6 +434,22 @@ object TextAnalysis {
         |    x -> x IN ('customer', 'order'))) AS BIGINT) AS n_masked,
         |  md5(regexp_replace(lower(text), '\b(customer|order)\b', '<ENT>', 'g')) AS redacted_hash
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "x_text_contamination" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, source, gram FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+        |          FROM documents))),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(ev.gram) AS n_contaminated,
+        |  round(COUNT(ev.gram) / COUNT(*), 4) AS contamination
+        |FROM g LEFT JOIN ev ON g.gram = ev.gram
+        |WHERE g.source <> 'src0'
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "x_train_val_split" ->
       """WITH b AS (

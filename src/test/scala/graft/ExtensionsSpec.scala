@@ -295,6 +295,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("near-dup clusters: min-member labels, consistent sizes, edge-connected") {
+    val rows = ext.Dedup.xDedupCluster(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata plants near-dups; clusters expected")
+    val label = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, ms) =>
+      assert(ms.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster $cid not labeled by its minimum member")
+      assert(ms.forall(_.getAs[Long]("cluster_size") == ms.length))
+      assert(ms.length >= 2, s"singleton cluster $cid should not appear")
+    }
+    // every qualifying pair's endpoints must share a label (connectivity)
+    ext.Dedup.ngramJaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect().foreach { p =>
+      assert(label(p.getAs[Long]("d1")) == label(p.getAs[Long]("d2")),
+        s"pair (${p.get(0)}, ${p.get(1)}) split across clusters")
+    }
+  }
+
   test("minhash and simhash recover the strongest exact-Jaccard pairs") {
     // Ground truth: the exact n-gram Jaccard top-20 (oracle-gated query).
     // The testdata plants near-duplicates at J >= 0.97, so the sketches
