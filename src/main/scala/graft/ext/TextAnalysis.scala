@@ -201,6 +201,35 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Temperature-weighted corpus sampling (the standard multilingual /
+    * multi-source rebalancing step): with α = 0.5, a language keeps
+    * docs at rate √(n_min/n_lang) — over-represented languages are
+    * down-sampled toward the α-tempered mixture while the smallest keeps
+    * everything. Membership is decided by the md5 bucket of the doc id
+    * (same growth-stable idiom as the train/val/test split: adding docs
+    * never flips existing ones), so the sample is deterministic across
+    * engines, runs, and partitionings. Reports per-language kept counts;
+    * keep_rate stays unrounded — sqrt and division are correctly-rounded
+    * IEEE ops, bitwise identical in Spark and DuckDB.
+    */
+  def xCorpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    // per-language rates: #langs rows — a genuinely bounded broadcast
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("lang"), sqrt(col("n_min") / col("n_docs")).as("keep_rate"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+      lit(10000))
+    docs.join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(bucket < col("keep_rate") * 10000, lit(1))).as("n_kept"),
+        max(col("keep_rate")).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   /** Benchmark decontamination: per-document overlap of its distinct word
     * 3-grams with an evaluation set's gram vocabulary (here: docs from
     * source 'src0' stand in for the held-out benchmark; a real deployment
@@ -317,6 +346,7 @@ object TextAnalysis {
     "x_text_unigram_logprob" -> (xTextUnigramLogprob _),
     "x_text_redact"      -> (xTextRedact _),
     "x_text_contamination" -> (xTextContamination _),
+    "x_corpus_sample"    -> (xCorpusSample _),
     "x_train_val_split"  -> (xTrainValSplit _))
 
   val oracle: Map[String, String] = Map(
@@ -435,6 +465,20 @@ object TextAnalysis {
         |  md5(regexp_replace(lower(text), '\b(customer|order)\b', '<ENT>', 'g')) AS redacted_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "x_corpus_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, sqrt(n_min / CAST(n_docs AS DOUBLE)) AS keep_rate FROM c, mn),
+        |k AS (
+        |  SELECT d.lang, r.keep_rate,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket
+        |  FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN bucket < keep_rate * 10000 THEN 1 END) AS n_kept,
+        |  MAX(keep_rate) AS keep_rate
+        |FROM k
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "x_text_contamination" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, source, gram FROM (
