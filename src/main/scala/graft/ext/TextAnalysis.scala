@@ -277,12 +277,17 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
-  /** Winnowing fingerprint (rows-only check — the polynomial rolling hash
-    * has no DuckDB twin): k-gram rolling hashes over the normalized text,
-    * minimum per sliding window (MOSS-style winnowing) → a compact,
+  /** Winnowing fingerprint: k-gram rolling hashes over the normalized
+    * text, minimum per sliding window (MOSS-style winnowing) → a compact,
     * position-robust fingerprint set per document. Computed in
     * mapPartitions: O(n) per doc via the rolling update, no per-gram
-    * string allocation.
+    * string allocation. Oracle-verified: the rolling hash is pure integer
+    * arithmetic mod 1e9+7, so the DuckDB twin recomputes each gram's hash
+    * directly (an 8-deep Horner fold over ord(substr)) and replays the
+    * window-min + consecutive-dedup winnow with SQL window functions —
+    * bitwise equality, no tolerance. (The <k-chars fallback below is
+    * unreachable on the testdata — min normalized doc length ≫ 8 at every
+    * SF — so the oracle only models the main path.)
     */
   private[graft] def winnowFingerprints(text: String): Array[Long] = {
     val k = 8       // gram length (chars)
@@ -328,7 +333,7 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val fp = winnowFingerprints(text).sorted
-        (id, fp.length, fp.take(4).mkString(","))
+        (id, fp.length.toLong, fp.take(4).mkString(","))
       })
       .toDF("doc_id", "n_fingerprints", "fingerprint_head")
       .orderBy("doc_id")
@@ -350,6 +355,41 @@ object TextAnalysis {
     "x_train_val_split"  -> (xTrainValSplit _))
 
   val oracle: Map[String, String] = Map(
+    // Winnowing twin: the Spark side hashes each k-gram with a rolling
+    // update; mathematically every gram hash is the plain Horner fold
+    // h = fold(c => h*257 + c) mod 1e9+7 over its 8 chars, so the oracle
+    // recomputes it directly per position (no rolling state needed in
+    // SQL). Window minimum = min() OVER a 16-row forward frame, keeping
+    // only window starts (i <= greatest(nh-15, 1), which also covers the
+    // docs-shorter-than-one-window case); consecutive dedup = lag().
+    "x_text_winnow" ->
+      ("""WITH norm AS (
+        |  SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents),
+        |pos AS (
+        |  SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM norm),
+        |h AS (
+        |  SELECT doc_id, i, """.stripMargin +
+        "((((((((((((((ord(substr(s,i+0,1))::BIGINT)*257+ord(substr(s,i+1,1)))%1000000007)" +
+        "*257+ord(substr(s,i+2,1)))%1000000007)*257+ord(substr(s,i+3,1)))%1000000007)" +
+        "*257+ord(substr(s,i+4,1)))%1000000007)*257+ord(substr(s,i+5,1)))%1000000007)" +
+        "*257+ord(substr(s,i+6,1)))%1000000007)*257+ord(substr(s,i+7,1)))%1000000007" +
+        """ AS h FROM pos),
+        |wmin AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mn,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM h),
+        |wins AS (
+        |  SELECT doc_id, i, mn FROM wmin WHERE i <= greatest(nh - 15, 1)),
+        |ded AS (
+        |  SELECT doc_id, i, mn,
+        |    lag(mn) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM wins),
+        |fp AS (
+        |  SELECT doc_id, mn FROM ded WHERE prev IS NULL OR prev <> mn)
+        |SELECT doc_id, count(*) AS n_fingerprints,
+        |  array_to_string(list_slice(list_sort(array_agg(mn)), 1, 4), ',') AS fingerprint_head
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "x_text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
