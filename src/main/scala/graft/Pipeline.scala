@@ -26,7 +26,14 @@ object Pipeline {
       "mart_category_distribution" -> ops.Marts.a2CategoryRollup(spark, sfDir),
       "mart_supplier_sales"        -> ops.Marts.supplierRollup(spark, sfDir),
       "mart_price_by_category"     -> ops.Marts.a4PercentileRollup(spark, sfDir),
-      "clean_documents" -> ext.Dedup.dedupCorpus(Tables.documents(spark, sfDir)))
+      "clean_documents" -> ext.Dedup.dedupCorpus(Tables.documents(spark, sfDir)),
+      "clean_documents_neardup" -> {
+        val pairs = ext.Dedup.ngramJaccardPairs(spark, sfDir)
+          .filter(col("jaccard") >= 0.5).select("d1", "d2")
+        ext.Dedup.dedupCorpusNearDup(
+          Tables.documents(spark, sfDir),
+          ext.Dedup.connectedComponents(pairs)._1)
+      })
     val counts = layers.map { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()

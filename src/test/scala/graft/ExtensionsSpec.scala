@@ -313,6 +313,28 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge in O(log diameter) rounds on a chain") {
+    import spark.implicits._
+    // worst case for label propagation: a single path component. Plain
+    // min-label propagation needs ~diameter rounds (63 here); alternating
+    // large-star/small-star must stay logarithmic.
+    val n = 64
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = ext.Dedup.connectedComponents(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"chain must collapse to component 0: $got")
+    val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"chain-$n took $rounds rounds (bound $bound)")
+    // and a multi-component sanity case: two triangles + a singleton pair
+    val multi = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("d1", "d2")
+    val (ml, _) = ext.Dedup.connectedComponents(multi)
+    val mm = ml.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("minhash and simhash recover the strongest exact-Jaccard pairs") {
     // Ground truth: the exact n-gram Jaccard top-20 (oracle-gated query).
     // The testdata plants near-duplicates at J >= 0.97, so the sketches
