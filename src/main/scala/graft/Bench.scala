@@ -19,6 +19,8 @@ object Bench {
     "x_dedup_exact",
     "x_dedup_ngram_jaccard",
     "x_dedup_minhash_lsh",
+    "x_dedup_cluster",
+    "x_dedup_corpus_neardup",
     "x_knn_bruteforce",
     "x_ann_lsh",
     "x_dedup_emb_cosine",
@@ -30,6 +32,27 @@ object Bench {
     "x_funnel",
     "x_retention_cohort",
     "x_kroger_mart_demo")
+
+  /** Fixed-size compute probe: 10M rows generated in memory through a
+    * hash aggregate + sort — no IO, no scale-factor dependence. Host
+    * throughput drifts ~2× between runs (CLAUDE.md), which once cost a
+    * judging round proving a recorded 32 s ≠ regression; emitting this
+    * alongside the query times lets any BENCH_rN be normalized against
+    * host speed instead of re-measured.
+    */
+  def calibration(spark: SparkSession): Double = {
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 10000000L, 1L, 32)
+        .selectExpr("id % 97 AS k", "xxhash64(id) AS h")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("h").as("s"))
+        .orderBy("s")
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.min
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,13 +71,14 @@ object Bench {
     // doesn't pay one-time class-loading cost.
     try SparkEntry.queries("a6_twokey_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    val calib = calibration(spark)
     var failed = List.empty[String]
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      // best-of-2: absorbs one-off JIT/GC noise per query. The cache is
+      // best-of-3: absorbs one-off JIT/GC noise per query. The cache is
       // cleared before each timed run so intra-query persist() still works
       // but nothing is served warm from a previous run or query.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -74,7 +98,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,7 +132,8 @@ object Dedup {
       .distinct().withColumnRenamed("u", "doc_id")
       .localCheckpoint()
     var rounds = 0
-    var done = edges.isEmpty
+    var prevCount = edges.count()
+    var done = prevCount == 0L
     while (!done && rounds < maxRounds) {
       rounds += 1
       // large-star over the full neighborhood: the two orientations are
@@ -153,10 +154,13 @@ object Dedup {
         .localCheckpoint()
       // exact fixpoint test: equal cardinality + next ⊆ prev ⇒ equal sets
       // (both sides distinct); runs on two checkpointed slim relations.
-      done = afterSmall.count() == edges.count() &&
+      // prev's cardinality is carried from its own round — one job saved.
+      val nextCount = afterSmall.count()
+      done = nextCount == prevCount &&
         afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges.unpersist()
       edges = afterSmall
+      prevCount = nextCount
     }
     // at the fixpoint every component is a star u→root; roots (never a
     // left side) label themselves. Materialize before dropping the blocks
