@@ -44,6 +44,52 @@ object Pipeline {
     counts
   }
 
+  /** Date-partitioned fact materialization (SCALE.md, Scan layer): writes
+    * fact_prices under a Hive-style partition column derived from
+    * effective_date, so chart-1-style date-window scans (reference
+    * portfolio_app/app.py:84-113) prune whole directories instead of
+    * filtering rows out of a full scan. `granularity` picks the key:
+    * "month" (default — right-sized until a day's volume reaches
+    * multiple row-group sizes) or "day" (the 100 TB layout, where one
+    * partition ≈ one ingest batch). The derived key is kept alongside
+    * effective_date: row predicates stay on the real date while the key
+    * drives pruning — `factDateWindow` pushes both. The pre-write
+    * repartition on the key yields one file per partition directory
+    * instead of one per task × partition (the small-files antipattern);
+    * at 100 TB with skewed days, AQE splits the hot writer tasks.
+    * Returns the written path. Pruning is plan-asserted by ScaleOpsSpec
+    * ("date-partitioned fact: date-window scan prunes partitions").
+    */
+  def materializeFactPartitioned(spark: SparkSession, sfDir: String,
+      outDir: String, granularity: String = "month"): String = {
+    val key = granularity match {
+      case "day" => col("effective_date").cast("string")
+      case _     => date_format(col("effective_date"), "yyyy-MM")
+    }
+    val path = s"$outDir/fact_prices_p"
+    ops.Marts.factBuild(spark, sfDir)
+      .withColumn("p_date", key)
+      .repartition(col("p_date"))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    path
+  }
+
+  /** The reference's chart-1 date-window scan against the partitioned
+    * layout: the window predicate lands on BOTH the partition key
+    * (directory pruning — shows up as PartitionFilters in the plan) and
+    * effective_date (exact row bound inside edge partitions).
+    */
+  def factDateWindow(spark: SparkSession, path: String, from: String,
+      to: String, granularity: String = "month"): DataFrame = {
+    val (lo, hi) = granularity match {
+      case "day" => (from, to)
+      case _     => (from.substring(0, 7), to.substring(0, 7))
+    }
+    spark.read.parquet(path)
+      .filter(col("p_date") >= lo && col("p_date") <= hi)
+      .filter(col("effective_date").between(from, to))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"

@@ -130,6 +130,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the price fact must not shuffle for its dim joins")
   }
 
+  test("date-partitioned fact: date-window scan prunes partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val path = Pipeline.materializeFactPartitioned(spark, sf, out)
+    val win = Pipeline.factDateWindow(spark, path, "1995-03-01", "1995-04-30")
+    val scan = win.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    val pf = scan.partitionFilters.map(_.sql).mkString(", ")
+    assert(pf.contains("p_date"), s"expected p_date partition filters, got: $pf")
+    // Only the two matching month directories are read, out of the ~80 written.
+    val written = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("p_date="))
+    assert(written > 10, s"expected many month partitions on disk, got $written")
+    val touched = scan.selectedPartitions.partitionCount
+    assert(touched == 2,
+      s"expected exactly 2 pruned partitions of $written, got $touched")
+    // And pruning loses no rows vs the unpartitioned row-level filter.
+    val expected = ops.Marts.factBuild(spark, sf)
+      .filter(col("effective_date").between("1995-03-01", "1995-04-30")).count()
+    assert(win.count() == expected)
+  }
+
   test("approx stats stay within documented error bounds") {
     val rows = ext.Approx.xApproxStats(spark, sf).collect()
     assert(rows.nonEmpty)
