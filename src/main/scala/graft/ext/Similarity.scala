@@ -140,7 +140,11 @@ object Similarity {
     * probe the nProbe nearest cells and re-rank exactly within them.
     * At scale the inverted lists are the partition layout: each query
     * reads nProbe/K of the corpus. Centroids are tiny (K × dims) and ride
-    * in task closures like any broadcast constant.
+    * into the codegen'd NearestCentroid/NearestCells expressions as
+    * referenced constants (same pattern as hyperplane_signature), so both
+    * assignment passes and the probe pass stay inside WholeStageCodegen —
+    * no per-row UDF invoke on the corpus scan. ExtensionsSpec pins the
+    * expressions bitwise against the UDF formulation they replaced.
     */
   def xAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val k = 16
@@ -150,21 +154,9 @@ object Similarity {
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def nearest(cs: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cc = cs(c)
-        val n = math.min(v.length, cc.length)
-        while (i < n) { val t = v(i) - cc(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
     // one Lloyd refinement: per-cell mean over the assigned vectors
-    val assigned0 = e.withColumn("cell", nearest(seeds)(col("embedding")))
+    val assigned0 = e.withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), seeds))
     val refined: Array[Array[Double]] = assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -174,20 +166,13 @@ object Similarity {
       .map { case (_, rows) =>
         rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
       }.toArray
-    val assigned = e.withColumn("cell", nearest(refined)(col("embedding"))).persist()
+    val assigned = e.withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), refined)).persist()
     // queries probe the nProbe nearest refined centroids
-    val probe = udf { (v: Seq[Float]) =>
-      refined.indices.map { c =>
-        var d = 0.0; var i = 0
-        val cc = refined(c)
-        val n = math.min(v.length, cc.length)
-        while (i < n) { val t = v(i) - cc(i); d += t * t; i += 1 }
-        (c, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
-    }
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"),
-        explode(probe(col("embedding"))).as("cell"))
+        explode(VectorFunctions.nearestCells(col("embedding"), refined, nProbe))
+          .as("cell"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
       col("v").as("v2"), col("nrm").as("n2"))
     rerankTopK(broadcast(q).join(c, Seq("cell"))

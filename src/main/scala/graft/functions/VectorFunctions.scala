@@ -164,6 +164,205 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** nearest_centroid(v): argmin over squared-L2 distance to a fixed
+  * centroid matrix — the IVF cell-assignment pass, as a codegen'd
+  * expression. Like HyperplaneSignature, the centroids ride along as a
+  * referenced constant (ctx.addReferenceObj), so the corpus scan stays
+  * one fused double loop inside WholeStageCodegen instead of a per-row
+  * UDF invoke with Seq boxing. Ties break toward the lower cell index
+  * (strict `<` on the running minimum), matching the UDF it replaces
+  * bit-for-bit. Null elements contribute 0 (dense embeddings); a null
+  * vector yields a null cell.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.numElements(), cc.length)
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val t = (if (f) v.getFloat(i).toDouble else v.getDouble(i)) - cc(i)
+          d += t * t
+        }
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cc = ctx.freshName("cc")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cc = $mat[$c];
+         |  double $d = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $cc.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $t = ((double) $a.$get($i)) - $cc[$i];
+         |      $d += $t * $t;
+         |    }
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** nearest_cells(v, k): the k nearest centroid indices by squared-L2,
+  * ascending distance with ties toward the lower index — the IVF
+  * query-side probe list, codegen'd. Selection is O(K·k) over the
+  * K-length distance array (K ≤ a few hundred for any sane coarse
+  * quantizer), allocation-free until the final int[k] result. Matches
+  * the `sortBy(_._2).take(nProbe)` UDF it replaces bit-for-bit (Scala's
+  * sortBy is stable, so ties also break by index there).
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k > 0 && k <= centroids.length,
+    s"nearest_cells: k=$k out of range for ${centroids.length} centroids")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    val dist = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.numElements(), cc.length)
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val t = (if (f) v.getFloat(i).toDouble else v.getDouble(i)) - cc(i)
+          d += t * t
+        }
+        i += 1
+      }
+      dist(c) = d
+      c += 1
+    }
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](centroids.length)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < centroids.length) {
+        if (!used(c) && dist(c) < bestD) { bestD = dist(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val dist = ctx.freshName("dist")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cc = ctx.freshName("cc")
+      s"""
+         |double[] $dist = new double[$mat.length];
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cc = $mat[$c];
+         |  double $d = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $cc.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $t = ((double) $a.$get($i)) - $cc[$i];
+         |      $d += $t * $t;
+         |    }
+         |  }
+         |  $dist[$c] = $d;
+         |}
+         |int[] $out = new int[$k];
+         |boolean[] $used = new boolean[$mat.length];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  int $best = -1;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $mat.length; $c++) {
+         |    if (!$used[$c] && $dist[$c] < $bestD) { $bestD = $dist[$c]; $best = $c; }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register dot_product for SQL/expr use on this session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -181,5 +380,17 @@ object VectorFunctions {
   def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(HyperplaneSignature(GraftSqlBridge.expression(v), planes))
+  }
+
+  /** Column API: index of the squared-L2-nearest centroid to vector `v`. */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(NearestCentroid(GraftSqlBridge.expression(v), centroids))
+  }
+
+  /** Column API: the k squared-L2-nearest centroid indices to vector `v`. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], k: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(v), centroids, k))
   }
 }

@@ -295,6 +295,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("nearest_centroid/nearest_cells match the UDF fold bitwise and stay codegen'd") {
+    val centroids = {
+      val rng = new scala.util.Random(11)
+      Array.fill(6, 64)(rng.nextGaussian())
+    }
+    val df = Tables.embeddings(spark, sf).limit(64)
+      .select(col("vec_id"), col("embedding"),
+        functions.VectorFunctions.nearestCentroid(col("embedding"), centroids).as("cell"),
+        functions.VectorFunctions.nearestCells(col("embedding"), centroids, 3).as("cells"))
+    // the reference fold: exactly the per-row UDF logic these expressions replaced
+    def dists(v: Seq[Float]): Array[Double] = centroids.map { cc =>
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, cc.length)
+      while (i < n) { val t = v(i) - cc(i); d += t * t; i += 1 }
+      d
+    }
+    df.collect().foreach { r =>
+      val ds = dists(r.getSeq[Float](1))
+      var best = 0; var bestD = Double.MaxValue
+      ds.zipWithIndex.foreach { case (d, c) => if (d < bestD) { bestD = d; best = c } }
+      assert(r.getInt(2) == best, s"vec ${r.getLong(0)} cell")
+      val expected = ds.zipWithIndex.sortBy(_._1).take(3).map(_._2).toSeq
+      assert(r.getSeq[Int](3) == expected, s"vec ${r.getLong(0)} probe cells")
+    }
+    val hasWsc = df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.isDefined
+    assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("near-dup clusters: min-member labels, consistent sizes, edge-connected") {
     val rows = ext.Dedup.xDedupCluster(spark, sf).collect()
     assert(rows.nonEmpty, "testdata plants near-dups; clusters expected")
