@@ -31,20 +31,26 @@ object Multimodal {
           .otherwise("webp").as("format"))
       .orderBy("doc_id")
 
-  /** Partition-batched feature extraction with a STUB decoder (rows-only
-    * check). A real deployment swaps `stubDecode` for an image/audio
-    * decoder; the mapPartitions batch shape and the fixed-size
-    * Array[Float] output schema are the production plumbing.
+  /** Partition-batched feature extraction with a STUB decoder. A real
+    * deployment swaps `stubDecode` for an image/audio decoder; the
+    * mapPartitions batch shape and the fixed-size Array[Float] output
+    * schema are the production plumbing. The fake hash folds in
+    * mod-1e9+7 arithmetic (no 64-bit wraparound), which keeps it exactly
+    * expressible as a DuckDB Horner fold — so even the stub path is
+    * hash-gated against the SQL oracle, not rows-only.
     */
   def xMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // STUB: deterministic fake "feature extraction" from raw bytes.
     def stubDecode(bytes: Array[Byte]): Array[Float] =
       Array.tabulate(8) { i =>
-        var h = 1125899906842597L + i
+        var h = (1125899906842597L + i) % 1000000007L
         var j = i
-        while (j < bytes.length) { h = h * 31 + bytes(j); j += 8 }
-        (math.floorMod(h, 1000L)) / 1000.0f
+        while (j < bytes.length) {
+          h = (h * 31 + (bytes(j) & 0xff)) % 1000000007L
+          j += 8
+        }
+        (h % 1000L) / 1000.0f
       }
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("asset"))
@@ -52,17 +58,20 @@ object Multimodal {
     assets
       .mapPartitions(_.map { case (id, bytes) => (id, stubDecode(bytes)) })
       .toDF("doc_id", "features")
-      .select(col("doc_id"), size(col("features")).as("n_features"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+      .select(col("doc_id"), size(col("features")).cast("long").as("n_features"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
       .orderBy("doc_id")
   }
 
-  /** Partition-batched frame sampling + resize plumbing (rows-only check).
-    * Treats each asset as a fake "video": fixed-size frames at a byte
-    * stride, every Nth frame sampled, each "resized" by the stub into a
-    * 4-float thumbnail signature. The schema shape — one row per
+  /** Partition-batched frame sampling + resize plumbing. Treats each
+    * asset as a fake "video": fixed-size frames at a byte stride, every
+    * Nth frame sampled, each "resized" by the stub into a 4-float
+    * thumbnail signature. The schema shape — one row per
     * (asset, frame_index) with a fixed-length vector — is the real
-    * contract a decoder plugs into; STUB marks the fake decode.
+    * contract a decoder plugs into; STUB marks the fake decode, which
+    * (like xMultimodalFeatures) folds in mod-1e9+7 arithmetic so the
+    * frame count AND the thumbnail values are hash-gated against a
+    * DuckDB oracle.
     */
   def xMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -78,8 +87,11 @@ object Multimodal {
           var h = 17L + i
           var j = off + i
           val end = math.min(off + frameBytes, bytes.length)
-          while (j < end) { h = h * 31 + bytes(j); j += 4 }
-          math.floorMod(h, 997L) / 997.0f
+          while (j < end) {
+            h = (h * 31 + (bytes(j) & 0xff)) % 1000000007L
+            j += 4
+          }
+          (h % 997L) / 1000.0f
         }
         (f, thumb)
       }
@@ -91,9 +103,9 @@ object Multimodal {
         sampleFrames(bytes).map { case (f, thumb) => (id, f, thumb) }
       })
       .toDF("doc_id", "frame_index", "thumb")
-      .select(col("doc_id"), col("frame_index"),
-        size(col("thumb")).as("thumb_dims"),
-        round(element_at(col("thumb"), 1), 4).as("t0"))
+      .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
+        size(col("thumb")).cast("long").as("thumb_dims"),
+        round(element_at(col("thumb"), 1).cast("double"), 4).as("t0"))
       .orderBy("doc_id", "frame_index")
   }
 
@@ -111,5 +123,46 @@ object Multimodal {
         |    WHEN octet_length(text::BLOB) % 3 = 1 THEN 'png'
         |    ELSE 'webp' END AS format
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // Stub-decode twins: the fake decoders are Horner folds in mod-1e9+7
+    // arithmetic precisely so these oracles exist — the per-byte fold is
+    // re-expressed as list_reduce over the sampled 1-based positions.
+    // Only the first feature/thumb lane (i=0) is emitted, so the oracle
+    // folds that lane; n_features/thumb_dims pin the fixed vector widths
+    // and the frames oracle re-derives the frame-count arithmetic
+    // (max(len/64,1) frames, every 4th sampled).
+    "x_multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(text::BLOB) AS len FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597 % 1000000007,
+        |        list_transform(generate_series(1, len, 8),
+        |          j -> ord(substr(text, j, 1))::BIGINT)),
+        |      (h, b) -> (h * 31 + b) % 1000000007) AS h0
+        |  FROM d)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS n_features,
+        |  round((h0 % 1000) / 1000.0, 4) AS f0
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "x_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(text::BLOB) AS len FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(0, greatest(len // 64, 1) - 1, 4)) AS frame_index
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, frame_index,
+        |    list_reduce(
+        |      list_prepend(17,
+        |        list_transform(
+        |          generate_series(frame_index * 64 + 1, least(frame_index * 64 + 64, len), 4),
+        |          j -> ord(substr(text, j, 1))::BIGINT)),
+        |      (h, b) -> (h * 31 + b) % 1000000007) AS h0
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+        |  CAST(4 AS BIGINT) AS thumb_dims,
+        |  round((h0 % 997) / 1000.0, 4) AS t0
+        |FROM h ORDER BY doc_id, frame_index""".stripMargin)
 }
