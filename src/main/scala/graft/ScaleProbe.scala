@@ -76,10 +76,18 @@ object ScaleProbe {
     val results = probeQueries.map { q =>
       q -> (time(base, q), time(work, q))
     }
+    // ANN recall with buckets N× fuller: the spec gate (recall@5 ≥ 0.8 vs
+    // exact brute force) must hold on the replicated corpus too. Same-base
+    // replica neighbors are excluded (they share every signature with the
+    // query — vacuous hits); see Similarity.probeRecall5.
+    spark.catalog.clearCache()
+    val recall = ext.Similarity.probeRecall5(spark, work, 10000000L)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
-    }.mkString("{\"q\":{", ",", "}}")
+    }.mkString("{\"q\":{", ",", f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f}")
     println(json)
+    require(recall >= 0.8,
+      f"LSH ANN recall@5 degraded to $recall%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

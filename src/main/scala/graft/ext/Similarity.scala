@@ -77,16 +77,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Brute-force cosine top-5 for query vectors vec_id < 10. Queries are
-    * broadcast; ranking ties broken on (rounded cosine, neighbor_id).
+  /** Neighbor exclusion for replicated probe corpora: ScaleProbe
+    * synthesizes an N× corpus by shifting vec_ids in multiples of
+    * `shift`, so every query vector has N−1 exact duplicates at cosine
+    * 1.0 — recall against a baseline full of those would be vacuously
+    * perfect (identical vectors share every LSH signature). Dropping
+    * neighbors whose base id (mod shift) equals the query id makes the
+    * 10× recall probe measure real neighbor recovery in 10×-fuller
+    * buckets. shift = 0 (production path) excludes nothing.
     */
-  def xKnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  private def keepNeighbor(replicaShift: Long) =
+    if (replicaShift > 0) pmod(col("neighbor_id"), lit(replicaShift)) =!= col("query_id")
+    else lit(true)
+
+  private def knnBruteForce(spark: SparkSession, dir: String,
+      replicaShift: Long): DataFrame = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"), col("nrm").as("n2"))
-    rerankTopK(broadcast(q).join(c, col("query_id") =!= col("neighbor_id")), 5)
+    rerankTopK(broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .filter(keepNeighbor(replicaShift)), 5)
   }
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. Queries are
+    * broadcast; ranking ties broken on (rounded cosine, neighbor_id).
+    */
+  def xKnnBruteForce(spark: SparkSession, dir: String): DataFrame =
+    knnBruteForce(spark, dir, 0L)
 
   /** Probe masks: the exact bucket plus every 1- and 2-bit flip — a near
     * neighbor that misses the exact bucket almost always disagrees on
@@ -107,7 +125,11 @@ object Similarity {
     * recall/candidate-fraction tradeoff and how it improves on clustered
     * real-world corpora.
     */
-  def xAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def xAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(spark, dir, 0L)
+
+  private def annLsh(spark: SparkSession, dir: String,
+      replicaShift: Long): DataFrame = {
     val e0 = withVecNorm(Tables.embeddings(spark, dir))
     val withBuckets = (0 until nTables).foldLeft(e0) { (df, t) =>
       df.withColumn(s"bucket_$t", bucketExpr(t))
@@ -130,8 +152,26 @@ object Similarity {
       col("bucket"), col("v").as("v2"), col("nrm").as("n2"))
     rerankTopK(broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(keepNeighbor(replicaShift))
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2")
       .dropDuplicates("query_id", "neighbor_id"), 5)
+  }
+
+  /** ScaleProbe hook: mean recall@5 of the LSH ANN vs exact brute force
+    * over the corpus at `dir`, excluding same-base replica neighbors
+    * (see keepNeighbor) so a synthetically replicated corpus measures
+    * genuine neighbor recovery rather than duplicate self-hits.
+    */
+  def probeRecall5(spark: SparkSession, dir: String, replicaShift: Long): Double = {
+    def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = tops(knnBruteForce(spark, dir, replicaShift))
+    val approx = tops(annLsh(spark, dir, replicaShift))
+    val recalls = exact.map { case (q, ex) =>
+      approx.get(q).map(a => (a intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    recalls.sum / recalls.size
   }
 
   /** IVF-style ANN (no SQL oracle — rows-only check): deterministic
