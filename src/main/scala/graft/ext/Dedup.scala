@@ -25,16 +25,20 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Dedup {
 
-  /** Distinct lowercase word 3-grams per document. The distinct (and every
-    * downstream shuffle) runs over the 8-byte xxhash64 of the gram, never
-    * the gram string (collision odds at this vocabulary ~1e-11).
-    */
-  private[ext] def wordGrams(docs: DataFrame): DataFrame =
+  /** One row per (doc, lowercase word-3-gram occurrence), gram as string. */
+  private def wordGramStrings(docs: DataFrame): DataFrame =
     docs.withColumn("ws", split(lower(col("text")), " "))
       .select(col("doc_id"), explode(
         when(size(col("ws")) >= 3,
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .otherwise(array().cast(ArrayType(StringType)))).as("gram_str"))
+
+  /** Distinct lowercase word 3-grams per document. The distinct (and every
+    * downstream shuffle) runs over the 8-byte xxhash64 of the gram, never
+    * the gram string (collision odds at this vocabulary ~1e-11).
+    */
+  private[ext] def wordGrams(docs: DataFrame): DataFrame =
+    wordGramStrings(docs)
       .select(col("doc_id"), xxhash64(col("gram_str")).as("gram"))
       .distinct()
 
@@ -214,26 +218,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash + LSH near-dup (no SQL oracle — hash functions are
-    * engine-specific; driver does a rows-only check).
+  // Engine-portable sketch hashing (MinHash + SimHash): a Horner gram/token
+  // hash mod P (codegen'd HornerHash expression) composed with 64 affine
+  // "permutations" h_i(g) = (a_i·g + b_i) mod P. Every constant below is
+  // embedded verbatim into the generated DuckDB oracle SQL, so the sketches
+  // are hash-gated bitwise instead of rows-only — the reason NOT to use
+  // xxhash64/murmur here. P ≈ 2^30 keeps a_i·g < 2^60 (no overflow on
+  // either engine); affine maps mod a prime are 2-independent-ish, plenty
+  // for 64-perm MinHash (collision noise among ~10^6 grams is ~10^-3 of
+  // signature mass and identical on both engines by construction).
+  private[ext] val SketchP = 1000000007L
+  private val (permA, permB) = {
+    val rng = new scala.util.Random(7)
+    (Array.fill(64)(1L + math.floorMod(rng.nextLong(), SketchP - 1)),
+     Array.fill(64)(math.floorMod(rng.nextLong(), SketchP)))
+  }
+
+  /** MinHash + LSH near-dup, hash-gated against a DuckDB oracle built
+    * from the same permutation constants (see SketchP note above).
     *
-    * 64 "permutations" h_i(g) = xxhash64(i, g); signature = min over the
-    * doc's grams per i. LSH: 16 bands of 4 rows; candidates collide on
-    * (band, hash of the band's 4 mins). Estimated Jaccard = fraction of
-    * equal signature components.
+    * 64 "permutations" h_i(g) = (a_i·horner(g) + b_i) mod P; signature =
+    * min over the doc's grams per i. LSH: 16 bands of 4 rows; candidates
+    * collide on (band, Horner fold of the band's 4 mins). Estimated
+    * Jaccard = fraction of equal signature components.
     */
   def xDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 64
     val bandRows = 4
-    val grams = wordGrams(Tables.documents(spark, dir))
-    val sigAggs = (0 until nHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    val grams = wordGramStrings(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.hornerHash(col("gram_str"), SketchP).as("g"))
+      .distinct()
+    val sigAggs = (0 until nHashes).map(i =>
+      min((lit(permA(i)) * col("g") + lit(permB(i))) % lit(SketchP)).as(s"h$i"))
     // Signature table feeds the banding AND both sides of the verification
     // join — persist so the 64-aggregate pass runs once (at cluster scale:
     // a materialized signature table, bucketed by doc_id).
     val sigs = grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*).persist()
     val bandStructs = (0 until nHashes / bandRows).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i")): _*).as("sig"))
+      val Seq(h0, h1, h2, h3) =
+        (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i"))
+      val fold = ((((h0 * 31 + h1) % SketchP) * 31 + h2) % SketchP * 31 + h3) % SketchP
+      struct(lit(b).as("band"), fold.as("sig"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -253,17 +279,24 @@ object Dedup {
       .orderBy(desc("est_jaccard"), col("d1"), col("d2"))
   }
 
-  /** SimHash near-dup (no SQL oracle — rows-only check). 64-bit signature:
-    * bit i set iff the sum over tokens of ±1 (by token-hash bit i) is
-    * positive. Candidates from 16-bit band collisions; emit hamming ≤ 6.
+  /** SimHash near-dup, hash-gated against a DuckDB oracle built from the
+    * same constants (see SketchP note above). 64-bit signature: bit i set
+    * iff the sum over tokens of ±1 is positive, where token t votes on
+    * bit i by the LOW BIT of the i-th affine hash (a_i·horner(t)+b_i)
+    * mod P — 64 independent coin flips per token, reproducible in any
+    * engine with integer arithmetic (a single engine-specific 64-bit
+    * token hash would have forced this back to rows-only). Candidates
+    * from 16-bit band collisions; emit hamming ≤ 6.
     */
   def xDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        graft.functions.VectorFunctions.hornerHash(col("tok"), SketchP))
     val bitAggs = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+      sum(when(((lit(permA(i)) * col("h") + lit(permB(i))) % lit(SketchP))
+        .bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"b$i"))
     val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
     val sh = (0 until 64)
       .map(i => when(col(s"b$i") > 0, expr(s"shiftleft(cast(1 as bigint), $i)")).otherwise(lit(0L)))
@@ -279,10 +312,56 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
       .orderBy(col("hamming"), col("d1"), col("d2"))
+  }
+
+  /** The DuckDB twin of xDedupSimhash, generated from the same constants.
+    * Bit 63 is set by adding the sign-bit value directly (DuckDB refuses
+    * `1 << 63` as an overflow; adding long-min to the disjoint lower bits
+    * is the same two's-complement word Spark's shiftleft builds). Band
+    * extraction relies on `>>` being arithmetic in both engines — the
+    * `& 65535` mask makes sign-extension irrelevant.
+    */
+  private def simhashOracleSql: String = {
+    val p = SketchP
+    val sums = (0 until 64).map(i =>
+      s"sum(CASE WHEN ((${permA(i)}*t + ${permB(i)}) % $p) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val lowBits = (0 until 63)
+      .map(i => s"CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
+    val sig = s"(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END) + $lowBits"
+    val bandStructs = (0 until 4)
+      .map(k => s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * 16}) & 65535 AS bits FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |th AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(0::BIGINT, list_transform(generate_series(1, len(tok)),
+       |      j -> ord(substr(tok, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 31 + c) % $p) AS t
+       |  FROM toks),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM th GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, $sig AS simhash FROM sums),
+       |bands AS (
+       |  $bandStructs)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 6
+       |ORDER BY hamming, d1, d2""".stripMargin
   }
 
   /** Embedding-cosine near-dup, label-blocked exact variant: exact cosine
@@ -316,7 +395,61 @@ object Dedup {
     "x_dedup_simhash"       -> (xDedupSimhash _),
     "x_dedup_emb_cosine"    -> (xDedupEmbCosine _))
 
+  /** The DuckDB twin of xDedupMinhashLsh, generated from the SAME
+    * permutation constants the Spark side uses — the gram Horner fold is
+    * list_reduce over ord(substr(..)) (== HornerHash byte fold on ASCII),
+    * the 64 per-permutation mins are 64 aggregate columns, and the band
+    * signatures UNPIVOT into the same (band, sig) collision join.
+    */
+  private def minhashOracleSql: String = {
+    val p = SketchP
+    val mins = (0 until 64)
+      .map(i => s"min((${permA(i)}*g + ${permB(i)}) % $p) AS h$i").mkString(",\n    ")
+    def bandSig(b: Int) = {
+      val Seq(h0, h1, h2, h3) = (b * 4 until b * 4 + 4).map(i => s"h$i")
+      s"((((($h0*31 + $h1) % $p)*31 + $h2) % $p)*31 + $h3) % $p AS s$b"
+    }
+    val bands = (0 until 16).map(bandSig).mkString(",\n    ")
+    val bandCols = (0 until 16).map(b => s"s$b").mkString(", ")
+    val matches = (0 until 64)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH g0 AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))),
+       |gh AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(0::BIGINT, list_transform(generate_series(1, len(gram)),
+       |      j -> ord(substr(gram, j, 1))::BIGINT)),
+       |    (h, c) -> (h * 31 + c) % $p) AS g
+       |  FROM g0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM gh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |    $bands
+       |  FROM sigs),
+       |long_bands AS (
+       |  SELECT doc_id, band, sig FROM bands
+       |  UNPIVOT (sig FOR band IN ($bandCols))),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM long_bands a JOIN long_bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, round(($matches) / 64.0, 4) AS est_jaccard
+       |FROM cand
+       |JOIN sigs sa ON d1 = sa.doc_id
+       |JOIN sigs sb ON d2 = sb.doc_id
+       |ORDER BY est_jaccard DESC, d1, d2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_dedup_minhash_lsh" -> minhashOracleSql,
+    "x_dedup_simhash" -> simhashOracleSql,
     "x_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_doc_id

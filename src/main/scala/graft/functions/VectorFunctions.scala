@@ -164,6 +164,59 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** horner_hash(s, mod): Horner fold h ← (h·31 + byte) mod `mod` over the
+  * string's UTF-8 bytes — an ENGINE-PORTABLE string hash. Unlike
+  * xxhash64/murmur it is reproducible in any SQL engine with integer
+  * arithmetic (the DuckDB oracles re-express it as a list_reduce over
+  * ord(substr(..))), which is what lets the MinHash/SimHash sketch
+  * queries be hash-gated instead of rows-only. Byte fold == codepoint
+  * fold on ASCII corpora (the testdata is ASCII; a UTF-8 corpus would
+  * diverge from a codepoint-based oracle, not from this expression).
+  * `mod` must be < 2^58 so h·31 + 255 cannot overflow a long.
+  */
+case class HornerHash(child: Expression, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(mod > 0 && mod < (1L << 58), s"horner_hash: mod $mod out of range")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"horner_hash expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $a.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % ${mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** nearest_centroid(v): argmin over squared-L2 distance to a fixed
   * centroid matrix — the IVF cell-assignment pass, as a codegen'd
   * expression. Like HyperplaneSignature, the centroids ride along as a
@@ -380,6 +433,12 @@ object VectorFunctions {
   def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(HyperplaneSignature(GraftSqlBridge.expression(v), planes))
+  }
+
+  /** Column API: engine-portable Horner string hash mod `mod`. */
+  def hornerHash(s: Column, mod: Long): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(HornerHash(GraftSqlBridge.expression(s), mod))
   }
 
   /** Column API: index of the squared-L2-nearest centroid to vector `v`. */
