@@ -19,10 +19,12 @@ object Bench {
     "x_dedup_exact",
     "x_dedup_ngram_jaccard",
     "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
     "x_dedup_cluster",
     "x_dedup_corpus_neardup",
     "x_knn_bruteforce",
     "x_ann_lsh",
+    "x_ann_ivf",
     "x_dedup_emb_cosine",
     "x_text_quality",
     "x_text_tokens",

@@ -295,6 +295,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("horner_hash matches a reference byte fold and stays codegen'd") {
+    val p = 1000000007L
+    val df = Tables.documents(spark, sf).limit(64)
+      .select(col("doc_id"), col("text"),
+        functions.VectorFunctions.hornerHash(col("text"), p).as("h"))
+    df.collect().foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      var expected = 0L
+      bytes.foreach { b => expected = (expected * 31 + (b & 0xff)) % p }
+      assert(r.getLong(2) == expected, s"doc ${r.getLong(0)}")
+    }
+    val hasWsc = df.queryExecution.executedPlan.collectFirst {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.isDefined
+    assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+  }
+
   test("nearest_centroid/nearest_cells match the UDF fold bitwise and stay codegen'd") {
     val centroids = {
       val rng = new scala.util.Random(11)
