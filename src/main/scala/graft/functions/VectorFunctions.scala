@@ -417,10 +417,25 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], k: I
 }
 
 object VectorFunctions {
-  /** Register dot_product for SQL/expr use on this session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register the codegen'd expressions for SQL/expr use on this session
+    * (idempotent). horner_hash's modulus must be a foldable literal —
+    * it parameterizes the generated code. The matrix-parameterized
+    * expressions (hyperplane_signature, nearest_centroid/cells) stay
+    * Column-API-only: their constants are runtime arrays, not SQL
+    * literals.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "horner_hash", exprs => HornerHash(exprs(0),
+        exprs(1).eval() match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"horner_hash(s, mod): mod must be an integer literal, got $other")
+        }), "scala_udf")
+  }
 
   /** Column API: dot_product(a, b) as a codegen'd expression. */
   def dotProduct(a: Column, b: Column): Column = {

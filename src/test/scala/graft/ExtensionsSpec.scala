@@ -312,6 +312,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("horner_hash works via SQL registration") {
+    functions.VectorFunctions.register(spark)
+    val r = spark.sql("SELECT horner_hash('ab', 1000000007L) AS h").head
+    // ('a'=97)*31 + ('b'=98) = 3105
+    assert(r.getLong(0) == 3105L)
+  }
+
   test("nearest_centroid/nearest_cells match the UDF fold bitwise and stay codegen'd") {
     val centroids = {
       val rng = new scala.util.Random(11)
