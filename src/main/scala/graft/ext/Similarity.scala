@@ -115,8 +115,9 @@ object Similarity {
     0L +: (singles ++ singles.combinations(2).map(p => p(0) | p(1)))
   }
 
-  /** LSH-bucketed ANN (no SQL oracle — rows-only check; recall@5 vs the
-    * exact brute force is spec-gated ≥ 0.8): 12 hash tables of 10 random
+  /** LSH-bucketed ANN (hash-gated against the generated DuckDB twin
+    * below; recall@5 vs the exact brute force is additionally spec-gated
+    * ≥ 0.8): 12 hash tables of 10 random
     * hyperplanes (10-bit signature → 1024 buckets/table). Corpus vectors
     * index under their exact signature; queries MULTI-PROBE their bucket
     * plus every 1- and 2-bit flip (56 probes/table). Candidates from any
@@ -174,17 +175,29 @@ object Similarity {
     recalls.sum / recalls.size
   }
 
-  /** IVF-style ANN (no SQL oracle — rows-only check): deterministic
-    * coarse quantizer (centroids seeded from the first K vectors, one
-    * Lloyd refinement), corpus partitioned by nearest centroid, queries
-    * probe the nProbe nearest cells and re-rank exactly within them.
-    * At scale the inverted lists are the partition layout: each query
-    * reads nProbe/K of the corpus. Centroids are tiny (K × dims) and ride
-    * into the codegen'd NearestCentroid/NearestCells expressions as
-    * referenced constants (same pattern as hyperplane_signature), so both
-    * assignment passes and the probe pass stay inside WholeStageCodegen —
-    * no per-row UDF invoke on the corpus scan. ExtensionsSpec pins the
-    * expressions bitwise against the UDF formulation they replaced.
+  /** IVF-style ANN, hash-gated against the generated DuckDB twin below:
+    * deterministic coarse quantizer (centroids seeded from the first K
+    * vectors, one Lloyd refinement), corpus partitioned by nearest
+    * centroid, queries probe the nProbe nearest cells and re-rank
+    * exactly within them. At scale the inverted lists are the partition
+    * layout: each query reads nProbe/K of the corpus. Centroids are tiny
+    * (K × dims) and ride into the codegen'd NearestCentroid/NearestCells
+    * expressions as referenced constants (same pattern as
+    * hyperplane_signature), so both assignment passes and the probe pass
+    * stay inside WholeStageCodegen — no per-row UDF invoke on the corpus
+    * scan. ExtensionsSpec pins the expressions bitwise against the UDF
+    * formulation they replaced.
+    *
+    * The Lloyd step refines in EXACT integer arithmetic: each component
+    * is quantized to the 2⁻²⁴ grid (trunc((x+16)·2²⁴) — exact in double
+    * for |x| < 16, i.e. any normalized embedding), per-cell sums are
+    * longs, and the mean is a floor-div dequantized to an exact dyadic
+    * double. A float avg() would differ from any other engine in the
+    * last ulp (partial-agg order), silently flipping boundary
+    * assignments; the 2⁻²⁴ quantization costs nothing at float input
+    * precision and makes the centroids — and so the whole operator —
+    * bitwise reproducible anywhere (the avgMoney6 idiom, applied to
+    * vectors).
     */
   def xAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val k = 16
@@ -194,12 +207,16 @@ object Similarity {
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    // one Lloyd refinement: per-cell mean over the assigned vectors
+    // one Lloyd refinement: exact quantized per-cell mean (see scaladoc)
     val assigned0 = e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), seeds))
     val refined: Array[Array[Double]] = assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell", "pos")
+      .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
       .collect()
       .groupBy(_.getInt(0))
       .toSeq.sortBy(_._1)
@@ -226,7 +243,139 @@ object Similarity {
     "x_ann_lsh"        -> (xAnnLsh _),
     "x_ann_ivf"        -> (xAnnIvf _))
 
+  /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
+    * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
+    * the whole bucket walk is re-expressible in SQL with the plane
+    * matrix embedded as 120 literal DOUBLE[64] lists (Double.toString
+    * round-trips exactly through DuckDB's parser). Float parity rests on
+    * list_dot_product matching the codegen'd DotProduct's sequential
+    * fold bitwise, which the hash-gated x_knn_bruteforce already proves
+    * on this corpus; the signature is then integer arithmetic on exact
+    * sign bits. Probe masks ride in a 672-row VALUES list keyed by the
+    * UNPIVOT's table label.
+    */
+  private def annLshOracleSql: String = {
+    def planeList(p: Array[Double]) = p.mkString("[", ", ", "]")
+    def sigT(t: Int): String =
+      tablePlanes(t).foldLeft("0::BIGINT") { (acc, plane) =>
+        s"($acc * 2 + CASE WHEN list_dot_product(v, ${planeList(plane)}) > 0 THEN 1 ELSE 0 END)"
+      }
+    val sigCols = (0 until nTables)
+      .map(t => s"    ${sigT(t)} AS s$t").mkString(",\n")
+    val unpivotCols = (0 until nTables).map(t => s"s$t").mkString(", ")
+    val maskRows = (0 until nTables).flatMap(t =>
+      probeMasks.map(m => s"('s$t', $m)")).mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id,
+       |$sigCols
+       |  FROM e),
+       |corpus AS (
+       |  SELECT vec_id, tbl, bucket FROM sig
+       |  UNPIVOT (bucket FOR tbl IN ($unpivotCols))),
+       |masks(tbl, m) AS (VALUES
+       |    $maskRows),
+       |probes AS (
+       |  SELECT c.vec_id AS query_id, c.tbl, xor(c.bucket, masks.m) AS bucket
+       |  FROM corpus c JOIN masks ON c.tbl = masks.tbl
+       |  WHERE c.vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN corpus c ON p.tbl = c.tbl AND p.bucket = c.bucket
+       |  WHERE p.query_id <> c.vec_id),
+       |pairs AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine_raw
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.query_id
+       |  JOIN e n ON n.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(cosine_raw, 6) DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The DuckDB twin of xAnnIvf. No embedded constants at all — the
+    * seeds are the first 16 corpus vectors, the Lloyd refinement is the
+    * same exact integer arithmetic (trunc-quantize → BIGINT sums →
+    * floor-div → dyadic dequantize), and the squared-L2 folds replicate
+    * NearestCentroid's sequential d += (v_i−c_i)² loop via an ordered
+    * list_reduce. Argmin/probe tie-breaks (strict <, lower cell first)
+    * become row_number() ORDER BY (d, cell).
+    */
+  private def annIvfOracleSql: String = {
+    val dist =
+      """list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, 64),
+        |        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
+        |      (a, x) -> a + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+       |d0 AS (
+       |  SELECT e.vec_id, s.cell,
+       |    $dist AS d
+       |  FROM e, seeds s),
+       |a0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |qv AS (
+       |  SELECT a0.cell, g.i,
+       |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+       |    count(*) AS n
+       |  FROM e JOIN a0 USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY a0.cell, g.i),
+       |refc AS (
+       |  SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+       |  FROM qv GROUP BY cell),
+       |d1 AS (
+       |  SELECT e.vec_id, s.cell, e.v, e.nrm,
+       |    $dist AS d
+       |  FROM e, refc s),
+       |a1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d1 WHERE vec_id < 10) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a1.vec_id AS neighbor_id
+       |  FROM probe p JOIN a1 ON p.cell = a1.cell
+       |  WHERE a1.vec_id <> p.query_id),
+       |pairs AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine_raw
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.query_id
+       |  JOIN e n ON n.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(cosine_raw, 6) DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_ann_lsh" -> annLshOracleSql,
+    "x_ann_ivf" -> annIvfOracleSql,
     "x_knn_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
