@@ -20,7 +20,8 @@ object ScaleProbe {
     "j2_fact_build", "a2_category_rollup", "a4_percentile_rollup",
     "j3_a3_supplier_rollup", "w1_share_of_group", "p4p5_derived_prices",
     "x_dedup_exact", "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh",
-    "x_ann_lsh", "x_text_tfidf")
+    "x_dedup_simhash", "x_dedup_cluster",
+    "x_ann_lsh", "x_ann_ivf", "x_text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
