@@ -48,6 +48,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("horner_hash equals the BigInt model for any string and modulus") {
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val strs = (1 to 200).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    for (mod <- Seq(97L, 1000000007L, (1L << 58) - 1)) {
+      val got = strs.toDF("s")
+        .select(col("s"),
+          functions.VectorFunctions.hornerHash(col("s"), mod).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      strs.foreach { s =>
+        // exact model: no overflow possible in BigInt, mod at the end of
+        // each step like the expression
+        val expected = s.getBytes("UTF-8").foldLeft(BigInt(0)) { (h, b) =>
+          (h * 31 + (b & 0xff)) % mod
+        }.toLong
+        assert(got(s) == expected, s"mod=$mod s=${s.take(20)}")
+      }
+    }
+  }
+
   test("salted join row multiset equals the plain join for any salt count") {
     import spark.implicits._
     samples(3).zip(Seq(1, 3, 7)).foreach { case (rows, salts) =>
