@@ -22,6 +22,7 @@ object Bench {
     "x_dedup_simhash",
     "x_dedup_cluster",
     "x_dedup_corpus_neardup",
+    "x_llm_corpus_prep",
     "x_knn_bruteforce",
     "x_ann_lsh",
     "x_ann_ivf",

@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Ingest.queries ++ ops.Quality.queries ++ ops.KrogerTpch.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Sessionize.queries ++
-      ext.Multimodal.queries ++ ext.Approx.queries ++ ext.EventAnalytics.queries
+      ext.Multimodal.queries ++ ext.Approx.queries ++
+      ext.EventAnalytics.queries ++ ext.CorpusPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       ops.Ingest.oracle ++ ops.Quality.oracle ++ ops.KrogerTpch.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++
       ext.TextAnalysis.oracle ++ ext.Sessionize.oracle ++
-      ext.Multimodal.oracle ++ ext.Approx.oracle ++ ext.EventAnalytics.oracle
+      ext.Multimodal.oracle ++ ext.Approx.oracle ++
+      ext.EventAnalytics.oracle ++ ext.CorpusPrep.oracle
 }

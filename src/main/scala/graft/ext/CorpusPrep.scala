@@ -1,0 +1,190 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end LLM training-corpus preparation pipeline, composed from
+  * the individually oracle-verified operators: exact + near-dup
+  * deduplication (Dedup), eval-set exclusion + n-gram decontamination
+  * (TextAnalysis semantics), marker-based language ID, quality filtering,
+  * and the deterministic md5-bucket train/val/test split — rolled up to
+  * the per-(split, language) corpus composition a training run consumes.
+  *
+  * This is the artifact the extension surface exists for: one call from
+  * raw documents to "what lands in each split after cleaning", with every
+  * stage's semantics pinned bitwise by the composed DuckDB oracle.
+  *
+  * Scale shape: dedup is the star-contraction + hash-groupBy path
+  * (Dedup's scale notes apply unchanged); language ID joins a 9-row
+  * broadcast marker table; quality is a narrow map; decontamination joins
+  * the distributed eval vocabulary (AQE broadcasts while genuinely
+  * small); the split is a stateless hash of the doc id. Nothing here
+  * shuffles document text except the dedup stages, which shuffle hashes
+  * and two-long edges. Thresholds (quality ≥ 0.4, contamination ≤ 0.2)
+  * are the tunable policy knobs a real pipeline exposes.
+  */
+object CorpusPrep {
+
+  def xLlmCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // 1. exact dedup + near-dup cluster losers dropped; the eval source
+    //    (src0) never enters training data.
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val kept = Dedup.dedupCorpusNearDup(docs, Dedup.connectedComponents(pairs)._1)
+      .filter(col("source") =!= "src0")
+    // 2. marker-based language ID (argmax, deterministic tie-break)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val markers = spark.createDataFrame(Seq(
+      ("the", "en"), ("and", "en"), ("of", "en"),
+      ("der", "de"), ("und", "de"), ("das", "de"),
+      ("el", "es"), ("los", "es"), ("las", "es"))).toDF("tok", "cand_lang")
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("n"), col("cand_lang"))
+    val pred = docs.select("doc_id")
+      .join(toks.join(broadcast(markers), Seq("tok"))
+        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand_lang"), lit("und")).as("pred_lang"))
+    // 3. composite quality score (same expression as xTextQuality)
+    val qual = docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_stop",
+        expr("size(filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to')))"))
+      .select(col("doc_id"),
+        round(least(lit(1.0), size(col("tk")) / 100.0)
+          * (lit(1.0) - col("n_stop") / size(col("tk"))), 4).as("quality_score"))
+    // 4. per-doc eval-overlap contamination (same shape as
+    //    xTextContamination; absent docs — fewer than 3 tokens — are clean)
+    val grams = docs
+      .withColumn("ws", split(lower(col("text")), " "))
+      .select(col("doc_id"), col("source"), explode(
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val evalVocab = grams.filter(col("source") === "src0")
+      .select("gram").distinct().withColumn("hit", lit(1))
+    val cont = grams.filter(col("source") =!= "src0")
+      .join(evalVocab, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(round(count(col("hit")) / count(lit(1)), 4).as("contamination"))
+    // 5. deterministic md5-bucket split + policy filters + rollup
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+      lit(100))
+    kept
+      .join(pred, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+      .filter(col("pred_lang") =!= "und"
+        && col("quality_score") >= 0.4 && col("contamination") <= 0.2)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy("split", "pred_lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_llm_corpus_prep" -> (xLlmCorpusPrep _))
+
+  /** The composed oracle: the near-dup/exact-dedup CTEs from the
+    * x_dedup_corpus_neardup twin, the language/quality/contamination
+    * expressions from their TextAnalysis twins, and the split bucket —
+    * one recursive WITH chain pinning the whole pipeline bitwise.
+    */
+  val oracle: Map[String, String] = Map(
+    "x_llm_corpus_prep" ->
+      """WITH RECURSIVE gsrc AS (
+        |  SELECT DISTINCT doc_id, source, gram FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+        |          FROM documents))),
+        |rare AS (
+        |  SELECT g.doc_id, g.gram FROM gsrc g
+        |  JOIN (SELECT gram FROM gsrc GROUP BY 1 HAVING COUNT(*) <= 50) f USING (gram)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_grams
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cpairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+        |  WHERE inter_grams / (sa.sz + sb.sz - inter_grams) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM cpairs
+        |  UNION ALL SELECT d2, d1 FROM cpairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |exact AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(text)))),
+        |keep AS (
+        |  SELECT d.doc_id, d.n_chars FROM documents d
+        |  JOIN exact e ON d.doc_id = e.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |    AND d.source <> 'src0'),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |m(tok, cand_lang) AS (VALUES
+        |  ('the','en'), ('and','en'), ('of','en'),
+        |  ('der','de'), ('und','de'), ('das','de'),
+        |  ('el','es'), ('los','es'), ('las','es')),
+        |c AS (
+        |  SELECT doc_id, cand_lang, COUNT(*) AS n
+        |  FROM toks JOIN m USING (tok) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, cand_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand_lang) AS rn
+        |  FROM c),
+        |pred AS (
+        |  SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang
+        |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(1.0 AS DOUBLE), len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE))
+        |      * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))
+        |        / len(string_split(text, ' '))), 4) AS quality_score
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT gram FROM gsrc WHERE source = 'src0'),
+        |cont AS (
+        |  SELECT g.doc_id,
+        |    round(COUNT(ev.gram) / COUNT(*), 4) AS contamination
+        |  FROM gsrc g LEFT JOIN ev ON g.gram = ev.gram
+        |  WHERE g.source <> 'src0'
+        |  GROUP BY g.doc_id),
+        |scored AS (
+        |  SELECT k.doc_id, k.n_chars, p.pred_lang, q.quality_score,
+        |    COALESCE(cont.contamination, 0.0) AS contamination,
+        |    ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+        |  FROM keep k
+        |  JOIN pred p ON k.doc_id = p.doc_id
+        |  JOIN qual q ON k.doc_id = q.doc_id
+        |  LEFT JOIN cont ON k.doc_id = cont.doc_id)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  pred_lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(quality_score) AS min_quality,
+        |  MAX(quality_score) AS max_quality
+        |FROM scored
+        |WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2
+        |GROUP BY 1, 2
+        |ORDER BY split, pred_lang""".stripMargin)
+}
