@@ -44,6 +44,23 @@ object Pipeline {
     counts
   }
 
+  /** Materialize the cleaned, split-assigned training corpus partitioned
+    * by split (`training_corpus/split=train|val|test/`) — the layout a
+    * training run consumes, where reading one split prunes the others'
+    * directories entirely. Same single-file-per-partition write
+    * discipline as materializeFactPartitioned (3 splits → repartition on
+    * the key; at 100 TB the writer would add a second high-cardinality
+    * repartition column to fan each split across many files).
+    */
+  def materializeTrainingCorpus(spark: SparkSession, sfDir: String,
+      outDir: String): String = {
+    val path = s"$outDir/training_corpus"
+    ext.CorpusPrep.trainingCorpus(spark, sfDir)
+      .repartition(col("split"))
+      .write.mode("overwrite").partitionBy("split").parquet(path)
+    path
+  }
+
   /** Date-partitioned fact materialization (SCALE.md, Scan layer): writes
     * fact_prices under a Hive-style partition column derived from
     * effective_date, so chart-1-style date-window scans (reference

@@ -27,15 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
-  def xLlmCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // 1. exact dedup + near-dup cluster losers dropped; the eval source
-    //    (src0) never enters training data.
-    val pairs = Dedup.ngramJaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.5).select("d1", "d2")
-    val kept = Dedup.dedupCorpusNearDup(docs, Dedup.connectedComponents(pairs)._1)
-      .filter(col("source") =!= "src0")
-    // 2. marker-based language ID (argmax, deterministic tie-break)
+  /** Marker-based language ID per document (argmax, deterministic
+    * tie-break, 'und' when no marker matches).
+    */
+  private def predLang(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("tok"))
     val markers = spark.createDataFrame(Seq(
@@ -43,22 +38,31 @@ object CorpusPrep {
       ("der", "de"), ("und", "de"), ("das", "de"),
       ("el", "es"), ("los", "es"), ("las", "es"))).toDF("tok", "cand_lang")
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("n"), col("cand_lang"))
-    val pred = docs.select("doc_id")
+    docs.select("doc_id")
       .join(toks.join(broadcast(markers), Seq("tok"))
         .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("cand_lang")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cand_lang"), lit("und")).as("pred_lang"))
-    // 3. composite quality score (same expression as xTextQuality)
-    val qual = docs
+  }
+
+  /** Composite quality score per document (same expression as
+    * xTextQuality).
+    */
+  private def quality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n_stop",
         expr("size(filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to')))"))
       .select(col("doc_id"),
         round(least(lit(1.0), size(col("tk")) / 100.0)
           * (lit(1.0) - col("n_stop") / size(col("tk"))), 4).as("quality_score"))
-    // 4. per-doc eval-overlap contamination (same shape as
-    //    xTextContamination; absent docs — fewer than 3 tokens — are clean)
+
+  /** Per-doc eval-overlap contamination (same shape as
+    * xTextContamination); docs with fewer than 3 tokens are absent —
+    * callers left-join and coalesce to 0 (clean).
+    */
+  private def contamination(docs: DataFrame): DataFrame = {
     val grams = docs
       .withColumn("ws", split(lower(col("text")), " "))
       .select(col("doc_id"), col("source"), explode(
@@ -68,30 +72,46 @@ object CorpusPrep {
       .distinct()
     val evalVocab = grams.filter(col("source") === "src0")
       .select("gram").distinct().withColumn("hit", lit(1))
-    val cont = grams.filter(col("source") =!= "src0")
+    grams.filter(col("source") =!= "src0")
       .join(evalVocab, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(round(count(col("hit")) / count(lit(1)), 4).as("contamination"))
-    // 5. deterministic md5-bucket split + policy filters + rollup
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
-      lit(100))
-    kept
-      .join(pred, Seq("doc_id"))
-      .join(qual, Seq("doc_id"))
-      .join(cont, Seq("doc_id"), "left")
+  }
+
+  private val splitBucket = pmod(
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+    lit(100))
+
+  /** The per-document cleaned corpus with its split assignment — one row
+    * per surviving document: exact + near-dup dedup, eval source (src0)
+    * excluded, language/quality/contamination policy filters, md5-bucket
+    * split. xLlmCorpusPrep rolls this up; Pipeline materializes it
+    * partitioned by split.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    Dedup.dedupCorpusNearDup(docs, Dedup.connectedComponents(pairs)._1)
+      .filter(col("source") =!= "src0")
+      .join(predLang(spark, docs), Seq("doc_id"))
+      .join(quality(docs), Seq("doc_id"))
+      .join(contamination(docs), Seq("doc_id"), "left")
       .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
       .filter(col("pred_lang") =!= "und"
         && col("quality_score") >= 0.4 && col("contamination") <= 0.2)
       .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        when(splitBucket < 80, "train").when(splitBucket < 90, "val").otherwise("test"))
+  }
+
+  def xLlmCorpusPrep(spark: SparkSession, dir: String): DataFrame =
+    trainingCorpus(spark, dir)
       .groupBy(col("split"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality"))
       .orderBy("split", "pred_lang")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _))

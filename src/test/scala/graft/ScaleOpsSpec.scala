@@ -152,6 +152,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(win.count() == expected)
   }
 
+  test("training corpus materializes split-partitioned and agrees with the rollup") {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val path = Pipeline.materializeTrainingCorpus(spark, sf, out)
+    val splits = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(splits.sameElements(Array("split=test", "split=train", "split=val")),
+      s"expected 3 split dirs, got ${splits.mkString(",")}")
+    // reading one split must prune the other two directories
+    val train = spark.read.parquet(path).filter(col("split") === "train")
+    val scan = train.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      "train-only read must touch exactly one partition")
+    // and the materialized per-doc rows roll up to the gated query
+    val fromRollup = ext.CorpusPrep.xLlmCorpusPrep(spark, sf)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(spark.read.parquet(path).count() == fromRollup)
+  }
+
   test("approx stats stay within documented error bounds") {
     val rows = ext.Approx.xApproxStats(spark, sf).collect()
     assert(rows.nonEmpty)
