@@ -227,11 +227,44 @@ object Dedup {
   // either engine); affine maps mod a prime are 2-independent-ish, plenty
   // for 64-perm MinHash (collision noise among ~10^6 grams is ~10^-3 of
   // signature mass and identical on both engines by construction).
-  private[ext] val SketchP = 1000000007L
-  private val (permA, permB) = {
+  private[graft] val SketchP = 1000000007L
+  private[graft] val (permA, permB) = {
     val rng = new scala.util.Random(7)
     (Array.fill(64)(1L + math.floorMod(rng.nextLong(), SketchP - 1)),
      Array.fill(64)(math.floorMod(rng.nextLong(), SketchP)))
+  }
+
+  /** Plain-Scala twin of the MinHash band-signature path — same Horner
+    * gram hash, same 64 affine permutations, same 16×4 banding fold as
+    * xDedupMinhashLsh's Catalyst expressions, bit for bit. Used by the
+    * streaming near-dup dedup (graft.streaming), whose per-doc state
+    * function can't ride on Catalyst; ExtensionsSpec pins the streaming
+    * path's bucket keys against the batch banding join through this.
+    * Returns one (band << 32 | bandSig) key per band, or empty for docs
+    * with no 3-gram (never bucketed — matching the batch groupBy over an
+    * empty gram set producing no signature row).
+    */
+  private[graft] def minhashBandKeys(text: String): Seq[Long] = {
+    val ws = text.toLowerCase.split(" ", -1)
+    if (ws.length < 3) return Seq.empty
+    val gs = (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      .distinct
+    val sig = Array.fill(64)(Long.MaxValue)
+    gs.foreach { gram =>
+      var g = 0L
+      gram.getBytes("UTF-8").foreach { b => g = (g * 31 + (b & 0xff)) % SketchP }
+      var i = 0
+      while (i < 64) {
+        val h = (permA(i) * g + permB(i)) % SketchP
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    (0 until 16).map { b =>
+      val fold = ((((sig(4 * b) * 31 + sig(4 * b + 1)) % SketchP) * 31
+        + sig(4 * b + 2)) % SketchP * 31 + sig(4 * b + 3)) % SketchP
+      (b.toLong << 32) | fold
+    }
   }
 
   /** MinHash + LSH near-dup, hash-gated against a DuckDB oracle built

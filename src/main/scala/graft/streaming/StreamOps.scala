@@ -39,6 +39,54 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class DocIn(doc_id: Long, text: String)
+  case class BandHit(bucket: Long, doc_id: Long)
+  case class DupOut(bucket: Long, kept_doc_id: Long, dup_doc_id: Long)
+
+  /** Streaming NEAR-dup dedup: each arriving document is banded by the
+    * same MinHash+LSH signature the batch operator uses (bitwise — see
+    * Dedup.minhashBandKeys), and per-bucket state retains the first
+    * (lowest-id within a micro-batch) document ever seen there; later
+    * arrivals emit (kept, dup) candidate pairs online. The batch operator
+    * answers "which docs near-duplicate each other"; this answers the
+    * streaming-ingest question "is THIS new doc a near-dup of anything
+    * retained so far" without re-scanning the corpus.
+    *
+    * State IS the online LSH index — one long per occupied (band, sig)
+    * bucket, exactly what any online near-dup filter must remember. At
+    * cluster scale that's 16 longs per retained doc in the state store
+    * (RocksDB-backed, partitioned by bucket key); bound it in production
+    * with a TTL eviction matched to the dedup horizon. A pair may be
+    * emitted once per shared band — consumers treat the output as a set
+    * (the drop decision is idempotent), mirroring the batch side's
+    * dropDuplicates over band collisions.
+    */
+  def dedupNearDupDocs(docs: Dataset[DocIn]): Dataset[DupOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.ext.Dedup.minhashBandKeys(d.text)
+        .map(k => BandHit(k, d.doc_id)))
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Long, DupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateBuckets)
+  }
+
+  private[streaming] def updateBuckets(bucket: Long, hits: Iterator[BandHit],
+      state: GroupState[Long]): Iterator[DupOut] = {
+    // Sort within the micro-batch so the retained doc is the minimum id
+    // (matching the batch keep-lowest convention) regardless of partition
+    // arrival order; across micro-batches, first-arrival wins.
+    val sorted = hits.map(_.doc_id).toSeq.distinct.sorted
+    val out = scala.collection.mutable.Buffer[DupOut]()
+    var keeper = state.getOption.getOrElse(Long.MaxValue)
+    sorted.foreach { id =>
+      if (keeper == Long.MaxValue) keeper = id
+      else if (id != keeper) out += DupOut(bucket, keeper, id)
+    }
+    if (keeper != Long.MaxValue) state.update(keeper)
+    out.iterator
+  }
+
   /** Stateful streaming sessionization: a 30-minute inactivity gap closes a
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.

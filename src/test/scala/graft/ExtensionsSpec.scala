@@ -430,6 +430,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((self intersect a).nonEmpty && (self intersect b).nonEmpty)
   }
 
+  test("streaming near-dup dedup agrees with the batch banding join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps.dedupNearDupDocs(input.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    input.addData(docs.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT kept_doc_id, dup_doc_id FROM neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    // batch candidate pairs: every (d1 < d2) sharing a band bucket
+    val batchCand = ext.Dedup.xDedupMinhashLsh(spark, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "testdata plants near-dups; collisions expected")
+    // every streamed pair is a batch candidate pair (same buckets)
+    assert(streamed.subsetOf(batchCand),
+      s"streamed pairs not in batch candidates: ${(streamed -- batchCand).take(5)}")
+    // exact drop-set parity: with all docs in one micro-batch (keeper =
+    // bucket minimum), a doc is dropped by the stream iff some batch
+    // candidate pair has it on the larger side
+    assert(streamed.map(_._2) == batchCand.map(_._2),
+      "streaming drop set must equal the batch candidates' larger sides")
+  }
+
   test("streaming windowed counts aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
