@@ -122,6 +122,8 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     val counts = run(spark, sfDir, outDir)
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k: $v rows") }
+    val tc = materializeTrainingCorpus(spark, sfDir, outDir)
+    println(s"training_corpus: ${spark.read.parquet(tc).count()} rows (split-partitioned)")
     spark.stop()
   }
 }
