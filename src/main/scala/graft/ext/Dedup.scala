@@ -397,6 +397,28 @@ object Dedup {
        |ORDER BY hamming, d1, d2""".stripMargin
   }
 
+  /** Chunk-level (sub-document) exact dedup — pretraining corpora dedup
+    * below document granularity because boilerplate repeats inside
+    * otherwise-distinct documents. Reuses the 32-token/stride-24 chunk
+    * relation (TextAnalysis.chunkRelation); one shuffle on the chunk md5
+    * (never the tokens), keep the lexicographically first
+    * (doc_id, chunk_id) per hash. The count window and the row_number
+    * share one (hash) partitioning — a single Exchange feeds both.
+    */
+  def xDedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
+    TextAnalysis.chunkRelation(Tables.documents(spark, dir))
+      .withColumn("n_copies",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_hash"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("chunk_hash"), col("n_copies"),
+        col("doc_id").as("keep_doc_id"), col("chunk_id").as("keep_chunk_id"))
+      .orderBy("chunk_hash")
+  }
+
   /** Embedding-cosine near-dup, label-blocked exact variant: exact cosine
     * over pairs within the same label block (blocking keeps the pair join
     * linear in block size; the unblocked scale path is the LSH ANN in
@@ -426,6 +448,7 @@ object Dedup {
     "x_dedup_corpus_neardup" -> (xDedupCorpusNearDup _),
     "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
     "x_dedup_simhash"       -> (xDedupSimhash _),
+    "x_dedup_chunks"        -> (xDedupChunks _),
     "x_dedup_emb_cosine"    -> (xDedupEmbCosine _))
 
   /** The DuckDB twin of xDedupMinhashLsh, generated from the SAME
@@ -483,6 +506,28 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "x_dedup_minhash_lsh" -> minhashOracleSql,
     "x_dedup_simhash" -> simhashOracleSql,
+    "x_dedup_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, start // 24 AS chunk_id,
+        |    ws[start + 1 : least(start + 32, len(ws))] AS ctoks
+        |  FROM s WHERE start < len(ws)),
+        |ch AS (
+        |  SELECT doc_id, chunk_id, md5(array_to_string(ctoks, ' ')) AS chunk_hash
+        |  FROM c WHERE len(ctoks) > 0)
+        |SELECT chunk_hash, n_copies, keep_doc_id, keep_chunk_id FROM (
+        |  SELECT chunk_hash, doc_id AS keep_doc_id, chunk_id AS keep_chunk_id,
+        |    COUNT(*) OVER (PARTITION BY chunk_hash) AS n_copies,
+        |    row_number() OVER (PARTITION BY chunk_hash
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch)
+        |WHERE rn = 1
+        |ORDER BY chunk_hash""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_doc_id

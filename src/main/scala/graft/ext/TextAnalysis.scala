@@ -100,8 +100,11 @@ object TextAnalysis {
     * overlap) — the canonical LLM-pretraining preprocessing step. Pure
     * narrow explode: no shuffle until a consumer aggregates.
     */
-  def xTextChunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** The (doc_id, chunk_id, n_tokens, first_token, chunk_hash) chunk
+    * relation shared by xTextChunk and the chunk-level dedup.
+    */
+  private[ext] def chunkRelation(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(lower(col("text")), " "))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, cast(greatest(size(ws) - 1, 0) / 24 as int)),
@@ -112,6 +115,9 @@ object TextAnalysis {
         element_at(col("c.ctoks"), 1).as("first_token"),
         md5(concat_ws(" ", col("c.ctoks"))).as("chunk_hash"))
       .filter(col("n_tokens") > 0)
+
+  def xTextChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkRelation(Tables.documents(spark, dir))
       .orderBy("doc_id", "chunk_id")
 
   /** Entity redaction: mask a term set behind a placeholder and report the
