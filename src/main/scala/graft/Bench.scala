@@ -46,12 +46,17 @@ object Bench {
   def calibration(spark: SparkSession): Double = {
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
+      // The noop sink executes the FULL plan including the sort — under
+      // count(), EliminateSorts dropped the Sort and column pruning then
+      // removed the sum itself, so the probe timed less than it claimed.
+      // The hash is bounded (% 2^20) so 10M-row partial sums cannot
+      // overflow a long under ANSI mode.
       spark.range(0L, 10000000L, 1L, 32)
-        .selectExpr("id % 97 AS k", "xxhash64(id) AS h")
+        .selectExpr("id % 97 AS k", "xxhash64(id) % 1048576 AS h")
         .groupBy("k")
         .agg(org.apache.spark.sql.functions.sum("h").as("s"))
         .orderBy("s")
-        .count()
+        .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     times.min

@@ -18,8 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** One near-dup clustering pass per Pipeline invocation: both
+    * clean_documents_neardup and the training-corpus materialization
+    * consume these labels (the shingle self-join + star-contraction loop
+    * is the pipeline's most expensive stage — never run it twice).
+    */
+  def nearDupLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ext.Dedup.ngramJaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    ext.Dedup.connectedComponents(pairs)._1
+  }
+
   /** Build + materialize every layer; returns the mart row counts. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      labels: Option[DataFrame] = None): Map[String, Long] = {
+    val ndLabels = labels.getOrElse(nearDupLabels(spark, sfDir))
     val layers: Seq[(String, DataFrame)] = Seq(
       "dim_parts"     -> ops.Marts.a1DistinctDim(spark, sfDir),
       "fact_prices"   -> ops.Marts.factBuild(spark, sfDir),
@@ -27,13 +40,8 @@ object Pipeline {
       "mart_supplier_sales"        -> ops.Marts.supplierRollup(spark, sfDir),
       "mart_price_by_category"     -> ops.Marts.a4PercentileRollup(spark, sfDir),
       "clean_documents" -> ext.Dedup.dedupCorpus(Tables.documents(spark, sfDir)),
-      "clean_documents_neardup" -> {
-        val pairs = ext.Dedup.ngramJaccardPairs(spark, sfDir)
-          .filter(col("jaccard") >= 0.5).select("d1", "d2")
-        ext.Dedup.dedupCorpusNearDup(
-          Tables.documents(spark, sfDir),
-          ext.Dedup.connectedComponents(pairs)._1)
-      })
+      "clean_documents_neardup" -> ext.Dedup.dedupCorpusNearDup(
+        Tables.documents(spark, sfDir), ndLabels))
     val counts = layers.map { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()
@@ -53,9 +61,9 @@ object Pipeline {
     * repartition column to fan each split across many files).
     */
   def materializeTrainingCorpus(spark: SparkSession, sfDir: String,
-      outDir: String): String = {
+      outDir: String, labels: Option[DataFrame] = None): String = {
     val path = s"$outDir/training_corpus"
-    ext.CorpusPrep.trainingCorpus(spark, sfDir)
+    ext.CorpusPrep.trainingCorpus(spark, sfDir, labels)
       .repartition(col("split"))
       .write.mode("overwrite").partitionBy("split").parquet(path)
     path
@@ -120,9 +128,10 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = run(spark, sfDir, outDir)
+    val labels = Some(nearDupLabels(spark, sfDir))
+    val counts = run(spark, sfDir, outDir, labels)
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k: $v rows") }
-    val tc = materializeTrainingCorpus(spark, sfDir, outDir)
+    val tc = materializeTrainingCorpus(spark, sfDir, outDir, labels)
     println(s"training_corpus: ${spark.read.parquet(tc).count()} rows (split-partitioned)")
     spark.stop()
   }

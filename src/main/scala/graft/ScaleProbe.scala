@@ -43,11 +43,16 @@ object ScaleProbe {
     def replicateBy(df: org.apache.spark.sql.DataFrame, key: String, shift: Long) =
       (0 until nReplicas).map(r =>
         df.withColumn(key, col(key) + lit(r * shift))).reduce(_ unionByName _)
+    // ONE shift constant for docs/embeddings: probeRecall5's same-base
+    // exclusion maps replica ids back with pmod(id, idShift) — if the
+    // shifts ever diverged, the exclusion would silently exclude nothing
+    // and the recall gate would pass vacuously on duplicate self-hits.
+    val idShift = 10000000L
     replicateBy(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
       .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
-    replicateBy(Tables.documents(spark, base), "doc_id", 10000000L)
+    replicateBy(Tables.documents(spark, base), "doc_id", idShift)
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
-    replicateBy(Tables.embeddings(spark, base), "vec_id", 10000000L)
+    replicateBy(Tables.embeddings(spark, base), "vec_id", idShift)
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "events").foreach { t =>
@@ -82,7 +87,7 @@ object ScaleProbe {
     // replica neighbors are excluded (they share every signature with the
     // query — vacuous hits); see Similarity.probeRecall5.
     spark.catalog.clearCache()
-    val recall = ext.Similarity.probeRecall5(spark, work, 10000000L)
+    val recall = ext.Similarity.probeRecall5(spark, work, idShift)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
     }.mkString("{\"q\":{", ",", f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f}")

@@ -28,15 +28,13 @@ import org.apache.spark.sql.functions._
 object CorpusPrep {
 
   /** Marker-based language ID per document (argmax, deterministic
-    * tie-break, 'und' when no marker matches).
+    * tie-break, 'und' when no marker matches). The marker table is
+    * TextAnalysis.markers — shared, not copied.
     */
   private def predLang(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("tok"))
-    val markers = spark.createDataFrame(Seq(
-      ("the", "en"), ("and", "en"), ("of", "en"),
-      ("der", "de"), ("und", "de"), ("das", "de"),
-      ("el", "es"), ("los", "es"), ("las", "es"))).toDF("tok", "cand_lang")
+    val markers = spark.createDataFrame(TextAnalysis.markers).toDF("tok", "cand_lang")
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("n"), col("cand_lang"))
     docs.select("doc_id")
       .join(toks.join(broadcast(markers), Seq("tok"))
@@ -45,18 +43,6 @@ object CorpusPrep {
         .select(col("doc_id"), col("cand_lang")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cand_lang"), lit("und")).as("pred_lang"))
   }
-
-  /** Composite quality score per document (same expression as
-    * xTextQuality).
-    */
-  private def quality(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("n_stop",
-        expr("size(filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to')))"))
-      .select(col("doc_id"),
-        round(least(lit(1.0), size(col("tk")) / 100.0)
-          * (lit(1.0) - col("n_stop") / size(col("tk"))), 4).as("quality_score"))
 
   /** Per-doc eval-overlap contamination (same shape as
     * xTextContamination); docs with fewer than 3 tokens are absent —
@@ -78,24 +64,29 @@ object CorpusPrep {
       .agg(round(count(col("hit")) / count(lit(1)), 4).as("contamination"))
   }
 
-  private val splitBucket = pmod(
-    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
-    lit(100))
-
   /** The per-document cleaned corpus with its split assignment — one row
     * per surviving document: exact + near-dup dedup, eval source (src0)
     * excluded, language/quality/contamination policy filters, md5-bucket
-    * split. xLlmCorpusPrep rolls this up; Pipeline materializes it
-    * partitioned by split.
+    * split (TextAnalysis.md5Bucket — shared, not copied). xLlmCorpusPrep
+    * rolls this up; Pipeline materializes it partitioned by split.
+    * `precomputedLabels` lets a caller that already ran the near-dup
+    * clustering (Pipeline.run does, for clean_documents_neardup) reuse
+    * those labels instead of re-running the shingle self-join and the
+    * star-contraction loop — the pipeline's most expensive stage.
     */
-  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def trainingCorpus(spark: SparkSession, dir: String,
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.ngramJaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.5).select("d1", "d2")
-    Dedup.dedupCorpusNearDup(docs, Dedup.connectedComponents(pairs)._1)
+    val labels = precomputedLabels.getOrElse {
+      val pairs = Dedup.ngramJaccardPairs(spark, dir)
+        .filter(col("jaccard") >= 0.5).select("d1", "d2")
+      Dedup.connectedComponents(pairs)._1
+    }
+    val splitBucket = TextAnalysis.md5Bucket(100)
+    Dedup.dedupCorpusNearDup(docs, labels)
       .filter(col("source") =!= "src0")
       .join(predLang(spark, docs), Seq("doc_id"))
-      .join(quality(docs), Seq("doc_id"))
+      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
       .join(contamination(docs), Seq("doc_id"), "left")
       .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
       .filter(col("pred_lang") =!= "und"

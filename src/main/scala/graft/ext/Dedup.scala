@@ -145,9 +145,13 @@ object Dedup {
       // union needs no distinct.
       val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mL = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // checkpointed: the small-star stage consumes it twice (mS and the
+      // withM join) — without materialization the whole large-star
+      // union+groupBy+join would execute twice per round.
       val afterLarge = nbrs.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
       // small-star: all edges now point larger→smaller, so Γ⁻(u) is just
       // u's out-neighbors; link them and u itself to their minimum.
       val mS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
@@ -162,10 +166,17 @@ object Dedup {
       val nextCount = afterSmall.count()
       done = nextCount == prevCount &&
         afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      afterLarge.unpersist()
       edges.unpersist()
       edges = afterSmall
       prevCount = nextCount
     }
+    // A mid-iteration edge set is NOT a forest of stars — nodes can carry
+    // two out-edges — and labeling from it would silently emit multiple
+    // rows per doc. Fail loudly instead; maxRounds exists only as a
+    // runaway backstop far above O(log diameter).
+    require(done,
+      s"connected components did not converge within $maxRounds rounds")
     // at the fixpoint every component is a star u→root; roots (never a
     // left side) label themselves. Materialize before dropping the blocks
     // the join reads from.

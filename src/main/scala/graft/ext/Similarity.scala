@@ -210,7 +210,11 @@ object Similarity {
     // one Lloyd refinement: exact quantized per-cell mean (see scaladoc)
     val assigned0 = e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), seeds))
-    val refined: Array[Array[Double]] = assigned0
+    // Keyed by cell id, NOT dense-packed: a cell that wins zero vectors
+    // (possible when seed vectors duplicate) keeps its seed centroid
+    // instead of silently shifting every higher cell's index — the
+    // oracle's refc mirrors the same fallback with a seeds left join.
+    val byCell: Map[Int, Array[Double]] = assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
       .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
@@ -219,10 +223,11 @@ object Similarity {
         (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
       .collect()
       .groupBy(_.getInt(0))
-      .toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-      }.toArray
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    val refined: Array[Array[Double]] =
+      Array.tabulate(k)(c => byCell.getOrElse(c, seeds(c)))
     val assigned = e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), refined)).persist()
     // queries probe the nProbe nearest refined centroids
@@ -337,8 +342,10 @@ object Similarity {
        |  FROM e JOIN a0 USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
        |  GROUP BY a0.cell, g.i),
        |refc AS (
-       |  SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
-       |  FROM qv GROUP BY cell),
+       |  SELECT s.cell, COALESCE(r.c, s.c) AS c
+       |  FROM seeds s LEFT JOIN (
+       |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+       |    FROM qv GROUP BY cell) r ON s.cell = r.cell),
        |d1 AS (
        |  SELECT e.vec_id, s.cell, e.v, e.nrm,
        |    $dist AS d

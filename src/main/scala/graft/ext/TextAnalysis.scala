@@ -16,10 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val markers: Seq[(String, String)] = Seq(
+  // Shared with CorpusPrep's composed pipeline — single source of truth
+  // so a marker/stopword/bucket change cannot desync the composition
+  // from the operators it claims to compose.
+  private[ext] val markers: Seq[(String, String)] = Seq(
     ("the", "en"), ("and", "en"), ("of", "en"),
     ("der", "de"), ("und", "de"), ("das", "de"),
     ("el", "es"), ("los", "es"), ("las", "es"))
+
+  private[ext] val stopwordList = "('the', 'a', 'of', 'and', 'to')"
+
+  /** Adds the `tk` token array and `n_stop` stopword count columns the
+    * quality expression reads.
+    */
+  private[ext] def withQualityInputs(docs: DataFrame): DataFrame =
+    docs.withColumn("tk", split(col("text"), " "))
+      .withColumn("n_stop",
+        expr(s"size(filter(tk, x -> x IN $stopwordList))"))
+
+  /** Composite quality score over withQualityInputs columns. */
+  private[ext] def qualityScoreCol: org.apache.spark.sql.Column =
+    round(least(lit(1.0), size(col("tk")) / 100.0)
+      * (lit(1.0) - col("n_stop") / size(col("tk"))), 4)
+
+  /** (doc_id, quality_score) for composition. */
+  private[ext] def qualityScores(docs: DataFrame): DataFrame =
+    withQualityInputs(docs)
+      .select(col("doc_id"), qualityScoreCol.as("quality_score"))
+
+  /** The growth-stable md5 id bucket shared by the corpus sampler, the
+    * train/val/test split, and CorpusPrep: adding docs never reassigns
+    * existing ones.
+    */
+  private[ext] def md5Bucket(mod: Int): org.apache.spark.sql.Column =
+    pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+      lit(mod))
 
   /** Language ID: per-language marker-token counts, argmax with
     * deterministic tie-break, 'und' fallback when no marker matches.
@@ -78,12 +110,9 @@ object TextAnalysis {
     * punctuation ratio, composite score in [0,1].
     */
   def xTextQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
+    withQualityInputs(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("tk")))
       .withColumn("n_alpha_chars", length(regexp_replace(col("text"), " ", "")))
-      .withColumn("n_stop",
-        expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))"))
       .withColumn("n_dots",
         length(col("text")) - length(regexp_replace(col("text"), "\\.", "")))
       .select(col("doc_id"),
@@ -92,16 +121,14 @@ object TextAnalysis {
         round(col("n_alpha_chars") / col("n_tokens"), 4).as("avg_token_len"),
         round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
         round(col("n_dots") / length(col("text")), 4).as("punct_ratio"),
-        round(least(lit(1.0), col("n_tokens") / 100.0)
-          * (lit(1.0) - col("n_stop") / col("n_tokens")), 4).as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
 
   /** Document chunking: sliding token windows (size 32, stride 24, 8-token
     * overlap) — the canonical LLM-pretraining preprocessing step. Pure
-    * narrow explode: no shuffle until a consumer aggregates.
-    */
-  /** The (doc_id, chunk_id, n_tokens, first_token, chunk_hash) chunk
-    * relation shared by xTextChunk and the chunk-level dedup.
+    * narrow explode: no shuffle until a consumer aggregates. The
+    * (doc_id, chunk_id, n_tokens, first_token, chunk_hash) relation is
+    * shared by xTextChunk and the chunk-level dedup.
     */
   private[ext] def chunkRelation(docs: DataFrame): DataFrame =
     docs
@@ -225,9 +252,7 @@ object TextAnalysis {
     // per-language rates: #langs rows — a genuinely bounded broadcast
     val rates = counts.crossJoin(broadcast(minN))
       .select(col("lang"), sqrt(col("n_min") / col("n_docs")).as("keep_rate"))
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
-      lit(10000))
+    val bucket = md5Bucket(10000)
     docs.join(broadcast(rates), Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -271,9 +296,7 @@ object TextAnalysis {
     * existing ones), 80/10/10, reported per (split, lang).
     */
   def xTrainValSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
-      lit(100))
+    val bucket = md5Bucket(100)
     Tables.documents(spark, dir)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -291,9 +314,10 @@ object TextAnalysis {
     * arithmetic mod 1e9+7, so the DuckDB twin recomputes each gram's hash
     * directly (an 8-deep Horner fold over ord(substr)) and replays the
     * window-min + consecutive-dedup winnow with SQL window functions —
-    * bitwise equality, no tolerance. (The <k-chars fallback below is
-    * unreachable on the testdata — min normalized doc length ≫ 8 at every
-    * SF — so the oracle only models the main path.)
+    * bitwise equality, no tolerance — including the <k-chars fallback,
+    * which fingerprints the whole short string with the same Horner fold
+    * (the oracle's `short` branch), so a future corpus with short docs
+    * stays gated instead of silently diverging.
     */
   private[graft] def winnowFingerprints(text: String): Array[Long] = {
     val k = 8       // gram length (chars)
@@ -301,7 +325,15 @@ object TextAnalysis {
     val B = 257L
     val M = 1000000007L
     val s = text.toLowerCase.replace(" ", "")
-    if (s.length < k) return Array(s.hashCode.toLong)
+    if (s.length < k) {
+      // Shorter than one gram: fingerprint the whole string with the same
+      // Horner fold (NOT String.hashCode, which no SQL engine can
+      // replicate) so the oracle's short-doc branch stays bitwise.
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = (h * B + s.charAt(i)) % M; i += 1 }
+      return Array(h)
+    }
     // Weight of the outgoing char at subtraction time: the update below
     // multiplies the accumulator by B *before* subtracting, so s(i-k)
     // carries B^k there (not the textbook B^(k-1)). Using B^(k-1) made
@@ -392,10 +424,18 @@ object TextAnalysis {
         |  SELECT doc_id, i, mn,
         |    lag(mn) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM wins),
         |fp AS (
-        |  SELECT doc_id, mn FROM ded WHERE prev IS NULL OR prev <> mn)
+        |  SELECT doc_id, mn FROM ded WHERE prev IS NULL OR prev <> mn),
+        |short AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, length(s)),
+        |        j -> ord(substr(s, j, 1))::BIGINT)),
+        |    (h, c) -> (h * 257 + c) % 1000000007) AS mn
+        |  FROM norm WHERE length(s) < 8),
+        |fpall AS (
+        |  SELECT doc_id, mn FROM fp UNION ALL SELECT doc_id, mn FROM short)
         |SELECT doc_id, count(*) AS n_fingerprints,
         |  array_to_string(list_slice(list_sort(array_agg(mn)), 1, 4), ',') AS fingerprint_head
-        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |FROM fpall GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "x_text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),

@@ -359,6 +359,13 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], k: I
         if (!used(c) && dist(c) < bestD) { bestD = dist(c); best = c }
         c += 1
       }
+      // All remaining distances NaN (a NaN vector component poisons every
+      // comparison): fall back to the lowest unused index so the result
+      // stays deterministic instead of crashing on used(-1).
+      if (best < 0) {
+        best = 0
+        while (used(best)) best += 1
+      }
       used(best) = true
       out(j) = best
       j += 1
@@ -403,6 +410,10 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], k: I
          |  double $bestD = Double.MAX_VALUE;
          |  for (int $c = 0; $c < $mat.length; $c++) {
          |    if (!$used[$c] && $dist[$c] < $bestD) { $bestD = $dist[$c]; $best = $c; }
+         |  }
+         |  if ($best < 0) {
+         |    $best = 0;
+         |    while ($used[$best]) $best++;
          |  }
          |  $used[$best] = true;
          |  $out[$j] = $best;

@@ -349,6 +349,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("winnow short-doc fallback is the oracle-portable Horner fold") {
+    // normalized "ab" is shorter than the 8-char gram: fingerprint must be
+    // the same Horner fold the oracle's `short` branch computes, not
+    // String.hashCode
+    val got = ext.TextAnalysis.winnowFingerprints("a B").toSeq
+    val expected = "ab".foldLeft(0L)((h, c) => (h * 257 + c) % 1000000007L)
+    assert(got == Seq(expected))
+    assert(ext.TextAnalysis.winnowFingerprints("").toSeq == Seq(0L))
+  }
+
+  test("nearest_cells is total on NaN vectors (lowest unused indices, no crash)") {
+    import spark.implicits._
+    val centroids = Array.fill(4, 4)(1.0)
+    val df = Seq((1L, Array(Float.NaN, 1f, 1f, 1f))).toDF("id", "embedding")
+      .select(functions.VectorFunctions.nearestCentroid(col("embedding"), centroids).as("cell"),
+        functions.VectorFunctions.nearestCells(col("embedding"), centroids, 3).as("cells"))
+    val r = df.head
+    assert(r.getInt(0) == 0, "argmin falls back to cell 0 on all-NaN distances")
+    assert(r.getSeq[Int](1) == Seq(0, 1, 2), "probe list falls back to lowest indices")
+  }
+
   test("near-dup clusters: min-member labels, consistent sizes, edge-connected") {
     val rows = ext.Dedup.xDedupCluster(spark, sf).collect()
     assert(rows.nonEmpty, "testdata plants near-dups; clusters expected")
