@@ -20,6 +20,7 @@ object Bench {
     "x_dedup_ngram_jaccard",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
+    "x_dedup_chunks",
     "x_dedup_cluster",
     "x_dedup_corpus_neardup",
     "x_llm_corpus_prep",

@@ -199,9 +199,13 @@ object Similarity {
     * bitwise reproducible anywhere (the avgMoney6 idiom, applied to
     * vectors).
     */
-  def xAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val k = 16
-    val nProbe = 4
+  /** The IVF coarse-quantizer assignment shared by the ANN query and the
+    * diversity sampler: deterministic seeds (first k vectors), one exact
+    * quantized Lloyd refinement, corpus assigned to its nearest refined
+    * centroid. Returns (assigned corpus [persisted], refined centroids).
+    */
+  private def ivfAssigned(spark: SparkSession, dir: String,
+      k: Int = 16): (DataFrame, Array[Array[Double]]) = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
     // deterministic seed centroids: the first k vectors by id
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
@@ -228,8 +232,14 @@ object Similarity {
       }
     val refined: Array[Array[Double]] =
       Array.tabulate(k)(c => byCell.getOrElse(c, seeds(c)))
-    val assigned = e.withColumn("cell",
-      VectorFunctions.nearestCentroid(col("embedding"), refined)).persist()
+    (e.withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), refined)).persist(),
+      refined)
+  }
+
+  def xAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val (assigned, refined) = ivfAssigned(spark, dir)
     // queries probe the nProbe nearest refined centroids
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"),
@@ -243,10 +253,35 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id"), 5)
   }
 
+  /** Cluster-balanced diversity sampling (the SemDeDup-ish corpus
+    * subsampling step): keep up to `perCell` vectors per IVF cell,
+    * chosen by the growth-stable md5 id bucket — a deterministic
+    * stratified sample that caps every embedding-space region instead of
+    * letting dense regions dominate, bitwise-gated end to end because
+    * the cell assignment is the exact-arithmetic quantizer above. At
+    * scale this is one narrow rank per cell over the already-partitioned
+    * inverted lists — no extra shuffle beyond the assignment itself.
+    */
+  def xDiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val perCell = 8
+    val (assigned, _) = ivfAssigned(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
+    assigned
+      .select(col("vec_id"), col("cell"),
+        TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id"))
+      .orderBy("cell", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),
     "x_ann_lsh"        -> (xAnnLsh _),
-    "x_ann_ivf"        -> (xAnnIvf _))
+    "x_ann_ivf"        -> (xAnnIvf _),
+    "x_diversity_sample" -> (xDiversitySample _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so

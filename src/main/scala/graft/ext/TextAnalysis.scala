@@ -48,9 +48,10 @@ object TextAnalysis {
     * train/val/test split, and CorpusPrep: adding docs never reassigns
     * existing ones.
     */
-  private[ext] def md5Bucket(mod: Int): org.apache.spark.sql.Column =
+  private[ext] def md5Bucket(mod: Int,
+      id: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
     pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int"),
       lit(mod))
 
   /** Language ID: per-language marker-token counts, argmax with
