@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Optional third arg: comma-separated query names for fast local
+    // iteration (the driver always calls with two args = full dump).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +22,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,11 +48,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full query inventory + failures, so the local gate (tools/selfcheck.py)
     // can verify rows-only queries produced output instead of skipping them.
-    val allKeys = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    val allKeys = SparkEntry.queries.keys.toSeq
+      .filter(k => only.forall(_.contains(k))).sorted.map(q).mkString("[", ",", "]")
     val failedKeys = failed.sorted.map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       s"""{"queries": $allKeys, "failed": $failedKeys}""")

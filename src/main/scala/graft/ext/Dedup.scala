@@ -256,7 +256,9 @@ object Dedup {
     * empty gram set producing no signature row).
     */
   private[graft] def minhashBandKeys(text: String): Seq[Long] = {
-    val ws = text.toLowerCase.split(" ", -1)
+    // Locale.ROOT: the batch twin uses Spark's locale-independent lower()
+    // (as do the DuckDB oracles) — a Turkish-default JVM must not diverge.
+    val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (ws.length < 3) return Seq.empty
     val gs = (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
       .distinct

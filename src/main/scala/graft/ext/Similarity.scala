@@ -257,8 +257,10 @@ object Similarity {
     * subsampling step): keep up to `perCell` vectors per IVF cell,
     * chosen by the growth-stable md5 id bucket — a deterministic
     * stratified sample that caps every embedding-space region instead of
-    * letting dense regions dominate, bitwise-gated end to end because
-    * the cell assignment is the exact-arithmetic quantizer above. At
+    * letting dense regions dominate. Hash-gated against the generated
+    * DuckDB twin below (diversitySampleOracleSql), which reuses the ANN
+    * twin's quantizer CTEs so both gates pin the same exact-arithmetic
+    * cell assignment. At
     * scale this is one narrow rank per cell over the already-partitioned
     * inverted lists — no extra shuffle beyond the assignment itself.
     */
@@ -342,15 +344,18 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** The DuckDB twin of xAnnIvf. No embedded constants at all — the
-    * seeds are the first 16 corpus vectors, the Lloyd refinement is the
-    * same exact integer arithmetic (trunc-quantize → BIGINT sums →
-    * floor-div → dyadic dequantize), and the squared-L2 folds replicate
-    * NearestCentroid's sequential d += (v_i−c_i)² loop via an ordered
-    * list_reduce. Argmin/probe tie-breaks (strict <, lower cell first)
-    * become row_number() ORDER BY (d, cell).
+  /** The shared DuckDB CTE chain of the IVF coarse quantizer (through
+    * `a1`, the final cell assignment of every corpus vector) — the twin
+    * of `ivfAssigned`, reused verbatim by both the ANN oracle and the
+    * diversity-sample oracle so the two gates pin the SAME assignment.
+    * No embedded constants at all — the seeds are the first 16 corpus
+    * vectors, the Lloyd refinement is the same exact integer arithmetic
+    * (trunc-quantize → BIGINT sums → floor-div → dyadic dequantize), and
+    * the squared-L2 folds replicate NearestCentroid's sequential
+    * d += (v_i−c_i)² loop via an ordered list_reduce. Argmin tie-breaks
+    * (strict <, lower cell first) become row_number() ORDER BY (d, cell).
     */
-  private def annIvfOracleSql: String = {
+  private def ivfAssignOracleCtes: String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 64),
@@ -389,7 +394,14 @@ object Similarity {
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-       |    FROM d1) WHERE rn = 1),
+       |    FROM d1) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The DuckDB twin of xAnnIvf: the shared quantizer chain above, then
+    * the nProbe=4 probe walk, candidate union, exact cosine re-rank.
+    */
+  private def annIvfOracleSql: String =
+    s"""$ivfAssignOracleCtes,
        |probe AS (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -413,11 +425,32 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** The DuckDB twin of xDiversitySample: the SAME quantizer chain as
+    * the ANN twin (so both gates pin one assignment), then the
+    * growth-stable md5 id bucket (the x_train_val_split idiom — first 4
+    * hex digits of md5(id) as an int, mod 10000; non-negative, so `%`
+    * matches Spark's pmod) and row_number ≤ 8 per cell ordered by
+    * (bucket, vec_id).
+    */
+  private def diversitySampleOracleSql: String =
+    s"""$ivfAssignOracleCtes,
+       |b AS (
+       |  SELECT vec_id, cell,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket
+       |  FROM a1),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell ORDER BY bucket, vec_id) AS rank
+       |  FROM b)
+       |SELECT CAST(cell AS BIGINT) AS cell, rank, vec_id
+       |FROM ranked WHERE rank <= 8
+       |ORDER BY cell, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_ann_lsh" -> annLshOracleSql,
     "x_ann_ivf" -> annIvfOracleSql,
+    "x_diversity_sample" -> diversitySampleOracleSql,
     "x_knn_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -25,7 +25,7 @@ object Skew {
     // extra null-extended rows — only big-side-preserving joins are sound.
     val ok = Set("inner", "left", "left_outer", "leftouter",
       "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
-    require(ok.contains(joinType.toLowerCase.replace(" ", "_")),
+    require(ok.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "_")),
       s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))

@@ -325,7 +325,9 @@ object TextAnalysis {
     val w = 16      // winnow window
     val B = 257L
     val M = 1000000007L
-    val s = text.toLowerCase.replace(" ", "")
+    // Locale.ROOT: keeps the plain-Scala twin bitwise with Spark's
+    // locale-independent lower() and the DuckDB oracle's lower().
+    val s = text.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
     if (s.length < k) {
       // Shorter than one gram: fingerprint the whole string with the same
       // Horner fold (NOT String.hashCode, which no SQL engine can

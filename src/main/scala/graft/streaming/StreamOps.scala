@@ -39,8 +39,9 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  case class DocIn(doc_id: Long, text: String)
-  case class BandHit(bucket: Long, doc_id: Long)
+  case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class BandHit(bucket: Long, doc_id: Long, ts: java.sql.Timestamp)
+  case class BucketState(keeper: Long, lastMs: Long)
   case class DupOut(bucket: Long, kept_doc_id: Long, dup_doc_id: Long)
 
   /** Streaming NEAR-dup dedup: each arriving document is banded by the
@@ -52,39 +53,63 @@ object StreamOps {
     * streaming-ingest question "is THIS new doc a near-dup of anything
     * retained so far" without re-scanning the corpus.
     *
-    * State IS the online LSH index — one long per occupied (band, sig)
-    * bucket, exactly what any online near-dup filter must remember. At
-    * cluster scale that's 16 longs per retained doc in the state store
-    * (RocksDB-backed, partitioned by bucket key); bound it in production
-    * with a TTL eviction matched to the dedup horizon. A pair may be
-    * emitted once per shared band — consumers treat the output as a set
-    * (the drop decision is idempotent), mirroring the batch side's
-    * dropDuplicates over band collisions.
+    * State IS the online LSH index — one (keeper, lastSeen) pair per
+    * occupied (band, sig) bucket, exactly what any online near-dup filter
+    * must remember. At cluster scale that's 16 small entries per retained
+    * doc in the state store (RocksDB-backed, partitioned by bucket key),
+    * and it is BOUNDED: each bucket carries an event-time timeout `ttlMs`
+    * past its last arrival (the dedup horizon), so once the watermark
+    * passes keeper+TTL the bucket is evicted and the next arrival there
+    * is re-admitted as keeper — exactly the semantics of "dedup against
+    * the trailing TTL window", and state size is O(buckets active within
+    * one horizon) instead of O(all history). A pair may be emitted once
+    * per shared band — consumers treat the output as a set (the drop
+    * decision is idempotent), mirroring the batch side's dropDuplicates
+    * over band collisions.
     */
-  def dedupNearDupDocs(docs: Dataset[DocIn]): Dataset[DupOut] = {
+  def dedupNearDupDocs(docs: Dataset[DocIn],
+      ttlMs: Long = 60L * 60 * 1000): Dataset[DupOut] = {
     import docs.sparkSession.implicits._
     docs
       .flatMap(d => graft.ext.Dedup.minhashBandKeys(d.text)
-        .map(k => BandHit(k, d.doc_id)))
+        .map(k => BandHit(k, d.doc_id, d.ts)))
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState[Long, DupOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateBuckets)
+      .flatMapGroupsWithState[BucketState, DupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateBuckets(ttlMs))
   }
 
-  private[streaming] def updateBuckets(bucket: Long, hits: Iterator[BandHit],
-      state: GroupState[Long]): Iterator[DupOut] = {
-    // Sort within the micro-batch so the retained doc is the minimum id
-    // (matching the batch keep-lowest convention) regardless of partition
-    // arrival order; across micro-batches, first-arrival wins.
-    val sorted = hits.map(_.doc_id).toSeq.distinct.sorted
-    val out = scala.collection.mutable.Buffer[DupOut]()
-    var keeper = state.getOption.getOrElse(Long.MaxValue)
-    sorted.foreach { id =>
-      if (keeper == Long.MaxValue) keeper = id
-      else if (id != keeper) out += DupOut(bucket, keeper, id)
+  private[streaming] def updateBuckets(ttlMs: Long)(bucket: Long,
+      hits: Iterator[BandHit], state: GroupState[BucketState]): Iterator[DupOut] = {
+    if (state.hasTimedOut) {
+      // Dedup horizon passed with no arrivals: forget the bucket; the
+      // next doc landing here is re-admitted as keeper.
+      state.remove()
+      Iterator.empty
+    } else {
+      // Sort within the micro-batch so the retained doc is the minimum id
+      // (matching the batch keep-lowest convention) regardless of partition
+      // arrival order; across micro-batches, first-arrival wins.
+      val rows = hits.toSeq
+      val sorted = rows.map(_.doc_id).distinct.sorted
+      val maxMs = rows.map(_.ts.getTime).max
+      val out = scala.collection.mutable.Buffer[DupOut]()
+      var keeper = state.getOption.map(_.keeper).getOrElse(Long.MaxValue)
+      sorted.foreach { id =>
+        if (keeper == Long.MaxValue) keeper = id
+        else if (id != keeper) out += DupOut(bucket, keeper, id)
+      }
+      if (keeper != Long.MaxValue) {
+        val last = math.max(maxMs, state.getOption.map(_.lastMs).getOrElse(Long.MinValue))
+        state.update(BucketState(keeper, last))
+        // Timeout must sit strictly past the current watermark, or Spark
+        // rejects it — a straggler arriving with an old ts inside an
+        // already-nearly-expired bucket keeps at least a 1 ms grace.
+        state.setTimeoutTimestamp(
+          math.max(last + ttlMs, state.getCurrentWatermarkMs + 1))
+      }
+      out.iterator
     }
-    if (keeper != Long.MaxValue) state.update(keeper)
-    out.iterator
   }
 
   /** Stateful streaming sessionization: a 30-minute inactivity gap closes a

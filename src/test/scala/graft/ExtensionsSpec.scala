@@ -267,6 +267,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("diversity sample caps every IVF cell at 8 with contiguous deterministic ranks") {
+    val s1 = ext.Similarity.xDiversitySample(spark, sf).collect()
+    val s2 = ext.Similarity.xDiversitySample(spark, sf).collect()
+    assert(s1.sameElements(s2), "sample is not deterministic across runs")
+    assert(s1.nonEmpty)
+    val ids = s1.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "a vector was sampled twice")
+    s1.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.length <= 8, s"cell $cell over cap: ${ranks.length}")
+      assert(ranks.sameElements(1L to ranks.length.toLong),
+        s"cell $cell ranks not contiguous: ${ranks.mkString(",")}")
+    }
+  }
+
   test("hyperplane_signature matches a reference Scala fold and stays codegen'd") {
     val planes = {
       val rng = new scala.util.Random(7)
@@ -454,9 +469,10 @@ class ExtensionsSpec extends AnyFunSuite {
   test("streaming near-dup dedup agrees with the batch banding join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val t0 = new java.sql.Timestamp(1700000000000L)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0), r.getString(1)))
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
     val input = MemoryStream[streaming.StreamOps.DocIn]
     val query = streaming.StreamOps.dedupNearDupDocs(input.toDS())
       .writeStream.format("memory").queryName("neardup_out")
@@ -479,6 +495,46 @@ class ExtensionsSpec extends AnyFunSuite {
     // candidate pair has it on the larger side
     assert(streamed.map(_._2) == batchCand.map(_._2),
       "streaming drop set must equal the batch candidates' larger sides")
+  }
+
+  test("streaming near-dup index evicts buckets after the TTL horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Long repeated text => >= 3 tokens, stable minhash bands; identical
+    // texts share every band bucket, so an in-horizon replay MUST emit a
+    // dup and a post-horizon replay MUST NOT (bucket state evicted).
+    val text = Seq.fill(12)("alpha beta gamma delta").mkString(" ")
+    val other = Seq.fill(12)("zeta eta theta iota").mkString(" ")
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ttlMs = 30L * 60 * 1000 // 30-minute dedup horizon
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps.dedupNearDupDocs(input.toDS(), ttlMs)
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    input.addData(streaming.StreamOps.DocIn(1, ts(0), text))
+    query.processAllAvailable()
+    // In-horizon near-dup: emitted against keeper 1.
+    input.addData(streaming.StreamOps.DocIn(2, ts(5), text))
+    query.processAllAvailable()
+    // Advance the watermark past keeper's last-seen + TTL (+10 min
+    // watermark delay) with an unrelated doc, firing the bucket timeouts.
+    input.addData(streaming.StreamOps.DocIn(3, ts(60), other))
+    query.processAllAvailable()
+    input.addData(streaming.StreamOps.DocIn(4, ts(61), other))
+    query.processAllAvailable()
+    // Post-horizon replay of the same text: bucket was evicted, so doc 5
+    // is re-admitted as keeper, not emitted as a dup.
+    input.addData(streaming.StreamOps.DocIn(5, ts(62), text))
+    query.processAllAvailable()
+    // ...and it now IS the keeper: a later near-dup pairs against 5.
+    input.addData(streaming.StreamOps.DocIn(6, ts(63), text))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT kept_doc_id, dup_doc_id FROM neardup_ttl_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    assert(out.contains((1L, 2L)), s"in-horizon dup not emitted: $out")
+    assert(!out.exists(_._2 == 5L), s"post-horizon replay wrongly dropped: $out")
+    assert(out.contains((5L, 6L)), s"re-admitted keeper not indexed: $out")
   }
 
   test("streaming windowed counts aggregates per window") {
