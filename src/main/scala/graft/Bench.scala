@@ -19,6 +19,7 @@ object Bench {
     "x_dedup_exact",
     "x_dedup_ngram_jaccard",
     "x_dedup_minhash_lsh",
+    "x_dedup_minhash_fast",
     "x_dedup_simhash",
     "x_dedup_chunks",
     "x_dedup_cluster",
@@ -31,6 +32,10 @@ object Bench {
     "x_text_quality",
     "x_text_tokens",
     "x_text_tfidf",
+    "x_text_repetition",
+    "x_text_contamination",
+    "x_multimodal_frames",
+    "x_corpus_sample",
     "x_train_val_split",
     "x_asof_join",
     "x_funnel",

@@ -22,11 +22,21 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     keys.foreach { k =>
-      SparkEntry.queries.get(k) match {
+      def show(df: org.apache.spark.sql.DataFrame): Unit =
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      if (k == "fact_date_window") {
+        // Not a SparkEntry query: materialize the Hive-partitioned fact
+        // and explain the date-window scan so PartitionFilters are
+        // inspectable (the partition-pruning story in SCALE.md).
+        println(s"\n========== $k ==========")
+        val path = Pipeline.materializeFactPartitioned(spark, sfDir,
+          "/tmp/graft_explain_fact")
+        show(Pipeline.factDateWindow(spark, path, "1995-01-01", "1995-02-28"))
+      } else SparkEntry.queries.get(k) match {
         case Some(fn) =>
           println(s"\n========== $k ==========")
-          println(fn(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode))
+          show(fn(spark, sfDir))
         case None => println(s"\n========== $k: NOT FOUND ==========")
       }
     }

@@ -88,12 +88,20 @@ object ScaleProbe {
     // query — vacuous hits); see Similarity.probeRecall5.
     spark.catalog.clearCache()
     val recall = ext.Similarity.probeRecall5(spark, work, idShift)
+    // IVF under the same exclusion probe: inverted lists are N× fuller,
+    // the nProbe=4 walk must still recover the true neighbors.
+    spark.catalog.clearCache()
+    val recallIvf = ext.Similarity.probeRecall5Ivf(spark, work, idShift)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
-    }.mkString("{\"q\":{", ",", f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f}")
+    }.mkString("{\"q\":{", ",",
+      f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f" +
+      f",\"ivf_recall5_x$nReplicas%d\":$recallIvf%.2f}")
     println(json)
     require(recall >= 0.8,
       f"LSH ANN recall@5 degraded to $recall%.2f at $nReplicas× replication")
+    require(recallIvf >= 0.8,
+      f"IVF ANN recall@5 degraded to $recallIvf%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

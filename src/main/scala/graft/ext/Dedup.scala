@@ -116,25 +116,34 @@ object Dedup {
     * components (the r2 verdict's one perf-weak).
     *
     * Per-round hygiene for 100 TB: each generation is eagerly
-    * localCheckpoint()ed so lineage never grows past one round (no
-    * re-derivation of N join layers on re-plan), and the previous
-    * generation's blocks are dropped — executor memory stays O(one edge
-    * set). On a multi-executor cluster the localCheckpoint becomes a
-    * reliable checkpoint dir or a parquet round-trip (local mode has no
-    * executor loss to survive); edges carry two longs, never text.
+    * checkpointed so lineage never grows past one round (no re-derivation
+    * of N join layers on re-plan), and the previous generation's blocks
+    * are dropped explicitly (GraftSqlBridge.dropCheckpointBlocks — a
+    * plain Dataset.unpersist would leave localCheckpoint blocks to the
+    * lazy ContextCleaner), keeping executor memory O(one edge set).
+    * `checkpointDir`, when given, switches localCheckpoint (fine in local
+    * mode, which has no executor loss to survive) to a RELIABLE
+    * checkpoint written under that directory — the multi-executor cluster
+    * deployment, where losing an executor mid-iteration must not force a
+    * full recompute of every prior round. Edges carry two longs, never
+    * text.
     *
     * Returns (doc_id → min-member component label, rounds taken); the
     * round count is what the chain-convergence spec bounds.
     */
-  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+  private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 64,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def drop(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftSqlBridge.dropCheckpointBlocks(df)
     // canonical strictly larger→smaller orientation, one row per edge
-    var edges = pairs
+    var edges = snap(pairs
       .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    val nodes = edges.select(col("u")).union(edges.select(col("v")))
-      .distinct().withColumnRenamed("u", "doc_id")
-      .localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
+    val nodes = snap(edges.select(col("u")).union(edges.select(col("v")))
+      .distinct().withColumnRenamed("u", "doc_id"))
     var rounds = 0
     var prevCount = edges.count()
     var done = prevCount == 0L
@@ -148,26 +157,24 @@ object Dedup {
       // checkpointed: the small-star stage consumes it twice (mS and the
       // withM join) — without materialization the whole large-star
       // union+groupBy+join would execute twice per round.
-      val afterLarge = nbrs.join(mL, "u").filter(col("v") > col("u"))
+      val afterLarge = snap(nbrs.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct())
       // small-star: all edges now point larger→smaller, so Γ⁻(u) is just
       // u's out-neighbors; link them and u itself to their minimum.
       val mS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
       val withM = afterLarge.join(mS, "u")
-      val afterSmall = withM.select(col("u"), col("m").as("v"))
+      val afterSmall = snap(withM.select(col("u"), col("m").as("v"))
         .union(withM.select(col("v").as("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct())
       // exact fixpoint test: equal cardinality + next ⊆ prev ⇒ equal sets
       // (both sides distinct); runs on two checkpointed slim relations.
       // prev's cardinality is carried from its own round — one job saved.
       val nextCount = afterSmall.count()
       done = nextCount == prevCount &&
         afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      afterLarge.unpersist()
-      edges.unpersist()
+      drop(afterLarge)
+      drop(edges)
       edges = afterSmall
       prevCount = nextCount
     }
@@ -180,12 +187,11 @@ object Dedup {
     // at the fixpoint every component is a star u→root; roots (never a
     // left side) label themselves. Materialize before dropping the blocks
     // the join reads from.
-    val labels = nodes
+    val labels = snap(nodes
       .join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("label"))
-      .localCheckpoint()
-    edges.unpersist()
-    nodes.unpersist()
+      .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("label")))
+    drop(edges)
+    drop(nodes)
     (labels, rounds)
   }
 
@@ -265,7 +271,12 @@ object Dedup {
     val sig = Array.fill(64)(Long.MaxValue)
     gs.foreach { gram =>
       var g = 0L
-      gram.getBytes("UTF-8").foreach { b => g = (g * 31 + (b & 0xff)) % SketchP }
+      gram.getBytes("UTF-8").foreach { b =>
+        val v = b & 0xff
+        if (v >= 0x80)
+          throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg)
+        g = (g * 31 + v) % SketchP
+      }
       var i = 0
       while (i < 64) {
         val h = (permA(i) * g + permB(i)) % SketchP
@@ -306,6 +317,50 @@ object Dedup {
         (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i"))
       val fold = ((((h0 * 31 + h1) % SketchP) * 31 + h2) % SketchP * 31 + h3) % SketchP
       struct(lit(b).as("band"), fold.as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val matches: Column = (0 until nHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(matches / lit(nHashes.toDouble), 4).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), col("d1"), col("d2"))
+  }
+
+  /** Production-hash MinHash+LSH: the SAME 64-signature / 16×4-banding
+    * scheme as xDedupMinhashLsh, but hashed with engine-native xxhash64
+    * instead of the portable Horner-mod-prime fold — the fast path a real
+    * deployment runs when it doesn't need cross-engine bitwise parity.
+    * Gram hash = xxhash64(gram) (already computed once by wordGrams, the
+    * shared shingle relation); "permutation" i = xxhash64(gram_hash, i)
+    * (full-width 12-byte hash, ~1 mult+rot per byte, vs the O(bytes)
+    * re-fold + 64 modular multiplies of the portable path); band key =
+    * xxhash64 over the band's 4 mins. Engine-specific hash values by
+    * design, so there is deliberately NO DuckDB twin (the rows-only
+    * x_approx_stats precedent); correctness is spec-gated instead:
+    * recall ≥ 0.9 on planted J ≥ 0.9 pairs and estimator agreement with
+    * the exact Jaccard, same gates as the portable variant's spec.
+    * Scale shape is identical — shuffle carries 64 longs/doc, never text.
+    */
+  def xDedupMinhashFast(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 64
+    val bandRows = 4
+    val grams = wordGrams(Tables.documents(spark, dir))
+    val sigAggs = (0 until nHashes).map(i =>
+      min(xxhash64(col("gram"), lit(i))).as(s"h$i"))
+    val sigs = grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*).persist()
+    val bandStructs = (0 until nHashes / bandRows).map { b =>
+      val hs = (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -460,6 +515,7 @@ object Dedup {
     "x_dedup_cluster"       -> (xDedupCluster _),
     "x_dedup_corpus_neardup" -> (xDedupCorpusNearDup _),
     "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
+    "x_dedup_minhash_fast"  -> (xDedupMinhashFast _),
     "x_dedup_simhash"       -> (xDedupSimhash _),
     "x_dedup_chunks"        -> (xDedupChunks _),
     "x_dedup_emb_cosine"    -> (xDedupEmbCosine _))

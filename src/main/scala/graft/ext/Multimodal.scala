@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * typed metadata, and run batched decode / feature-extraction over
   * partitions.
   *
-  * The image/audio decode itself is STUBBED (decode libs are not in this
-  * container) with a deterministic fake; the Spark-side plumbing — binary
-  * schema, metadata projection, partition-batched UDF shape, fixed-size
-  * feature vectors — is real and tested. At scale the binary column rides
+  * The GATED queries use a deterministic stub decode (the testdata corpus
+  * has no real images, and third-party decode libs are not in this
+  * container), but the plumbing is proven with a REAL decoder too:
+  * `imageFeatures` decodes PNG byte arrays via JDK-built-in javax.imageio
+  * through the identical mapPartitions shape, asserted pixel-by-pixel in
+  * ExtensionsSpec ("real PNG decode..."). At scale the binary column rides
   * in parquet alongside its metadata; metadata-only queries never touch the
   * bytes thanks to parquet column pruning.
   */
@@ -42,7 +44,11 @@ object Multimodal {
   def xMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // STUB: deterministic fake "feature extraction" from raw bytes.
-    def stubDecode(bytes: Array[Byte]): Array[Float] =
+    // ASCII guard: the oracle folds ord(substr(text,..)) at CHARACTER
+    // positions; any multi-byte char would shift every sampled offset.
+    def stubDecode(bytes: Array[Byte]): Array[Float] = {
+      bytes.foreach(b => if ((b & 0x80) != 0)
+        throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg))
       Array.tabulate(8) { i =>
         var h = (1125899906842597L + i) % 1000000007L
         var j = i
@@ -52,6 +58,7 @@ object Multimodal {
         }
         (h % 1000L) / 1000.0f
       }
+    }
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("asset"))
       .as[(Long, Array[Byte])]
@@ -80,6 +87,9 @@ object Multimodal {
     // STUB: a real implementation decodes frames and resizes pixels; the
     // deterministic fake hashes each sampled frame window into 4 floats.
     def sampleFrames(bytes: Array[Byte]): Seq[(Int, Array[Float])] = {
+      // Same ASCII guard as stubDecode: char-position oracle parity.
+      bytes.foreach(b => if ((b & 0x80) != 0)
+        throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg))
       val nFrames = math.max(bytes.length / frameBytes, 1)
       (0 until nFrames by sampleEvery).map { f =>
         val off = f * frameBytes
@@ -107,6 +117,46 @@ object Multimodal {
         size(col("thumb")).cast("long").as("thumb_dims"),
         round(element_at(col("thumb"), 1).cast("double"), 4).as("t0"))
       .orderBy("doc_id", "frame_index")
+  }
+
+  /** REAL image decode through the same partition-batched plumbing the
+    * stub queries exercise — javax.imageio ships with the JDK, so this
+    * needs no dependency the container lacks. Each binary asset is
+    * decoded to (width, height, mean RGB); undecodable bytes yield a
+    * (-1, -1, empty) row instead of failing the partition, the tolerant
+    * posture an ingest pipeline needs when a corpus mixes good and
+    * corrupt assets. The gated x_multimodal_* queries keep the
+    * deterministic stub (the testdata corpus has no real images to
+    * decode); ExtensionsSpec "real PNG decode" proves THIS path on
+    * synthesized PNG byte arrays end to end, which is what upgrades
+    * "the plumbing is real" from claim to test.
+    */
+  def imageFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id").cast("long"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (id, -1, -1, Array.empty[Float])
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          (id, w, h, Array(rs / n, gs / n, bs / n))
+        }
+      })
+      .toDF("doc_id", "width", "height", "mean_rgb")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

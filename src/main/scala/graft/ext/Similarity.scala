@@ -158,17 +158,28 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id"), 5)
   }
 
-  /** ScaleProbe hook: mean recall@5 of the LSH ANN vs exact brute force
-    * over the corpus at `dir`, excluding same-base replica neighbors
-    * (see keepNeighbor) so a synthetically replicated corpus measures
-    * genuine neighbor recovery rather than duplicate self-hits.
+  /** ScaleProbe hooks: mean recall@5 of each ANN variant vs exact brute
+    * force over the corpus at `dir`, excluding same-base replica
+    * neighbors (see keepNeighbor) so a synthetically replicated corpus
+    * measures genuine neighbor recovery rather than duplicate self-hits.
     */
-  def probeRecall5(spark: SparkSession, dir: String, replicaShift: Long): Double = {
+  def probeRecall5(spark: SparkSession, dir: String, replicaShift: Long): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift), annLsh(spark, dir, replicaShift))
+
+  /** IVF recall under the same replica-exclusion probe: cells fill N×
+    * (every replica lands in its base vector's cell), so this measures
+    * whether nProbe=4 cell walks still recover the true neighbors from
+    * N×-fuller inverted lists.
+    */
+  def probeRecall5Ivf(spark: SparkSession, dir: String, replicaShift: Long): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift), annIvf(spark, dir, replicaShift))
+
+  private def meanRecall5(exactDf: DataFrame, approxDf: DataFrame): Double = {
     def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
       .groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
-    val exact = tops(knnBruteForce(spark, dir, replicaShift))
-    val approx = tops(annLsh(spark, dir, replicaShift))
+    val exact = tops(exactDf)
+    val approx = tops(approxDf)
     val recalls = exact.map { case (q, ex) =>
       approx.get(q).map(a => (a intersect ex).size.toDouble / ex.size).getOrElse(0.0)
     }
@@ -237,7 +248,11 @@ object Similarity {
       refined)
   }
 
-  def xAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def xAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, 0L)
+
+  private def annIvf(spark: SparkSession, dir: String,
+      replicaShift: Long): DataFrame = {
     val nProbe = 4
     val (assigned, refined) = ivfAssigned(spark, dir)
     // queries probe the nProbe nearest refined centroids
@@ -249,6 +264,7 @@ object Similarity {
       col("v").as("v2"), col("nrm").as("n2"))
     rerankTopK(broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(keepNeighbor(replicaShift))
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2")
       .dropDuplicates("query_id", "neighbor_id"), 5)
   }

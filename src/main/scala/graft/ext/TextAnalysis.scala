@@ -197,6 +197,69 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** Gopher-style repetition scoring (Rae et al. 2021 §A1.1's
+    * "repetition" filters, the standard LLM-corpus quality gate that
+    * catches boilerplate/SEO spam): per document, the fraction of
+    * word-bigram occurrences taken by the single most frequent bigram,
+    * and the fraction of word-trigram occurrences whose trigram repeats
+    * (count ≥ 2). Both emitted as exact BASIS POINTS via integer
+    * floor-div — (m·10000) div n, the avgMoney6 idiom — so the twin is
+    * bitwise with no float-rounding hazard at any quotient. One
+    * explode + groupBy per gram order; the shuffle carries (doc_id,
+    * gram-hash-sized strings), bounded by doc length, never the corpus
+    * cross-product — scale shape identical to the TF pass.
+    */
+  def xTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def gramCounts(n: Int): DataFrame = {
+      val mk = (0 until n).map(i => s"ws[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
+      docs.withColumn("ws", split(lower(col("text")), " "))
+        .select(col("doc_id"), explode(
+          when(size(col("ws")) >= n,
+            expr(s"transform(sequence(0, size(ws) - $n), i -> $mk)"))
+            .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))))
+          .as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    }
+    val bg = gramCounts(2).groupBy("doc_id")
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("bg_tot"))
+    val tg = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"),
+        sum(col("c")).as("tg_tot"))
+    docs.select(col("doc_id"))
+      .join(bg, Seq("doc_id"), "left")
+      .join(tg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bg_tot"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("mx * 10000 div bg_tot"), lit(0L)).as("top_bigram_bp"),
+        coalesce(expr("dup * 10000 div tg_tot"), lit(0L)).as("dup_trigram_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing for training batches: assign consecutive documents
+    * (per source shard, ordered by doc_id) to fixed-token-budget packs
+    * by integer floor-div on the running token count — the streaming
+    * "contiguous fill" approximation of bin packing every data loader
+    * uses (docs are never split; a pack absorbs the doc that crosses its
+    * boundary). The window is PARTITIONED BY source — the cumulative sum
+    * never funnels the corpus into one task; at 100 TB the shards are
+    * the parallelism, exactly like the production layout where packing
+    * runs per input shard. All-integer arithmetic → bitwise twin.
+    */
+  def xSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("pack_id"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Document fingerprinting: content hash of normalized text +
     * order-insensitive vocabulary fingerprint (sorted distinct words).
     */
@@ -328,6 +391,15 @@ object TextAnalysis {
     // Locale.ROOT: keeps the plain-Scala twin bitwise with Spark's
     // locale-independent lower() and the DuckDB oracle's lower().
     val s = text.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+    // ASCII guard: the char fold below == DuckDB's ord(substr) codepoint
+    // fold only below 0x80, and char POSITIONS (gram windows) would also
+    // shift vs character positions on multi-byte input — fail loudly.
+    var ci = 0
+    while (ci < s.length) {
+      if (s.charAt(ci) >= 0x80)
+        throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg)
+      ci += 1
+    }
     if (s.length < k) {
       // Shorter than one gram: fingerprint the whole string with the same
       // Horner fold (NOT String.hashCode, which no SQL engine can
@@ -387,6 +459,8 @@ object TextAnalysis {
     "x_text_quality"     -> (xTextQuality _),
     "x_text_tokens"      -> (xTextTokens _),
     "x_text_fingerprint" -> (xTextFingerprint _),
+    "x_text_repetition"  -> (xTextRepetition _),
+    "x_seq_pack"         -> (xSeqPack _),
     "x_text_tfidf"       -> (xTextTfidf _),
     "x_text_chunk"       -> (xTextChunk _),
     "x_text_unigram_logprob" -> (xTextUnigramLogprob _),
@@ -584,6 +658,49 @@ object TextAnalysis {
         |WHERE g.source <> 'src0'
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "x_text_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |bgc AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS gram
+        |    FROM ws WHERE len(w) >= 2)
+        |  GROUP BY doc_id, gram),
+        |bga AS (
+        |  SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS bg_tot
+        |  FROM bgc GROUP BY doc_id),
+        |tgc AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+        |    FROM ws WHERE len(w) >= 3)
+        |  GROUP BY doc_id, gram),
+        |tga AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup,
+        |    CAST(sum(c) AS BIGINT) AS tg_tot
+        |  FROM tgc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(bg_tot, 0) AS n_bigrams,
+        |  COALESCE(CAST((mx * 10000) // bg_tot AS BIGINT), 0) AS top_bigram_bp,
+        |  COALESCE(CAST((dup * 10000) // tg_tot AS BIGINT), 0) AS dup_trigram_bp
+        |FROM documents d
+        |LEFT JOIN bga USING (doc_id)
+        |LEFT JOIN tga USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, (cum - n_tokens) // 512 AS pack_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "x_train_val_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

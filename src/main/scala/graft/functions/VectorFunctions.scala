@@ -170,8 +170,11 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   * arithmetic (the DuckDB oracles re-express it as a list_reduce over
   * ord(substr(..))), which is what lets the MinHash/SimHash sketch
   * queries be hash-gated instead of rows-only. Byte fold == codepoint
-  * fold on ASCII corpora (the testdata is ASCII; a UTF-8 corpus would
-  * diverge from a codepoint-based oracle, not from this expression).
+  * fold ONLY on ASCII, so non-ASCII input throws (same message in the
+  * interpreted and codegen paths) instead of silently flipping every
+  * downstream hash gate against a codepoint-based oracle — a non-ASCII
+  * corpus should use the engine-native production path
+  * (Dedup.xDedupMinhashFast) or extend the oracles to codepoint folds.
   * `mod` must be < 2^58 so h·31 + 255 cannot overflow a long.
   */
 case class HornerHash(child: Expression, mod: Long)
@@ -192,7 +195,9 @@ case class HornerHash(child: Expression, mod: Long)
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      h = (h * 31 + (bytes(i) & 0xff)) % mod
+      val v = bytes(i) & 0xff
+      if (v >= 0x80) throw new IllegalArgumentException(HornerHash.nonAsciiMsg)
+      h = (h * 31 + v) % mod
       i += 1
     }
     h
@@ -203,11 +208,16 @@ case class HornerHash(child: Expression, mod: Long)
       val bytes = ctx.freshName("bytes")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val msg = ctx.addReferenceObj("nonAsciiMsg", HornerHash.nonAsciiMsg,
+        "java.lang.String")
       s"""
          |byte[] $bytes = $a.getBytes();
          |long $h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h * 31L + ($bytes[$i] & 0xff)) % ${mod}L;
+         |  int $v = $bytes[$i] & 0xff;
+         |  if ($v >= 0x80) throw new IllegalArgumentException($msg);
+         |  $h = ($h * 31L + $v) % ${mod}L;
          |}
          |${ev.value} = $h;
        """.stripMargin
@@ -215,6 +225,19 @@ case class HornerHash(child: Expression, mod: Long)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HornerHash {
+  /** Shared by the expression, the plain-Scala streaming/winnow twins,
+    * and the multimodal stubs, so every ASCII-only portable-hash surface
+    * fails with one searchable message.
+    */
+  private[graft] val nonAsciiMsg: String =
+    "portable Horner hash is ASCII-only (byte fold == DuckDB codepoint " +
+    "fold only below 0x80); non-ASCII input would silently diverge from " +
+    "every hash-gated oracle, so it fails loudly here instead. Use the " +
+    "engine-native production path (e.g. Dedup.xDedupMinhashFast) for " +
+    "non-ASCII corpora."
 }
 
 /** nearest_centroid(v): argmin over squared-L2 distance to a fixed

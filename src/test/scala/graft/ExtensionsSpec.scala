@@ -327,6 +327,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("portable-hash surfaces reject non-ASCII loudly instead of diverging") {
+    import spark.implicits._
+    // horner_hash (codegen path): byte fold != codepoint fold past 0x7f,
+    // so a non-ASCII doc must fail the job, not flip oracle gates.
+    val ex = intercept[Exception] {
+      Seq("café au lait").toDF("text")
+        .select(functions.VectorFunctions.hornerHash(col("text"), 1000000007L))
+        .collect()
+    }
+    def msgChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgChain(ex).exists(_.contains("ASCII-only")), s"unexpected error: $ex")
+    // the plain-Scala twins share the guard
+    assert(intercept[IllegalArgumentException] {
+      ext.Dedup.minhashBandKeys("déjà vu encore une fois")
+    }.getMessage.contains("ASCII-only"))
+    assert(intercept[IllegalArgumentException] {
+      ext.TextAnalysis.winnowFingerprints("naïve approach to winnowing text")
+    }.getMessage.contains("ASCII-only"))
+  }
+
   test("horner_hash works via SQL registration") {
     functions.VectorFunctions.register(spark)
     val r = spark.sql("SELECT horner_hash('ab', 1000000007L) AS h").head
@@ -425,6 +447,24 @@ class ExtensionsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components with a reliable checkpoint dir match localCheckpoint labels") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // Mixed shape: a chain, a triangle, an isolated pair — enough rounds
+    // to exercise per-round checkpointing on the reliable path.
+    val pairs = ((0L until 15L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L))).toDF("d1", "d2")
+    val (local, _) = ext.Dedup.connectedComponents(pairs)
+    val (reliable, _) = ext.Dedup.connectedComponents(pairs, checkpointDir = Some(ckpt))
+    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rm = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == rm, s"reliable-checkpoint labels diverge: ${rm.toSeq.diff(lm.toSeq)}")
+    // the reliable path actually wrote checkpoint data under the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint wrote nothing under the checkpoint dir")
+  }
+
   test("minhash and simhash recover the strongest exact-Jaccard pairs") {
     // Ground truth: the exact n-gram Jaccard top-20 (oracle-gated query).
     // The testdata plants near-duplicates at J >= 0.97, so the sketches
@@ -450,6 +490,49 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     val shRecall = strong.count(sh.contains).toDouble / strong.size
     assert(shRecall >= 0.8, s"simhash recall on strong pairs: $shRecall")
+    // Production-hash variant (xxhash64, no DuckDB twin by design): same
+    // banding math, so the same recall and estimator gates must hold.
+    val fast = ext.Dedup.xDedupMinhashFast(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("est_jaccard")))
+      .toMap
+    val fastRecall = strong.count(fast.contains).toDouble / strong.size
+    assert(fastRecall >= 0.9, s"fast minhash recall on strong pairs: $fastRecall")
+    strong.filter(fast.contains).foreach { p =>
+      assert(math.abs(fast(p) - exact(p)) <= 0.2,
+        s"pair $p: fast est=${fast(p)} exact=${exact(p)}")
+    }
+  }
+
+  test("real PNG decode through the multimodal mapPartitions plumbing") {
+    import spark.implicits._
+    // Synthesize tiny PNGs with JDK javax.imageio — no external decode
+    // lib needed — and push them through Multimodal.imageFeatures, the
+    // same partition-batched shape the gated stub queries use.
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val solidRed = png(3, 2)((_, _) => 0xff0000)
+    val solidMix = png(4, 4)((_, _) => 0x0080ff) // r=0 g=128 b=255
+    // Half black, half white rows => mean gray 127.5 per channel.
+    val split = png(2, 2)((_, y) => if (y == 0) 0x000000 else 0xffffff)
+    val corrupt = Array[Byte](1, 2, 3, 4)
+    val assets = Seq((1L, solidRed), (2L, solidMix), (3L, split), (4L, corrupt))
+      .toDF("doc_id", "asset")
+    val rows = ext.Multimodal.imageFeatures(spark, assets).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray))).toMap
+    assert(rows(1L)._1 == 3 && rows(1L)._2 == 2)
+    assert(rows(1L)._3.sameElements(Array(255f, 0f, 0f)))
+    assert(rows(2L)._1 == 4 && rows(2L)._2 == 4)
+    assert(rows(2L)._3.sameElements(Array(0f, 128f, 255f)))
+    assert(rows(3L)._3.sameElements(Array(127.5f, 127.5f, 127.5f)))
+    // Corrupt bytes degrade to a marker row, not a task failure.
+    assert(rows(4L)._1 == -1 && rows(4L)._3.isEmpty)
   }
 
   test("winnowing: documents sharing a long substring share fingerprints") {
