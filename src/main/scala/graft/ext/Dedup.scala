@@ -299,32 +299,40 @@ object Dedup {
     * collide on (band, Horner fold of the band's 4 mins). Estimated
     * Jaccard = fraction of equal signature components.
     */
-  def xDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val nHashes = 64
-    val bandRows = 4
-    val grams = wordGramStrings(Tables.documents(spark, dir))
+  private val nHashes = 64
+  private val bandRows = 4
+
+  /** The 64-column portable MinHash signature table (doc_id, h0..h63) —
+    * the persistable dedup STATE: 64 longs per document, text read once.
+    */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
+    val grams = wordGramStrings(docs)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.hornerHash(col("gram_str"), SketchP).as("g"))
       .distinct()
     val sigAggs = (0 until nHashes).map(i =>
       min((lit(permA(i)) * col("g") + lit(permB(i))) % lit(SketchP)).as(s"h$i"))
-    // Signature table feeds the banding AND both sides of the verification
-    // join — persist so the 64-aggregate pass runs once (at cluster scale:
-    // a materialized signature table, bucketed by doc_id).
-    val sigs = grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*).persist()
+    grams.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** (doc_id, band, sig) banding of a signature table — derived from the
+    * 64 columns only (16 Horner folds/row), never the text.
+    */
+  private def sigBands(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until nHashes / bandRows).map { b =>
       val Seq(h0, h1, h2, h3) =
         (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i"))
       val fold = ((((h0 * 31 + h1) % SketchP) * 31 + h2) % SketchP * 31 + h3) % SketchP
       struct(lit(b).as("band"), fold.as("sig"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+  }
+
+  /** Exact signature re-rank of candidate pairs: est_jaccard = matching
+    * signature components / 64, the shared verification tail.
+    */
+  private def verifyPairs(cand: DataFrame, sigs: DataFrame): DataFrame = {
     val matches: Column = (0 until nHashes)
       .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -334,6 +342,47 @@ object Dedup {
       .select(col("d1"), col("d2"),
         round(matches / lit(nHashes.toDouble), 4).as("est_jaccard"))
       .orderBy(desc("est_jaccard"), col("d1"), col("d2"))
+  }
+
+  def xDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Signature table feeds the banding AND both sides of the verification
+    // join — persist so the 64-aggregate pass runs once (at cluster scale:
+    // a materialized signature table, bucketed by doc_id).
+    val sigs = minhashSigs(Tables.documents(spark, dir)).persist()
+    val bands = sigBands(sigs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyPairs(cand, sigs)
+  }
+
+  /** Incremental near-dup admission — the batch-ingest counterpart of the
+    * streaming online index: given the PERSISTED signature table of the
+    * already-admitted corpus (64 longs/doc — the dedup state; the old
+    * text is never re-read) and a batch of new documents, compute the new
+    * docs' signatures and emit exactly the candidate pairs that involve
+    * at least one new document, scored like the batch operator. Returns
+    * (newSigs, newPairs): union newSigs into the state table to admit the
+    * batch. Bitwise-identical hashing (same constants) makes this exactly
+    * the batch operator's pairs restricted to new-touching pairs, which
+    * ExtensionsSpec pins. At 100 TB the join probes the banded state
+    * with the new batch's bands — incremental cost is O(new × bucket
+    * occupancy), not O(corpus).
+    */
+  def minhashIncrement(existingSigs: DataFrame,
+      newDocs: DataFrame): (DataFrame, DataFrame) = {
+    val newSigs = minhashSigs(newDocs).persist()
+    val newBands = sigBands(newSigs)
+    val allBands = sigBands(existingSigs).unionByName(newBands)
+    val cand = newBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    (newSigs, verifyPairs(cand, existingSigs.unionByName(newSigs)))
   }
 
   /** Production-hash MinHash+LSH: the SAME 64-signature / 16×4-banding

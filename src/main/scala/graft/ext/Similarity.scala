@@ -295,11 +295,34 @@ object Similarity {
       .orderBy("cell", "rank")
   }
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * storage/bandwidth scale move for a 100 TB vector corpus (4× smaller
+    * than float32, SIMD-friendly dot products downstream): code_i =
+    * clamp(floor(x_i·127 + 0.5), −127, 127). Every step is exact IEEE
+    * double arithmetic on exactly-widened floats (no engine-divergent
+    * rounding: floor, not cast — Spark's double→int cast truncates while
+    * DuckDB's rounds, the CLAUDE.md gotcha), so the codes — summarized
+    * here as per-vector (sum, min, max) over the code list — are bitwise
+    * reproducible in any engine. A narrow per-row map, no shuffle.
+    */
+  def xEmbQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
+          .as("codes"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),
     "x_ann_lsh"        -> (xAnnLsh _),
     "x_ann_ivf"        -> (xAnnIvf _),
-    "x_diversity_sample" -> (xDiversitySample _))
+    "x_diversity_sample" -> (xDiversitySample _),
+    "x_emb_quantize"   -> (xEmbQuantize _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -467,6 +490,19 @@ object Similarity {
     "x_ann_lsh" -> annLshOracleSql,
     "x_ann_ivf" -> annIvfOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
+    "x_emb_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      v -> CAST(greatest(least(floor(v * 127 + 0.5), 127), -127) AS BIGINT))
+        |      AS codes
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  len(codes)::BIGINT AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  list_min(codes) AS min_code,
+        |  list_max(codes) AS max_code
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x_knn_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

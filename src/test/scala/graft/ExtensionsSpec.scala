@@ -535,6 +535,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(4L)._1 == -1 && rows(4L)._3.isEmpty)
   }
 
+  test("incremental minhash admission equals the batch pairs touching new docs") {
+    // Split the corpus at the median id: the low half is the admitted
+    // state (signature table only — its text is never re-read), the high
+    // half arrives as a new batch. Same hash constants on both paths, so
+    // the increment must equal the batch operator's pairs restricted to
+    // those with at least one new endpoint — exactly, not approximately.
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val split = ids(ids.length / 2)
+    val oldSigs = ext.Dedup.minhashSigs(docs.filter(col("doc_id") < split))
+    val (newSigs, incPairs) = ext.Dedup.minhashIncrement(
+      oldSigs, docs.filter(col("doc_id") >= split))
+    val inc = incPairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val isNew = (id: Long) => id >= split
+    val batch = ext.Dedup.xDedupMinhashLsh(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((d1, d2), _) => isNew(d1) || isNew(d2) }.toMap
+    assert(inc.nonEmpty, "planted near-dups straddle any median split")
+    assert(inc == batch,
+      s"increment != batch restriction: only-inc=${(inc.keySet -- batch.keySet).take(3)} " +
+        s"only-batch=${(batch.keySet -- inc.keySet).take(3)}")
+    // admitting the batch = one union of slim signature tables
+    assert(newSigs.count() + oldSigs.count() == docs.count())
+  }
+
+  test("int8 embedding quantization: summaries match a reference model, error bounded") {
+    val got = ext.Similarity.xEmbQuantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val raw = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val xs = r.getSeq[Float](1)
+      val codes = xs.map(x =>
+        math.max(-127L, math.min(127L, math.floor(x.toDouble * 127d + 0.5d).toLong)))
+      assert(got(r.getLong(0)) == ((codes.length.toLong, codes.sum, codes.min, codes.max)))
+      // dequantization error of in-range components is bounded by half a step
+      xs.zip(codes).filter { case (x, _) => math.abs(x) <= 1.0f }.foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c / 127.0) <= 0.5 / 127 + 1e-12,
+          s"vec ${r.getLong(0)}: x=$x code=$c")
+      }
+    }
+  }
+
   test("winnowing: documents sharing a long substring share fingerprints") {
     val shared = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
     val a = ext.TextAnalysis.winnowFingerprints("intro alpha " + shared).toSet
