@@ -159,6 +159,41 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "mean_rgb")
   }
 
+  /** REAL audio decode through the same plumbing — javax.sound.sampled
+    * also ships with the JDK. Parses WAV/PCM byte arrays to (sample
+    * rate, channels, sample count, RMS amplitude over 16-bit LE PCM);
+    * undecodable bytes degrade to a (-1, -1, -1, -1.0) marker row like
+    * imageFeatures. Proven on synthesized square/silent waves in
+    * ExtensionsSpec ("real WAV decode...") — with imageFeatures this
+    * covers both decode families the stub queries model, no new deps.
+    */
+  def audioFeatures(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id").cast("long"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val data = in.readAllBytes()
+          in.close()
+          // RMS over 16-bit little-endian PCM samples
+          val n = data.length / 2
+          var sumSq = 0.0
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            sumSq += s.toDouble * s
+            i += 2
+          }
+          val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+          (id, fmt.getSampleRate.toInt, fmt.getChannels, n.toLong, rms)
+        } catch { case _: Exception => (id, -1, -1, -1L, -1.0) }
+      })
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "rms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_multimodal_meta"     -> (xMultimodalMeta _),
     "x_multimodal_features" -> (xMultimodalFeatures _),

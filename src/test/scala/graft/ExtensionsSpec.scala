@@ -580,6 +580,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV decode through the multimodal mapPartitions plumbing") {
+    import spark.implicits._
+    // Synthesize 16-bit mono PCM WAVs with JDK javax.sound.sampled.
+    def wav(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // Square wave at amplitude 1000 => RMS exactly 1000; silence => 0.
+    val square = wav(Array.tabulate(400)(i => if (i % 2 == 0) 1000 else -1000))
+    val silence = wav(Array.fill(256)(0: Short))
+    val corrupt = Array[Byte](9, 9, 9, 9)
+    val assets = Seq((1L, square), (2L, silence), (3L, corrupt))
+      .toDF("doc_id", "asset")
+    val rows = ext.Multimodal.audioFeatures(spark, assets).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(1L) == ((8000, 1, 400L, 1000.0)))
+    assert(rows(2L) == ((8000, 1, 256L, 0.0)))
+    assert(rows(3L)._1 == -1 && rows(3L)._4 == -1.0)
+  }
+
   test("winnowing: documents sharing a long substring share fingerprints") {
     val shared = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
     val a = ext.TextAnalysis.winnowFingerprints("intro alpha " + shared).toSet
