@@ -69,6 +69,31 @@ object Pipeline {
     path
   }
 
+  /** Operational incremental near-dup admission: the MinHash signature
+    * table parquet at `sigStatePath` is the persisted dedup STATE (64
+    * longs per admitted doc). `admitBatch` signs only the new batch,
+    * emits the near-dup candidate pairs the batch creates against
+    * state + itself (ext.Dedup.minhashIncrement — spec-pinned to equal
+    * the batch operator exactly), and appends the batch's signatures to
+    * the state. The admitted corpus's TEXT is never re-read — at 100 TB
+    * each ingest batch costs O(batch) text reads plus a banded probe of
+    * slim state, the difference between daily ingest being feasible and
+    * re-sketching the corpus every day. Initialize the state with
+    * `initSigState`.
+    */
+  def initSigState(spark: SparkSession, docs: DataFrame, sigStatePath: String): Unit =
+    ext.Dedup.minhashSigs(docs).write.mode("overwrite").parquet(sigStatePath)
+
+  def admitBatch(spark: SparkSession, sigStatePath: String,
+      newDocs: DataFrame): DataFrame = {
+    val state = spark.read.parquet(sigStatePath)
+    val (newSigs, pairs) = ext.Dedup.minhashIncrement(state, newDocs)
+    // Materialize pairs BEFORE appending: they read the pre-append state.
+    val out = pairs.localCheckpoint()
+    newSigs.write.mode("append").parquet(sigStatePath)
+    out
+  }
+
   /** Date-partitioned fact materialization (SCALE.md, Scan layer): writes
     * fact_prices under a Hive-style partition column derived from
     * effective_date, so chart-1-style date-window scans (reference

@@ -92,6 +92,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("parquet-backed signature state: admitBatch emits pairs and grows the state") {
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val split = ids(ids.length / 2)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sig_state").toString + "/sigs"
+    Pipeline.initSigState(spark, docs.filter(col("doc_id") < split), statePath)
+    val before = spark.read.parquet(statePath).count()
+    val pairs = Pipeline.admitBatch(spark, statePath,
+      docs.filter(col("doc_id") >= split)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs equal the batch operator's restricted to new-touching pairs
+    // (the in-memory parity is pinned in ExtensionsSpec; this pins the
+    // parquet state round-trip + append lifecycle)
+    val batch = ext.Dedup.xDedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (d1, d2) => d1 >= split || d2 >= split }.toSet
+    assert(pairs == batch, s"admitBatch pairs diverge: ${(pairs diff batch).take(3)}")
+    // the state absorbed the batch: one signature row per document
+    assert(spark.read.parquet(statePath).count() == docs.count())
+    assert(before < docs.count())
+  }
+
   test("hll sketch merge equals the full sketch and tracks the exact distinct count") {
     import org.apache.spark.sql.functions.to_date
     val li = Tables.lineitem(spark, sf)
