@@ -33,6 +33,8 @@ object Bench {
     "x_text_tokens",
     "x_text_tfidf",
     "x_text_repetition",
+    "x_seq_pack",
+    "x_emb_quantize",
     "x_text_contamination",
     "x_multimodal_frames",
     "x_corpus_sample",
