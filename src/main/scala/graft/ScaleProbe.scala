@@ -92,16 +92,27 @@ object ScaleProbe {
     // the nProbe=4 walk must still recover the true neighbors.
     spark.catalog.clearCache()
     val recallIvf = ext.Similarity.probeRecall5Ivf(spark, work, idShift)
+    // Capped arm: inverted lists truncated to 64 lowest-id members —
+    // the degenerate-bucket guard — timed and recall-gated with the
+    // lists nReplicas× fuller than the cap anticipates.
+    spark.catalog.clearCache()
+    val tCap0 = System.nanoTime()
+    val recallCapped = ext.Similarity.probeRecall5(spark, work, idShift, 64)
+    val tCap = (System.nanoTime() - tCap0) / 1e9
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
     }.mkString("{\"q\":{", ",",
       f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f" +
-      f",\"ivf_recall5_x$nReplicas%d\":$recallIvf%.2f}")
+      f",\"ivf_recall5_x$nReplicas%d\":$recallIvf%.2f" +
+      f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
+      f",\"ann_capped64_probe_s\":$tCap%.2f}")
     println(json)
     require(recall >= 0.8,
       f"LSH ANN recall@5 degraded to $recall%.2f at $nReplicas× replication")
     require(recallIvf >= 0.8,
       f"IVF ANN recall@5 degraded to $recallIvf%.2f at $nReplicas× replication")
+    require(recallCapped >= 0.8,
+      f"capped LSH ANN recall@5 degraded to $recallCapped%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

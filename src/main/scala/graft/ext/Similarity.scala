@@ -129,8 +129,22 @@ object Similarity {
   def xAnnLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(spark, dir, 0L)
 
+  /** `bucketCap` (default unbounded — the oracle-gated configuration)
+    * truncates each (table, bucket) inverted list to its lowest-id
+    * `bucketCap` members before the probe join — the standard guard
+    * against DEGENERATE buckets at corpus scale (a spam/boilerplate
+    * cluster of near-identical embeddings fills one bucket with
+    * thousands of entries, and an uncapped probe join pays the whole
+    * list for every query that lands there). Capping is recall-safe
+    * precisely in that degenerate case: an overfull bucket means
+    * near-duplicate vectors, so any K of them represent the rest
+    * (dedup upstream is the real fix; the cap bounds the worst case
+    * when it hasn't run). ScaleProbe measures the capped arm at 10×
+    * replication: recall@5 gated ≥ 0.8, candidate join cost bounded by
+    * nTables·cap per query instead of bucket occupancy.
+    */
   private def annLsh(spark: SparkSession, dir: String,
-      replicaShift: Long): DataFrame = {
+      replicaShift: Long, bucketCap: Int = Int.MaxValue): DataFrame = {
     val e0 = withVecNorm(Tables.embeddings(spark, dir))
     val withBuckets = (0 until nTables).foldLeft(e0) { (df, t) =>
       df.withColumn(s"bucket_$t", bucketExpr(t))
@@ -149,8 +163,16 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("tbl"),
         explode(array(probes: _*)).as("bucket"),
         col("v").as("v1"), col("nrm").as("n1"))
-    val c = buckets.select(col("vec_id").as("neighbor_id"), col("tbl"),
+    val corpus0 = buckets.select(col("vec_id").as("neighbor_id"), col("tbl"),
       col("bucket"), col("v").as("v2"), col("nrm").as("n2"))
+    val c = if (bucketCap == Int.MaxValue) corpus0 else {
+      // One extra shuffle on (tbl, bucket) — the same key the probe join
+      // shuffles on anyway — with a map-side WindowGroupLimit pre-filter.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tbl"), col("bucket")).orderBy(col("neighbor_id"))
+      corpus0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= bucketCap).drop("__rn")
+    }
     rerankTopK(broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(keepNeighbor(replicaShift))
@@ -163,8 +185,10 @@ object Similarity {
     * neighbors (see keepNeighbor) so a synthetically replicated corpus
     * measures genuine neighbor recovery rather than duplicate self-hits.
     */
-  def probeRecall5(spark: SparkSession, dir: String, replicaShift: Long): Double =
-    meanRecall5(knnBruteForce(spark, dir, replicaShift), annLsh(spark, dir, replicaShift))
+  def probeRecall5(spark: SparkSession, dir: String, replicaShift: Long,
+      bucketCap: Int = Int.MaxValue): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annLsh(spark, dir, replicaShift, bucketCap))
 
   /** IVF recall under the same replica-exclusion probe: cells fill N×
     * (every replica lands in its base vector's cell), so this measures
