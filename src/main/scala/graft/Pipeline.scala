@@ -74,24 +74,86 @@ object Pipeline {
     * longs per admitted doc). `admitBatch` signs only the new batch,
     * emits the near-dup candidate pairs the batch creates against
     * state + itself (ext.Dedup.minhashIncrement — spec-pinned to equal
-    * the batch operator exactly), and appends the batch's signatures to
+    * the batch operator exactly), and commits the batch's signatures to
     * the state. The admitted corpus's TEXT is never re-read — at 100 TB
     * each ingest batch costs O(batch) text reads plus a banded probe of
     * slim state, the difference between daily ingest being feasible and
     * re-sketching the corpus every day. Initialize the state with
     * `initSigState`.
+    *
+    * CRASH SAFETY / IDEMPOTENCE: each batch is one `batch_id=<id>`
+    * partition directory, committed via staged-write + atomic directory
+    * rename (atomic on HDFS and local filesystems; an object store
+    * deployment swaps the rename for its own atomic-commit primitive).
+    * The rename is the sole commit point:
+    *  - crash BEFORE the rename leaves only an `_staging_<id>` dir
+    *    (underscore-prefixed — invisible to partition discovery); the
+    *    re-run deletes it and completes, emitting the same pairs;
+    *  - a re-run AFTER a successful commit sees `batch_id=<id>` present,
+    *    recomputes the pairs against the state EXCLUDING that batch
+    *    (partition-pruned filter) — byte-identical output — and skips
+    *    the write, so replaying a batch can never double-insert
+    *    signatures or duplicate candidate pairs.
+    * `readSigState` additionally dedups by doc_id as a net against the
+    * same document arriving under two different batch ids (signature
+    * rows are deterministic in the text, so any survivor is correct).
     */
-  def initSigState(spark: SparkSession, docs: DataFrame, sigStatePath: String): Unit =
-    ext.Dedup.minhashSigs(docs).write.mode("overwrite").parquet(sigStatePath)
+  def initSigState(spark: SparkSession, docs: DataFrame, sigStatePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(sigStatePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    commitSigBatch(spark, ext.Dedup.minhashSigs(docs), sigStatePath, "init")
+  }
+
+  /** The admitted signature state: one (doc_id, h0..h63) row per doc. */
+  def readSigState(spark: SparkSession, sigStatePath: String): DataFrame =
+    spark.read.parquet(sigStatePath).drop("batch_id")
+      .dropDuplicates(Seq("doc_id"))
 
   def admitBatch(spark: SparkSession, sigStatePath: String,
-      newDocs: DataFrame): DataFrame = {
+      newDocs: DataFrame, batchId: String = ""): DataFrame = {
+    val id = if (batchId.nonEmpty) batchId else {
+      // Content-derived default id: replaying the same doc-id range is
+      // recognized as the same batch without the caller naming it.
+      val r = newDocs.agg(min(col("doc_id")), max(col("doc_id")),
+        count(lit(1))).head
+      s"auto_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+    }
+    require(!id.contains("/") && !id.contains("="), s"bad batch id: $id")
+    // State as of BEFORE this batch: pruning out batch_id=<id> makes the
+    // pair computation a pure function of (prior state, batch) whether
+    // or not a previous attempt already committed.
     val state = spark.read.parquet(sigStatePath)
+      .filter(col("batch_id").cast("string") =!= id)
+      .drop("batch_id").dropDuplicates(Seq("doc_id"))
     val (newSigs, pairs) = ext.Dedup.minhashIncrement(state, newDocs)
-    // Materialize pairs BEFORE appending: they read the pre-append state.
+    // Materialize pairs BEFORE committing: they read the pre-commit state.
     val out = pairs.localCheckpoint()
-    newSigs.write.mode("append").parquet(sigStatePath)
+    commitSigBatch(spark, newSigs, sigStatePath, id)
     out
+  }
+
+  /** Staged-write + atomic-rename commit of one signature batch; returns
+    * false (a no-op) when the batch directory already exists — either a
+    * completed earlier attempt or a concurrent committer that won the
+    * rename race.
+    */
+  private def commitSigBatch(spark: SparkSession, sigs: DataFrame,
+      sigStatePath: String, batchId: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(sigStatePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalDir = new org.apache.hadoop.fs.Path(sigStatePath, s"batch_id=$batchId")
+    if (fs.exists(finalDir)) return false
+    val staging = new org.apache.hadoop.fs.Path(sigStatePath, s"_staging_$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale partial attempt
+    sigs.write.mode("overwrite").parquet(staging.toString)
+    if (fs.rename(staging, finalDir)) true
+    else {
+      require(fs.exists(finalDir),
+        s"commit rename to $finalDir failed with no competing commit")
+      fs.delete(staging, true)
+      false
+    }
   }
 
   /** Date-partitioned fact materialization (SCALE.md, Scan layer): writes

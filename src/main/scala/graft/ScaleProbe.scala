@@ -92,6 +92,11 @@ object ScaleProbe {
     // the nProbe=4 walk must still recover the true neighbors.
     spark.catalog.clearCache()
     val recallIvf = ext.Similarity.probeRecall5Ivf(spark, work, idShift)
+    // Scaled-quantizer arm (k=64, 3 Lloyd rounds): the 100 TB
+    // parameterization path — k grows ~√N, extra rounds tighten the
+    // centroids — measured with the same replica-exclusion recall gate.
+    spark.catalog.clearCache()
+    val recallIvf64 = ext.Similarity.probeRecall5Ivf(spark, work, idShift, 64, 3)
     // Capped arm: inverted lists truncated to 64 lowest-id members —
     // the degenerate-bucket guard — timed and recall-gated with the
     // lists nReplicas× fuller than the cap anticipates.
@@ -104,6 +109,7 @@ object ScaleProbe {
     }.mkString("{\"q\":{", ",",
       f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f" +
       f",\"ivf_recall5_x$nReplicas%d\":$recallIvf%.2f" +
+      f",\"ivf_k64r3_recall5_x$nReplicas%d\":$recallIvf64%.2f" +
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
     println(json)
@@ -111,6 +117,8 @@ object ScaleProbe {
       f"LSH ANN recall@5 degraded to $recall%.2f at $nReplicas× replication")
     require(recallIvf >= 0.8,
       f"IVF ANN recall@5 degraded to $recallIvf%.2f at $nReplicas× replication")
+    require(recallIvf64 >= 0.8,
+      f"IVF(k=64,r=3) recall@5 degraded to $recallIvf64%.2f at $nReplicas× replication")
     require(recallCapped >= 0.8,
       f"capped LSH ANN recall@5 degraded to $recallCapped%.2f at $nReplicas× replication")
     spark.stop()

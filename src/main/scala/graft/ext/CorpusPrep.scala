@@ -183,7 +183,7 @@ object CorpusPrep {
         |scored AS (
         |  SELECT k.doc_id, k.n_chars, p.pred_lang, q.quality_score,
         |    COALESCE(cont.contamination, 0.0) AS contamination,
-        |    ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+        |    ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
         |  FROM keep k
         |  JOIN pred p ON k.doc_id = p.doc_id
         |  JOIN qual q ON k.doc_id = q.doc_id

@@ -270,13 +270,10 @@ object Dedup {
       .distinct
     val sig = Array.fill(64)(Long.MaxValue)
     gs.foreach { gram =>
-      var g = 0L
-      gram.getBytes("UTF-8").foreach { b =>
-        val v = b & 0xff
-        if (v >= 0x80)
-          throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg)
-        g = (g * 31 + v) % SketchP
-      }
+      // Code-point fold (HornerHash.foldString) — bitwise with the batch
+      // HornerHash expression and the DuckDB ord(substr(..)) oracles on
+      // ANY text, not just ASCII.
+      val g = graft.functions.HornerHash.foldString(gram, SketchP)
       var i = 0
       while (i < 64) {
         val h = (permA(i) * g + permB(i)) % SketchP
@@ -571,7 +568,8 @@ object Dedup {
 
   /** The DuckDB twin of xDedupMinhashLsh, generated from the SAME
     * permutation constants the Spark side uses — the gram Horner fold is
-    * list_reduce over ord(substr(..)) (== HornerHash byte fold on ASCII),
+    * list_reduce over ord(substr(..)) (== HornerHash's code-point fold
+    * on any text),
     * the 64 per-permutation mins are 64 aggregate columns, and the band
     * signatures UNPIVOT into the same (band, sig) collision join.
     */

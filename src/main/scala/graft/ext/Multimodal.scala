@@ -43,17 +43,20 @@ object Multimodal {
     */
   def xMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // STUB: deterministic fake "feature extraction" from raw bytes.
-    // ASCII guard: the oracle folds ord(substr(text,..)) at CHARACTER
-    // positions; any multi-byte char would shift every sampled offset.
+    // STUB: deterministic fake "feature extraction" from the asset
+    // payload. The fold strides over the CODE POINTS of the UTF-8
+    // payload (positions AND values), matching the oracle's
+    // ord(substr(text, j, 1)) over generate_series(1, length(text), 8)
+    // bitwise on any text — ASCII or not. A real decoder works on the
+    // raw bytes; only the fake hash interprets them as text.
     def stubDecode(bytes: Array[Byte]): Array[Float] = {
-      bytes.foreach(b => if ((b & 0x80) != 0)
-        throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg))
+      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
       Array.tabulate(8) { i =>
         var h = (1125899906842597L + i) % 1000000007L
         var j = i
-        while (j < bytes.length) {
-          h = (h * 31 + (bytes(j) & 0xff)) % 1000000007L
+        while (j < cps.length) {
+          h = (h * 31 + cps(j)) % 1000000007L
           j += 8
         }
         (h % 1000L) / 1000.0f
@@ -86,19 +89,21 @@ object Multimodal {
     val sampleEvery = 4
     // STUB: a real implementation decodes frames and resizes pixels; the
     // deterministic fake hashes each sampled frame window into 4 floats.
+    // Frame windows and strides index the payload's CODE POINTS (like
+    // stubDecode) so the oracle's character-position arithmetic holds on
+    // any text — a real decoder would frame the raw bytes instead.
     def sampleFrames(bytes: Array[Byte]): Seq[(Int, Array[Float])] = {
-      // Same ASCII guard as stubDecode: char-position oracle parity.
-      bytes.foreach(b => if ((b & 0x80) != 0)
-        throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg))
-      val nFrames = math.max(bytes.length / frameBytes, 1)
+      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val nFrames = math.max(cps.length / frameBytes, 1)
       (0 until nFrames by sampleEvery).map { f =>
         val off = f * frameBytes
         val thumb = Array.tabulate(4) { i =>
           var h = 17L + i
           var j = off + i
-          val end = math.min(off + frameBytes, bytes.length)
+          val end = math.min(off + frameBytes, cps.length)
           while (j < end) {
-            h = (h * 31 + (bytes(j) & 0xff)) % 1000000007L
+            h = (h * 31 + cps(j)) % 1000000007L
             j += 4
           }
           (h % 997L) / 1000.0f
@@ -210,15 +215,17 @@ object Multimodal {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // Stub-decode twins: the fake decoders are Horner folds in mod-1e9+7
-    // arithmetic precisely so these oracles exist — the per-byte fold is
-    // re-expressed as list_reduce over the sampled 1-based positions.
+    // arithmetic precisely so these oracles exist — the per-code-point
+    // fold is re-expressed as list_reduce over the sampled 1-based
+    // CHARACTER positions (length(text), not octet_length: both sides
+    // index code points, so the twins hold on non-ASCII payloads too).
     // Only the first feature/thumb lane (i=0) is emitted, so the oracle
     // folds that lane; n_features/thumb_dims pin the fixed vector widths
     // and the frames oracle re-derives the frame-count arithmetic
     // (max(len/64,1) frames, every 4th sampled).
     "x_multimodal_features" ->
       """WITH d AS (
-        |  SELECT doc_id, text, octet_length(text::BLOB) AS len FROM documents),
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
         |h AS (
         |  SELECT doc_id,
         |    list_reduce(
@@ -232,7 +239,7 @@ object Multimodal {
         |FROM h ORDER BY doc_id""".stripMargin,
     "x_multimodal_frames" ->
       """WITH d AS (
-        |  SELECT doc_id, text, octet_length(text::BLOB) AS len FROM documents),
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
         |f AS (
         |  SELECT doc_id, text, len,
         |    unnest(generate_series(0, greatest(len // 64, 1) - 1, 4)) AS frame_index

@@ -192,11 +192,15 @@ object Similarity {
 
   /** IVF recall under the same replica-exclusion probe: cells fill N×
     * (every replica lands in its base vector's cell), so this measures
-    * whether nProbe=4 cell walks still recover the true neighbors from
-    * N×-fuller inverted lists.
+    * whether the nProbe cell walk still recovers the true neighbors from
+    * N×-fuller inverted lists. `k`/`rounds` expose the quantizer scale
+    * knobs (ScaleProbe measures the k=64, 3-round arm alongside the
+    * gated default).
     */
-  def probeRecall5Ivf(spark: SparkSession, dir: String, replicaShift: Long): Double =
-    meanRecall5(knnBruteForce(spark, dir, replicaShift), annIvf(spark, dir, replicaShift))
+  def probeRecall5Ivf(spark: SparkSession, dir: String, replicaShift: Long,
+      k: Int = 16, rounds: Int = 1): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annIvf(spark, dir, replicaShift, k, rounds))
 
   private def meanRecall5(exactDf: DataFrame, approxDf: DataFrame): Double = {
     def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
@@ -235,50 +239,60 @@ object Similarity {
     * vectors).
     */
   /** The IVF coarse-quantizer assignment shared by the ANN query and the
-    * diversity sampler: deterministic seeds (first k vectors), one exact
-    * quantized Lloyd refinement, corpus assigned to its nearest refined
-    * centroid. Returns (assigned corpus [persisted], refined centroids).
+    * diversity sampler: deterministic seeds (first k vectors), `rounds`
+    * exact quantized Lloyd refinements, corpus assigned to its nearest
+    * refined centroid. Returns (assigned corpus [persisted], refined
+    * centroids). The gated queries keep (k=16, rounds=1) — bitwise
+    * frozen against the generated oracle; at 100 TB the same code runs
+    * with k ~ √N and a few rounds (each round is one corpus pass + one
+    * k×dims aggregate — the exact-integer Lloyd step composes, and the
+    * oracle generator loops one CTE block per round). ScaleProbe gates
+    * the k=64, 3-round arm at 10× replication.
     */
   private def ivfAssigned(spark: SparkSession, dir: String,
-      k: Int = 16): (DataFrame, Array[Array[Double]]) = {
+      k: Int = 16, rounds: Int = 1): (DataFrame, Array[Array[Double]]) = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
     // deterministic seed centroids: the first k vectors by id
     val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    // one Lloyd refinement: exact quantized per-cell mean (see scaladoc)
-    val assigned0 = e.withColumn("cell",
-      VectorFunctions.nearestCentroid(col("embedding"), seeds))
-    // Keyed by cell id, NOT dense-packed: a cell that wins zero vectors
-    // (possible when seed vectors duplicate) keeps its seed centroid
-    // instead of silently shifting every higher cell's index — the
-    // oracle's refc mirrors the same fallback with a seeds left join.
-    val byCell: Map[Int, Array[Double]] = assigned0
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
-        count(lit(1)).as("n"))
-      .select(col("cell"), col("pos"),
-        (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-      }
-    val refined: Array[Array[Double]] =
-      Array.tabulate(k)(c => byCell.getOrElse(c, seeds(c)))
+    // Lloyd refinement rounds: exact quantized per-cell mean (see scaladoc)
+    var cents = seeds
+    for (_ <- 0 until rounds) {
+      val assigned0 = e.withColumn("cell",
+        VectorFunctions.nearestCentroid(col("embedding"), cents))
+      // Keyed by cell id, NOT dense-packed: a cell that wins zero vectors
+      // (possible when seed vectors duplicate) keeps its previous
+      // centroid instead of silently shifting every higher cell's index —
+      // the oracle's refc mirrors the same fallback with a left join
+      // against the prior round's centroids.
+      val byCell: Map[Int, Array[Double]] = assigned0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      val prev = cents
+      cents = Array.tabulate(k)(c => byCell.getOrElse(c, prev(c)))
+    }
     (e.withColumn("cell",
-      VectorFunctions.nearestCentroid(col("embedding"), refined)).persist(),
-      refined)
+      VectorFunctions.nearestCentroid(col("embedding"), cents)).persist(),
+      cents)
   }
 
   def xAnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(spark, dir, 0L)
 
   private def annIvf(spark: SparkSession, dir: String,
-      replicaShift: Long): DataFrame = {
+      replicaShift: Long, k: Int = 16, rounds: Int = 1): DataFrame = {
     val nProbe = 4
-    val (assigned, refined) = ivfAssigned(spark, dir)
+    val (assigned, refined) = ivfAssigned(spark, dir, k, rounds)
     // queries probe the nProbe nearest refined centroids
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"),
@@ -345,6 +359,10 @@ object Similarity {
     "x_knn_bruteforce" -> (xKnnBruteForce _),
     "x_ann_lsh"        -> (xAnnLsh _),
     "x_ann_ivf"        -> (xAnnIvf _),
+    // The multi-round quantizer arm, gated with its own generated twin:
+    // pins the LOOPED Lloyd path (k=8, 2 rounds) bitwise, so the scale
+    // parameterization is oracle-proven, not just probe-measured.
+    "x_ann_ivf_k8r2"   -> ((s: SparkSession, d: String) => annIvf(s, d, 0L, 8, 2)),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _))
 
@@ -408,72 +426,87 @@ object Similarity {
   }
 
   /** The shared DuckDB CTE chain of the IVF coarse quantizer (through
-    * `a1`, the final cell assignment of every corpus vector) — the twin
-    * of `ivfAssigned`, reused verbatim by both the ANN oracle and the
-    * diversity-sample oracle so the two gates pin the SAME assignment.
-    * No embedded constants at all — the seeds are the first 16 corpus
-    * vectors, the Lloyd refinement is the same exact integer arithmetic
-    * (trunc-quantize → BIGINT sums → floor-div → dyadic dequantize), and
-    * the squared-L2 folds replicate NearestCentroid's sequential
-    * d += (v_i−c_i)² loop via an ordered list_reduce. Argmin tie-breaks
-    * (strict <, lower cell first) become row_number() ORDER BY (d, cell).
+    * `a<rounds>`, the final cell assignment of every corpus vector) —
+    * the twin of `ivfAssigned`, reused verbatim by both the ANN oracle
+    * and the diversity-sample oracle so the two gates pin the SAME
+    * assignment. No embedded constants at all — the seeds are the first
+    * k corpus vectors, each Lloyd round is the same exact integer
+    * arithmetic (trunc-quantize → BIGINT sums → floor-div → dyadic
+    * dequantize) emitted as one CTE block (qv_r/refc_r/d_r/a_r, the
+    * empty-cell fallback COALESCEd against the PRIOR round's
+    * centroids), and the squared-L2 folds replicate NearestCentroid's
+    * sequential d += (v_i−c_i)² loop via an ordered list_reduce. Argmin
+    * tie-breaks (strict <, lower cell first) become row_number()
+    * ORDER BY (d, cell). The gated queries consume the (k=16, rounds=1)
+    * default — identical semantics to round 4's frozen SQL.
     */
-  private def ivfAssignOracleCtes: String = {
+  private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 64),
         |        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
         |      (a, x) -> a + x)""".stripMargin
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings),
-       |seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
-       |d0 AS (
-       |  SELECT e.vec_id, s.cell,
-       |    $dist AS d
-       |  FROM e, seeds s),
-       |a0 AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-       |    FROM d0) WHERE rn = 1),
-       |qv AS (
-       |  SELECT a0.cell, g.i,
-       |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
-       |    count(*) AS n
-       |  FROM e JOIN a0 USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
-       |  GROUP BY a0.cell, g.i),
-       |refc AS (
-       |  SELECT s.cell, COALESCE(r.c, s.c) AS c
-       |  FROM seeds s LEFT JOIN (
-       |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
-       |    FROM qv GROUP BY cell) r ON s.cell = r.cell),
-       |d1 AS (
-       |  SELECT e.vec_id, s.cell, e.v, e.nrm,
-       |    $dist AS d
-       |  FROM e, refc s),
-       |a1 AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-       |    FROM d1) WHERE rn = 1)""".stripMargin
+    val header =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k),
+         |d0 AS (
+         |  SELECT e.vec_id, s.cell,
+         |    $dist AS d
+         |  FROM e, seeds s),
+         |a0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d0) WHERE rn = 1)""".stripMargin
+    val roundBlocks = (1 to rounds).map { r =>
+      val prevA = s"a${r - 1}"
+      val prevC = if (r == 1) "seeds" else s"refc${r - 1}"
+      val qv = s"qv$r"
+      val refc = s"refc$r"
+      s"""$qv AS (
+         |  SELECT $prevA.cell, g.i,
+         |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM e JOIN $prevA USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY $prevA.cell, g.i),
+         |$refc AS (
+         |  SELECT s.cell, COALESCE(r.c, s.c) AS c
+         |  FROM $prevC s LEFT JOIN (
+         |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+         |    FROM $qv GROUP BY cell) r ON s.cell = r.cell),
+         |d$r AS (
+         |  SELECT e.vec_id, s.cell, e.v, e.nrm,
+         |    $dist AS d
+         |  FROM e, $refc s),
+         |a$r AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d$r) WHERE rn = 1)""".stripMargin
+    }
+    (header +: roundBlocks).mkString(",\n")
   }
 
-  /** The DuckDB twin of xAnnIvf: the shared quantizer chain above, then
-    * the nProbe=4 probe walk, candidate union, exact cosine re-rank.
+  /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
+    * gate): the shared quantizer chain above at (k, rounds), then the
+    * nProbe=4 probe walk, candidate union, exact cosine re-rank.
     */
-  private def annIvfOracleSql: String =
-    s"""$ivfAssignOracleCtes,
+  private def annIvfOracleSql(k: Int = 16, rounds: Int = 1): String = {
+    val d = s"d$rounds"
+    val a = s"a$rounds"
+    s"""${ivfAssignOracleCtes(k, rounds)},
        |probe AS (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-       |    FROM d1 WHERE vec_id < 10) WHERE rn <= 4),
+       |    FROM $d WHERE vec_id < 10) WHERE rn <= 4),
        |cand AS (
-       |  SELECT DISTINCT p.query_id, a1.vec_id AS neighbor_id
-       |  FROM probe p JOIN a1 ON p.cell = a1.cell
-       |  WHERE a1.vec_id <> p.query_id),
+       |  SELECT DISTINCT p.query_id, $a.vec_id AS neighbor_id
+       |  FROM probe p JOIN $a ON p.cell = $a.cell
+       |  WHERE $a.vec_id <> p.query_id),
        |pairs AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine_raw
@@ -488,19 +521,20 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The DuckDB twin of xDiversitySample: the SAME quantizer chain as
     * the ANN twin (so both gates pin one assignment), then the
-    * growth-stable md5 id bucket (the x_train_val_split idiom — first 4
-    * hex digits of md5(id) as an int, mod 10000; non-negative, so `%`
+    * growth-stable md5 id bucket (the x_train_val_split idiom — first 8
+    * hex digits of md5(id) as a bigint, mod 10000; non-negative, so `%`
     * matches Spark's pmod) and row_number ≤ 8 per cell ordered by
     * (bucket, vec_id).
     */
   private def diversitySampleOracleSql: String =
-    s"""$ivfAssignOracleCtes,
+    s"""${ivfAssignOracleCtes()},
        |b AS (
        |  SELECT vec_id, cell,
-       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
        |  FROM a1),
        |ranked AS (
        |  SELECT cell, vec_id,
@@ -512,7 +546,8 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "x_ann_lsh" -> annLshOracleSql,
-    "x_ann_ivf" -> annIvfOracleSql,
+    "x_ann_ivf" -> annIvfOracleSql(),
+    "x_ann_ivf_k8r2" -> annIvfOracleSql(8, 2),
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (

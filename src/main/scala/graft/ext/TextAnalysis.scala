@@ -46,13 +46,17 @@ object TextAnalysis {
 
   /** The growth-stable md5 id bucket shared by the corpus sampler, the
     * train/val/test split, and CorpusPrep: adding docs never reassigns
-    * existing ones.
+    * existing ones. Folds EIGHT hex digits (0..2^32-1) before the mod:
+    * with mod = 10⁴ the residue non-uniformity is 2^32 mod 10⁴ buckets
+    * carrying one extra 1/2^32 sliver — ~2·10⁻⁶ relative, vs the ~0.9%
+    * a 4-digit (0..65535) fold would leave. Mirrored verbatim by every
+    * DuckDB twin as ('0x' || substr(md5(..), 1, 8))::BIGINT % mod.
     */
   private[ext] def md5Bucket(mod: Int,
       id: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
     pmod(
-      conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int"),
-      lit(mod))
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(mod.toLong))
 
   /** Language ID: per-language marker-token counts, argmax with
     * deterministic tie-break, 'und' fallback when no marker matches.
@@ -390,23 +394,21 @@ object TextAnalysis {
     val M = 1000000007L
     // Locale.ROOT: keeps the plain-Scala twin bitwise with Spark's
     // locale-independent lower() and the DuckDB oracle's lower().
-    val s = text.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
-    // ASCII guard: the char fold below == DuckDB's ord(substr) codepoint
-    // fold only below 0x80, and char POSITIONS (gram windows) would also
-    // shift vs character positions on multi-byte input — fail loudly.
-    var ci = 0
-    while (ci < s.length) {
-      if (s.charAt(ci) >= 0x80)
-        throw new IllegalArgumentException(graft.functions.HornerHash.nonAsciiMsg)
-      ci += 1
-    }
+    // CODE POINTS, not UTF-16 chars: DuckDB's substr positions and
+    // ord() are code-point-based, so both the fold values AND the gram
+    // window positions must index code points for the oracle to stay
+    // bitwise on non-ASCII text (a surrogate pair is one position, not
+    // two).
+    val s: Array[Int] =
+      text.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+        .codePoints().toArray
     if (s.length < k) {
       // Shorter than one gram: fingerprint the whole string with the same
       // Horner fold (NOT String.hashCode, which no SQL engine can
       // replicate) so the oracle's short-doc branch stays bitwise.
       var h = 0L
       var i = 0
-      while (i < s.length) { h = (h * B + s.charAt(i)) % M; i += 1 }
+      while (i < s.length) { h = (h * B + s(i)) % M; i += 1 }
       return Array(h)
     }
     // Weight of the outgoing char at subtraction time: the update below
@@ -420,8 +422,8 @@ object TextAnalysis {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * B + s.charAt(i)) % M
-      if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * B) % M
+      h = (h * B + s(i)) % M
+      if (i >= k) h = (h - s(i - k) * pow % M + M * B) % M
       if (i >= k - 1) hashes(i - k + 1) = h
       i += 1
     }
@@ -634,7 +636,7 @@ object TextAnalysis {
         |r AS (SELECT lang, sqrt(n_min / CAST(n_docs AS DOUBLE)) AS keep_rate FROM c, mn),
         |k AS (
         |  SELECT d.lang, r.keep_rate,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10000 AS bucket
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
         |  FROM documents d JOIN r ON d.lang = r.lang)
         |SELECT lang, COUNT(*) AS n_docs,
         |  COUNT(CASE WHEN bucket < keep_rate * 10000 THEN 1 END) AS n_kept,
@@ -704,7 +706,7 @@ object TextAnalysis {
     "x_train_val_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
         |  FROM documents)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,

@@ -164,18 +164,19 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
-/** horner_hash(s, mod): Horner fold h ← (h·31 + byte) mod `mod` over the
-  * string's UTF-8 bytes — an ENGINE-PORTABLE string hash. Unlike
-  * xxhash64/murmur it is reproducible in any SQL engine with integer
-  * arithmetic (the DuckDB oracles re-express it as a list_reduce over
-  * ord(substr(..))), which is what lets the MinHash/SimHash sketch
-  * queries be hash-gated instead of rows-only. Byte fold == codepoint
-  * fold ONLY on ASCII, so non-ASCII input throws (same message in the
-  * interpreted and codegen paths) instead of silently flipping every
-  * downstream hash gate against a codepoint-based oracle — a non-ASCII
-  * corpus should use the engine-native production path
-  * (Dedup.xDedupMinhashFast) or extend the oracles to codepoint folds.
-  * `mod` must be < 2^58 so h·31 + 255 cannot overflow a long.
+/** horner_hash(s, mod): Horner fold h ← (h·31 + codePoint) mod `mod`
+  * over the string's Unicode CODE POINTS — an ENGINE-PORTABLE string
+  * hash. Unlike xxhash64/murmur it is reproducible in any SQL engine
+  * with integer arithmetic (the DuckDB oracles re-express it as a
+  * list_reduce over ord(substr(..)), which yields code points at
+  * character positions), which is what lets the MinHash/SimHash sketch
+  * queries be hash-gated instead of rows-only. Folding code points —
+  * not UTF-8 bytes — keeps that bitwise parity on ANY text, ASCII or
+  * not; a multilingual pretraining corpus flows through the sketch
+  * family unchanged. The interpreted and codegen paths share one
+  * decoder (`HornerHash.foldUtf8`, a static call the JIT inlines).
+  * `mod` must be < 2^58 so h·31 + 0x10FFFF cannot overflow a long
+  * (31·2^58 + 2^21 < 2^63).
   */
 case class HornerHash(child: Expression, mod: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -190,37 +191,13 @@ case class HornerHash(child: Expression, mod: Long)
       s"horner_hash expects string, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(a: Any): Any = {
-    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val v = bytes(i) & 0xff
-      if (v >= 0x80) throw new IllegalArgumentException(HornerHash.nonAsciiMsg)
-      h = (h * 31 + v) % mod
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(a: Any): Any =
+    HornerHash.foldUtf8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val bytes = ctx.freshName("bytes")
-      val h = ctx.freshName("h")
-      val i = ctx.freshName("i")
-      val v = ctx.freshName("v")
-      val msg = ctx.addReferenceObj("nonAsciiMsg", HornerHash.nonAsciiMsg,
-        "java.lang.String")
-      s"""
-         |byte[] $bytes = $a.getBytes();
-         |long $h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  int $v = $bytes[$i] & 0xff;
-         |  if ($v >= 0x80) throw new IllegalArgumentException($msg);
-         |  $h = ($h * 31L + $v) % ${mod}L;
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
+      s"${ev.value} = graft.functions.HornerHash.foldUtf8($a.getBytes(), ${mod}L);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -228,16 +205,52 @@ case class HornerHash(child: Expression, mod: Long)
 }
 
 object HornerHash {
-  /** Shared by the expression, the plain-Scala streaming/winnow twins,
-    * and the multimodal stubs, so every ASCII-only portable-hash surface
-    * fails with one searchable message.
+  /** Horner fold h ← (h·31 + codePoint) mod `mod` over the code points
+    * of a UTF-8 byte array, decoded in place (no String allocation in
+    * the per-row hot path). Shared by the Catalyst expression's
+    * interpreted AND generated code (static forwarder — callable from
+    * generated Java, inlined by the JIT), so the two paths cannot
+    * drift. Malformed sequences decode to U+FFFD one byte at a time,
+    * matching nothing the oracles will ever see (parquet strings are
+    * valid UTF-8) but keeping the fold total.
     */
-  private[graft] val nonAsciiMsg: String =
-    "portable Horner hash is ASCII-only (byte fold == DuckDB codepoint " +
-    "fold only below 0x80); non-ASCII input would silently diverge from " +
-    "every hash-gated oracle, so it fails loudly here instead. Use the " +
-    "engine-native production path (e.g. Dedup.xDedupMinhashFast) for " +
-    "non-ASCII corpora."
+  def foldUtf8(bytes: Array[Byte], mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      } else { cp = 0xfffd; i += 1 }
+      h = (h * 31 + cp) % mod
+    }
+    h
+  }
+
+  /** Code-point Horner fold over a JVM String — the plain-Scala twin of
+    * `foldUtf8` for the streaming / mapPartitions paths that already
+    * hold a String. Surrogate pairs fold as one code point, exactly
+    * like the byte decoder and DuckDB's ord(substr(..)).
+    */
+  def foldString(s: String, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
 }
 
 /** nearest_centroid(v): argmin over squared-L2 distance to a fixed

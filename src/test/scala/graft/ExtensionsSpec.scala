@@ -310,15 +310,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
-  test("horner_hash matches a reference byte fold and stays codegen'd") {
+  test("horner_hash matches a reference code-point fold and stays codegen'd") {
     val p = 1000000007L
     val df = Tables.documents(spark, sf).limit(64)
       .select(col("doc_id"), col("text"),
         functions.VectorFunctions.hornerHash(col("text"), p).as("h"))
     df.collect().foreach { r =>
-      val bytes = r.getString(1).getBytes("UTF-8")
+      // The reference fold is DuckDB's ord(substr(s, j, 1)) — Unicode
+      // code points at character positions.
       var expected = 0L
-      bytes.foreach { b => expected = (expected * 31 + (b & 0xff)) % p }
+      r.getString(1).codePoints().forEach(cp => expected = (expected * 31 + cp) % p)
       assert(r.getLong(2) == expected, s"doc ${r.getLong(0)}")
     }
     val hasWsc = df.queryExecution.executedPlan.collectFirst {
@@ -327,26 +328,90 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hasWsc, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
 
-  test("portable-hash surfaces reject non-ASCII loudly instead of diverging") {
+  test("portable hashes fold code points: every twin agrees on non-ASCII text") {
     import spark.implicits._
-    // horner_hash (codegen path): byte fold != codepoint fold past 0x7f,
-    // so a non-ASCII doc must fail the job, not flip oracle gates.
-    val ex = intercept[Exception] {
-      Seq("café au lait").toDF("text")
-        .select(functions.VectorFunctions.hornerHash(col("text"), 1000000007L))
-        .collect()
+    val p = 1000000007L
+    val texts = Seq(
+      "café au lait crème brûlée déjà vu",
+      "日本語 の テキスト 重複 検出 テスト",
+      "emoji 😀 mix 中文 and ascii here",
+      "naïve approach to winnowing tëxt")
+    // horner_hash expression (codegen), the UTF-8 byte decoder, and the
+    // String twin must all equal the DuckDB-style code-point fold.
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        functions.VectorFunctions.hornerHash(col("text"), p).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      var expected = 0L
+      s.codePoints().forEach(cp => expected = (expected * 31 + cp) % p)
+      assert(r.getLong(1) == expected, s"expression fold diverges on '$s'")
+      assert(functions.HornerHash.foldString(s, p) == expected,
+        s"foldString diverges on '$s'")
+      assert(functions.HornerHash.foldUtf8(s.getBytes("UTF-8"), p) == expected,
+        s"foldUtf8 diverges on '$s'")
     }
-    def msgChain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).toSeq
-    assert(msgChain(ex).exists(_.contains("ASCII-only")), s"unexpected error: $ex")
-    // the plain-Scala twins share the guard
-    assert(intercept[IllegalArgumentException] {
-      ext.Dedup.minhashBandKeys("déjà vu encore une fois")
-    }.getMessage.contains("ASCII-only"))
-    assert(intercept[IllegalArgumentException] {
-      ext.TextAnalysis.winnowFingerprints("naïve approach to winnowing text")
-    }.getMessage.contains("ASCII-only"))
+    // The streaming minhash twin must produce exactly the batch banding
+    // keys on non-ASCII docs too: recompute sigs through the Catalyst
+    // path and fold bands with the shared formula.
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigRows = ext.Dedup.minhashSigs(docs).collect()
+      .map(r => r.getLong(0) -> (0 until 64).map(i => r.getLong(i + 1))).toMap
+    val P = 1000000007L
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val sig = sigRows(i.toLong)
+      val expectedKeys = (0 until 16).map { b =>
+        val fold = ((((sig(4 * b) * 31 + sig(4 * b + 1)) % P) * 31
+          + sig(4 * b + 2)) % P * 31 + sig(4 * b + 3)) % P
+        (b.toLong << 32) | fold
+      }
+      assert(ext.Dedup.minhashBandKeys(t) == expectedKeys,
+        s"streaming band keys diverge from batch sigs on '$t'")
+    }
+    // Winnow: positions index code points — a supplementary-plane char
+    // (2 UTF-16 units) is ONE position, so this 7-code-point string
+    // takes the short-doc branch and folds to the hand-computed value.
+    val shortDoc = "a😀bc d é"   // "a😀bcdé" after space strip: 6 cps
+    val cps = "a😀bcdé".codePoints().toArray
+    var h = 0L
+    cps.foreach(cp => h = (h * 257 + cp) % 1000000007L)
+    assert(ext.TextAnalysis.winnowFingerprints(shortDoc).toSeq == Seq(h),
+      "winnow short-branch fold must index code points, not UTF-16 chars")
+    // And a long non-ASCII doc just works (no throw, deterministic).
+    val long = Seq.fill(6)("日本語テキストの重複検出").mkString(" ")
+    val fp = ext.TextAnalysis.winnowFingerprints(long)
+    assert(fp.nonEmpty && fp.sameElements(ext.TextAnalysis.winnowFingerprints(long)))
+  }
+
+  test("non-ASCII corpus flows through the gated sketch queries end to end") {
+    import spark.implicits._
+    // Build a small UTF-8 documents table with the sf schema (planted
+    // duplicate pairs included), write it as parquet, and run the
+    // portable-hash-gated queries against it — the exact surfaces the
+    // old ASCII guard used to hard-fail.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_utf8_corpus")
+      .toString
+    val base = Tables.documents(spark, sf).limit(30)
+      .withColumn("text",
+        concat(lit("héllø wörld 日本語 プレ トレーニング "), col("text")))
+    val dups = base.limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    base.unionByName(dups).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // MinHash: planted identical texts must collide with est_jaccard 1.0.
+    val mh = ext.Dedup.xDedupMinhashLsh(spark, tmp)
+    assert(mh.filter(col("est_jaccard") === 1.0).count() >= 5,
+      "planted UTF-8 duplicates must survive the minhash banding join")
+    // SimHash: identical texts => hamming 0.
+    val sh = ext.Dedup.xDedupSimhash(spark, tmp)
+    assert(sh.filter(col("hamming") === 0).count() >= 5,
+      "planted UTF-8 duplicates must collide in simhash bands")
+    // Winnow + multimodal stubs: run non-degenerate, no throw.
+    assert(ext.TextAnalysis.xTextWinnow(spark, tmp).count() == 35)
+    assert(ext.Multimodal.xMultimodalFeatures(spark, tmp).count() == 35)
+    assert(ext.Multimodal.xMultimodalFrames(spark, tmp).count() >= 35)
   }
 
   test("horner_hash works via SQL registration") {

@@ -105,14 +105,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // pairs equal the batch operator's restricted to new-touching pairs
     // (the in-memory parity is pinned in ExtensionsSpec; this pins the
-    // parquet state round-trip + append lifecycle)
+    // parquet state round-trip + commit lifecycle)
     val batch = ext.Dedup.xDedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (d1, d2) => d1 >= split || d2 >= split }.toSet
     assert(pairs == batch, s"admitBatch pairs diverge: ${(pairs diff batch).take(3)}")
     // the state absorbed the batch: one signature row per document
-    assert(spark.read.parquet(statePath).count() == docs.count())
+    assert(Pipeline.readSigState(spark, statePath).count() == docs.count())
     assert(before < docs.count())
+
+    // IDEMPOTENT REPLAY: re-admitting the same batch (same content-derived
+    // batch id) must emit the identical pairs and leave the state
+    // untouched — no duplicate signatures, no duplicate candidates, ever.
+    val stateRows = spark.read.parquet(statePath).count()
+    val replay = Pipeline.admitBatch(spark, statePath,
+      docs.filter(col("doc_id") >= split)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == pairs, "replaying an admitted batch changed its pairs")
+    assert(spark.read.parquet(statePath).count() == stateRows,
+      "replaying an admitted batch grew the state")
+    assert(Pipeline.readSigState(spark, statePath).count() == docs.count())
+
+    // CRASH RECOVERY: simulate a failure between the staged write and the
+    // atomic rename — staging dir present, batch dir absent. The re-run
+    // must clear the stale staging, commit, and emit the same pairs.
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .map(_.getPath).find(p => p.getName.startsWith("batch_id=")
+        && p.getName != "batch_id=init").get
+    val staging = new org.apache.hadoop.fs.Path(statePath,
+      "_staging_" + batchDir.getName.stripPrefix("batch_id="))
+    fs.rename(batchDir, staging) // rewind the commit: staged, not renamed
+    assert(Pipeline.readSigState(spark, statePath).count() == before,
+      "partial (uncommitted) batch must be invisible to state reads")
+    val recovered = Pipeline.admitBatch(spark, statePath,
+      docs.filter(col("doc_id") >= split)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recovered == pairs, "recovery run changed the admitted pairs")
+    assert(Pipeline.readSigState(spark, statePath).count() == docs.count())
+    assert(!fs.exists(staging), "recovery must clear the stale staging dir")
   }
 
   test("hll sketch merge equals the full sketch and tracks the exact distinct count") {
