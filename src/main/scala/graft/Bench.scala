@@ -4,6 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs headline queries on SPARK_GRAFT_SF_DIR and prints
   * one JSON line {"metric":...,"value":...,"unit":"sec","queries":{...}}.
+  *
+  * MEASUREMENT TRUST (the r4/r5 lesson — sub-second queries showed >2×
+  * wall swings across sessions on untouched code, and best-of-3 wall
+  * within one session still swings ~3× on the heavies under host
+  * contention): wall time alone cannot adjudicate "regression vs noisy
+  * host", so every query also reports
+  *   - "cpu": executor CPU seconds of the best run (SparkListener task
+  *     metrics) — flat CPU + inflated wall = host contention, inflated
+  *     CPU = a real plan/code regression;
+  *   - "plans": the join strategies of the final (post-AQE) physical
+  *     plan, so an AQE flip (broadcast → sort-merge) is visible in the
+  *     recorded JSON instead of being guessed at post-hoc;
+  *   - "calibration_short": a second fixed probe shaped like the
+  *     sub-second queries (tiny input, one shuffle — dominated by job
+  *     scheduling + codegen overhead), alongside the original 10M-row
+  *     compute-shaped "calibration". Short-query anomalies normalize
+  *     against the short probe, heavies against the compute one.
   */
 object Bench {
   // Headline set: the flagship fact build + representative rollups,
@@ -70,6 +87,41 @@ object Bench {
     times.min
   }
 
+  /** Fixed OVERHEAD probe, shaped like the sub-second headline queries:
+    * a tiny input through one shuffle, where job scheduling, plan
+    * compilation, and codegen dominate and compute is negligible. The
+    * 10M-row probe above cannot normalize these (its cost is compute;
+    * a short query's cost is fixed overhead, and the two drift
+    * independently under host contention). Best-of-5 because single
+    * sub-100ms samples are the noisiest thing the bench measures.
+    */
+  def calibrationShort(spark: SparkSession): Double = {
+    val times = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000L, 1L, 32)
+        .selectExpr("id % 97 AS k", "id % 1048576 AS h")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("h").as("s"))
+        .orderBy("s")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.min
+  }
+
+  /** Join strategies of the final (post-AQE, post-execution) physical
+    * plan, as "Name:count" pairs — the recorded evidence that adjudicates
+    * "did AQE flip the join" without re-running the query.
+    */
+  private def joinStrategies(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(j => j -> ("(?m)^\\s*[+:*-]*\\s*" + j).r.findAllIn(plan).size)
+      .collect { case (j, n) if n > 0 => s"$j:$n" }
+      .mkString(",")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,38 +135,63 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Executor CPU accounting: task-end events accumulate here; deltas
+    // around each timed run give per-run CPU. The listener bus is async,
+    // so each delta read waits a beat (outside the wall timer) for the
+    // tail of events to drain — a straggling event bleeding into the
+    // next query would be a fraction of a task, noise-level.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    })
+    def cpuNow(): Long = { Thread.sleep(30); cpuNs.get() }
     // JVM / codegen warm-up on a small query so the first timed query
     // doesn't pay one-time class-loading cost.
     try SparkEntry.queries("a6_twokey_count")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val calib = calibration(spark)
+    val calibShort = calibrationShort(spark)
     var failed = List.empty[String]
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
+      var lastDf: org.apache.spark.sql.DataFrame = null
       // best-of-3: absorbs one-off JIT/GC noise per query. The cache is
       // cleared before each timed run so intra-query persist() still works
       // but nothing is served warm from a previous run or query.
-      val times = (1 to 3).map { _ =>
+      val runs = (1 to 3).map { _ =>
         spark.catalog.clearCache()
+        val cpu0 = cpuNow()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        try { val df = fn(spark, sfDir); df.count(); lastDf = df }
         catch { case e: Throwable =>
           if (!failed.contains(name)) {
             failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (cpuNow() - cpu0) / 1e9
+        (wall, cpu)
       }
       // A failed query reports -1 and is excluded from the total, so a
       // crash can't read as a fast success.
-      name -> (if (failed.contains(name)) -1.0 else times.min)
+      val ok = !failed.contains(name)
+      val best = runs.minBy(_._1)
+      val plans = if (ok && lastDf != null) {
+        try joinStrategies(lastDf) catch { case _: Throwable => "" }
+      } else ""
+      (name, if (ok) best._1 else -1.0, if (ok) best._2 else -1.0, plans)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, String)) => String): String =
+      results.map(f).mkString("{", ",", "}")
+    val qs = jmap { case (k, w, _, _) => "\"" + k + "\":" + w }
+    val cpu = jmap { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+    val plans = results.collect { case (k, _, _, p) if p.nonEmpty =>
+      "\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, t, _, _) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -112,14 +112,32 @@ object Pipeline {
 
   def admitBatch(spark: SparkSession, sigStatePath: String,
       newDocs: DataFrame, batchId: String = ""): DataFrame = {
-    val id = if (batchId.nonEmpty) batchId else {
-      // Content-derived default id: replaying the same doc-id range is
-      // recognized as the same batch without the caller naming it.
-      val r = newDocs.agg(min(col("doc_id")), max(col("doc_id")),
-        count(lit(1))).head
-      s"auto_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+    // Content-derived default id: replaying the same batch is recognized
+    // without the caller naming it. (min, max, count) alone is NOT
+    // content-unique — two interleaved id sets (e.g. {0,3,9} vs {0,5,9})
+    // collide, silently misclassifying the second as a replay — so the
+    // id also folds an order-independent digest of the full id set
+    // (xor of xxhash64(doc_id): commutative, so partitioning can't
+    // change it). An empty batch short-circuits to zero pairs BEFORE
+    // deriving the id (no row to fold) and commits nothing.
+    val stats = newDocs.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id")), bit_xor(xxhash64(col("doc_id")))).head
+    if (stats.getLong(0) == 0L) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("d1", LongType), StructField("d2", LongType),
+          StructField("est_jaccard", DoubleType))))
     }
-    require(!id.contains("/") && !id.contains("="), s"bad batch id: $id")
+    val id = if (batchId.nonEmpty) batchId else
+      s"auto_${stats.getLong(1)}_${stats.getLong(2)}_${stats.getLong(0)}_" +
+        java.lang.Long.toHexString(stats.getLong(3))
+    // Safe charset only: the id becomes a literal batch_id=<id> directory,
+    // but Spark partition discovery URL-unescapes %xx on read — an id
+    // containing '%' would read back as a DIFFERENT value and the replay
+    // exclusion would silently miss (duplicated pairs on replay). '/','='
+    // rejection alone left that hole open.
+    require(id.matches("[A-Za-z0-9_-]+"), s"bad batch id: $id")
     // State as of BEFORE this batch: pruning out batch_id=<id> makes the
     // pair computation a pure function of (prior state, batch) whether
     // or not a previous attempt already committed.

@@ -21,7 +21,12 @@ object ScaleProbe {
     "j3_a3_supplier_rollup", "w1_share_of_group", "p4p5_derived_prices",
     "x_dedup_exact", "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh",
     "x_dedup_simhash", "x_dedup_cluster",
-    "x_ann_lsh", "x_ann_ivf", "x_text_tfidf")
+    "x_ann_lsh", "x_ann_ivf", "x_text_tfidf",
+    // replication multiplies every gram's document frequency — the
+    // contamination join's and the composed corpus-prep pipeline's
+    // worst case, so the two most expensive non-probed queries run
+    // under the same stress that validated the dedup family
+    "x_text_contamination", "x_llm_corpus_prep")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Measures the streaming near-dup index's state-size plateau — the
+  * evidence behind SCALE.md's "state is O(buckets active within one TTL
+  * horizon), not O(all history)" claim, which through round 5 was only
+  * functionally spec'd (eviction works) but never MEASURED (a user sizing
+  * executor memory for a streaming dedup deployment needs the plateau,
+  * not the mechanism).
+  *
+  * Method: feed N unique documents through `StreamOps.dedupNearDupDocs`
+  * (TTL = 60 simulated minutes) at a FIXED simulated arrival rate (10
+  * docs/min), reading `lastProgress.stateOperators.numRowsTotal` after
+  * every micro-batch. Each doc occupies 16 (band, sig) buckets while
+  * inside the horizon. Because the rate is fixed, the active-horizon
+  * population is the same no matter how long the stream runs — so if
+  * eviction really bounds state, max state at 10N must equal max state
+  * at N (a plateau), while without eviction it would be 10× (16 rows per
+  * doc forever). Both `require`s encode exactly that.
+  *
+  * Usage: runMain graft.StreamStateProbe [nSmall] — runs N and 10N.
+  * Prints one JSON line with max/final state rows at both scales.
+  */
+object StreamStateProbe {
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = if (args.nonEmpty) args(0).toInt else 2000
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      // keyed state shuffles once per micro-batch; small partition count
+      // keeps per-batch overhead low so the probe runs hundreds of
+      // batches in minutes (state semantics are partition-independent)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ttlMs = 60L * 60 * 1000 // 60-minute dedup horizon
+    val docsPerSimMinute = 10
+    val docsPerBatch = 200 // = 20 simulated minutes per micro-batch
+
+    def run(n: Int, tag: String): (Long, Long) = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[streaming.StreamOps.DocIn]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_state_probe_$tag").toString
+      val q = streaming.StreamOps.dedupNearDupDocs(input.toDS(), ttlMs)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val t0 = 1700000000000L
+      var maxState = 0L
+      var finalState = 0L
+      var i = 0
+      while (i < n) {
+        val hi = math.min(i + docsPerBatch, n)
+        // 5 unique words -> 3 word-3-grams -> one signature, 16 buckets;
+        // texts are all distinct so buckets don't coalesce across docs.
+        input.addData((i until hi).map { k =>
+          streaming.StreamOps.DocIn(k.toLong,
+            new Timestamp(t0 + (k / docsPerSimMinute) * 60000L),
+            s"alpha$k beta$k gamma$k delta$k epsilon$k")
+        }: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty) {
+          finalState = p.stateOperators(0).numRowsTotal
+          if (finalState > maxState) maxState = finalState
+        }
+        i = hi
+      }
+      q.stop()
+      (maxState, finalState)
+    }
+
+    val (max1, fin1) = run(nSmall, "x1")
+    val (max10, fin10) = run(nSmall * 10, "x10")
+    println(s"""{"probe":"stream_neardup_state","ttl_min":60,"rate_docs_per_min":$docsPerSimMinute,""" +
+      s""""n_x1":$nSmall,"max_state_x1":$max1,"final_state_x1":$fin1,""" +
+      s""""n_x10":${nSmall * 10},"max_state_x10":$max10,"final_state_x10":$fin10,""" +
+      s""""unbounded_would_be_x10":${16L * nSmall * 10}}""")
+    // Plateau: 10x the stream length must not grow peak state (1.5x slack
+    // for micro-batch boundary effects), and peak state must sit far
+    // below the no-eviction bound of 16 rows per doc ever seen.
+    require(max10 <= (max1 * 1.5).toLong,
+      s"state did not plateau: max at 10x = $max10 vs $max1 at 1x")
+    require(max10 <= 16L * nSmall * 10 / 4,
+      s"peak state $max10 is within 4x of the unbounded bound — TTL eviction suspect")
+    spark.stop()
+  }
+}

@@ -33,7 +33,7 @@ object CorpusPrep {
     */
   private def predLang(spark: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("tok"))
+      explode(split(TextAnalysis.lowerS(col("text")), " ")).as("tok"))
     val markers = spark.createDataFrame(TextAnalysis.markers).toDF("tok", "cand_lang")
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("n"), col("cand_lang"))
     docs.select("doc_id")
@@ -50,7 +50,7 @@ object CorpusPrep {
     */
   private def contamination(docs: DataFrame): DataFrame = {
     val grams = docs
-      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("ws", split(TextAnalysis.lowerS(col("text")), " "))
       .select(col("doc_id"), col("source"), explode(
         when(size(col("ws")) >= 3,
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))

@@ -25,9 +25,16 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object Dedup {
 
+  /** Engine-portable lowercase (simple per-code-point mapping — what
+    * DuckDB's lower() does); the built-in lower() applies the JVM FULL
+    * mapping, which diverges on U+0130 / final sigma (see SimpleLower).
+    */
+  private def lowerS(c: Column): Column =
+    graft.functions.VectorFunctions.simpleLower(c)
+
   /** One row per (doc, lowercase word-3-gram occurrence), gram as string. */
   private def wordGramStrings(docs: DataFrame): DataFrame =
-    docs.withColumn("ws", split(lower(col("text")), " "))
+    docs.withColumn("ws", split(lowerS(col("text")), " "))
       .select(col("doc_id"), explode(
         when(size(col("ws")) >= 3,
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
@@ -49,7 +56,7 @@ object Dedup {
     * build side is one slim row per group).
     */
   def dedupCorpus(docs: DataFrame): DataFrame = {
-    val hashed = docs.withColumn("__h", md5(lower(trim(col("text")))))
+    val hashed = docs.withColumn("__h", md5(lowerS(trim(col("text")))))
     val keep = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
     hashed.join(keep, Seq("__h", "doc_id")).drop("__h")
   }
@@ -57,7 +64,7 @@ object Dedup {
   /** Exact dedup: group by content hash, keep lowest doc_id per group. */
   def xDedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+      .groupBy(md5(lowerS(trim(col("text")))).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy("text_hash")
 
@@ -262,9 +269,11 @@ object Dedup {
     * empty gram set producing no signature row).
     */
   private[graft] def minhashBandKeys(text: String): Seq[Long] = {
-    // Locale.ROOT: the batch twin uses Spark's locale-independent lower()
-    // (as do the DuckDB oracles) — a Turkish-default JVM must not diverge.
-    val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    // SIMPLE per-code-point lowercase (SimpleLower.lowerString): bitwise
+    // with the batch twin's simple_lower expression AND DuckDB's
+    // utf8proc lower() on any text — locale-independent by construction,
+    // no full-mapping İ/final-sigma divergence.
+    val ws = graft.functions.SimpleLower.lowerString(text).split(" ", -1)
     if (ws.length < 3) return Seq.empty
     val gs = (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
       .distinct
@@ -437,7 +446,7 @@ object Dedup {
     */
   def xDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), explode(split(lowerS(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h",
         graft.functions.VectorFunctions.hornerHash(col("tok"), SketchP))

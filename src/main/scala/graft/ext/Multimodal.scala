@@ -48,19 +48,26 @@ object Multimodal {
     // payload (positions AND values), matching the oracle's
     // ord(substr(text, j, 1)) over generate_series(1, length(text), 8)
     // bitwise on any text — ASCII or not. A real decoder works on the
-    // raw bytes; only the fake hash interprets them as text.
+    // raw bytes; only the fake hash interprets them as text. Lane i
+    // folds code points at positions ≡ i (mod 8) in order, so ONE
+    // in-place pass over the bytes (graft.functions.HornerHash
+    // .decodePacked — no String, no codePoints().toArray per row)
+    // updates lane (j mod 8) as code point j streams by.
     def stubDecode(bytes: Array[Byte]): Array[Float] = {
-      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .codePoints().toArray
-      Array.tabulate(8) { i =>
-        var h = (1125899906842597L + i) % 1000000007L
-        var j = i
-        while (j < cps.length) {
-          h = (h * 31 + cps(j)) % 1000000007L
-          j += 8
-        }
-        (h % 1000L) / 1000.0f
+      val h = new Array[Long](8)
+      var i = 0
+      while (i < 8) { h(i) = (1125899906842597L + i) % 1000000007L; i += 1 }
+      var j = 0
+      var p = 0
+      val n = bytes.length
+      while (p < n) {
+        val packed = graft.functions.HornerHash.decodePacked(bytes, p, n)
+        p += (packed & 3) + 1
+        val lane = j & 7
+        h(lane) = (h(lane) * 31 + (packed >>> 2)) % 1000000007L
+        j += 1
       }
+      Array.tabulate(8)(i => (h(i) % 1000L) / 1000.0f)
     }
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("asset"))
@@ -92,24 +99,39 @@ object Multimodal {
     // Frame windows and strides index the payload's CODE POINTS (like
     // stubDecode) so the oracle's character-position arithmetic holds on
     // any text — a real decoder would frame the raw bytes instead.
+    // Single in-place pass over the bytes: within a sampled frame, lane
+    // i folds within-frame offsets ≡ i (mod 4) in order, so streaming
+    // code point j updates lane ((j mod 64) mod 4) of the current frame;
+    // a full frame flushes when the next frame's first code point
+    // arrives. Only frame 0 may be emitted partial (nFrames =
+    // max(totalCps/64, 1) — any later partial tail is dropped, and a
+    // full frame f always satisfies f < nFrames).
     def sampleFrames(bytes: Array[Byte]): Seq[(Int, Array[Float])] = {
-      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .codePoints().toArray
-      val nFrames = math.max(cps.length / frameBytes, 1)
-      (0 until nFrames by sampleEvery).map { f =>
-        val off = f * frameBytes
-        val thumb = Array.tabulate(4) { i =>
-          var h = 17L + i
-          var j = off + i
-          val end = math.min(off + frameBytes, cps.length)
-          while (j < end) {
-            h = (h * 31 + cps(j)) % 1000000007L
-            j += 4
-          }
-          (h % 997L) / 1000.0f
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Float])]()
+      val h = new Array[Long](4)
+      def initH(): Unit = { var i = 0; while (i < 4) { h(i) = 17L + i; i += 1 } }
+      def thumb(): Array[Float] = Array.tabulate(4)(i => (h(i) % 997L) / 1000.0f)
+      initH()
+      var j = 0
+      var p = 0
+      val n = bytes.length
+      while (p < n) {
+        val packed = graft.functions.HornerHash.decodePacked(bytes, p, n)
+        p += (packed & 3) + 1
+        val f = j / frameBytes
+        val r = j - f * frameBytes
+        if (r == 0 && j > 0) {
+          if ((f - 1) % sampleEvery == 0) out += ((f - 1, thumb()))
+          if (f % sampleEvery == 0) initH()
         }
-        (f, thumb)
+        if (f % sampleEvery == 0)
+          h(r & 3) = (h(r & 3) * 31 + (packed >>> 2)) % 1000000007L
+        j += 1
       }
+      if (j == 0 || j < frameBytes) out += ((0, thumb())) // lone partial frame 0
+      else if (j % frameBytes == 0 && (j / frameBytes - 1) % sampleEvery == 0)
+        out += ((j / frameBytes - 1, thumb())) // text ended exactly on a frame edge
+      out.toSeq
     }
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("asset"))

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Engine-portable lowercase (simple per-code-point mapping, = DuckDB's
+    * utf8proc lower()); see graft.functions.SimpleLower for why the
+    * built-in lower() (JVM full mapping) would silently diverge from the
+    * oracles on Turkish/Greek text.
+    */
+  private[ext] def lowerS(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.simpleLower(c)
+
   // Shared with CorpusPrep's composed pipeline — single source of truth
   // so a marker/stopword/bucket change cannot desync the composition
   // from the operators it claims to compose.
@@ -51,6 +59,14 @@ object TextAnalysis {
     * carrying one extra 1/2^32 sliver — ~2·10⁻⁶ relative, vs the ~0.9%
     * a 4-digit (0..65535) fold would leave. Mirrored verbatim by every
     * DuckDB twin as ('0x' || substr(md5(..), 1, 8))::BIGINT % mod.
+    *
+    * MIGRATION NOTE (round 5): widening 4 → 8 hex digits was a ONE-TIME
+    * break of the growth-stability property ACROSS ENGINE VERSIONS —
+    * every doc's bucket was reassigned, so any train/val/test split,
+    * corpus sample, or diversity sample persisted by a pre-round-5 build
+    * changes membership under this one. Within a version the property
+    * holds as documented. A deployment that must preserve a persisted
+    * split pins the old 4-digit fold instead of upgrading it.
     */
   private[ext] def md5Bucket(mod: Int,
       id: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
@@ -64,7 +80,7 @@ object TextAnalysis {
   def xTextLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("tok"))
+      explode(split(lowerS(col("text")), " ")).as("tok"))
     val m = spark.createDataFrame(markers).toDF("tok", "cand_lang")
     val counts = toks.join(broadcast(m), Seq("tok"))
       .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("n"))
@@ -137,7 +153,7 @@ object TextAnalysis {
     */
   private[ext] def chunkRelation(docs: DataFrame): DataFrame =
     docs
-      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("ws", split(lowerS(col("text")), " "))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, cast(greatest(size(ws) - 1, 0) / 24 as int)),
           |  i -> struct(cast(i as bigint) as chunk_id, slice(ws, i * 24 + 1, 32) as ctoks))""".stripMargin))
@@ -159,9 +175,10 @@ object TextAnalysis {
   def xTextRedact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr("size(filter(split(lower(text), ' '), x -> x IN ('customer', 'order')))")
+        size(filter(split(lowerS(col("text")), " "),
+          x => x.isin("customer", "order")))
           .cast("long").as("n_masked"),
-        md5(regexp_replace(lower(col("text")), "\\b(customer|order)\\b", "<ENT>"))
+        md5(regexp_replace(lowerS(col("text")), "\\b(customer|order)\\b", "<ENT>"))
           .as("redacted_hash"))
       .orderBy("doc_id")
 
@@ -177,7 +194,7 @@ object TextAnalysis {
     */
   def xTextUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), explode(split(lowerS(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
     val total = freq.agg(sum(col("n")).as("t"))
@@ -217,7 +234,7 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     def gramCounts(n: Int): DataFrame = {
       val mk = (0 until n).map(i => s"ws[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
-      docs.withColumn("ws", split(lower(col("text")), " "))
+      docs.withColumn("ws", split(lowerS(col("text")), " "))
         .select(col("doc_id"), explode(
           when(size(col("ws")) >= n,
             expr(s"transform(sequence(0, size(ws) - $n), i -> $mk)"))
@@ -270,8 +287,8 @@ object TextAnalysis {
   def xTextFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), " ", "")).as("content_hash"),
-        md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))
+        md5(regexp_replace(lowerS(col("text")), " ", "")).as("content_hash"),
+        md5(array_join(array_sort(array_distinct(split(lowerS(col("text")), " "))), " "))
           .as("vocab_fingerprint"))
       .orderBy("doc_id")
 
@@ -286,7 +303,7 @@ object TextAnalysis {
   def xTextTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("doc_id"), explode(split(lowerS(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -342,7 +359,7 @@ object TextAnalysis {
     */
   def xTextContamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
-      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("ws", split(lowerS(col("text")), " "))
       .select(col("doc_id"), col("source"), explode(
         when(size(col("ws")) >= 3,
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
@@ -392,15 +409,17 @@ object TextAnalysis {
     val w = 16      // winnow window
     val B = 257L
     val M = 1000000007L
-    // Locale.ROOT: keeps the plain-Scala twin bitwise with Spark's
-    // locale-independent lower() and the DuckDB oracle's lower().
+    // SIMPLE per-code-point lowercase (SimpleLower.lowerString) — bitwise
+    // with the Spark side's simple_lower AND DuckDB's utf8proc lower()
+    // on any text (the JVM FULL mapping would shift both fold values and
+    // gram positions on U+0130 / final sigma).
     // CODE POINTS, not UTF-16 chars: DuckDB's substr positions and
     // ord() are code-point-based, so both the fold values AND the gram
     // window positions must index code points for the oracle to stay
     // bitwise on non-ASCII text (a surrogate pair is one position, not
     // two).
     val s: Array[Int] =
-      text.toLowerCase(java.util.Locale.ROOT).replace(" ", "")
+      graft.functions.SimpleLower.lowerString(text).replace(" ", "")
         .codePoints().toArray
     if (s.length < k) {
       // Shorter than one gram: fingerprint the whole string with the same

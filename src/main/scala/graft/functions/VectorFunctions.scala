@@ -205,14 +205,65 @@ case class HornerHash(child: Expression, mod: Long)
 }
 
 object HornerHash {
+  /** Decode ONE code point at byte offset `i` of a UTF-8 byte array,
+    * returning `(codePoint << 2) | (byteLength - 1)` packed in an Int.
+    * Malformed input replays the JVM String decoder's replacement
+    * semantics EXACTLY (empirically pinned — it is close to, but not,
+    * the Unicode maximal-subpart recommendation): a bad lead or a lead
+    * whose FIRST continuation is positionally invalid (non-continuation,
+    * E0 overlong, F0 overlong, F4 out-of-range, any F5..FF) burns one
+    * U+FFFD for the lead byte alone; a later bad continuation burns one
+    * U+FFFD for the bytes before it; a truncated-at-end sequence whose
+    * bytes so far pass those positional checks collapses to one U+FFFD;
+    * and a fully-assembled ED-lead surrogate (ED A0..BF XX) consumes
+    * all three bytes for one U+FFFD. This keeps the decoder
+    * bitwise-interchangeable with `new String(bytes, UTF_8)`-based
+    * twins on ANY bytes, valid or not — spec-pinned against the JVM
+    * decoder on targeted shapes + random byte arrays in PropertySpec.
+    */
+  def decodePacked(bytes: Array[Byte], i: Int, n: Int): Int = {
+    val b0 = bytes(i) & 0xff
+    if (b0 < 0x80) b0 << 2
+    else if (b0 < 0xc2) 0xfffd << 2 // bare continuation or overlong C0/C1
+    else if (b0 < 0xe0) {
+      if (i + 1 < n && (bytes(i + 1) & 0xc0) == 0x80)
+        ((((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)) << 2) | 1
+      else 0xfffd << 2
+    } else if (b0 < 0xf0) {
+      val b1 = if (i + 1 < n) bytes(i + 1) & 0xff else -1
+      // positional first-continuation checks (reject the lead alone):
+      // not a continuation, or E0's overlong range. ED's surrogate range
+      // is NOT positional — the JVM only rejects it post-assembly.
+      if (b1 == -1 || (b1 & 0xc0) != 0x80 || (b0 == 0xe0 && b1 < 0xa0))
+        0xfffd << 2
+      else if (i + 2 >= n || (bytes(i + 2) & 0xc0) != 0x80) (0xfffd << 2) | 1
+      else {
+        val cp = ((b0 & 0x0f) << 12) | ((b1 & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        if (cp >= 0xd800 && cp <= 0xdfff) (0xfffd << 2) | 2 // one FFFD, 3 bytes
+        else (cp << 2) | 2
+      }
+    } else if (b0 < 0xf5) {
+      // F0 rejects overlong (90..BF); F4 rejects > U+10FFFF (80..8F)
+      val lo = if (b0 == 0xf0) 0x90 else 0x80
+      val hi = if (b0 == 0xf4) 0x8f else 0xbf
+      val b1 = if (i + 1 < n) bytes(i + 1) & 0xff else -1
+      if (b1 < lo || b1 > hi) 0xfffd << 2
+      else if (i + 2 >= n || (bytes(i + 2) & 0xc0) != 0x80) (0xfffd << 2) | 1
+      else if (i + 3 >= n || (bytes(i + 3) & 0xc0) != 0x80) (0xfffd << 2) | 2
+      else ((((b0 & 0x07) << 18) | ((b1 & 0x3f) << 12) |
+        ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)) << 2) | 3
+    } else 0xfffd << 2 // F5..FF: never valid UTF-8
+  }
+
   /** Horner fold h ← (h·31 + codePoint) mod `mod` over the code points
     * of a UTF-8 byte array, decoded in place (no String allocation in
     * the per-row hot path). Shared by the Catalyst expression's
     * interpreted AND generated code (static forwarder — callable from
     * generated Java, inlined by the JIT), so the two paths cannot
-    * drift. Malformed sequences decode to U+FFFD one byte at a time,
-    * matching nothing the oracles will ever see (parquet strings are
-    * valid UTF-8) but keeping the fold total.
+    * drift. Malformed sequences fold the same U+FFFDs the JVM String
+    * decoder produces (see `decodePacked`), so the expression and the
+    * String-based twins agree even on invalid bytes a parquet
+    * BINARY-as-string column might carry.
     */
   def foldUtf8(bytes: Array[Byte], mod: Long): Long = {
     var h = 0L
@@ -220,18 +271,12 @@ object HornerHash {
     val n = bytes.length
     while (i < n) {
       val b0 = bytes(i) & 0xff
-      var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
-        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
-      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
-        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-          (bytes(i + 2) & 0x3f); i += 3
-      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
-        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
-      } else { cp = 0xfffd; i += 1 }
-      h = (h * 31 + cp) % mod
+      if (b0 < 0x80) { h = (h * 31 + b0) % mod; i += 1 }
+      else {
+        val packed = decodePacked(bytes, i, n)
+        h = (h * 31 + (packed >>> 2)) % mod
+        i += (packed & 3) + 1
+      }
     }
     h
   }
@@ -250,6 +295,108 @@ object HornerHash {
       i += Character.charCount(cp)
     }
     h
+  }
+}
+
+/** simple_lower(s): per-code-point SIMPLE Unicode lowercase — the
+  * ENGINE-PORTABLE lowercase. JVM/Spark `lower()` applies the FULL case
+  * mapping (SpecialCasing.txt: U+0130 İ → 'i' + U+0307, two code points;
+  * context-sensitive Greek final sigma), while DuckDB's utf8proc applies
+  * the simple 1:1 mapping from UnicodeData.txt (İ → 'i', Σ → σ always) —
+  * so any oracle-gated query that lowercases Turkish or Greek text through
+  * the built-in `lower()` silently diverges from its DuckDB twin in both
+  * hash values and token positions. This expression IS the simple mapping
+  * (`Character.toLowerCase(int)` per code point — verified to agree with
+  * DuckDB `lower()` on the divergent code points), so every gated
+  * lowercase goes through it and "bitwise with DuckDB on any text" holds.
+  * Residual divergence class (documented, not gated): Unicode VERSION skew
+  * — code points cased in a newer Unicode than the JDK's tables (JDK 17 =
+  * Unicode 13) lower as identity here but may map in a newer utf8proc.
+  */
+case class SimpleLower(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simple_lower expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SimpleLower.lower(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.SimpleLower.lower($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimpleLower {
+  /** Simple per-code-point lowercase of a UTF8String. ASCII fast path
+    * maps bytes in place (zero decode); otherwise decodes via
+    * `HornerHash.decodePacked` (JVM replacement semantics on malformed
+    * bytes) and maps each code point through `Character.toLowerCase`.
+    * Simple mappings are 1:1 in code points but NOT in bytes (e.g.
+    * U+023A Ⱥ, 2 bytes → U+2C65 ⱥ, 3 bytes), hence the StringBuilder.
+    */
+  def lower(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    var asciiNoUpper = true
+    while (asciiNoUpper && i < n) {
+      val x = b(i) & 0xff
+      if (x >= 0x80 || (x >= 'A' && x <= 'Z')) asciiNoUpper = false else i += 1
+    }
+    if (asciiNoUpper) return s
+    // second scan: all-ASCII? (i points at the first non-lower byte)
+    var ascii = true
+    var j = i
+    while (ascii && j < n) { if ((b(j) & 0xff) >= 0x80) ascii = false else j += 1 }
+    if (ascii) {
+      val out = new Array[Byte](n)
+      System.arraycopy(b, 0, out, 0, n)
+      var k = i
+      while (k < n) {
+        val x = out(k)
+        if (x >= 'A' && x <= 'Z') out(k) = (x + 32).toByte
+        k += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+    } else {
+      val sb = new java.lang.StringBuilder(n)
+      var p = 0
+      while (p < n) {
+        val packed = HornerHash.decodePacked(b, p, n)
+        sb.appendCodePoint(Character.toLowerCase(packed >>> 2))
+        p += (packed & 3) + 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+  }
+
+  /** The plain-String twin for mapPartitions / streaming paths. */
+  def lowerString(s: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80 || (c >= 'A' && c <= 'Z')) clean = false else i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var p = 0
+    while (p < s.length) {
+      val cp = s.codePointAt(p)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      p += Character.charCount(cp)
+    }
+    sb.toString
   }
 }
 
@@ -482,6 +629,8 @@ object VectorFunctions {
           case other => throw new IllegalArgumentException(
             s"horner_hash(s, mod): mod must be an integer literal, got $other")
         }), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simple_lower", exprs => SimpleLower(exprs(0)), "scala_udf")
   }
 
   /** Column API: dot_product(a, b) as a codegen'd expression. */
@@ -501,6 +650,15 @@ object VectorFunctions {
   def hornerHash(s: Column, mod: Long): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(HornerHash(GraftSqlBridge.expression(s), mod))
+  }
+
+  /** Column API: engine-portable simple (per-code-point) lowercase —
+    * use this, never the built-in `lower()`, wherever the result feeds
+    * an oracle-gated value (DuckDB's lower() is the simple mapping).
+    */
+  def simpleLower(s: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(SimpleLower(GraftSqlBridge.expression(s)))
   }
 
   /** Column API: index of the squared-L2-nearest centroid to vector `v`. */

@@ -68,6 +68,90 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("foldUtf8 matches the JVM String decoder on arbitrary bytes, malformed included") {
+    // The decoder claims JVM replacement semantics (one U+FFFD per
+    // maximal subpart) so the Catalyst byte path and the String twins
+    // can never diverge — even on invalid UTF-8 from a BINARY-as-string
+    // parquet column. Referee: new String(bytes, UTF_8) itself.
+    val mod = 1000000007L
+    def check(bytes: Array[Byte], label: String): Unit = {
+      val viaString = functions.HornerHash.foldString(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8), mod)
+      val viaBytes = functions.HornerHash.foldUtf8(bytes, mod)
+      assert(viaBytes == viaString,
+        s"$label: ${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+    // targeted malformed shapes (the ADVICE cases and their neighbors)
+    Seq[Array[Int]](
+      Array(0xc2, 0x41),             // 2-byte lead + non-continuation
+      Array(0xc2),                   // truncated 2-byte tail
+      Array(0xe0, 0x80, 0x80),       // overlong 3-byte
+      Array(0xe1, 0x80),             // truncated 3-byte tail (valid prefix)
+      Array(0xed, 0xa0, 0x80),       // surrogate encoding
+      Array(0xf0, 0x8f, 0x80, 0x80), // overlong 4-byte
+      Array(0xf4, 0x90, 0x80, 0x80), // > U+10FFFF
+      Array(0xf1, 0x80, 0x80),       // truncated 4-byte tail
+      Array(0xf1, 0x80),             // shorter truncation
+      Array(0x80),                   // bare continuation
+      Array(0xff, 0x41, 0xc0, 0xaf)  // invalid lead + overlong C0
+    ).foreach(a => check(a.map(_.toByte), "targeted"))
+    // randomized: valid UTF-8 fragments spliced with raw random bytes
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      (0 until rnd.nextInt(12)).foreach { _ =>
+        if (rnd.nextBoolean()) {
+          val cp = rnd.nextInt(0x110000) match {
+            case c if c >= 0xd800 && c <= 0xdfff => 0x41
+            case c => c
+          }
+          out ++= new String(Character.toChars(cp)).getBytes("UTF-8")
+        } else out += rnd.nextInt(256).toByte
+      }
+      check(out.toArray, "random")
+    }
+  }
+
+  test("simple_lower: expression == String twin == per-code-point model, incl. İ and Σ") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def model(s: String): String = {
+      val sb = new java.lang.StringBuilder
+      s.codePoints().map(Character.toLowerCase).forEach(sb.appendCodePoint(_))
+      sb.toString
+    }
+    // the divergent-by-design cases: DuckDB's utf8proc (verified: İ → i,
+    // ΑΣ → ασ) vs the JVM FULL mapping (İ → i + U+0307, ΑΣ → ας)
+    assert(functions.SimpleLower.lowerString("İstanbul") == "istanbul")
+    assert(functions.SimpleLower.lowerString("ΑΣ") == "ασ")
+    assert("İstanbul".toLowerCase(java.util.Locale.ROOT) != "istanbul",
+      "JVM full mapping no longer diverges — re-evaluate whether SimpleLower is still needed")
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "HeLLo WORLD", "İİ", "ΣΣ Σ",
+      "ŉ ǅǄǆ ﬁ ß ẞ Ⱥ") ++ (1 to 200).map { _ =>
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(10)).foreach { _ =>
+        val cp = rnd.nextInt(0x110000) match {
+          case c if c >= 0xd800 && c <= 0xdfff => 0x5a
+          case c => c
+        }
+        sb.appendCodePoint(cp)
+      }
+      sb.toString
+    }
+    strs.foreach { s =>
+      val twin = functions.SimpleLower.lowerString(s)
+      assert(twin == model(s), s"twin != model on ${s.take(20)}")
+      assert(functions.SimpleLower.lower(UTF8String.fromString(s)).toString == twin,
+        s"UTF8String path != twin on ${s.take(20)}")
+    }
+    // codegen path through a DataFrame
+    val got = strs.toDF("s")
+      .select(col("s"), functions.VectorFunctions.simpleLower(col("s")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    strs.foreach(s => assert(got(s) == model(s), s"codegen != model on ${s.take(20)}"))
+  }
+
   test("salted join row multiset equals the plain join for any salt count") {
     import spark.implicits._
     samples(3).zip(Seq(1, 3, 7)).foreach { case (rows, salts) =>
