@@ -393,9 +393,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // old ASCII guard used to hard-fail.
     val tmp = java.nio.file.Files.createTempDirectory("graft_utf8_corpus")
       .toString
+    // The prefix deliberately includes the two code points where the JVM
+    // FULL lowercase diverges from the simple mapping (İ U+0130 → i +
+    // combining dot; ΑΣ → ας with final sigma): simple_lower keeps the
+    // whole sketch family on the 1:1 mapping DuckDB uses, so Turkish and
+    // Greek text flows through the same gated path as everything else.
     val base = Tables.documents(spark, sf).limit(30)
       .withColumn("text",
-        concat(lit("héllø wörld 日本語 プレ トレーニング "), col("text")))
+        concat(lit("héllø wörld İstanbul ΑΣ 日本語 プレ トレーニング "), col("text")))
     val dups = base.limit(5)
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
     base.unionByName(dups).coalesce(1)

@@ -147,6 +147,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!fs.exists(staging), "recovery must clear the stale staging dir")
   }
 
+  test("signature state: interleaved-id batches are distinct, empty batches no-op, unsafe ids rejected") {
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted.take(6)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_sig_state2").toString + "/sigs"
+    Pipeline.initSigState(spark, docs.filter(col("doc_id") === ids(5)), statePath)
+    // Two batches with the SAME (min, max, count) but different id sets:
+    // {i0,i1,i4} vs {i0,i2,i4}. Before the content digest went into the
+    // auto id these collided — the second was misclassified as a replay
+    // of the first, its signatures silently never entered state.
+    val b1 = docs.filter(col("doc_id").isin(ids(0), ids(1), ids(4)))
+    val b2 = docs.filter(col("doc_id").isin(ids(0), ids(2), ids(4)))
+    Pipeline.admitBatch(spark, statePath, b1)
+    assert(Pipeline.readSigState(spark, statePath).count() == 4)
+    Pipeline.admitBatch(spark, statePath, b2)
+    assert(Pipeline.readSigState(spark, statePath).count() == 5,
+      "interleaved-id batch was misclassified as a replay: its signatures never entered state")
+    // Empty batch: zero pairs, no id derivation NPE, nothing committed.
+    val stateRows = spark.read.parquet(statePath).count()
+    assert(Pipeline.admitBatch(spark, statePath, docs.filter(lit(false))).count() == 0)
+    assert(spark.read.parquet(statePath).count() == stateRows)
+    // Ids outside [A-Za-z0-9_-]: '%' survives the write but partition
+    // discovery URL-unescapes it on read — reject loudly instead.
+    intercept[IllegalArgumentException] {
+      Pipeline.admitBatch(spark, statePath, b1, batchId = "bad%25id")
+    }
+  }
+
   test("hll sketch merge equals the full sketch and tracks the exact distinct count") {
     import org.apache.spark.sql.functions.to_date
     val li = Tables.lineitem(spark, sf)
