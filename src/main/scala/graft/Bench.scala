@@ -53,6 +53,8 @@ object Bench {
     "x_seq_pack",
     "x_emb_quantize",
     "x_text_contamination",
+    "x_text_ttr",
+    "x_split_leakage",
     "x_multimodal_frames",
     "x_corpus_sample",
     "x_train_val_split",

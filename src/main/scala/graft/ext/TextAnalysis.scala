@@ -376,6 +376,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Type-token ratio (vocabulary richness): distinct tokens over total
+    * tokens per document, in exact BASIS POINTS via integer floor-div
+    * (the avgMoney6/repetition idiom — no float-rounding hazard at any
+    * quotient). Low TTR is the classic boilerplate/keyword-stuffing
+    * signal complementing xTextRepetition's gram-level filters (a doc
+    * can have low bigram repetition yet a tiny vocabulary). Pure narrow
+    * map — nothing shuffles but the final ORDER BY.
+    */
+  def xTextTtr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(lowerS(col("text")), " "))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_types"),
+        expr("cast(size(array_distinct(ws)) as bigint) * 10000 div size(ws)")
+          .as("ttr_bp"))
+      .orderBy("doc_id")
+
+  /** Split-leakage audit: after the deterministic md5-bucket train/val/
+    * test assignment, the fraction of each held-out split's distinct
+    * word-3-grams that also appear in the TRAIN split's gram vocabulary
+    * — the post-split twin of xTextContamination (that one audits
+    * leakage against an external eval suite; this one audits the split
+    * itself, which a pipeline must check because document-level splits
+    * do NOT imply gram-level separation when near-duplicates straddle
+    * the split boundary). Same distributed-vocabulary join shape as
+    * contamination: the train vocab is deliberately unhinted (it grows
+    * with the corpus; AQE broadcasts it while it measures small), and
+    * leak rates are exact integer basis points.
+    */
+  def xSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Bucket(100)
+    val grams = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("ws", split(lowerS(col("text")), " "))
+      .select(col("doc_id"), col("split"), explode(
+        when(size(col("ws")) >= 3,
+          expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val trainVocab = grams.filter(col("split") === "train")
+      .select("gram").distinct().withColumn("hit", lit(1))
+    grams.filter(col("split") =!= "train")
+      .join(trainVocab, Seq("gram"), "left")
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_leaked"),
+        expr("count(hit) * 10000 div count(1)").as("leak_bp"))
+      .orderBy("split")
+  }
+
   /** Deterministic stratified train/val/test split: bucket by the md5 of
     * the doc id (stable under corpus growth — adding docs never reassigns
     * existing ones), 80/10/10, reported per (split, lang).
@@ -488,7 +541,9 @@ object TextAnalysis {
     "x_text_redact"      -> (xTextRedact _),
     "x_text_contamination" -> (xTextContamination _),
     "x_corpus_sample"    -> (xCorpusSample _),
-    "x_train_val_split"  -> (xTrainValSplit _))
+    "x_train_val_split"  -> (xTrainValSplit _),
+    "x_text_ttr"         -> (xTextTtr _),
+    "x_split_leakage"    -> (xSplitLeakage _))
 
   val oracle: Map[String, String] = Map(
     // Winnowing twin: the Spark side hashes each k-gram with a rolling
@@ -739,5 +794,40 @@ object TextAnalysis {
         |  md5(replace(lower(text), ' ', '')) AS content_hash,
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS vocab_fingerprint
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // TTR twin: // is DuckDB floor-div (== Spark's `div` on positive
+    // ints); len() casts pinned to BIGINT to match Spark's longs.
+    "x_text_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_types,
+        |  CAST((len(list_distinct(string_split(lower(text), ' '))) * 10000)
+        |    // len(string_split(lower(text), ' ')) AS BIGINT) AS ttr_bp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Split-leakage twin: same md5-bucket split as x_train_val_split,
+    // same gram explode as x_text_contamination, leak rate in exact
+    // integer basis points.
+    "x_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |    FROM documents)),
+        |g AS (
+        |  SELECT DISTINCT doc_id, split, gram FROM (
+        |    SELECT doc_id, split,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, split, string_split(lower(text), ' ') AS ws FROM d))),
+        |tv AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+        |SELECT split, COUNT(DISTINCT g.doc_id) AS n_docs,
+        |  COUNT(*) AS n_grams, COUNT(tv.gram) AS n_leaked,
+        |  CAST((COUNT(tv.gram) * 10000) // COUNT(*) AS BIGINT) AS leak_bp
+        |FROM g LEFT JOIN tv ON g.gram = tv.gram
+        |WHERE g.split <> 'train'
+        |GROUP BY split
+        |ORDER BY split""".stripMargin)
 }

@@ -417,6 +417,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ext.TextAnalysis.xTextWinnow(spark, tmp).count() == 35)
     assert(ext.Multimodal.xMultimodalFeatures(spark, tmp).count() == 35)
     assert(ext.Multimodal.xMultimodalFrames(spark, tmp).count() >= 35)
+    // TTR + split leakage on the same UTF-8 corpus: the planted replicas
+    // share every gram with their originals, so whichever held-out split
+    // a replica lands in must report non-zero leakage when its original
+    // landed in train (and the audit runs clean on non-ASCII text).
+    assert(ext.TextAnalysis.xTextTtr(spark, tmp).count() == 35)
+    val leak = ext.TextAnalysis.xSplitLeakage(spark, tmp)
+    assert(leak.count() <= 2 && leak.filter(col("leak_bp") < 0).count() == 0)
   }
 
   test("horner_hash works via SQL registration") {
