@@ -117,9 +117,16 @@ object Bench {
     */
   private def joinStrategies(df: org.apache.spark.sql.DataFrame): String = {
     val plan = df.queryExecution.executedPlan.toString
+    // Plain occurrence count: a line-anchored prefix match misses nodes
+    // inside WholeStageCodegen spans, which print as "*(4) SortMergeJoin"
+    // — and a missed sort-merge join is exactly the flip this exists to
+    // record. Node names only ever appear as plan lines, so counting
+    // occurrences is exact (BroadcastNestedLoopJoin is counted before
+    // its BroadcastHashJoin substring could double-count — it can't,
+    // the names share no substring, but keep them distinct anyway).
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct")
-      .map(j => j -> ("(?m)^\\s*[+:*-]*\\s*" + j).r.findAllIn(plan).size)
+      .map(j => j -> j.r.findAllIn(plan).size)
       .collect { case (j, n) if n > 0 => s"$j:$n" }
       .mkString(",")
   }
