@@ -45,6 +45,7 @@ object Bench {
     "x_knn_bruteforce",
     "x_ann_lsh",
     "x_ann_ivf",
+    "x_ann_ivf_admit",
     "x_dedup_emb_cosine",
     "x_text_quality",
     "x_text_tokens",

@@ -249,17 +249,22 @@ object Similarity {
     * oracle generator loops one CTE block per round). ScaleProbe gates
     * the k=64, 3-round arm at 10× replication.
     */
-  private def ivfAssigned(spark: SparkSession, dir: String,
-      k: Int = 16, rounds: Int = 1): (DataFrame, Array[Array[Double]]) = {
-    val e = withVecNorm(Tables.embeddings(spark, dir))
+  /** Seed + Lloyd-refine the coarse quantizer over `train` ONLY — shared
+    * by the full-corpus quantizer (train == corpus) and the incremental
+    * admission arm (train == the already-admitted half, centroids then
+    * FROZEN for new batches). Each round is one train-corpus pass + one
+    * k×dims exact-integer aggregate collected to the driver (bounded:
+    * k ≲ 10⁴ coarse cells — see SCALE.md's Lloyd note).
+    */
+  private def lloydCentroids(train: DataFrame, k: Int, rounds: Int): Array[Array[Double]] = {
     // deterministic seed centroids: the first k vectors by id
-    val seeds: Array[Array[Double]] = e.filter(col("vec_id") < k)
+    val seeds: Array[Array[Double]] = train.filter(col("vec_id") < k)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     // Lloyd refinement rounds: exact quantized per-cell mean (see scaladoc)
     var cents = seeds
     for (_ <- 0 until rounds) {
-      val assigned0 = e.withColumn("cell",
+      val assigned0 = train.withColumn("cell",
         VectorFunctions.nearestCentroid(col("embedding"), cents))
       // Keyed by cell id, NOT dense-packed: a cell that wins zero vectors
       // (possible when seed vectors duplicate) keeps its previous
@@ -281,9 +286,41 @@ object Similarity {
       val prev = cents
       cents = Array.tabulate(k)(c => byCell.getOrElse(c, prev(c)))
     }
+    cents
+  }
+
+  private def ivfAssigned(spark: SparkSession, dir: String,
+      k: Int = 16, rounds: Int = 1): (DataFrame, Array[Array[Double]]) = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val cents = lloydCentroids(e, k, rounds)
     (e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist(),
       cents)
+  }
+
+  /** Incremental IVF admission — the embedding-side counterpart of the
+    * MinHash signature-state admission: the coarse quantizer is trained
+    * ONCE on the already-admitted corpus (here: the lower-id half, split
+    * at (max_id+1)/2 so the boundary is a pure function of the corpus),
+    * its centroids FROZEN, and a new batch is assigned to cells with the
+    * codegen'd nearest_centroid pass alone — no re-clustering, no
+    * re-reading admitted vectors. That is the production pattern for a
+    * growing 100 TB vector corpus (train-once/assign-forever: one narrow
+    * map per ingest batch, O(batch·k·dims)); re-running Lloyd per batch
+    * would both cost a corpus pass AND silently move every existing
+    * vector's cell, invalidating persisted inverted lists. Hash-gated
+    * bitwise: the generated twin trains the same exact-integer quantizer
+    * on the same half and assigns the complement.
+    */
+  def xAnnIvfAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head.getLong(0)
+    val cents = lloydCentroids(e.filter(col("vec_id") < split), 16, 1)
+    e.filter(col("vec_id") >= split)
+      .select(col("vec_id"),
+        VectorFunctions.nearestCentroid(col("embedding"), cents)
+          .cast("long").as("cell"))
+      .orderBy("vec_id")
   }
 
   def xAnnIvf(spark: SparkSession, dir: String): DataFrame =
@@ -363,6 +400,7 @@ object Similarity {
     // pins the LOOPED Lloyd path (k=8, 2 rounds) bitwise, so the scale
     // parameterization is oracle-proven, not just probe-measured.
     "x_ann_ivf_k8r2"   -> ((s: SparkSession, d: String) => annIvf(s, d, 0L, 8, 2)),
+    "x_ann_ivf_admit"  -> (xAnnIvfAdmit _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _))
 
@@ -440,7 +478,15 @@ object Similarity {
     * ORDER BY (d, cell). The gated queries consume the (k=16, rounds=1)
     * default — identical semantics to round 4's frozen SQL.
     */
-  private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1): String = {
+  /** `trainWhere` restricts which vectors the quantizer LEARNS from
+    * (seed-distance pass d0/a0 and every non-final round's assignment) —
+    * the final round's d/a still assigns EVERY vector, so callers slice
+    * the population they care about from a{rounds}. "TRUE" (the gated
+    * ANN/diversity default) keeps the historical train-on-everything
+    * semantics byte-for-byte.
+    */
+  private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1,
+      trainWhere: String = "TRUE"): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 64),
@@ -455,7 +501,7 @@ object Similarity {
          |d0 AS (
          |  SELECT e.vec_id, s.cell,
          |    $dist AS d
-         |  FROM e, seeds s),
+         |  FROM (SELECT * FROM e WHERE $trainWhere) e, seeds s),
          |a0 AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
@@ -466,6 +512,10 @@ object Similarity {
       val prevC = if (r == 1) "seeds" else s"refc${r - 1}"
       val qv = s"qv$r"
       val refc = s"refc$r"
+      // training rounds assign only the training population; the final
+      // round assigns everyone (callers filter a$rounds as needed)
+      val src = if (r == rounds) "e"
+        else s"(SELECT * FROM e WHERE $trainWhere) e"
       s"""$qv AS (
          |  SELECT $prevA.cell, g.i,
          |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
@@ -480,7 +530,7 @@ object Similarity {
          |d$r AS (
          |  SELECT e.vec_id, s.cell, e.v, e.nrm,
          |    $dist AS d
-         |  FROM e, $refc s),
+         |  FROM $src, $refc s),
          |a$r AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
@@ -488,6 +538,19 @@ object Similarity {
          |    FROM d$r) WHERE rn = 1)""".stripMargin
     }
     (header +: roundBlocks).mkString(",\n")
+  }
+
+  /** The DuckDB twin of xAnnIvfAdmit: train the (k=16, rounds=1)
+    * quantizer on the lower-id half only, then read the frozen-centroid
+    * assignments of the upper half from the final (train-unrestricted)
+    * assignment CTE.
+    */
+  private def ivfAdmitOracleSql: String = {
+    val half = "(SELECT (max(vec_id) + 1) // 2 FROM e)"
+    s"""${ivfAssignOracleCtes(16, 1, s"vec_id < $half")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+       |FROM a1 WHERE vec_id >= $half
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
@@ -548,6 +611,7 @@ object Similarity {
     "x_ann_lsh" -> annLshOracleSql,
     "x_ann_ivf" -> annIvfOracleSql(),
     "x_ann_ivf_k8r2" -> annIvfOracleSql(8, 2),
+    "x_ann_ivf_admit" -> ivfAdmitOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (
