@@ -56,6 +56,8 @@ object Bench {
     "x_text_contamination",
     "x_text_ttr",
     "x_split_leakage",
+    "x_text_c4_rules",
+    "x_corpus_mix",
     "x_multimodal_frames",
     "x_corpus_sample",
     "x_train_val_split",

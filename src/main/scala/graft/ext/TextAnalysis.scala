@@ -346,6 +346,75 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Gopher/C4-style hard-rule quality gate (the rule-bundle complement
+    * of xTextQuality's continuous score): per-doc token-count bounds,
+    * mean-token-length bounds, a required minimum of common function
+    * words (the language-marker set, so the rule is not English-only),
+    * and a top-token dominance cap (keyword-stuffing / boilerplate
+    * signal). Every metric is exact-integer (micros / basis points via
+    * floor-div — the avgMoney6 idiom), the failed rules are reported as
+    * a bitmask (bit0 tokens, bit1 token length, bit2 function words,
+    * bit3 dominance), and keep = mask 0. The dominance mode is computed
+    * INSIDE the row (array_max over per-distinct-token counts, O(types ×
+    * tokens) on ≤ a few hundred tokens) rather than explode + groupBy —
+    * at 100 TB this keeps the whole gate a narrow map with zero shuffle,
+    * where the explode form would shuffle every token in the corpus.
+    */
+  def xTextC4Rules(spark: SparkSession, dir: String): DataFrame = {
+    val stopish = markers.map(_._1).map(t => s"'$t'").mkString("(", ", ", ")")
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(lowerS(col("text")), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("mean_tok_len_micros",
+        expr("cast(length(replace(text, ' ', '')) as bigint) * 1000000 div size(ws)"))
+      .withColumn("n_funcwords",
+        expr(s"cast(size(filter(ws, x -> x IN $stopish)) as bigint)"))
+      .withColumn("top_tok_bp",
+        expr("""cast(array_max(transform(array_distinct(ws),
+          |  w -> size(filter(ws, x -> x = w)))) as bigint) * 10000 div size(ws)""".stripMargin))
+      .withColumn("fail_mask",
+        when(col("n_tokens").between(25, 100000), lit(0L)).otherwise(lit(1L)) +
+          when(col("mean_tok_len_micros").between(3000000L, 10000000L), lit(0L)).otherwise(lit(2L)) +
+          when(col("n_funcwords") >= 2, lit(0L)).otherwise(lit(4L)) +
+          when(col("top_tok_bp") <= 1500, lit(0L)).otherwise(lit(8L)))
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len_micros"),
+        col("n_funcwords"), col("top_tok_bp"), col("fail_mask"),
+        when(col("fail_mask") === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget corpus mixing (the "data mixture" step that follows
+    * rebalancing): every language gets the SAME token budget — the
+    * smallest language's total — and fills its quota in growth-stable
+    * md5-bucket order (adding docs never evicts an already-kept one
+    * until the quota boundary moves), giving a deterministic
+    * equal-token multilingual mixture. One window cumsum per language
+    * partition + a 1-row broadcast quota scalar; all arithmetic is
+    * integer token counts, so the mixture is bitwise reproducible. At
+    * 100 TB the per-language cumsum is the only wide operation and its
+    * input is (id, lang, count) rows — text never shuffles.
+    */
+  def xCorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5Bucket(10000).as("bucket"))
+    val quota = toks.groupBy("lang").agg(sum("n_tokens").as("lt"))
+      .agg(min("lt").as("quota"))
+    val w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(quota))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("lang_tokens"),
+        count(when(col("cum") <= col("quota"), lit(1))).as("n_kept"),
+        sum(when(col("cum") <= col("quota"), col("n_tokens")).otherwise(lit(0L)))
+          .as("tokens_kept"),
+        max(col("quota")).as("quota"))
+      .orderBy("lang")
+  }
+
   /** Benchmark decontamination: per-document overlap of its distinct word
     * 3-grams with an evaluation set's gram vocabulary (here: docs from
     * source 'src0' stand in for the held-out benchmark; a real deployment
@@ -543,7 +612,9 @@ object TextAnalysis {
     "x_corpus_sample"    -> (xCorpusSample _),
     "x_train_val_split"  -> (xTrainValSplit _),
     "x_text_ttr"         -> (xTextTtr _),
-    "x_split_leakage"    -> (xSplitLeakage _))
+    "x_split_leakage"    -> (xSplitLeakage _),
+    "x_text_c4_rules"    -> (xTextC4Rules _),
+    "x_corpus_mix"       -> (xCorpusMix _))
 
   val oracle: Map[String, String] = Map(
     // Winnowing twin: the Spark side hashes each k-gram with a rolling
@@ -829,5 +900,59 @@ object TextAnalysis {
         |FROM g LEFT JOIN tv ON g.gram = tv.gram
         |WHERE g.split <> 'train'
         |GROUP BY split
-        |ORDER BY split""".stripMargin)
+        |ORDER BY split""".stripMargin,
+    // C4-rules twin: same integer micros/bp floor-divs (// == Spark div on
+    // non-negatives), same in-row dominance mode; the function-word list
+    // is the marker set, generated from the same Scala constant.
+    "x_text_c4_rules" -> {
+      val stopish = markers.map(_._1).map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        |    length(replace(text, ' ', '')) AS ch
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(ch * 1000000 // len(ws) AS BIGINT) AS mean_tok_len_micros,
+        |    CAST(len(list_filter(ws, x -> x IN $stopish)) AS BIGINT) AS n_funcwords,
+        |    CAST(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w)))) * 10000 // len(ws) AS BIGINT)
+        |      AS top_tok_bp
+        |  FROM t),
+        |f AS (
+        |  SELECT *, CAST(
+        |    CASE WHEN n_tokens BETWEEN 25 AND 100000 THEN 0 ELSE 1 END
+        |    + CASE WHEN mean_tok_len_micros BETWEEN 3000000 AND 10000000 THEN 0 ELSE 2 END
+        |    + CASE WHEN n_funcwords >= 2 THEN 0 ELSE 4 END
+        |    + CASE WHEN top_tok_bp <= 1500 THEN 0 ELSE 8 END AS BIGINT) AS fail_mask
+        |  FROM m)
+        |SELECT doc_id, n_tokens, mean_tok_len_micros, n_funcwords, top_tok_bp,
+        |  fail_mask,
+        |  CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
+    },
+    // Corpus-mix twin: same md5 bucket, same (bucket, doc_id) fill order,
+    // same integer window cumsum; DuckDB SUM(BIGINT) is HUGEINT, so every
+    // sum is cast back to BIGINT (the CLAUDE.md invariant).
+    "x_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents),
+        |q AS (SELECT CAST(MIN(lt) AS BIGINT) AS quota FROM (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS lt FROM t GROUP BY lang)),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+        |  COUNT(CASE WHEN cum <= quota THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN cum <= quota THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  MAX(quota) AS quota
+        |FROM c, q
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
 }

@@ -791,4 +791,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getString(0) == "click" && r.getLong(1) == 2 && r.getDouble(2) == 5.0))
     assert(out.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
+
+  test("c4 rule gate: mask bits imply keep, thresholds exercise both outcomes") {
+    val df = ext.TextAnalysis.xTextC4Rules(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // keep is exactly (fail_mask == 0), and every metric feeding a mask
+    // bit is consistent with the bit actually set.
+    rows.foreach { r =>
+      val mask = r.getAs[Long]("fail_mask")
+      assert(r.getAs[Long]("keep") == (if (mask == 0) 1L else 0L))
+      assert(((mask & 1) != 0) == !(r.getAs[Long]("n_tokens") >= 25 &&
+        r.getAs[Long]("n_tokens") <= 100000))
+      assert(((mask & 8) != 0) == (r.getAs[Long]("top_tok_bp") > 1500))
+    }
+    // the gate must not be degenerate on the test corpus
+    assert(rows.exists(_.getAs[Long]("keep") == 1L))
+    assert(rows.exists(_.getAs[Long]("keep") == 0L))
+    df.unpersist()
+  }
+
+  test("corpus mix: equal token quota, smallest language keeps everything") {
+    val rows = ext.TextAnalysis.xCorpusMix(spark, sf).collect()
+    assert(rows.length >= 2)
+    val quota = rows.head.getAs[Long]("quota")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("quota") == quota, "quota is a single global scalar")
+      assert(r.getAs[Long]("tokens_kept") <= quota,
+        s"${r.getAs[String]("lang")} overfilled its token budget")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // the language defining the quota keeps its whole corpus
+    assert(rows.exists(r => r.getAs[Long]("lang_tokens") == quota &&
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs")))
+  }
 }
