@@ -46,6 +46,7 @@ object Bench {
     "x_ann_lsh",
     "x_ann_ivf",
     "x_ann_ivf_admit",
+    "x_ann_pq",
     "x_dedup_emb_cosine",
     "x_text_quality",
     "x_text_tokens",

@@ -109,6 +109,15 @@ object ScaleProbe {
     val tCap0 = System.nanoTime()
     val recallCapped = ext.Similarity.probeRecall5(spark, work, idShift, 64)
     val tCap = (System.nanoTime() - tCap0) / 1e9
+    // PQ/ADC arm: the 8×16 codebook now quantizes an N×-larger corpus
+    // (every code cell N× fuller). On this gap-poor near-random corpus
+    // recall is governed by the shortlist FRACTION (the LSH candidate-
+    // fraction story), so the probe scales the shortlist with N —
+    // 32·N of N×-replicated vectors holds the 1× fraction constant —
+    // measuring that ADC ordering itself doesn't degrade as cells fill.
+    spark.catalog.clearCache()
+    val recallPq = ext.Similarity.probeRecall5Pq(spark, work, idShift,
+      32 * nReplicas)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
     }.mkString("{\"q\":{", ",",
@@ -116,6 +125,7 @@ object ScaleProbe {
       f",\"ivf_recall5_x$nReplicas%d\":$recallIvf%.2f" +
       f",\"ivf_k64r3_recall5_x$nReplicas%d\":$recallIvf64%.2f" +
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
+      f",\"pq_recall5_x$nReplicas%d\":$recallPq%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
     println(json)
     require(recall >= 0.8,
@@ -126,6 +136,10 @@ object ScaleProbe {
       f"IVF(k=64,r=3) recall@5 degraded to $recallIvf64%.2f at $nReplicas× replication")
     require(recallCapped >= 0.8,
       f"capped LSH ANN recall@5 degraded to $recallCapped%.2f at $nReplicas× replication")
+    // Lower floor than the uncompressed variants: PQ recall is bounded by
+    // quantization distortion (see the ExtensionsSpec gate's rationale).
+    require(recallPq >= 0.5,
+      f"PQ ANN recall@5 degraded to $recallPq%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

@@ -202,6 +202,15 @@ object Similarity {
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
       annIvf(spark, dir, replicaShift, k, rounds))
 
+  /** PQ/ADC recall under the same probe: replication multiplies every
+    * code cell's population, so this measures whether the 8×16 codebook
+    * still separates true neighbors from the bulk at N× corpus size.
+    */
+  def probeRecall5Pq(spark: SparkSession, dir: String, replicaShift: Long,
+      shortlist: Int = pqShortlist): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annPq(spark, dir, replicaShift, shortlist))
+
   private def meanRecall5(exactDf: DataFrame, approxDf: DataFrame): Double = {
     def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
       .groupBy(_.getAs[Long]("query_id"))
@@ -392,6 +401,135 @@ object Similarity {
         array_max(col("codes")).as("max_code"))
       .orderBy("vec_id")
 
+  // Product quantization: 64 dims → 8 subspaces × 8 dims, 16 centroids
+  // per subspace (one exact-integer Lloyd round each, same quantizer as
+  // IVF), so a vector compresses to 8 nibble codes. Deliberately small
+  // gated params; at 100 TB the standard config is m=16..64, k=256
+  // (1 byte/code) — the same code path, and the codebook stays a few KB.
+  private val pqM = 8
+  private val pqSub = 8
+  private val pqK = 16
+
+  /** One codebook per subspace, all m trained in a SINGLE corpus pass:
+    * per-subspace seed assignment (m codegen'd nearest_centroid columns)
+    * + one (subspace, cell, pos) exact-integer aggregate, then the same
+    * floor-div dequantized mean as lloydCentroids — identical arithmetic
+    * to running the shared Lloyd step per subspace (the generated oracle
+    * replays the per-subspace formulation), but 2 driver collects total
+    * instead of 2m. Collected size is m·k·sub rows (1024 doubles here —
+    * the SCALE.md Lloyd-note regime). Gated PQ is single-round; extra
+    * rounds would loop this same pass on the refined codebooks.
+    */
+  private def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val seedRows: Array[Array[Double]] = e.filter(col("vec_id") < pqK)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seeds: Array[Array[Array[Double]]] =
+      Array.tabulate(pqM)(s => seedRows.map(_.slice(s * pqSub, s * pqSub + pqSub)))
+    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+      expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), seeds(s)).as(s"cell$s"))
+    val byCell: Map[(Int, Int), Array[Double]] =
+      e.select(col("embedding") +: codeCols: _*)
+        .select(posexplode(col("embedding")).as(Seq("p", "x")),
+          array((0 until pqM).map(s => col(s"cell$s")): _*).as("cells"))
+        .select(expr(s"cast(p div $pqSub as int)").as("sub"),
+          expr(s"cast(p % $pqSub as int)").as("pos"),
+          expr(s"element_at(cells, cast(p div $pqSub + 1 as int))").as("cell"), col("x"))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("pos"),
+          (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+    // empty cells (duplicate seed vectors) keep their seed centroid —
+    // the same fallback as lloydCentroids and the oracle's COALESCE.
+    Array.tabulate(pqM)(s =>
+      Array.tabulate(pqK)(c => byCell.getOrElse((s, c), seeds(s)(c))))
+  }
+
+  // ADC shortlist size: candidates surviving the compressed-domain scan
+  // into the exact re-rank. What stays fixed as the corpus grows depends
+  // on the data: on a clustered corpus (real embeddings, neighbors well
+  // above the bulk) a constant few-hundred shortlist holds recall; on a
+  // gap-poor corpus like this near-random testdata the shortlist
+  // FRACTION is what matters (the LSH candidate-fraction story, see the
+  // nTables comment), so the 10× ScaleProbe arm scales the shortlist
+  // with the replication factor. The knob is exposed on annPq; the
+  // gated query pins 32 for the oracle.
+  private val pqShortlist = 32
+
+  /** Product-quantization ANN (ADC + exact re-rank): encode every corpus
+    * vector as pqM nearest-subspace-centroid codes (a codegen'd
+    * nearest_centroid pass per subspace — the 64-float vector becomes 8
+    * small ints, a 32× storage/bandwidth compression), scan the CODES
+    * with asymmetric distance (the query keeps its raw subvectors; each
+    * candidate costs m codebook lookups, not a 64-dim dot product) to a
+    * top-`pqShortlist` shortlist, then re-rank the shortlist exactly on
+    * the raw vectors — the standard PQ search pipeline (shortlist
+    * quality is bounded by quantization distortion, so the exact tail
+    * restores ranking precision at negligible cost). Embeddings are
+    * unit-norm, so squared-L2 ADC ranking tracks cosine (L2² = 2 − 2cos);
+    * recall@5 vs the exact top-5 is spec-gated.
+    *
+    * Every arithmetic step is engine-portable: codebooks come from the
+    * exact-integer Lloyd step (bitwise-reproducible dyadic doubles), the
+    * per-subspace distance is a fixed-order left fold, partials add in
+    * fixed subspace order, and both ranking stages break ties on
+    * (rounded metric, neighbor_id) — the generated DuckDB twin replays
+    * all of it (m quantizer CTE chains + the same folds) bitwise.
+    *
+    * Scale shape: FLAT PQ — one narrow broadcast-nested-loop pass over
+    * the coded corpus (O(N·m) lookups on 8-byte rows, the memory-
+    * bandwidth-optimal exhaustive path), then an O(Q·shortlist) exact
+    * tail. For sublinear scans, compose with the IVF coarse quantizer
+    * (probe cells, ADC within inverted lists) — both halves are
+    * oracle-pinned here.
+    */
+  def xAnnPq(spark: SparkSession, dir: String): DataFrame =
+    annPq(spark, dir, 0L)
+
+  private[ext] def annPq(spark: SparkSession, dir: String,
+      replicaShift: Long, shortlist: Int = pqShortlist): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val cbs = pqCodebooks(e)
+    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+      expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s)).as(s"c$s"))
+    val coded = e.select(
+      col("vec_id").as("neighbor_id") +: col("v").as("v2") +: col("nrm").as("n2") +:
+        codeCols: _*)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("v").as("v1"), col("nrm").as("n1"))
+    // ADC: per subspace, squared L2 between the query's raw subvector and
+    // the candidate's code centroid (codebook embedded as a literal —
+    // exact dyadic doubles), left-folded in element order, partials
+    // added in subspace order.
+    val dist = (0 until pqM).map { s =>
+      val cb = typedlit(cbs(s).map(_.toSeq).toSeq)
+      aggregate(
+        zip_with(
+          expr(s"transform(slice(qv, ${s * pqSub + 1}, $pqSub), x -> cast(x as double))"),
+          element_at(cb, col(s"c$s") + 1),
+          (a, b) => (a - b) * (a - b)),
+        lit(0d), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("adc_raw"), 6).asc, col("neighbor_id"))
+    val shortRows = coded
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .filter(keepNeighbor(replicaShift))
+      .withColumn("adc_raw", dist)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+    rerankTopK(shortRows
+      .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),
     "x_ann_lsh"        -> (xAnnLsh _),
@@ -401,6 +539,7 @@ object Similarity {
     // parameterization is oracle-proven, not just probe-measured.
     "x_ann_ivf_k8r2"   -> ((s: SparkSession, d: String) => annIvf(s, d, 0L, 8, 2)),
     "x_ann_ivf_admit"  -> (xAnnIvfAdmit _),
+    "x_ann_pq"         -> (xAnnPq _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _))
 
@@ -607,11 +746,108 @@ object Similarity {
        |FROM ranked WHERE rank <= 8
        |ORDER BY cell, rank""".stripMargin
 
+  /** The DuckDB twin of xAnnPq: one quantizer CTE chain per subspace
+    * (slice → seeds → assign → exact-integer refine → code), then the
+    * ADC join — candidate codes joined back to their refined centroids,
+    * per-subspace fixed-order fold, partials added in subspace order,
+    * rank by (round(d, 6), neighbor_id). Generated from the same
+    * (pqM, pqSub, pqK) constants the Spark side runs.
+    */
+  private def annPqOracleSql: String = {
+    val dist =
+      """list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, 8),
+        |        i -> (e.sv[i] - s.c[i]) * (e.sv[i] - s.c[i]))),
+        |      (a, x) -> a + x)""".stripMargin
+    val subChains = (0 until pqM).map { s =>
+      val off = s * pqSub
+      s"""es$s AS (
+         |  SELECT vec_id, list_slice(v, ${off + 1}, ${off + pqSub}) AS sv FROM e),
+         |seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK),
+         |d0_$s AS (
+         |  SELECT e.vec_id, s.cell, $dist AS d
+         |  FROM es$s e, seeds$s s),
+         |a0_$s AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d0_$s) WHERE rn = 1),
+         |qv_$s AS (
+         |  SELECT a.cell, g.i,
+         |    CAST(sum(trunc((e.sv[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM es$s e JOIN a0_$s a USING (vec_id)
+         |  CROSS JOIN generate_series(1, $pqSub) g(i)
+         |  GROUP BY a.cell, g.i),
+         |refc$s AS (
+         |  SELECT s.cell, COALESCE(r.c, s.c) AS c
+         |  FROM seeds$s s LEFT JOIN (
+         |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+         |    FROM qv_$s GROUP BY cell) r ON s.cell = r.cell),
+         |d1_$s AS (
+         |  SELECT e.vec_id, s.cell, $dist AS d
+         |  FROM es$s e, refc$s s),
+         |code$s AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d1_$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until pqM).map(s => s"k$s.cell AS c$s").mkString(", ")
+    val codeJoins = (0 until pqM).map(s => s"JOIN code$s k$s USING (vec_id)")
+      .mkString("\n  ")
+    val refJoins = (0 until pqM).map(s => s"JOIN refc$s r$s ON r$s.cell = c.c$s")
+      .mkString("\n  ")
+    val adcTerms = (0 until pqM).map { s =>
+      val off = s * pqSub
+      s"""list_reduce(list_prepend(0.0,
+         |    list_transform(generate_series(1, $pqSub),
+         |      i -> (q.v[$off + i] - r$s.c[i]) * (q.v[$off + i] - r$s.c[i]))),
+         |    (a, x) -> a + x)""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |$subChains,
+       |codes AS (
+       |  SELECT vec_id, $codeCols
+       |  FROM e
+       |  $codeJoins),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $adcTerms AS d
+       |  FROM e q
+       |  JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |  $refJoins),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(d, 6), neighbor_id) AS adc_rank
+       |    FROM adc) WHERE adc_rank <= $pqShortlist),
+       |pairs AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine_raw
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(cosine_raw, 6) DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_ann_lsh" -> annLshOracleSql,
     "x_ann_ivf" -> annIvfOracleSql(),
     "x_ann_ivf_k8r2" -> annIvfOracleSql(8, 2),
     "x_ann_ivf_admit" -> ivfAdmitOracleSql,
+    "x_ann_pq" -> annPqOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (

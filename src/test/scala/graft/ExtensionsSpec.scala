@@ -255,14 +255,18 @@ class ExtensionsSpec extends AnyFunSuite {
       df.collect().groupBy(_.getAs[Long]("query_id"))
         .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
     val exact = topSets(ext.Similarity.xKnnBruteForce(spark, sf))
-    for ((name, approx) <- Seq(
-        "lsh" -> topSets(ext.Similarity.xAnnLsh(spark, sf)),
-        "ivf" -> topSets(ext.Similarity.xAnnIvf(spark, sf)))) {
+    for ((name, floor, approx) <- Seq(
+        ("lsh", 0.8, topSets(ext.Similarity.xAnnLsh(spark, sf))),
+        ("ivf", 0.8, topSets(ext.Similarity.xAnnIvf(spark, sf))),
+        // PQ compresses 64 floats to 8 nibble codes (32×) — recall is
+        // bounded by quantization distortion, not by search, so its
+        // floor is lower than the uncompressed variants'.
+        ("pq", 0.6, topSets(ext.Similarity.xAnnPq(spark, sf))))) {
       val recalls = exact.map { case (q, ex) =>
         approx.get(q).map(ap => (ap intersect ex).size.toDouble / ex.size).getOrElse(0.0)
       }
       val mean = recalls.sum / recalls.size
-      assert(mean >= 0.8, s"$name mean recall@5 too low: $mean")
+      assert(mean >= floor, s"$name mean recall@5 too low: $mean")
       info(s"$name mean recall@5 = $mean")
     }
   }
