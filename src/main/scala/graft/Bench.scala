@@ -47,6 +47,7 @@ object Bench {
     "x_ann_ivf",
     "x_ann_ivf_admit",
     "x_ann_pq",
+    "x_ann_ivfpq",
     "x_dedup_emb_cosine",
     "x_text_quality",
     "x_text_tokens",

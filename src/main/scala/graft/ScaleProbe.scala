@@ -118,6 +118,12 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val recallPq = ext.Similarity.probeRecall5Pq(spark, work, idShift,
       32 * nReplicas)
+    // IVF+PQ arm: candidates bounded to probed inverted lists (N× fuller)
+    // AND ranked in the compressed domain — both quantizers stressed at
+    // once, same held shortlist fraction.
+    spark.catalog.clearCache()
+    val recallIvfPq = ext.Similarity.probeRecall5IvfPq(spark, work, idShift,
+      32 * nReplicas)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
     }.mkString("{\"q\":{", ",",
@@ -126,6 +132,7 @@ object ScaleProbe {
       f",\"ivf_k64r3_recall5_x$nReplicas%d\":$recallIvf64%.2f" +
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
       f",\"pq_recall5_x$nReplicas%d\":$recallPq%.2f" +
+      f",\"ivfpq_recall5_x$nReplicas%d\":$recallIvfPq%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
     println(json)
     require(recall >= 0.8,
@@ -140,6 +147,8 @@ object ScaleProbe {
     // quantization distortion (see the ExtensionsSpec gate's rationale).
     require(recallPq >= 0.5,
       f"PQ ANN recall@5 degraded to $recallPq%.2f at $nReplicas× replication")
+    require(recallIvfPq >= 0.5,
+      f"IVF+PQ recall@5 degraded to $recallIvfPq%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

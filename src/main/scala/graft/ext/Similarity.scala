@@ -211,6 +211,13 @@ object Similarity {
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
       annPq(spark, dir, replicaShift, shortlist))
 
+  /** IVF+PQ recall under the same probe: inverted lists fill N× AND
+    * every code cell fills N×, so this stresses both quantizers at once. */
+  def probeRecall5IvfPq(spark: SparkSession, dir: String, replicaShift: Long,
+      shortlist: Int = pqShortlist): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annIvfPq(spark, dir, replicaShift, shortlist))
+
   private def meanRecall5(exactDf: DataFrame, approxDf: DataFrame): Double = {
     def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
       .groupBy(_.getAs[Long]("query_id"))
@@ -504,11 +511,27 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("v").as("v1"), col("nrm").as("n1"))
-    // ADC: per subspace, squared L2 between the query's raw subvector and
-    // the candidate's code centroid (codebook embedded as a literal —
-    // exact dyadic doubles), left-folded in element order, partials
-    // added in subspace order.
-    val dist = (0 until pqM).map { s =>
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("adc_raw"), 6).asc, col("neighbor_id"))
+    val shortRows = coded
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .filter(keepNeighbor(replicaShift))
+      .withColumn("adc_raw", adcDistance(cbs))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+    rerankTopK(shortRows
+      .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
+  }
+
+  /** ADC distance column: per subspace, squared L2 between the query's
+    * raw subvector (col `qv`) and the candidate's code centroid (cols
+    * `c0`..`c{m-1}`; codebooks embedded as literals — exact dyadic
+    * doubles), left-folded in element order, partials added in fixed
+    * subspace order. Shared by flat PQ and IVF+PQ.
+    */
+  private def adcDistance(cbs: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    (0 until pqM).map { s =>
       val cb = typedlit(cbs(s).map(_.toSeq).toSeq)
       aggregate(
         zip_with(
@@ -517,13 +540,55 @@ object Similarity {
           (a, b) => (a - b) * (a - b)),
         lit(0d), (acc, x) => acc + x)
     }.reduce(_ + _)
+
+  /** IVF+PQ composed ANN — the production sublinear search shape for a
+    * 100 TB vector corpus: the coarse quantizer routes each query to its
+    * nProbe=4 nearest IVF cells, the candidate set is those cells'
+    * inverted lists only (an EQUI-join on cell, not a corpus scan), ADC
+    * over the candidates' 8 codes builds the shortlist, and the exact
+    * re-rank restores ranking precision. Storage per list entry is the
+    * 8 codes (32× compression) + the raw vector fetched only for the
+    * O(Q·shortlist) re-rank tail — at scale the raw vectors live in a
+    * separate store keyed by id and only shortlisted ids are fetched.
+    * This codebook quantizes RAW vectors shared with flat PQ (so one
+    * oracle chain pins both); the classical IVFADC refinement —
+    * quantizing residuals (v − cell centroid) for a tighter codebook —
+    * is the same plumbing with a residual column feeding training and
+    * encoding.
+    *
+    * Hash-gated bitwise: the generated twin composes the IVF quantizer
+    * CTE chain (probe walk included) with the PQ per-subspace chains,
+    * candidates restricted to probed cells, same fixed-order ADC folds
+    * and (rounded metric, neighbor_id) tie-breaks at both stages.
+    */
+  def xAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPq(spark, dir, 0L)
+
+  private[ext] def annIvfPq(spark: SparkSession, dir: String,
+      replicaShift: Long, shortlist: Int = pqShortlist): DataFrame = {
+    val nProbe = 4
+    val (assigned, refined) = ivfAssigned(spark, dir)
+    val cbs = pqCodebooks(assigned)
+    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+      expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s)).as(s"c$s"))
+    val coded = assigned.select(col("vec_id").as("neighbor_id") +: col("cell") +:
+      col("v").as("v2") +: col("nrm").as("n2") +: codeCols: _*)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("v").as("v1"), col("nrm").as("n1"),
+        explode(VectorFunctions.nearestCells(col("embedding"), refined, nProbe))
+          .as("cell"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(round(col("adc_raw"), 6).asc, col("neighbor_id"))
-    val shortRows = coded
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    // a candidate reachable through several probed cells must enter the
+    // ADC ranking once (its distance is cell-independent); dedup before
+    // the window so rank ties stay deterministic.
+    val shortRows = broadcast(q).join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .filter(keepNeighbor(replicaShift))
-      .withColumn("adc_raw", dist)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("adc_raw", adcDistance(cbs))
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= shortlist)
     rerankTopK(shortRows
@@ -540,6 +605,7 @@ object Similarity {
     "x_ann_ivf_k8r2"   -> ((s: SparkSession, d: String) => annIvf(s, d, 0L, 8, 2)),
     "x_ann_ivf_admit"  -> (xAnnIvfAdmit _),
     "x_ann_pq"         -> (xAnnPq _),
+    "x_ann_ivfpq"      -> (xAnnIvfPq _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _))
 
@@ -746,14 +812,14 @@ object Similarity {
        |FROM ranked WHERE rank <= 8
        |ORDER BY cell, rank""".stripMargin
 
-  /** The DuckDB twin of xAnnPq: one quantizer CTE chain per subspace
-    * (slice → seeds → assign → exact-integer refine → code), then the
-    * ADC join — candidate codes joined back to their refined centroids,
-    * per-subspace fixed-order fold, partials added in subspace order,
-    * rank by (round(d, 6), neighbor_id). Generated from the same
-    * (pqM, pqSub, pqK) constants the Spark side runs.
+  /** The PQ quantizer/encoding CTE chains shared by the flat-PQ and
+    * IVF+PQ twins: one chain per subspace (slice → seeds → assign →
+    * exact-integer refine → code), plus the `codes` CTE collecting all
+    * m codes per vector. Callers provide the `e` header (vec_id, v,
+    * nrm). Generated from the same (pqM, pqSub, pqK) constants the
+    * Spark side runs.
     */
-  private def annPqOracleSql: String = {
+  private def pqOracleChains: String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 8),
@@ -779,14 +845,14 @@ object Similarity {
          |  FROM es$s e JOIN a0_$s a USING (vec_id)
          |  CROSS JOIN generate_series(1, $pqSub) g(i)
          |  GROUP BY a.cell, g.i),
-         |refc$s AS (
+         |pref$s AS (
          |  SELECT s.cell, COALESCE(r.c, s.c) AS c
          |  FROM seeds$s s LEFT JOIN (
          |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
          |    FROM qv_$s GROUP BY cell) r ON s.cell = r.cell),
          |d1_$s AS (
          |  SELECT e.vec_id, s.cell, $dist AS d
-         |  FROM es$s e, refc$s s),
+         |  FROM es$s e, pref$s s),
          |code$s AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
@@ -796,31 +862,35 @@ object Similarity {
     val codeCols = (0 until pqM).map(s => s"k$s.cell AS c$s").mkString(", ")
     val codeJoins = (0 until pqM).map(s => s"JOIN code$s k$s USING (vec_id)")
       .mkString("\n  ")
-    val refJoins = (0 until pqM).map(s => s"JOIN refc$s r$s ON r$s.cell = c.c$s")
+    s"""$subChains,
+       |codes AS (
+       |  SELECT vec_id, $codeCols
+       |  FROM e
+       |  $codeJoins)""".stripMargin
+  }
+
+  /** Joins resolving each candidate code (`c.c{s}`) to its refined
+    * subspace centroid, for the ADC terms below. */
+  private def pqRefJoins: String =
+    (0 until pqM).map(s => s"JOIN pref$s r$s ON r$s.cell = c.c$s")
       .mkString("\n  ")
-    val adcTerms = (0 until pqM).map { s =>
+
+  /** The ADC distance: per-subspace fixed-order fold over (query raw
+    * component − code centroid component)², partials added in subspace
+    * order — the same operation order as the Spark adcDistance column. */
+  private def pqAdcTerms: String =
+    (0 until pqM).map { s =>
       val off = s * pqSub
       s"""list_reduce(list_prepend(0.0,
          |    list_transform(generate_series(1, $pqSub),
          |      i -> (q.v[$off + i] - r$s.c[i]) * (q.v[$off + i] - r$s.c[i]))),
          |    (a, x) -> a + x)""".stripMargin
     }.mkString("\n  + ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings),
-       |$subChains,
-       |codes AS (
-       |  SELECT vec_id, $codeCols
-       |  FROM e
-       |  $codeJoins),
-       |adc AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |  $adcTerms AS d
-       |  FROM e q
-       |  JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
-       |  $refJoins),
-       |short AS (
+
+  /** The shared ADC-shortlist → exact-re-rank tail: callers provide the
+    * `adc` CTE (query_id, neighbor_id, d). */
+  private def pqRerankTail: String =
+    s"""short AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
@@ -840,7 +910,48 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** The DuckDB twin of xAnnPq: the PQ chains over every vector, ADC
+    * against ALL non-self candidates, shortlist, exact re-rank. */
+  private def annPqOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |$pqOracleChains,
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  $pqAdcTerms AS d
+       |  FROM e q
+       |  JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |  $pqRefJoins),
+       |$pqRerankTail""".stripMargin
+
+  /** The DuckDB twin of xAnnIvfPq: the IVF quantizer chain (probe walk
+    * from its final-round distances), the PQ chains, candidates
+    * restricted to probed cells' inverted lists, then the shared
+    * ADC-shortlist + exact-re-rank tail.
+    */
+  private def annIvfPqOracleSql: String =
+    s"""${ivfAssignOracleCtes()},
+       |$pqOracleChains,
+       |probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d1 WHERE vec_id < 10) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a1.vec_id AS neighbor_id
+       |  FROM probe p JOIN a1 ON p.cell = a1.cell
+       |  WHERE a1.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |  $pqAdcTerms AS d
+       |  FROM cand cd
+       |  JOIN e q ON q.vec_id = cd.query_id
+       |  JOIN codes c ON c.vec_id = cd.neighbor_id
+       |  $pqRefJoins),
+       |$pqRerankTail""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_ann_lsh" -> annLshOracleSql,
@@ -848,6 +959,7 @@ object Similarity {
     "x_ann_ivf_k8r2" -> annIvfOracleSql(8, 2),
     "x_ann_ivf_admit" -> ivfAdmitOracleSql,
     "x_ann_pq" -> annPqOracleSql,
+    "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (

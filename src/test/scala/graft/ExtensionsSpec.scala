@@ -261,7 +261,10 @@ class ExtensionsSpec extends AnyFunSuite {
         // PQ compresses 64 floats to 8 nibble codes (32×) — recall is
         // bounded by quantization distortion, not by search, so its
         // floor is lower than the uncompressed variants'.
-        ("pq", 0.6, topSets(ext.Similarity.xAnnPq(spark, sf))))) {
+        ("pq", 0.6, topSets(ext.Similarity.xAnnPq(spark, sf))),
+        // IVF+PQ additionally bounds candidates to the probed inverted
+        // lists, so its recall is capped by the IVF probe walk's.
+        ("ivfpq", 0.6, topSets(ext.Similarity.xAnnIvfPq(spark, sf))))) {
       val recalls = exact.map { case (q, ex) =>
         approx.get(q).map(ap => (ap intersect ex).size.toDouble / ex.size).getOrElse(0.0)
       }
