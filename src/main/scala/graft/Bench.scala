@@ -48,6 +48,7 @@ object Bench {
     "x_ann_ivf_admit",
     "x_ann_pq",
     "x_ann_ivfpq",
+    "x_ann_pq_admit",
     "x_dedup_emb_cosine",
     "x_text_quality",
     "x_text_tokens",

@@ -595,6 +595,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
   }
 
+  /** Incremental PQ admission — the codes-side member of the admission
+    * trilogy (MinHash signature state, IVF cell assignment, PQ codes):
+    * the m codebooks are trained ONCE on the already-admitted corpus
+    * (the lower-id half, split at (max_id+1)/2 like xAnnIvfAdmit),
+    * frozen, and the new batch is encoded with the m codegen'd
+    * nearest_centroid passes alone — O(batch·m·k·sub) per ingest, no
+    * re-training, and no silent re-coding of admitted vectors (which
+    * would invalidate every persisted ADC structure built on them).
+    * Hash-gated bitwise: the generated twin trains the same
+    * exact-integer codebooks on the same half (pqOracleChains'
+    * trainWhere) and encodes the complement.
+    */
+  def xAnnPqAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head.getLong(0)
+    val cbs = pqCodebooks(e.filter(col("vec_id") < split))
+    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+      expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s))
+      .cast("long").as(s"c$s"))
+    e.filter(col("vec_id") >= split)
+      .select(col("vec_id") +: codeCols: _*)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),
     "x_ann_lsh"        -> (xAnnLsh _),
@@ -606,6 +630,7 @@ object Similarity {
     "x_ann_ivf_admit"  -> (xAnnIvfAdmit _),
     "x_ann_pq"         -> (xAnnPq _),
     "x_ann_ivfpq"      -> (xAnnIvfPq _),
+    "x_ann_pq_admit"   -> (xAnnPqAdmit _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _))
 
@@ -819,7 +844,16 @@ object Similarity {
     * nrm). Generated from the same (pqM, pqSub, pqK) constants the
     * Spark side runs.
     */
-  private def pqOracleChains: String = {
+  private def pqOracleChains: String = pqOracleChains("TRUE")
+
+  /** `trainWhere` restricts which vectors each subspace codebook LEARNS
+    * from (the seed-distance assignment d0 — the per-cell sums inherit
+    * the restriction through a0); the final d1/code assignment still
+    * encodes EVERY vector, so admission callers read the complement
+    * from `codes`. "TRUE" keeps the train-on-everything semantics
+    * byte-for-byte (the gated flat-PQ/IVF+PQ default).
+    */
+  private def pqOracleChains(trainWhere: String): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 8),
@@ -832,7 +866,7 @@ object Similarity {
          |seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK),
          |d0_$s AS (
          |  SELECT e.vec_id, s.cell, $dist AS d
-         |  FROM es$s e, seeds$s s),
+         |  FROM (SELECT * FROM es$s WHERE $trainWhere) e, seeds$s s),
          |a0_$s AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
@@ -927,6 +961,24 @@ object Similarity {
        |  $pqRefJoins),
        |$pqRerankTail""".stripMargin
 
+  /** The DuckDB twin of xAnnPqAdmit: train the codebooks on the lower-id
+    * half only, read the frozen-codebook codes of the upper half from the
+    * final (train-unrestricted) `codes` CTE.
+    */
+  private def pqAdmitOracleSql: String = {
+    val half = "(SELECT (max(vec_id) + 1) // 2 FROM e)"
+    val codeCols = (0 until pqM).map(s => s"CAST(c$s AS BIGINT) AS c$s")
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |${pqOracleChains(s"vec_id < $half")}
+       |SELECT vec_id, $codeCols
+       |FROM codes WHERE vec_id >= $half
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The DuckDB twin of xAnnIvfPq: the IVF quantizer chain (probe walk
     * from its final-round distances), the PQ chains, candidates
     * restricted to probed cells' inverted lists, then the shared
@@ -960,6 +1012,7 @@ object Similarity {
     "x_ann_ivf_admit" -> ivfAdmitOracleSql,
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_ivfpq" -> annIvfPqOracleSql,
+    "x_ann_pq_admit" -> pqAdmitOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (

@@ -799,6 +799,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("pq admission: every new vector coded, codes in range, half split") {
+    val rows = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val split = (spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
+    assert(rows.length == n - split, "every not-yet-admitted vector gets codes")
+    assert(rows.forall(_.getLong(0) >= split), "admitted half never re-coded")
+    for (s <- 0 until 8)
+      assert(rows.forall { r =>
+        val c = r.getLong(s + 1); c >= 0 && c < 16
+      }, s"subspace $s code out of range")
+  }
+
   test("c4 rule gate: mask bits imply keep, thresholds exercise both outcomes") {
     val df = ext.TextAnalysis.xTextC4Rules(spark, sf).cache()
     val rows = df.collect()
