@@ -595,8 +595,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document substring-duplication pairs over the winnow
+    * fingerprint relation: two documents sharing ≥ 8 winnow fingerprints
+    * share, with high probability, a long common substring (winnowing
+    * guarantees ≥ 1 fingerprint per w=16-gram window, density ≈ 2/(w+1),
+    * so 8 shared fingerprints ≈ a shared region of ~70+ normalized
+    * chars) — the exact-substring-dup detector that complements the
+    * gram-set sketches (MinHash/SimHash measure BAG overlap; winnowing
+    * localizes CONTIGUOUS overlap, the Lee-et-al. "train-data substring
+    * dedup" signal). Same scale guards as the n-gram Jaccard join:
+    * fingerprints in > 50 docs are boilerplate and dropped (df cutoff
+    * bounds the self-join at ≤ C(50,2) pairs per fingerprint), df=1
+    * fingerprints can't pair and are dropped before the shuffle, and
+    * only (doc_id, fp) longs ever shuffle — text stays columnar at the
+    * scan.
+    */
+  def xTextWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnowFingerprints(text).distinct.map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+    val keep = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("d"))
+        .filter(col("d").between(2, 50)).select("fp"),
+      Seq("fp"))
+    keep.as("a").join(keep.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_winnow"      -> (xTextWinnow _),
+    "x_text_winnow_pairs" -> (xTextWinnowPairs _),
     "x_text_langid"      -> (xTextLangId _),
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
@@ -616,16 +653,17 @@ object TextAnalysis {
     "x_text_c4_rules"    -> (xTextC4Rules _),
     "x_corpus_mix"       -> (xCorpusMix _))
 
-  val oracle: Map[String, String] = Map(
-    // Winnowing twin: the Spark side hashes each k-gram with a rolling
-    // update; mathematically every gram hash is the plain Horner fold
-    // h = fold(c => h*257 + c) mod 1e9+7 over its 8 chars, so the oracle
-    // recomputes it directly per position (no rolling state needed in
-    // SQL). Window minimum = min() OVER a 16-row forward frame, keeping
-    // only window starts (i <= greatest(nh-15, 1), which also covers the
-    // docs-shorter-than-one-window case); consecutive dedup = lag().
-    "x_text_winnow" ->
-      ("""WITH norm AS (
+  // Winnowing twin CTE chain (through the per-doc fingerprint relation
+  // `fpall`), shared by the per-doc rollup and the cross-doc pair join:
+  // the Spark side hashes each k-gram with a rolling update;
+  // mathematically every gram hash is the plain Horner fold
+  // h = fold(c => h*257 + c) mod 1e9+7 over its 8 chars, so the oracle
+  // recomputes it directly per position (no rolling state needed in
+  // SQL). Window minimum = min() OVER a 16-row forward frame, keeping
+  // only window starts (i <= greatest(nh-15, 1), which also covers the
+  // docs-shorter-than-one-window case); consecutive dedup = lag().
+  private def winnowFpCtes: String =
+    ("""WITH norm AS (
         |  SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents),
         |pos AS (
         |  SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM norm),
@@ -656,10 +694,30 @@ object TextAnalysis {
         |    (h, c) -> (h * 257 + c) % 1000000007) AS mn
         |  FROM norm WHERE length(s) < 8),
         |fpall AS (
-        |  SELECT doc_id, mn FROM fp UNION ALL SELECT doc_id, mn FROM short)
+        |  SELECT doc_id, mn FROM fp UNION ALL SELECT doc_id, mn FROM short)""".stripMargin)
+
+  val oracle: Map[String, String] = Map(
+    "x_text_winnow" ->
+      s"""$winnowFpCtes
         |SELECT doc_id, count(*) AS n_fingerprints,
         |  array_to_string(list_slice(list_sort(array_agg(mn)), 1, 4), ',') AS fingerprint_head
-        |FROM fpall GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |FROM fpall GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Cross-doc pair twin: the same fingerprint relation, per-doc
+    // distinct, df ∈ [2, 50] cutoff, self-join, shared count ≥ 8.
+    "x_text_winnow_pairs" ->
+      s"""$winnowFpCtes,
+        |fps AS (SELECT DISTINCT doc_id, mn FROM fpall),
+        |df AS (SELECT mn, count(*) AS d FROM fps GROUP BY mn),
+        |keep AS (
+        |  SELECT doc_id, fps.mn FROM fps JOIN df USING (mn)
+        |  WHERE d BETWEEN 2 AND 50),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM keep a JOIN keep b ON a.mn = b.mn AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM prs
+        |WHERE n_shared >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),

@@ -709,6 +709,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((self intersect a).nonEmpty && (self intersect b).nonEmpty)
   }
 
+  test("winnow pairs flag planted substring-duplicates, not unrelated docs") {
+    import spark.implicits._
+    // long enough that its ~2/(w+1) winnow density clears the >= 8
+    // shared-fingerprint threshold (the operator targets ~70+ shared
+    // normalized chars; this is ~190)
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank " +
+      "every morning while seventeen sleepy badgers carry twelve heavy copper " +
+      "kettles across the old wooden bridge before the market bell rings"
+    val tmp = java.nio.file.Files.createTempDirectory("winnowpairs").toString
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id + 100 AS doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(Seq(
+        (0L, "intro alpha " + shared, "en", "srcx", 1L),
+        (1L, "a completely different very long preamble text here " + shared, "en", "srcx", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = ext.TextAnalysis.xTextWinnowPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)),
+      s"planted substring-dup pair not flagged: $pairs")
+  }
+
   test("streaming near-dup dedup agrees with the batch banding join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
