@@ -68,6 +68,7 @@ object Bench {
     "x_asof_join",
     "x_funnel",
     "x_retention_cohort",
+    "x_attribution",
     "x_kroger_mart_demo")
 
   /** Fixed-size compute probe: 10M rows generated in memory through a

@@ -86,10 +86,52 @@ object EventAnalytics {
       .orderBy("purchase_id")
   }
 
+  /** Last-touch revenue attribution: each purchase's value is credited
+    * to the user's most recent preceding touch event (click / view /
+    * signup) within a 7-day horizon, else to 'direct'. Same single-
+    * shuffle union + sorted-window shape as the as-of join (no per-user
+    * range join), rolled up to revenue per channel. Revenue is summed
+    * in EXACT fixed-point: trunc(value·10⁴) per purchase (multiply is
+    * one correctly-rounded IEEE op, trunc is exact, and positive-value
+    * floor == trunc in both engines), so the rollup is a long sum —
+    * bitwise across engines and partition orders, where a double sum
+    * would drift with partial-agg order (the avgMoney idiom for event
+    * values).
+    */
+  def xAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 7L * 24 * 3600 * 1000000L
+    val ev = withTsUs(Tables.events(spark, dir))
+      .filter(col("event_type").isin("click", "view", "signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"),
+        when(col("event_type") =!= "purchase", col("event_type")).as("touch_type"),
+        when(col("event_type") =!= "purchase", col("ts_us")).as("touch_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev
+      .withColumn("last_touch", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts", last(col("touch_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        when(col("last_touch_ts") >= col("ts_us") - horizonUs, col("last_touch"))
+          .otherwise("direct").as("channel"),
+        // cast(double as bigint) TRUNCATES toward zero in Spark — pair
+        // it with the twin's trunc() (DuckDB's bare cast ROUNDS) so the
+        // fixed-point step stays exact even on negative refund values.
+        expr("cast(value * 10000d as bigint)").as("value_e4"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value_e4")).as("revenue_e4"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_funnel"           -> (xFunnel _),
     "x_retention_cohort" -> (xRetentionCohort _),
-    "x_asof_join"        -> (xAsofJoin _))
+    "x_asof_join"        -> (xAsofJoin _),
+    "x_attribution"      -> (xAttribution _))
 
   val oracle: Map[String, String] = Map(
     "x_funnel" ->
@@ -143,5 +185,34 @@ object EventAnalytics {
         |  COUNT(DISTINCT user_id) AS active_users
         |FROM active JOIN cohorts USING (user_id)
         |GROUP BY 1, 2
-        |ORDER BY cohort_week, week_offset""".stripMargin)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Attribution twin: same sorted-window last-touch walk; revenue in
+    // exact fixed-point (trunc(value·1e4) longs; DuckDB SUM(BIGINT) is
+    // HUGEINT → cast back), horizon arithmetic in µs longs.
+    "x_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+        |    CASE WHEN event_type <> 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS touch_ts
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
+        |win AS (
+        |  SELECT user_id, ts_us, tag, value,
+        |    last_value(touch_type IGNORE NULLS) OVER w AS last_touch,
+        |    last_value(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |attr AS (
+        |  SELECT CASE WHEN last_touch_ts >= ts_us - 604800000000 THEN last_touch
+        |    ELSE 'direct' END AS channel,
+        |    CAST(trunc(value * 10000) AS BIGINT) AS value_e4
+        |  FROM win WHERE tag = 1)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(value_e4) AS BIGINT) AS revenue_e4
+        |FROM attr
+        |GROUP BY channel
+        |ORDER BY channel""".stripMargin)
 }

@@ -821,6 +821,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("attribution partitions every purchase across known channels") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    val rows = ext.EventAnalytics.xAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurch,
+      "every purchase attributed exactly once")
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "signup", "direct")))
+    assert(rows.forall(_.getAs[Long]("revenue_e4") >= 0))
+  }
+
   test("pq admission: every new vector coded, codes in range, half split") {
     val rows = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
