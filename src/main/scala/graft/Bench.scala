@@ -49,6 +49,7 @@ object Bench {
     "x_ann_pq",
     "x_ann_ivfpq",
     "x_ann_pq_admit",
+    "x_ann_ivfadc",
     "x_dedup_emb_cosine",
     "x_text_quality",
     "x_text_tokens",

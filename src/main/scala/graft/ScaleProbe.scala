@@ -124,6 +124,10 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val recallIvfPq = ext.Similarity.probeRecall5IvfPq(spark, work, idShift,
       32 * nReplicas)
+    // residual IVFADC arm: same stress, residual codebooks
+    spark.catalog.clearCache()
+    val recallIvfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, idShift,
+      32 * nReplicas)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
     }.mkString("{\"q\":{", ",",
@@ -133,6 +137,7 @@ object ScaleProbe {
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
       f",\"pq_recall5_x$nReplicas%d\":$recallPq%.2f" +
       f",\"ivfpq_recall5_x$nReplicas%d\":$recallIvfPq%.2f" +
+      f",\"ivfadc_recall5_x$nReplicas%d\":$recallIvfAdc%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
     println(json)
     require(recall >= 0.8,
@@ -149,6 +154,8 @@ object ScaleProbe {
       f"PQ ANN recall@5 degraded to $recallPq%.2f at $nReplicas× replication")
     require(recallIvfPq >= 0.5,
       f"IVF+PQ recall@5 degraded to $recallIvfPq%.2f at $nReplicas× replication")
+    require(recallIvfAdc >= 0.5,
+      f"IVFADC recall@5 degraded to $recallIvfAdc%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

@@ -218,6 +218,12 @@ object Similarity {
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
       annIvfPq(spark, dir, replicaShift, shortlist))
 
+  /** Residual IVFADC under the same probe. */
+  def probeRecall5IvfAdc(spark: SparkSession, dir: String, replicaShift: Long,
+      shortlist: Int = pqShortlist): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annIvfAdc(spark, dir, replicaShift, shortlist))
+
   private def meanRecall5(exactDf: DataFrame, approxDf: DataFrame): Double = {
     def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
       .groupBy(_.getAs[Long]("query_id"))
@@ -430,7 +436,10 @@ object Similarity {
   private def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
     val seedRows: Array[Array[Double]] = e.filter(col("vec_id") < pqK)
       .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
     val seeds: Array[Array[Array[Double]]] =
       Array.tabulate(pqM)(s => seedRows.map(_.slice(s * pqSub, s * pqSub + pqSub)))
     val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
@@ -595,6 +604,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
   }
 
+  /** Classical residual IVFADC: the PQ codebooks quantize RESIDUALS
+    * (v − assigned-cell centroid) instead of raw vectors — within one
+    * cell the residual magnitudes are a fraction of the raw coordinate
+    * spread, so the same 8×16 codebook budget buys a tighter quantizer
+    * (Jégou et al.'s IVFADC form). Encoding subtracts each vector's own
+    * cell centroid; at query time the query's residual is taken against
+    * EACH probed cell's centroid and ADC runs against that cell's
+    * inverted list only — both centroid subtractions are exact IEEE
+    * (refined centroids are dyadic doubles from the integer Lloyd step,
+    * float subvectors widen exactly), so the whole pipeline stays
+    * bitwise against the generated twin (IVF chain → residual CTE →
+    * PQ chains sliced from residuals → per-probed-cell query residual →
+    * ADC → exact re-rank). A candidate lives in exactly one cell, so no
+    * cross-cell dedup is needed before the shortlist window.
+    */
+  def xAnnIvfAdc(spark: SparkSession, dir: String): DataFrame =
+    annIvfAdc(spark, dir, 0L)
+
+  private[ext] def annIvfAdc(spark: SparkSession, dir: String,
+      replicaShift: Long, shortlist: Int = pqShortlist): DataFrame = {
+    val nProbe = 4
+    val (assigned, refined) = ivfAssigned(spark, dir)
+    val cents = typedlit(refined.map(_.toSeq).toSeq)
+    val withRes = assigned.withColumn("rv",
+      zip_with(col("embedding"),
+        element_at(cents, (col("cell") + 1).cast("int")),
+        (a, b) => a.cast("double") - b))
+    val cbs = pqCodebooks(withRes.select(col("vec_id"), col("rv").as("embedding")))
+    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+      expr(s"slice(rv, ${s * pqSub + 1}, $pqSub)"), cbs(s)).as(s"c$s"))
+    val coded = withRes.select(col("vec_id").as("neighbor_id") +: col("cell") +:
+      col("v").as("v2") +: col("nrm").as("n2") +: codeCols: _*)
+    // query residual is per PROBED cell (the cell whose list we scan),
+    // not the query's own cell
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("v").as("v1"), col("nrm").as("n1"),
+        explode(VectorFunctions.nearestCells(col("embedding"), refined, nProbe))
+          .as("cell"))
+      .withColumn("qv",
+        zip_with(col("embedding"),
+          element_at(cents, (col("cell") + 1).cast("int")),
+          (a, b) => a.cast("double") - b))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("adc_raw"), 6).asc, col("neighbor_id"))
+    val shortRows = broadcast(q).join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(keepNeighbor(replicaShift))
+      .withColumn("adc_raw", adcDistance(cbs))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+    rerankTopK(shortRows
+      .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
+  }
+
   /** Incremental PQ admission — the codes-side member of the admission
     * trilogy (MinHash signature state, IVF cell assignment, PQ codes):
     * the m codebooks are trained ONCE on the already-admitted corpus
@@ -631,6 +696,7 @@ object Similarity {
     "x_ann_pq"         -> (xAnnPq _),
     "x_ann_ivfpq"      -> (xAnnIvfPq _),
     "x_ann_pq_admit"   -> (xAnnPqAdmit _),
+    "x_ann_ivfadc"     -> (xAnnIvfAdc _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _))
 
@@ -846,6 +912,9 @@ object Similarity {
     */
   private def pqOracleChains: String = pqOracleChains("TRUE")
 
+  private def pqOracleChains(trainWhere: String): String =
+    pqOracleChains(trainWhere, "e", "v")
+
   /** `trainWhere` restricts which vectors each subspace codebook LEARNS
     * from (the seed-distance assignment d0 — the per-cell sums inherit
     * the restriction through a0); the final d1/code assignment still
@@ -853,7 +922,8 @@ object Similarity {
     * from `codes`. "TRUE" keeps the train-on-everything semantics
     * byte-for-byte (the gated flat-PQ/IVF+PQ default).
     */
-  private def pqOracleChains(trainWhere: String): String = {
+  private def pqOracleChains(trainWhere: String, srcTable: String,
+      srcCol: String): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 8),
@@ -862,7 +932,7 @@ object Similarity {
     val subChains = (0 until pqM).map { s =>
       val off = s * pqSub
       s"""es$s AS (
-         |  SELECT vec_id, list_slice(v, ${off + 1}, ${off + pqSub}) AS sv FROM e),
+         |  SELECT vec_id, list_slice($srcCol, ${off + 1}, ${off + pqSub}) AS sv FROM $srcTable),
          |seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK),
          |d0_$s AS (
          |  SELECT e.vec_id, s.cell, $dist AS d
@@ -1005,6 +1075,41 @@ object Similarity {
        |  $pqRefJoins),
        |$pqRerankTail""".stripMargin
 
+  /** The DuckDB twin of xAnnIvfAdc: the IVF chain, residuals against the
+    * refined centroids, the PQ chains sliced from residuals, the probe
+    * walk, per-probed-cell query residuals, ADC restricted to each
+    * candidate's own cell, shared re-rank tail.
+    */
+  private def annIvfAdcOracleSql: String =
+    s"""${ivfAssignOracleCtes()},
+       |res AS (
+       |  SELECT e.vec_id, a1.cell,
+       |    list_transform(generate_series(1, $dims), i -> e.v[i] - rc.c[i]) AS rv
+       |  FROM e JOIN a1 USING (vec_id) JOIN refc1 rc ON rc.cell = a1.cell),
+       |${pqOracleChains("TRUE", "res", "rv")},
+       |probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d1 WHERE vec_id < 10) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a1.vec_id AS neighbor_id, a1.cell
+       |  FROM probe p JOIN a1 ON p.cell = a1.cell
+       |  WHERE a1.vec_id <> p.query_id),
+       |qres AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, $dims), i -> q.v[i] - rc.c[i]) AS v
+       |  FROM probe p JOIN e q ON q.vec_id = p.query_id
+       |  JOIN refc1 rc ON rc.cell = p.cell),
+       |adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |  $pqAdcTerms AS d
+       |  FROM cand cd
+       |  JOIN qres q ON q.query_id = cd.query_id AND q.cell = cd.cell
+       |  JOIN codes c ON c.vec_id = cd.neighbor_id
+       |  $pqRefJoins),
+       |$pqRerankTail""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_ann_lsh" -> annLshOracleSql,
     "x_ann_ivf" -> annIvfOracleSql(),
@@ -1013,6 +1118,7 @@ object Similarity {
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_pq_admit" -> pqAdmitOracleSql,
+    "x_ann_ivfadc" -> annIvfAdcOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (

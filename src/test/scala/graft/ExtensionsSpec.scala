@@ -264,7 +264,10 @@ class ExtensionsSpec extends AnyFunSuite {
         ("pq", 0.6, topSets(ext.Similarity.xAnnPq(spark, sf))),
         // IVF+PQ additionally bounds candidates to the probed inverted
         // lists, so its recall is capped by the IVF probe walk's.
-        ("ivfpq", 0.6, topSets(ext.Similarity.xAnnIvfPq(spark, sf))))) {
+        ("ivfpq", 0.6, topSets(ext.Similarity.xAnnIvfPq(spark, sf))),
+        // residual codebooks are tighter at the same budget, so the
+        // classical IVFADC floor matches the raw-vector composition's
+        ("ivfadc", 0.6, topSets(ext.Similarity.xAnnIvfAdc(spark, sf))))) {
       val recalls = exact.map { case (q, ex) =>
         approx.get(q).map(ap => (ap intersect ex).size.toDouble / ex.size).getOrElse(0.0)
       }
