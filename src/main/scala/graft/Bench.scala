@@ -61,6 +61,7 @@ object Bench {
     "x_text_ttr",
     "x_split_leakage",
     "x_text_winnow_pairs",
+    "x_text_bigram_logprob",
     "x_text_c4_rules",
     "x_corpus_mix",
     "x_multimodal_frames",

@@ -206,6 +206,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality signal — the sequence-aware upgrade of
+    * xTextUnigramLogprob (the CCNet-style "train a small LM on the
+    * corpus, score each doc" proxy, with the corpus itself as the LM):
+    * per document, the mean conditional log-probability ln c(w1,w2) /
+    * c(w1·) over its adjacent-token bigrams, where c(w1·) counts w1 as
+    * a bigram PREFIX (so each conditional distribution sums to 1 —
+    * MLE, no smoothing needed since every scored bigram is in the
+    * corpus). Low scores = improbable token sequences (gibberish /
+    * shuffled boilerplate) that unigram frequency cannot see. Same
+    * round(avg(ln), 4) idiom as the unigram twin; docs with < 2 tokens
+    * report 0 bigrams and a null score. Scale shape: two gram-count
+    * aggregates + a fact-side join on the gram string (xxhash64 keys in
+    * the 100 TB path, the contamination note), shuffles bounded by
+    * token count.
+    */
+  def xTextBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(lowerS(col("text")), " "))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bgc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val pfx = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val perDoc = pairs.join(bgc, Seq("w1", "w2")).join(pfx, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("n2") / col("n1"))), 4).as("avg_logprob"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting per source: whitespace tokens + regex word tokens. */
   def xTextTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -644,6 +680,7 @@ object TextAnalysis {
     "x_text_tfidf"       -> (xTextTfidf _),
     "x_text_chunk"       -> (xTextChunk _),
     "x_text_unigram_logprob" -> (xTextUnigramLogprob _),
+    "x_text_bigram_logprob" -> (xTextBigramLogprob _),
     "x_text_redact"      -> (xTextRedact _),
     "x_text_contamination" -> (xTextContamination _),
     "x_corpus_sample"    -> (xCorpusSample _),
@@ -825,6 +862,26 @@ object TextAnalysis {
         |  round(AVG(ln(n / (SELECT t FROM tot))), 4) AS avg_logprob
         |FROM toks JOIN freq USING (tok)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // Bigram twin: conditional MLE ln(c(w1,w2)/c(w1·)) with the prefix
+    // count over bigram rows (distributions sum to 1), same
+    // round(avg(ln),4) idiom as the unigram twin.
+    "x_text_bigram_logprob" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM ws WHERE len(w) >= 2)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+        |pfx AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    round(AVG(ln(n2 / n1)), 4) AS avg_logprob
+        |  FROM bg JOIN bgc USING (w1, w2) JOIN pfx USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_logprob
+        |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "x_text_redact" ->
       """SELECT doc_id,

@@ -824,6 +824,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("bigram logprob: valid probabilities, bigram counts match tokens") {
+    val lp = ext.TextAnalysis.xTextBigramLogprob(spark, sf).collect()
+    val nt = ext.TextAnalysis.xTextTtr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(lp.nonEmpty)
+    lp.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == nt(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: bigrams != tokens - 1")
+      assert(r.getAs[Double]("avg_logprob") <= 0.0, "ln p must be <= 0")
+    }
+  }
+
   test("attribution partitions every purchase across known channels") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val nPurch = ev.filter(col("event_type") === "purchase").count()
