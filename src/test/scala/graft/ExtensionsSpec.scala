@@ -824,6 +824,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("README status block advertises the actual gate counts") {
+    // The round-3 and round-5 verdicts both caught a stale README count;
+    // pin it to the single source of truth so the slip can't recur.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\*\*(\d+) gated queries, (\d+) with DuckDB oracle SQL matching bitwise\*\*"""
+      .r.findFirstMatchIn(readme)
+      .getOrElse(fail("README gate-count line missing"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(1)} gated; SparkEntry.queries has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(2)} bitwise; SparkEntry.oracleSql has ${SparkEntry.oracleSql.size}")
+    // every oracle key must have a query implementation
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query impl: $orphans")
+  }
+
   test("bigram logprob: valid probabilities, bigram counts match tokens") {
     val lp = ext.TextAnalysis.xTextBigramLogprob(spark, sf).collect()
     val nt = ext.TextAnalysis.xTextTtr(spark, sf).collect()
