@@ -116,6 +116,72 @@ object StreamOps {
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.
     */
+  case class TouchState(touchType: String, tsMs: Long)
+  case class AttrOut(user_id: Long, purchase_id: Long, channel: String,
+    value_e4: Long)
+
+  private val attrHorizonMs = 7L * 24 * 3600 * 1000
+
+  /** Streaming last-touch attribution — the streaming form of
+    * EventAnalytics.xAttribution: state is ONE small (touch_type, ts)
+    * struct per active user (not an event buffer), expired by
+    * event-time timeout once the attribution horizon passes with no new
+    * touch, so state is O(users active within the horizon) regardless
+    * of stream length. Each purchase emits immediately with the channel
+    * decided by the latest in-horizon touch (else 'direct') and its
+    * value in the same trunc(value·10⁴) fixed-point longs as the batch
+    * operator. Events inside a micro-batch sort by (ts, touch-first,
+    * event_id) — the batch window order — so a single-batch replay is
+    * exactly batch-parity (spec-gated); cross-batch late touches are
+    * bounded by the watermark like every other streaming op here.
+    */
+  def attribute(events: Dataset[Event]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "view" ||
+        e.event_type == "signup" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateAttribution)
+  }
+
+  private[streaming] def updateAttribution(userId: Long,
+      events: Iterator[Event],
+      state: GroupState[TouchState]): Iterator[AttrOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = scala.collection.mutable.Buffer[AttrOut]()
+      var cur = state.getOption
+      events.toSeq
+        .sortBy(e => (e.ts.getTime, if (e.event_type == "purchase") 1 else 0,
+          e.event_id))
+        .foreach { e =>
+          val t = e.ts.getTime
+          if (e.event_type == "purchase") {
+            val channel = cur match {
+              case Some(s) if t - s.tsMs <= attrHorizonMs => s.touchType
+              case _ => "direct"
+            }
+            // toLong truncates toward zero — same fixed-point step as the
+            // batch operator's double→bigint cast
+            out += AttrOut(userId, e.event_id, channel,
+              (e.value * 10000d).toLong)
+          } else if (cur.forall(_.tsMs <= t)) {
+            // out-of-order touch older than the tracked one never wins
+            cur = Some(TouchState(e.event_type, t))
+          }
+        }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.tsMs + attrHorizonMs)
+      }
+      out.iterator
+    }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -805,6 +805,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.contains((5L, 6L)), s"re-admitted keeper not indexed: $out")
   }
 
+  test("streaming attribution agrees with the batch operator exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // One micro-batch replay of the real events: the in-batch
+    // (ts, touch-first, event_id) sort reproduces the batch window
+    // order, so per-channel rollups must match xAttribution bitwise.
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => streaming.StreamOps.Event(
+        r.getLong(0), new java.sql.Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.attribute(input.toDS())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    input.addData(raw.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT channel, count(*) AS n, sum(value_e4) AS rev
+        |FROM attr_out GROUP BY channel""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    query.stop()
+    val batch = ext.EventAnalytics.xAttribution(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_e4"))).toMap
+    assert(streamed == batch,
+      s"streaming attribution diverged:\n  stream=$streamed\n  batch=$batch")
+  }
+
   test("streaming windowed counts aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
