@@ -622,6 +622,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(4L)._1 == -1 && rows(4L)._3.isEmpty)
   }
 
+  test("real JPEG decode through the same plumbing (format auto-detect)") {
+    import spark.implicits._
+    // ImageIO.read sniffs the container from the bytes, so the SAME
+    // imageFeatures path decodes JPEG with no code change — prove it,
+    // since a real corpus mixes formats in one binary column. JPEG is
+    // lossy: assert dimensions exactly and channel means within the
+    // compression tolerance instead of bitwise.
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x608040)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val assets = Seq((1L, out.toByteArray)).toDF("doc_id", "asset")
+    val r = ext.Multimodal.imageFeatures(spark, assets).collect().head
+    assert(r.getInt(1) == 8 && r.getInt(2) == 6)
+    val rgb = r.getSeq[Float](3)
+    for ((m, e) <- rgb.zip(Seq(0x60, 0x80, 0x40)))
+      assert(math.abs(m - e) < 8f, s"JPEG channel mean $m far from $e")
+  }
+
   test("incremental minhash admission equals the batch pairs touching new docs") {
     // Split the corpus at the median id: the low half is the admitted
     // state (signature table only — its text is never re-read), the high

@@ -205,6 +205,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for dim joins")
   }
 
+  test("plan sweep: no gated query plans a CartesianProduct") {
+    // Global guard over EVERY SparkEntry query: a CartesianProduct node
+    // means a join lost both its condition and its broadcastable side —
+    // at 100 TB that's an N² catastrophe, and it can sneak in silently
+    // when a join key is mistyped (condition becomes trivially true/
+    // false) or a broadcast hint is dropped. BroadcastNestedLoopJoin is
+    // allowed: the deliberate tiny-side pattern (10 broadcast queries,
+    // 1-row scalars). Planning only — nothing executes.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+  }
+
   test("plan shapes: the kroger fact build broadcasts both dims") {
     val plan = ops.KrogerTpch.xKrogerMartDemo(spark, sf)
       .queryExecution.executedPlan.toString
