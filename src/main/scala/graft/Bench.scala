@@ -62,6 +62,7 @@ object Bench {
     "x_split_leakage",
     "x_text_winnow_pairs",
     "x_text_bigram_logprob",
+    "x_text_bpe",
     "x_text_c4_rules",
     "x_corpus_mix",
     "x_multimodal_frames",

@@ -242,6 +242,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val bpeRounds = 3
+
+  /** BPE-style pair-merge tokenization (the core LLM-tokenizer training
+    * loop, run at word granularity — the WordPiece/phrase-merge analog
+    * of byte-pair encoding): `bpeRounds` rounds of (count all adjacent
+    * token pairs across the corpus → pick the most frequent, ties
+    * broken lexicographically → greedily merge its occurrences
+    * left-to-right in every document). Greedy merging has a sequential
+    * data dependency (a merge consumes its right token, so "a a a"
+    * merges once, not twice) that SQL can't fold directly — but greedy
+    * is EXACTLY "merge the even offsets within each maximal run of
+    * consecutive match positions" (consecutive matches only happen when
+    * a = b; for a ≠ b every run is a singleton), which IS expressible
+    * with gaps-and-islands window functions — so the generated twin
+    * replays all rounds bitwise. The Spark side folds each document
+    * with a (out, prev) accumulator in one codegen'd higher-order
+    * `aggregate` — a narrow map; only the K pair-count aggregates
+    * shuffle, and each round's top pair is a 1-row driver collect (the
+    * Lloyd-loop regime). Output: per-doc token counts before/after and
+    * an md5 of the final token sequence (so the gate pins the merged
+    * SEQUENCES, not just the counts).
+    */
+  def xTextBpe(spark: SparkSession, dir: String): DataFrame = {
+    var docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
+      .withColumn("n_before", size(col("toks")).cast("long"))
+    for (_ <- 1 to bpeRounds) {
+      val top = docs.select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |    i -> struct(toks[i] AS a, toks[i + 1] AS b))
+          |  ELSE cast(array() as array<struct<a:string,b:string>>) END""".stripMargin))
+          .as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect().head
+      val (a, b) = (top.getString(0), top.getString(1))
+      // merged tokens are space-joined words; anything else would mean
+      // the literal embedding below (and the twin's) needs escaping
+      require((a + b).matches("[a-z0-9 ]+"), s"unsafe pair token: '$a','$b'")
+      docs = docs.withColumn("toks", expr(
+        s"""aggregate(toks,
+           |  named_struct('out', cast(array() as array<string>),
+           |               'prev', cast(null as string)),
+           |  (acc, x) -> CASE
+           |    WHEN acc.prev = '$a' AND x = '$b' THEN named_struct(
+           |      'out', array_append(acc.out, '$a $b'),
+           |      'prev', cast(null as string))
+           |    WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
+           |    ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', x)
+           |  END,
+           |  acc -> CASE WHEN acc.prev IS NULL THEN acc.out
+           |    ELSE array_append(acc.out, acc.prev) END)""".stripMargin))
+    }
+    docs.select(col("doc_id"), col("n_before"),
+      size(col("toks")).cast("long").as("n_after"),
+      md5(concat_ws("|", col("toks"))).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting per source: whitespace tokens + regex word tokens. */
   def xTextTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -688,7 +748,8 @@ object TextAnalysis {
     "x_text_ttr"         -> (xTextTtr _),
     "x_split_leakage"    -> (xSplitLeakage _),
     "x_text_c4_rules"    -> (xTextC4Rules _),
-    "x_corpus_mix"       -> (xCorpusMix _))
+    "x_corpus_mix"       -> (xCorpusMix _),
+    "x_text_bpe"         -> (xTextBpe _))
 
   // Winnowing twin CTE chain (through the per-doc fingerprint relation
   // `fpall`), shared by the per-doc rollup and the cross-doc pair join:
@@ -733,7 +794,60 @@ object TextAnalysis {
         |fpall AS (
         |  SELECT doc_id, mn FROM fp UNION ALL SELECT doc_id, mn FROM short)""".stripMargin)
 
+  /** The DuckDB twin of xTextBpe: each round recomputes the top pair in
+    * SQL (scalar subqueries — the twin needs nothing from the Spark
+    * run), marks match positions, converts greedy consumption to the
+    * runs-parity rule with gaps-and-islands windows, and rebuilds each
+    * document's token list ordered by position.
+    */
+  private def bpeOracleSql: String = {
+    val roundBlocks = (1 to bpeRounds).map { r =>
+      val prev = s"d${r - 1}"
+      s"""p$r AS (
+         |  SELECT t.toks[i] AS a, t.toks[i + 1] AS b, count(*) AS n FROM (
+         |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM $prev WHERE len(toks) >= 2) t
+         |  GROUP BY 1, 2),
+         |top$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |pos$r AS (
+         |  SELECT doc_id, i, toks[i] AS tok,
+         |    (i < len(toks)
+         |     AND toks[i] = (SELECT a FROM top$r)
+         |     AND toks[i + 1] = (SELECT b FROM top$r)) AS m
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+         |        FROM $prev)),
+         |run$r AS (
+         |  SELECT doc_id, i,
+         |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM pos$r WHERE m),
+         |mg$r AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, MIN(i) OVER (PARTITION BY doc_id, grp) AS run_start
+         |    FROM run$r)
+         |  WHERE (i - run_start) % 2 = 0),
+         |d$r AS (
+         |  SELECT p.doc_id, list(
+         |    CASE WHEN g.i IS NOT NULL
+         |      THEN p.tok || ' ' || (SELECT b FROM top$r) ELSE p.tok END
+         |    ORDER BY p.i) AS toks
+         |  FROM pos$r p
+         |  LEFT JOIN mg$r g ON g.doc_id = p.doc_id AND g.i = p.i
+         |  LEFT JOIN mg$r c ON c.doc_id = p.doc_id AND c.i = p.i - 1
+         |  WHERE c.i IS NULL
+         |  GROUP BY p.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |$roundBlocks
+       |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_before,
+       |  CAST(len(dk.toks) AS BIGINT) AS n_after,
+       |  md5(array_to_string(dk.toks, '|')) AS tok_hash
+       |FROM d0 JOIN d$bpeRounds dk ON d0.doc_id = dk.doc_id
+       |ORDER BY d0.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_text_bpe" -> bpeOracleSql,
     "x_text_winnow" ->
       s"""$winnowFpCtes
         |SELECT doc_id, count(*) AS n_fingerprints,

@@ -891,6 +891,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without query impl: $orphans")
   }
 
+  test("bpe pair-merge: greedy left-to-right semantics and lexicographic ties") {
+    import spark.implicits._
+    // "x x x x x": greedy round 1 on pair (x,x) merges positions 1 and 3
+    // only (each merge consumes its right token) -> 3 tokens; a naive
+    // merge-every-match would differ. Rounds 2-3 then chain merges via
+    // the lexicographic tie-break (b: "x" < "x x" < "y") down to one
+    // token; "x x y" ends at ["x x", "y"].
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((0L, "x x x x x", "en", "srcx", 9L), (1L, "x x y", "en", "srcx", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ext.TextAnalysis.xTextBpe(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_before"), r.getAs[Long]("n_after")))
+      .toMap
+    assert(rows(0L) == (5L, 1L), s"chained greedy merges wrong: ${rows(0L)}")
+    assert(rows(1L) == (3L, 2L), s"non-matching tail mishandled: ${rows(1L)}")
+  }
+
   test("bigram logprob: valid probabilities, bigram counts match tokens") {
     val lp = ext.TextAnalysis.xTextBigramLogprob(spark, sf).collect()
     val nt = ext.TextAnalysis.xTextTtr(spark, sf).collect()
