@@ -26,7 +26,13 @@ object ScaleProbe {
     // contamination join's and the composed corpus-prep pipeline's
     // worst case, so the two most expensive non-probed queries run
     // under the same stress that validated the dedup family
-    "x_text_contamination", "x_llm_corpus_prep")
+    "x_text_contamination", "x_llm_corpus_prep",
+    // round-6 additions with corpus-wide aggregates: BPE's pair counts
+    // and the bigram LM's gram joins scale with total tokens;
+    // winnow-pairs' df∈[2,50] cutoff faces every fingerprint's df ×N
+    // (boilerplate prints cross the cutoff and must fall out, the
+    // ngram-jaccard story)
+    "x_text_bpe", "x_text_bigram_logprob", "x_text_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

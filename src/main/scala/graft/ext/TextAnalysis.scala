@@ -809,7 +809,7 @@ object TextAnalysis {
          |    FROM $prev WHERE len(toks) >= 2) t
          |  GROUP BY 1, 2),
          |top$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |pos$r AS (
+         |pos$r AS MATERIALIZED (
          |  SELECT doc_id, i, toks[i] AS tok,
          |    (i < len(toks)
          |     AND toks[i] = (SELECT a FROM top$r)
@@ -820,12 +820,12 @@ object TextAnalysis {
          |  SELECT doc_id, i,
          |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
          |  FROM pos$r WHERE m),
-         |mg$r AS (
+         |mg$r AS MATERIALIZED (
          |  SELECT doc_id, i FROM (
          |    SELECT doc_id, i, MIN(i) OVER (PARTITION BY doc_id, grp) AS run_start
          |    FROM run$r)
          |  WHERE (i - run_start) % 2 = 0),
-         |d$r AS (
+         |d$r AS MATERIALIZED (
          |  SELECT p.doc_id, list(
          |    CASE WHEN g.i IS NOT NULL
          |      THEN p.tok || ' ' || (SELECT b FROM top$r) ELSE p.tok END

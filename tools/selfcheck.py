@@ -11,15 +11,21 @@ import duckdb
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+def fresh_con():
+    # One connection PER QUERY: DuckDB working memory accumulates across
+    # heavy oracles in a shared connection (observed OOM at sf0.1 on the
+    # 3 largest after ~80 prior queries, each fine in isolation).
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return c
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails, passes = [], []
 for name in sorted(oracle):
     sql = oracle[name]
+    con = fresh_con()
     try:
         odf = con.sql(sql).df()
     except Exception as e:
@@ -60,6 +66,7 @@ for name in sorted(oracle):
 
 # Rows-only queries (no oracle SQL): their parquet output must exist,
 # be readable, and be non-degenerate; a Verify-reported failure is a FAIL.
+con = duckdb.connect()
 try:
     manifest = json.load(open(f"{out}/queries.json"))
     for name in sorted(set(manifest.get("queries", [])) - set(oracle)):
