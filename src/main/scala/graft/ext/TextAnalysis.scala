@@ -264,11 +264,19 @@ object TextAnalysis {
     * an md5 of the final token sequence (so the gate pins the merged
     * SEQUENCES, not just the counts).
     */
-  def xTextBpe(spark: SparkSession, dir: String): DataFrame = {
+  def xTextBpe(spark: SparkSession, dir: String): DataFrame =
+    textBpe(spark, dir, bpeRounds)
+
+  /** `rounds` parameterizes the merge loop; the gated pair
+    * (x_text_bpe at 3, x_text_bpe_r6 at 6) pins the LOOPED path
+    * bitwise at two depths — the x_ann_ivf_k8r2 idiom — so scaling the
+    * vocabulary build is oracle-proven, not just assumed. */
+  private[ext] def textBpe(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     var docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
       .withColumn("n_before", size(col("toks")).cast("long"))
-    for (_ <- 1 to bpeRounds) {
+    for (_ <- 1 to rounds) {
       val top = docs.select(explode(expr(
         """CASE WHEN size(toks) >= 2
           |  THEN transform(sequence(0, size(toks) - 2),
@@ -749,7 +757,8 @@ object TextAnalysis {
     "x_split_leakage"    -> (xSplitLeakage _),
     "x_text_c4_rules"    -> (xTextC4Rules _),
     "x_corpus_mix"       -> (xCorpusMix _),
-    "x_text_bpe"         -> (xTextBpe _))
+    "x_text_bpe"         -> (xTextBpe _),
+    "x_text_bpe_r6"      -> ((s: SparkSession, d: String) => textBpe(s, d, 6)))
 
   // Winnowing twin CTE chain (through the per-doc fingerprint relation
   // `fpall`), shared by the per-doc rollup and the cross-doc pair join:
@@ -800,8 +809,10 @@ object TextAnalysis {
     * runs-parity rule with gaps-and-islands windows, and rebuilds each
     * document's token list ordered by position.
     */
-  private def bpeOracleSql: String = {
-    val roundBlocks = (1 to bpeRounds).map { r =>
+  private def bpeOracleSql: String = bpeOracleSql(bpeRounds)
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val roundBlocks = (1 to rounds).map { r =>
       val prev = s"d${r - 1}"
       s"""p$r AS (
          |  SELECT t.toks[i] AS a, t.toks[i + 1] AS b, count(*) AS n FROM (
@@ -842,12 +853,13 @@ object TextAnalysis {
        |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_before,
        |  CAST(len(dk.toks) AS BIGINT) AS n_after,
        |  md5(array_to_string(dk.toks, '|')) AS tok_hash
-       |FROM d0 JOIN d$bpeRounds dk ON d0.doc_id = dk.doc_id
+       |FROM d0 JOIN d$rounds dk ON d0.doc_id = dk.doc_id
        |ORDER BY d0.doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "x_text_bpe" -> bpeOracleSql,
+    "x_text_bpe_r6" -> bpeOracleSql(6),
     "x_text_winnow" ->
       s"""$winnowFpCtes
         |SELECT doc_id, count(*) AS n_fingerprints,
