@@ -211,7 +211,37 @@ object Bench {
       "\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t, _, _) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"errors":$errs,"sf":"$sfDir"}""")
+    // Long-tail sweep: every gated query NOT in the headline set, run
+    // ONCE (no best-of-3) so a regression in the sub-100ms relational
+    // tail is at least visible between rounds. Excluded from the
+    // 2×-gate total — single runs are too noisy to gate on, but a 10×
+    // jump still shows.
+    val sweepNames = SparkEntry.queries.keys.toVector.sorted
+      .filterNot(headline.toSet)
+    val sweep = sweepNames.map { name =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val w = try { SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
+        -1.0
+      }
+      (name, w)
+    }
+    val sweepJson = sweep.map { case (k, w) => "\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val sweepTotal = sweep.collect { case (_, w) if w >= 0 => w }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_total":$sweepTotal,"errors":$errs,"sf":"$sfDir"}""")
+    // Compact trailing summary: the driver's artifact keeps only the LAST
+    // 2,000 chars of output, which truncated BENCH_r06 down to the tail of
+    // the cpu map — the wall times and total were lost. This second line is
+    // small enough to always survive whole, so the headline numbers the
+    // 2×-gate needs are in the artifact without external reconstruction.
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, w, _, _) => "\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"n_headline":${results.size},"n_sweep":${sweep.size},"sweep_total":${f"$sweepTotal%.3f"},"top5":$top5,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -124,6 +124,13 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val recallPq = ext.Similarity.probeRecall5Pq(spark, work, idShift,
       32 * nReplicas)
+    // 2-round codebook arm: measures whether the extra Lloyd refinement
+    // tightens the codebooks enough to move recall toward the IVF+PQ
+    // band on the N×-replicated corpus (the x_ann_pq_r2 gate pins its
+    // arithmetic; this pins its value at scale).
+    spark.catalog.clearCache()
+    val recallPq2 = ext.Similarity.probeRecall5Pq(spark, work, idShift,
+      32 * nReplicas, 2)
     // IVF+PQ arm: candidates bounded to probed inverted lists (N× fuller)
     // AND ranked in the compressed domain — both quantizers stressed at
     // once, same held shortlist fraction.
@@ -142,6 +149,7 @@ object ScaleProbe {
       f",\"ivf_k64r3_recall5_x$nReplicas%d\":$recallIvf64%.2f" +
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
       f",\"pq_recall5_x$nReplicas%d\":$recallPq%.2f" +
+      f",\"pq_r2_recall5_x$nReplicas%d\":$recallPq2%.2f" +
       f",\"ivfpq_recall5_x$nReplicas%d\":$recallIvfPq%.2f" +
       f",\"ivfadc_recall5_x$nReplicas%d\":$recallIvfAdc%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
@@ -158,6 +166,8 @@ object ScaleProbe {
     // quantization distortion (see the ExtensionsSpec gate's rationale).
     require(recallPq >= 0.5,
       f"PQ ANN recall@5 degraded to $recallPq%.2f at $nReplicas× replication")
+    require(recallPq2 >= 0.5,
+      f"PQ(r=2) ANN recall@5 degraded to $recallPq2%.2f at $nReplicas× replication")
     require(recallIvfPq >= 0.5,
       f"IVF+PQ recall@5 degraded to $recallIvfPq%.2f at $nReplicas× replication")
     require(recallIvfAdc >= 0.5,

@@ -79,12 +79,76 @@ object StreamStateProbe {
       (maxState, finalState)
     }
 
+    /** Generic plateau runner for the per-user keyed operators: feeds n
+      * synthetic events (one user per event, ts advancing at a fixed
+      * simulated rate) through `op`, sampling numRowsTotal per batch.
+      * With the rate fixed, the population inside the operator's horizon
+      * (7-day attribution horizon / 30-min session gap) is constant, so
+      * a 10× longer stream must NOT grow peak state — state is O(active
+      * users in one horizon), not O(users ever seen).
+      */
+    def runUsers(n: Int, tag: String, msPerUser: Long,
+        eventType: String,
+        op: org.apache.spark.sql.Dataset[streaming.StreamOps.Event] =>
+           org.apache.spark.sql.Dataset[_]): (Long, Long) = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[streaming.StreamOps.Event]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_state_probe_$tag").toString
+      val q = op(input.toDS())
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      val t0 = 1700000000000L
+      var maxState = 0L
+      var finalState = 0L
+      var i = 0
+      val perBatch = 200
+      while (i < n) {
+        val hi = math.min(i + perBatch, n)
+        input.addData((i until hi).map { k =>
+          streaming.StreamOps.Event(k.toLong,
+            new Timestamp(t0 + k * msPerUser), k.toLong, eventType, 1.5)
+        }: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty) {
+          finalState = p.stateOperators(0).numRowsTotal
+          if (finalState > maxState) maxState = finalState
+        }
+        i = hi
+      }
+      q.stop()
+      (maxState, finalState)
+    }
+
     val (max1, fin1) = run(nSmall, "x1")
     val (max10, fin10) = run(nSmall * 10, "x10")
+    // Attribution: one click per user, users arriving at a fixed 100/
+    // simulated-day rate; a touch is evictable once the 7-day horizon
+    // passes, so active state ≈ 700 users + batch-boundary slack at ANY
+    // stream length.
+    val attrMsPerUser = 24L * 3600 * 1000 / 100
+    val (amax1, afin1) = runUsers(nSmall, "attr_x1", attrMsPerUser, "click",
+      streaming.StreamOps.attribute(_))
+    val (amax10, afin10) = runUsers(nSmall * 10, "attr_x10", attrMsPerUser,
+      "click", streaming.StreamOps.attribute(_))
+    // Sessionize: one event per user at 10 users/simulated-minute; the
+    // 30-min inactivity gap bounds active state ≈ 300 users.
+    val sessMsPerUser = 60000L / 10
+    val (smax1, sfin1) = runUsers(nSmall, "sess_x1", sessMsPerUser, "view",
+      streaming.StreamOps.sessionize(_))
+    val (smax10, sfin10) = runUsers(nSmall * 10, "sess_x10", sessMsPerUser,
+      "view", streaming.StreamOps.sessionize(_))
     println(s"""{"probe":"stream_neardup_state","ttl_min":60,"rate_docs_per_min":$docsPerSimMinute,""" +
       s""""n_x1":$nSmall,"max_state_x1":$max1,"final_state_x1":$fin1,""" +
       s""""n_x10":${nSmall * 10},"max_state_x10":$max10,"final_state_x10":$fin10,""" +
-      s""""unbounded_would_be_x10":${16L * nSmall * 10}}""")
+      s""""unbounded_would_be_x10":${16L * nSmall * 10},""" +
+      s""""attr_max_state_x1":$amax1,"attr_final_x1":$afin1,""" +
+      s""""attr_max_state_x10":$amax10,"attr_final_x10":$afin10,""" +
+      s""""sess_max_state_x1":$smax1,"sess_final_x1":$sfin1,""" +
+      s""""sess_max_state_x10":$smax10,"sess_final_x10":$sfin10}""")
     // Plateau: 10x the stream length must not grow peak state (1.5x slack
     // for micro-batch boundary effects), and peak state must sit far
     // below the no-eviction bound of 16 rows per doc ever seen.
@@ -92,6 +156,16 @@ object StreamStateProbe {
       s"state did not plateau: max at 10x = $max10 vs $max1 at 1x")
     require(max10 <= 16L * nSmall * 10 / 4,
       s"peak state $max10 is within 4x of the unbounded bound — TTL eviction suspect")
+    // Same gates for the per-user operators: peak state bounded by the
+    // horizon population (users ever seen would be n, 10n).
+    require(amax10 <= (amax1 * 3 / 2),
+      s"attribution state did not plateau: $amax10 at 10x vs $amax1 at 1x")
+    require(amax10 <= (nSmall * 10L) / 4,
+      s"attribution peak $amax10 within 4x of unbounded (one row per user ever)")
+    require(smax10 <= (smax1 * 3 / 2),
+      s"sessionize state did not plateau: $smax10 at 10x vs $smax1 at 1x")
+    require(smax10 <= (nSmall * 10L) / 4,
+      s"sessionize peak $smax10 within 4x of unbounded (one row per user ever)")
     spark.stop()
   }
 }

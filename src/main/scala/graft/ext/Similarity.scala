@@ -207,9 +207,9 @@ object Similarity {
     * still separates true neighbors from the bulk at N× corpus size.
     */
   def probeRecall5Pq(spark: SparkSession, dir: String, replicaShift: Long,
-      shortlist: Int = pqShortlist): Double =
+      shortlist: Int = pqShortlist, cbRounds: Int = 1): Double =
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
-      annPq(spark, dir, replicaShift, shortlist))
+      annPq(spark, dir, replicaShift, shortlist, cbRounds))
 
   /** IVF+PQ recall under the same probe: inverted lists fill N× AND
     * every code cell fills N×, so this stresses both quantizers at once. */
@@ -429,42 +429,51 @@ object Similarity {
     * floor-div dequantized mean as lloydCentroids — identical arithmetic
     * to running the shared Lloyd step per subspace (the generated oracle
     * replays the per-subspace formulation), but 2 driver collects total
-    * instead of 2m. Collected size is m·k·sub rows (1024 doubles here —
-    * the SCALE.md Lloyd-note regime). Gated PQ is single-round; extra
-    * rounds would loop this same pass on the refined codebooks.
+    * per round instead of 2m. Collected size is m·k·sub rows (1024
+    * doubles here — the SCALE.md Lloyd-note regime). `rounds` loops this
+    * same pass on the refined codebooks (round 1 assigns by the seeds,
+    * round r by round r−1's codebooks) — the x_ann_ivf_k8r2 idiom, so
+    * scaling codebook training is oracle-proven at two depths
+    * (x_ann_pq at 1, x_ann_pq_r2 at 2).
     */
-  private def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+  private def pqCodebooks(e: DataFrame,
+      rounds: Int = 1): Array[Array[Array[Double]]] = {
     val seedRows: Array[Array[Double]] = e.filter(col("vec_id") < pqK)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
-    val seeds: Array[Array[Array[Double]]] =
+    var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(pqM)(s => seedRows.map(_.slice(s * pqSub, s * pqSub + pqSub)))
-    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
-      expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), seeds(s)).as(s"cell$s"))
-    val byCell: Map[(Int, Int), Array[Double]] =
-      e.select(col("embedding") +: codeCols: _*)
-        .select(posexplode(col("embedding")).as(Seq("p", "x")),
-          array((0 until pqM).map(s => col(s"cell$s")): _*).as("cells"))
-        .select(expr(s"cast(p div $pqSub as int)").as("sub"),
-          expr(s"cast(p % $pqSub as int)").as("pos"),
-          expr(s"element_at(cells, cast(p div $pqSub + 1 as int))").as("cell"), col("x"))
-        .groupBy("sub", "cell", "pos")
-        .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
-        .select(col("sub"), col("cell"), col("pos"),
-          (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
-        .collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (k, rows) =>
-          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
-        }
-    // empty cells (duplicate seed vectors) keep their seed centroid —
-    // the same fallback as lloydCentroids and the oracle's COALESCE.
-    Array.tabulate(pqM)(s =>
-      Array.tabulate(pqK)(c => byCell.getOrElse((s, c), seeds(s)(c))))
+    for (_ <- 1 to rounds) {
+      val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+        expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s)).as(s"cell$s"))
+      val byCell: Map[(Int, Int), Array[Double]] =
+        e.select(col("embedding") +: codeCols: _*)
+          .select(posexplode(col("embedding")).as(Seq("p", "x")),
+            array((0 until pqM).map(s => col(s"cell$s")): _*).as("cells"))
+          .select(expr(s"cast(p div $pqSub as int)").as("sub"),
+            expr(s"cast(p % $pqSub as int)").as("pos"),
+            expr(s"element_at(cells, cast(p div $pqSub + 1 as int))").as("cell"), col("x"))
+          .groupBy("sub", "cell", "pos")
+          .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d)).cast("long")).as("sq"),
+            count(lit(1)).as("n"))
+          .select(col("sub"), col("cell"), col("pos"),
+            (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }
+      // empty cells (duplicate seed vectors) keep their PREVIOUS-round
+      // centroid (round 1: the seed) — the same fallback as
+      // lloydCentroids and the oracle's COALESCE.
+      val prev = cbs
+      cbs = Array.tabulate(pqM)(s =>
+        Array.tabulate(pqK)(c => byCell.getOrElse((s, c), prev(s)(c))))
+    }
+    cbs
   }
 
   // ADC shortlist size: candidates surviving the compressed-domain scan
@@ -509,9 +518,10 @@ object Similarity {
     annPq(spark, dir, 0L)
 
   private[ext] def annPq(spark: SparkSession, dir: String,
-      replicaShift: Long, shortlist: Int = pqShortlist): DataFrame = {
+      replicaShift: Long, shortlist: Int = pqShortlist,
+      cbRounds: Int = 1): DataFrame = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val cbs = pqCodebooks(e)
+    val cbs = pqCodebooks(e, cbRounds)
     val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
       expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s)).as(s"c$s"))
     val coded = e.select(
@@ -694,6 +704,11 @@ object Similarity {
     "x_ann_ivf_k8r2"   -> ((s: SparkSession, d: String) => annIvf(s, d, 0L, 8, 2)),
     "x_ann_ivf_admit"  -> (xAnnIvfAdmit _),
     "x_ann_pq"         -> (xAnnPq _),
+    // The multi-round CODEBOOK arm — the pqCodebooks loop at depth 2
+    // with its own generated twin, the x_ann_ivf_k8r2 idiom applied to
+    // the product quantizer: scaling codebook training is oracle-proven.
+    "x_ann_pq_r2"      -> ((s: SparkSession, d: String) =>
+      annPq(s, d, 0L, pqShortlist, 2)),
     "x_ann_ivfpq"      -> (xAnnIvfPq _),
     "x_ann_pq_admit"   -> (xAnnPqAdmit _),
     "x_ann_ivfadc"     -> (xAnnIvfAdc _),
@@ -916,14 +931,19 @@ object Similarity {
     pqOracleChains(trainWhere, "e", "v")
 
   /** `trainWhere` restricts which vectors each subspace codebook LEARNS
-    * from (the seed-distance assignment d0 — the per-cell sums inherit
-    * the restriction through a0); the final d1/code assignment still
-    * encodes EVERY vector, so admission callers read the complement
-    * from `codes`. "TRUE" keeps the train-on-everything semantics
-    * byte-for-byte (the gated flat-PQ/IVF+PQ default).
+    * from (every training round's assignment source — the per-cell sums
+    * inherit the restriction through the assignment CTEs); the final
+    * encode assignment still encodes EVERY vector, so admission callers
+    * read the complement from `codes`. "TRUE" keeps the
+    * train-on-everything semantics byte-for-byte (the gated
+    * flat-PQ/IVF+PQ default). `rounds` loops the (assign → exact-integer
+    * refine) block per subspace — round r assigns by round r−1's refined
+    * codebooks, COALESCE falling back to the previous round's centroid
+    * for empty cells, mirroring pqCodebooks' loop; the final refined CTE
+    * is always named pref$s so the ADC tail is round-agnostic.
     */
   private def pqOracleChains(trainWhere: String, srcTable: String,
-      srcCol: String): String = {
+      srcCol: String, rounds: Int = 1): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 8),
@@ -931,37 +951,47 @@ object Similarity {
         |      (a, x) -> a + x)""".stripMargin
     val subChains = (0 until pqM).map { s =>
       val off = s * pqSub
-      s"""es$s AS (
-         |  SELECT vec_id, list_slice($srcCol, ${off + 1}, ${off + pqSub}) AS sv FROM $srcTable),
-         |seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK),
-         |d0_$s AS (
-         |  SELECT e.vec_id, s.cell, $dist AS d
-         |  FROM (SELECT * FROM es$s WHERE $trainWhere) e, seeds$s s),
-         |a0_$s AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM d0_$s) WHERE rn = 1),
-         |qv_$s AS (
-         |  SELECT a.cell, g.i,
-         |    CAST(sum(trunc((e.sv[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
-         |    count(*) AS n
-         |  FROM es$s e JOIN a0_$s a USING (vec_id)
-         |  CROSS JOIN generate_series(1, $pqSub) g(i)
-         |  GROUP BY a.cell, g.i),
-         |pref$s AS (
-         |  SELECT s.cell, COALESCE(r.c, s.c) AS c
-         |  FROM seeds$s s LEFT JOIN (
-         |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
-         |    FROM qv_$s GROUP BY cell) r ON s.cell = r.cell),
-         |d1_$s AS (
+      val header =
+        s"""es$s AS (
+           |  SELECT vec_id, list_slice($srcCol, ${off + 1}, ${off + pqSub}) AS sv FROM $srcTable),
+           |seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK)""".stripMargin
+      val roundBlocks = (1 to rounds).map { r =>
+        val prevC = if (r == 1) s"seeds$s" else s"pref${s}_r${r - 1}"
+        val refName = if (r == rounds) s"pref$s" else s"pref${s}_r$r"
+        val dName = s"d${r - 1}_$s"
+        val aName = s"a${r - 1}_$s"
+        val qvName = if (r == 1) s"qv_$s" else s"qv${r}_$s"
+        s"""$dName AS (
+           |  SELECT e.vec_id, s.cell, $dist AS d
+           |  FROM (SELECT * FROM es$s WHERE $trainWhere) e, $prevC s),
+           |$aName AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |    FROM $dName) WHERE rn = 1),
+           |$qvName AS (
+           |  SELECT a.cell, g.i,
+           |    CAST(sum(trunc((e.sv[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+           |    count(*) AS n
+           |  FROM es$s e JOIN $aName a USING (vec_id)
+           |  CROSS JOIN generate_series(1, $pqSub) g(i)
+           |  GROUP BY a.cell, g.i),
+           |$refName AS (
+           |  SELECT s.cell, COALESCE(r.c, s.c) AS c
+           |  FROM $prevC s LEFT JOIN (
+           |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+           |    FROM $qvName GROUP BY cell) r ON s.cell = r.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""$header,
+         |$roundBlocks,
+         |d${rounds}_$s AS (
          |  SELECT e.vec_id, s.cell, $dist AS d
          |  FROM es$s e, pref$s s),
          |code$s AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM d1_$s) WHERE rn = 1)""".stripMargin
+         |    FROM d${rounds}_$s) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val codeCols = (0 until pqM).map(s => s"k$s.cell AS c$s").mkString(", ")
     val codeJoins = (0 until pqM).map(s => s"JOIN code$s k$s USING (vec_id)")
@@ -1015,14 +1045,17 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** The DuckDB twin of xAnnPq: the PQ chains over every vector, ADC
-    * against ALL non-self candidates, shortlist, exact re-rank. */
-  private def annPqOracleSql: String =
+  /** The DuckDB twin of xAnnPq (and of the multi-round x_ann_pq_r2
+    * gate): the PQ chains over every vector, ADC against ALL non-self
+    * candidates, shortlist, exact re-rank. */
+  private def annPqOracleSql: String = annPqOracleSql(1)
+
+  private def annPqOracleSql(rounds: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings),
-       |$pqOracleChains,
+       |${pqOracleChains("TRUE", "e", "v", rounds)},
        |adc AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |  $pqAdcTerms AS d
@@ -1116,6 +1149,7 @@ object Similarity {
     "x_ann_ivf_k8r2" -> annIvfOracleSql(8, 2),
     "x_ann_ivf_admit" -> ivfAdmitOracleSql,
     "x_ann_pq" -> annPqOracleSql,
+    "x_ann_pq_r2" -> annPqOracleSql(2),
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_pq_admit" -> pqAdmitOracleSql,
     "x_ann_ivfadc" -> annIvfAdcOracleSql,

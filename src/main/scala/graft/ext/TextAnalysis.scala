@@ -271,12 +271,34 @@ object TextAnalysis {
     * (x_text_bpe at 3, x_text_bpe_r6 at 6) pins the LOOPED path
     * bitwise at two depths — the x_ann_ivf_k8r2 idiom — so scaling the
     * vocabulary build is oracle-proven, not just assumed. */
-  private[ext] def textBpe(spark: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
+  /** Spark-SQL single-quoted string literal for an arbitrary token —
+    * backslash then quote, so accented/CJK/quote-bearing merge pairs
+    * embed safely in the generated `expr` (the DuckDB twin needs no
+    * mirror: it recomputes its top pairs in SQL, never embedding these).
+    */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Re-materialization cadence for the merge loop: each round stacks one
+    * `aggregate(...)` projection onto `toks`, so plan/expression depth
+    * grows linearly with rounds and at K≈50+ would hit analyzer/codegen
+    * limits long before compute does. Truncating lineage every R rounds
+    * (localCheckpoint here; a reliable checkpoint on a real cluster)
+    * keeps depth O(R) while the per-round work — a shrinking pair-count
+    * aggregate plus a narrow recode map — is unchanged. Probe-verified
+    * ~flat per-round wall at K=24 (ScaleProbe --bpe-depth, SCALE.md).
+    */
+  private val bpeCheckpointEvery = 8
+
+  private[graft] def textBpe(spark: SparkSession, dir: String,
+      rounds: Int,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     var docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
       .withColumn("n_before", size(col("toks")).cast("long"))
-    for (_ <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val t0 = System.nanoTime()
       val top = docs.select(explode(expr(
         """CASE WHEN size(toks) >= 2
           |  THEN transform(sequence(0, size(toks) - 2),
@@ -285,24 +307,35 @@ object TextAnalysis {
           .as("p"))
         .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .collect().head
-      val (a, b) = (top.getString(0), top.getString(1))
-      // merged tokens are space-joined words; anything else would mean
-      // the literal embedding below (and the twin's) needs escaping
-      require((a + b).matches("[a-z0-9 ]+"), s"unsafe pair token: '$a','$b'")
-      docs = docs.withColumn("toks", expr(
-        s"""aggregate(toks,
-           |  named_struct('out', cast(array() as array<string>),
-           |               'prev', cast(null as string)),
-           |  (acc, x) -> CASE
-           |    WHEN acc.prev = '$a' AND x = '$b' THEN named_struct(
-           |      'out', array_append(acc.out, '$a $b'),
-           |      'prev', cast(null as string))
-           |    WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
-           |    ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', x)
-           |  END,
-           |  acc -> CASE WHEN acc.prev IS NULL THEN acc.out
-           |    ELSE array_append(acc.out, acc.prev) END)""".stripMargin))
+        .collect().headOption
+      onRound(r, (System.nanoTime() - t0) / 1e9)
+      top match {
+        case None =>
+          // Every document is down to <= 1 token: no adjacent pairs left
+          // anywhere, so remaining rounds are no-ops. The twin needs no
+          // mirror — its per-round CTEs degrade to no-op rebuilds when
+          // top$r is empty (NULL comparisons fail the match predicate).
+          exhausted = true
+        case Some(row) =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          val (la, lb) = (sqlLit(a), sqlLit(b))
+          val lab = sqlLit(a + " " + b)
+          docs = docs.withColumn("toks", expr(
+            s"""aggregate(toks,
+               |  named_struct('out', cast(array() as array<string>),
+               |               'prev', cast(null as string)),
+               |  (acc, x) -> CASE
+               |    WHEN acc.prev = $la AND x = $lb THEN named_struct(
+               |      'out', array_append(acc.out, $lab),
+               |      'prev', cast(null as string))
+               |    WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
+               |    ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', x)
+               |  END,
+               |  acc -> CASE WHEN acc.prev IS NULL THEN acc.out
+               |    ELSE array_append(acc.out, acc.prev) END)""".stripMargin))
+          if (r % bpeCheckpointEvery == 0 && r < rounds)
+            docs = docs.localCheckpoint()
+      }
     }
     docs.select(col("doc_id"), col("n_before"),
       size(col("toks")).cast("long").as("n_after"),

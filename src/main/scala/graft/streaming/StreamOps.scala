@@ -116,11 +116,19 @@ object StreamOps {
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.
     */
-  case class TouchState(touchType: String, tsMs: Long)
+  case class TouchState(touchType: String, tsUs: Long)
   case class AttrOut(user_id: Long, purchase_id: Long, channel: String,
     value_e4: Long)
 
-  private val attrHorizonMs = 7L * 24 * 3600 * 1000
+  private val attrHorizonUs = 7L * 24 * 3600 * 1000000L
+
+  /** Event-time µs from a Timestamp: getTime carries ms, getNanos the
+    * full sub-second part — combine for the same µs arithmetic the batch
+    * xAttribution runs on ts_us, so same-ms/different-µs events sort and
+    * compare identically to the batch window order.
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   /** Streaming last-touch attribution — the streaming form of
     * EventAnalytics.xAttribution: state is ONE small (touch_type, ts)
@@ -156,27 +164,33 @@ object StreamOps {
       val out = scala.collection.mutable.Buffer[AttrOut]()
       var cur = state.getOption
       events.toSeq
-        .sortBy(e => (e.ts.getTime, if (e.event_type == "purchase") 1 else 0,
+        .sortBy(e => (tsMicros(e.ts), if (e.event_type == "purchase") 1 else 0,
           e.event_id))
         .foreach { e =>
-          val t = e.ts.getTime
+          val t = tsMicros(e.ts)
           if (e.event_type == "purchase") {
+            // Causality guard: a touch stored from a LATER micro-batch
+            // arrival must never be credited for an earlier purchase —
+            // last-PRECEDING-touch only, matching the batch window order.
             val channel = cur match {
-              case Some(s) if t - s.tsMs <= attrHorizonMs => s.touchType
+              case Some(s) if s.tsUs <= t && t - s.tsUs <= attrHorizonUs =>
+                s.touchType
               case _ => "direct"
             }
             // toLong truncates toward zero — same fixed-point step as the
             // batch operator's double→bigint cast
             out += AttrOut(userId, e.event_id, channel,
               (e.value * 10000d).toLong)
-          } else if (cur.forall(_.tsMs <= t)) {
+          } else if (cur.forall(_.tsUs <= t)) {
             // out-of-order touch older than the tracked one never wins
             cur = Some(TouchState(e.event_type, t))
           }
         }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.tsMs + attrHorizonMs)
+        // Timeout API is ms-granular; round the horizon UP so a touch is
+        // never evicted while still (sub-ms) inside it.
+        state.setTimeoutTimestamp(s.tsUs / 1000L + attrHorizonUs / 1000L + 1L)
       }
       out.iterator
     }

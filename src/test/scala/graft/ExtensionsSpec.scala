@@ -834,9 +834,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val raw = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .collect()
-      .map(r => streaming.StreamOps.Event(
-        r.getLong(0), new java.sql.Timestamp(r.getLong(1) / 1000000L),
-        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .map { r =>
+        // Full µs precision (not truncated to ms): the streaming op sorts
+        // and applies the horizon at µs like the batch ts_us arithmetic,
+        // and this spec must exercise that path, not mask it.
+        val us = r.getLong(1) / 1000L
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        streaming.StreamOps.Event(r.getLong(0), t,
+          r.getLong(2), r.getString(3), r.getDouble(4))
+      }
     val input = MemoryStream[streaming.StreamOps.Event]
     val query = streaming.StreamOps.attribute(input.toDS())
       .writeStream.format("memory").queryName("attr_out")
@@ -907,6 +914,36 @@ class ExtensionsSpec extends AnyFunSuite {
       .toMap
     assert(rows(0L) == (5L, 1L), s"chained greedy merges wrong: ${rows(0L)}")
     assert(rows(1L) == (3L, 2L), s"non-matching tail mishandled: ${rows(1L)}")
+  }
+
+  test("bpe merges accented/CJK/quote-bearing top pairs (no ASCII guard)") {
+    import spark.implicits._
+    // The old [a-z0-9 ] require hard-failed the tokenizer trainer on any
+    // non-ASCII top pair; merged-pair literals are now escaped (sqlLit).
+    // Hand-computed greedy rounds (UTF-8 binary tie-break, matching both
+    // Spark's and DuckDB's binary string order):
+    //   r1: (日本語,プレ) n=3 wins → merges in docs 0,1
+    //   r2: (l'été,l'été) n=2 wins → run-of-2 merges even offset in doc 2
+    //   r3: all pairs n=1; a-min is "istanbul" (0x69 < 0x6C 'l' < 0xE6)
+    //       → (istanbul,ασ) merges in doc 3 — and İ U+0130 / final-sigma
+    //       Σ must have taken the SIMPLE lowercase (istanbul, ασ), the
+    //       mapping DuckDB's lower() uses, for that pair to even exist.
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_utf8").toString
+    Seq(
+      (0L, "日本語 プレ 日本語 プレ x", "ja", "srcu", 9L),
+      (1L, "日本語 プレ y", "ja", "srcu", 5L),
+      (2L, "l'été l'été l'été", "fr", "srcu", 5L),
+      (3L, "İstanbul ΑΣ", "tr", "srcu", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ext.TextAnalysis.xTextBpe(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_after")))
+      .toMap
+    assert(rows(0L) == (5L, 3L), s"CJK pair merge wrong: ${rows(0L)}")
+    assert(rows(1L) == (3L, 2L), s"CJK pair merge wrong: ${rows(1L)}")
+    assert(rows(2L) == (3L, 2L), s"quote-bearing pair merge wrong: ${rows(2L)}")
+    assert(rows(3L) == (2L, 1L), s"İ/Σ simple-lower pair merge wrong: ${rows(3L)}")
   }
 
   test("bigram logprob: valid probabilities, bigram counts match tokens") {

@@ -212,7 +212,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     // when a join key is mistyped (condition becomes trivially true/
     // false) or a broadcast hint is dropped. BroadcastNestedLoopJoin is
     // allowed: the deliberate tiny-side pattern (10 broadcast queries,
-    // 1-row scalars). Planning only — nothing executes.
+    // 1-row scalars). NOTE: the final plans are inspected without
+    // executing them, but CONSTRUCTING the PQ/IVF/BPE DataFrames runs
+    // real Spark jobs (Lloyd/codebook driver collects, per-round BPE
+    // pair counts), so this sweep costs real work per gated query —
+    // budget accordingly when adding expensive gated queries.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
