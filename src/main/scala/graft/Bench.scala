@@ -145,6 +145,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional args: query names to bench in isolation (regression
+    // adjudication — prints ALL per-run walls/CPUs, not just best-of-3,
+    // and skips the sweep). No args = the driver's full headline run.
+    val only: Set[String] = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -173,7 +177,9 @@ object Bench {
     val calib = calibration(spark)
     val calibShort = calibrationShort(spark)
     var failed = List.empty[String]
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val benchSet =
+      if (only.nonEmpty) headline.filter(only) else headline
+    val results = benchSet.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       var lastDf: org.apache.spark.sql.DataFrame = null
       // best-of-3: absorbs one-off JIT/GC noise per query. The cache is
@@ -194,6 +200,10 @@ object Bench {
         val cpu = (cpuNow() - cpu0) / 1e9
         (wall, cpu)
       }
+      if (only.nonEmpty)
+        println(s"""{"adjudicate":"$name","runs":[${runs.map { case (w, c) =>
+          f"""{"wall":$w%.3f,"cpu":$c%.3f}"""
+        }.mkString(",")}]}""")
       // A failed query reports -1 and is excluded from the total, so a
       // crash can't read as a fast success.
       val ok = !failed.contains(name)
@@ -216,8 +226,9 @@ object Bench {
     // tail is at least visible between rounds. Excluded from the
     // 2×-gate total — single runs are too noisy to gate on, but a 10×
     // jump still shows.
-    val sweepNames = SparkEntry.queries.keys.toVector.sorted
-      .filterNot(headline.toSet)
+    val sweepNames =
+      if (only.nonEmpty) Vector.empty[String]
+      else SparkEntry.queries.keys.toVector.sorted.filterNot(headline.toSet)
     val sweep = sweepNames.map { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

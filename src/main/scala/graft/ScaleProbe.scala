@@ -108,6 +108,12 @@ object ScaleProbe {
     // centroids — measured with the same replica-exclusion recall gate.
     spark.catalog.clearCache()
     val recallIvf64 = ext.Similarity.probeRecall5Ivf(spark, work, idShift, 64, 3)
+    // Hash-spread seeding arm: same k=16/r=1 quantizer but seeds scattered
+    // by md5 bucket instead of the (possibly clustered) first 16 ids —
+    // the recall comparison row for the x_ann_ivf_seedh gate.
+    spark.catalog.clearCache()
+    val recallIvfSeedh = ext.Similarity.probeRecall5Ivf(spark, work, idShift,
+      16, 1, hashSpread = true)
     // Capped arm: inverted lists truncated to 64 lowest-id members —
     // the degenerate-bucket guard — timed and recall-gated with the
     // lists nReplicas× fuller than the cap anticipates.
@@ -147,6 +153,7 @@ object ScaleProbe {
       f"},\"ann_recall5_x$nReplicas%d\":$recall%.2f" +
       f",\"ivf_recall5_x$nReplicas%d\":$recallIvf%.2f" +
       f",\"ivf_k64r3_recall5_x$nReplicas%d\":$recallIvf64%.2f" +
+      f",\"ivf_seedh_recall5_x$nReplicas%d\":$recallIvfSeedh%.2f" +
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
       f",\"pq_recall5_x$nReplicas%d\":$recallPq%.2f" +
       f",\"pq_r2_recall5_x$nReplicas%d\":$recallPq2%.2f" +
@@ -160,6 +167,8 @@ object ScaleProbe {
       f"IVF ANN recall@5 degraded to $recallIvf%.2f at $nReplicas× replication")
     require(recallIvf64 >= 0.8,
       f"IVF(k=64,r=3) recall@5 degraded to $recallIvf64%.2f at $nReplicas× replication")
+    require(recallIvfSeedh >= 0.8,
+      f"IVF(hash-spread seeds) recall@5 degraded to $recallIvfSeedh%.2f at $nReplicas× replication")
     require(recallCapped >= 0.8,
       f"capped LSH ANN recall@5 degraded to $recallCapped%.2f at $nReplicas× replication")
     // Lower floor than the uncompressed variants: PQ recall is bounded by

@@ -198,9 +198,9 @@ object Similarity {
     * gated default).
     */
   def probeRecall5Ivf(spark: SparkSession, dir: String, replicaShift: Long,
-      k: Int = 16, rounds: Int = 1): Double =
+      k: Int = 16, rounds: Int = 1, hashSpread: Boolean = false): Double =
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
-      annIvf(spark, dir, replicaShift, k, rounds))
+      annIvf(spark, dir, replicaShift, k, rounds, hashSpread))
 
   /** PQ/ADC recall under the same probe: replication multiplies every
     * code cell's population, so this measures whether the 8×16 codebook
@@ -278,10 +278,23 @@ object Similarity {
     * k×dims exact-integer aggregate collected to the driver (bounded:
     * k ≲ 10⁴ coarse cells — see SCALE.md's Lloyd note).
     */
-  private def lloydCentroids(train: DataFrame, k: Int, rounds: Int): Array[Array[Double]] = {
-    // deterministic seed centroids: the first k vectors by id
-    val seeds: Array[Array[Double]] = train.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("embedding").collect()
+  private def lloydCentroids(train: DataFrame, k: Int, rounds: Int,
+      hashSpread: Boolean = false): Array[Array[Double]] = {
+    // Deterministic seed centroids. Default: the first k vectors by id —
+    // oracle-friendly but degenerate if the first k happen to cluster.
+    // hashSpread: the k lowest (md5-bucket, vec_id) ranks — the
+    // growth-stable id bucket (diversity-sample idiom) scatters seeds
+    // pseudo-randomly across the corpus independent of id locality,
+    // the kmeans++-shaped guard, still a pure function of the ids so
+    // the generated twin replays it (cell c = rank c in bucket order).
+    val seeds: Array[Array[Double]] =
+      (if (hashSpread)
+        train.select(col("embedding"),
+          TextAnalysis.md5Bucket(10000, col("vec_id")).as("b"), col("vec_id"))
+          .orderBy("b", "vec_id").limit(k).select("embedding").collect()
+      else
+        train.filter(col("vec_id") < k)
+          .orderBy("vec_id").select("embedding").collect())
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     // Lloyd refinement rounds: exact quantized per-cell mean (see scaladoc)
     var cents = seeds
@@ -312,9 +325,10 @@ object Similarity {
   }
 
   private def ivfAssigned(spark: SparkSession, dir: String,
-      k: Int = 16, rounds: Int = 1): (DataFrame, Array[Array[Double]]) = {
+      k: Int = 16, rounds: Int = 1,
+      hashSpread: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val cents = lloydCentroids(e, k, rounds)
+    val cents = lloydCentroids(e, k, rounds, hashSpread)
     (e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist(),
       cents)
@@ -349,9 +363,10 @@ object Similarity {
     annIvf(spark, dir, 0L)
 
   private def annIvf(spark: SparkSession, dir: String,
-      replicaShift: Long, k: Int = 16, rounds: Int = 1): DataFrame = {
+      replicaShift: Long, k: Int = 16, rounds: Int = 1,
+      hashSpread: Boolean = false): DataFrame = {
     val nProbe = 4
-    val (assigned, refined) = ivfAssigned(spark, dir, k, rounds)
+    val (assigned, refined) = ivfAssigned(spark, dir, k, rounds, hashSpread)
     // queries probe the nProbe nearest refined centroids
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"),
@@ -702,6 +717,11 @@ object Similarity {
     // pins the LOOPED Lloyd path (k=8, 2 rounds) bitwise, so the scale
     // parameterization is oracle-proven, not just probe-measured.
     "x_ann_ivf_k8r2"   -> ((s: SparkSession, d: String) => annIvf(s, d, 0L, 8, 2)),
+    // Hash-spread seeding arm: Lloyd seeded by the k lowest md5-bucket
+    // ranks instead of the first k ids — the guard against clustered
+    // low-id seeds, pinned bitwise by its own generated twin.
+    "x_ann_ivf_seedh"  -> ((s: SparkSession, d: String) =>
+      annIvf(s, d, 0L, 16, 1, hashSpread = true)),
     "x_ann_ivf_admit"  -> (xAnnIvfAdmit _),
     "x_ann_pq"         -> (xAnnPq _),
     // The multi-round CODEBOOK arm — the pqCodebooks loop at depth 2
@@ -797,18 +817,33 @@ object Similarity {
     * semantics byte-for-byte.
     */
   private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1,
-      trainWhere: String = "TRUE"): String = {
+      trainWhere: String = "TRUE", hashSpread: Boolean = false): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 64),
         |        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
         |      (a, x) -> a + x)""".stripMargin
+    // Seed twin: default first-k-by-id; hashSpread ranks by the same
+    // growth-stable md5 id bucket the Spark side uses (diversity-sample
+    // idiom — non-negative, so `%` matches Spark's pmod), cell c = rank
+    // c in (bucket, vec_id) order. Only composed with trainWhere=TRUE
+    // (the gated seeding arm trains on the whole corpus).
+    val seedsSql =
+      if (hashSpread)
+        s"""seeds AS (
+           |  SELECT rn - 1 AS cell, v AS c FROM (
+           |    SELECT v, row_number() OVER (ORDER BY
+           |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+           |        vec_id) AS rn
+           |    FROM e)
+           |  WHERE rn <= $k)""".stripMargin
+      else s"seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k)"
     val header =
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
-         |seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k),
+         |$seedsSql,
          |d0 AS (
          |  SELECT e.vec_id, s.cell,
          |    $dist AS d
@@ -868,10 +903,11 @@ object Similarity {
     * gate): the shared quantizer chain above at (k, rounds), then the
     * nProbe=4 probe walk, candidate union, exact cosine re-rank.
     */
-  private def annIvfOracleSql(k: Int = 16, rounds: Int = 1): String = {
+  private def annIvfOracleSql(k: Int = 16, rounds: Int = 1,
+      hashSpread: Boolean = false): String = {
     val d = s"d$rounds"
     val a = s"a$rounds"
-    s"""${ivfAssignOracleCtes(k, rounds)},
+    s"""${ivfAssignOracleCtes(k, rounds, "TRUE", hashSpread)},
        |probe AS (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -1147,6 +1183,7 @@ object Similarity {
     "x_ann_lsh" -> annLshOracleSql,
     "x_ann_ivf" -> annIvfOracleSql(),
     "x_ann_ivf_k8r2" -> annIvfOracleSql(8, 2),
+    "x_ann_ivf_seedh" -> annIvfOracleSql(16, 1, hashSpread = true),
     "x_ann_ivf_admit" -> ivfAdmitOracleSql,
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_pq_r2" -> annPqOracleSql(2),
