@@ -242,6 +242,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Reference-LM perplexity filter (the CCNet shape, Wenzek et al.
+    * 2020: train a small LM on a trusted reference, score every
+    * candidate document, filter on the score): an add-1-smoothed bigram
+    * LM is trained on the TRAIN split ONLY (md5 id bucket < 80 — the
+    * same deterministic split x_train_val_split materializes, so the LM
+    * is frozen and held-out docs are genuinely out-of-sample, unlike
+    * the corpus-as-its-own-LM xTextBigramLogprob), and every document
+    * reports its mean conditional log-prob under that frozen LM:
+    * ln((c(w1,w2)+1) / (c(w1·)+V)) with V = the train prefix-vocab
+    * size (add-1 reserves mass for unseen continuations), and a bigram
+    * whose PREFIX was never seen in train scores ln(1/V). n_oov counts
+    * the bigrams outside the train LM — the second filter axis (high
+    * OOV = vocabulary drift from the reference). Float parity by the
+    * proven round(avg(ln(rational)), 4) idiom of the two logprob twins.
+    * Scale shape: two train-side gram aggregates (shrink to (gram,
+    * count)), a fact-side left join on the gram string, one broadcast
+    * scalar — the contamination-join shape, shuffles bounded by token
+    * count, LM never collected to the driver.
+    */
+  def xTextLmHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(lowerS(col("text")), " "))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        (md5Bucket(100, col("doc_id")) < 80).as("tr"))
+    val bgc = pairs.filter(col("tr")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n2"))
+    val pfx = pairs.filter(col("tr")).groupBy("w1")
+      .agg(count(lit(1)).as("n1"))
+    val v = pfx.agg(count(lit(1)).as("v"))
+    val scored = pairs
+      .join(bgc, Seq("w1", "w2"), "left")
+      .join(pfx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        when(col("n1").isNull, log(lit(1.0) / col("v")))
+          .otherwise(log((coalesce(col("n2"), lit(0L)) + lit(1L)) /
+            (col("n1") + col("v")))).as("lp"),
+        (col("n2").isNull || col("n1").isNull).cast("long").as("oov"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   private val bpeRounds = 3
 
   /** BPE-style pair-merge tokenization (the core LLM-tokenizer training
@@ -318,26 +371,90 @@ object TextAnalysis {
           exhausted = true
         case Some(row) =>
           val (a, b) = (row.getString(0), row.getString(1))
-          val (la, lb) = (sqlLit(a), sqlLit(b))
-          val lab = sqlLit(a + " " + b)
-          docs = docs.withColumn("toks", expr(
-            s"""aggregate(toks,
-               |  named_struct('out', cast(array() as array<string>),
-               |               'prev', cast(null as string)),
-               |  (acc, x) -> CASE
-               |    WHEN acc.prev = $la AND x = $lb THEN named_struct(
-               |      'out', array_append(acc.out, $lab),
-               |      'prev', cast(null as string))
-               |    WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
-               |    ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', x)
-               |  END,
-               |  acc -> CASE WHEN acc.prev IS NULL THEN acc.out
-               |    ELSE array_append(acc.out, acc.prev) END)""".stripMargin))
+          docs = docs.withColumn("toks", bpeMergeExpr(a, b))
           if (r % bpeCheckpointEvery == 0 && r < rounds)
             docs = docs.localCheckpoint()
       }
     }
     docs.select(col("doc_id"), col("n_before"),
+      size(col("toks")).cast("long").as("n_after"),
+      md5(concat_ws("|", col("toks"))).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** One greedy left-to-right merge of pair (a, b) over `toks`: a
+    * codegen'd (out, prev) accumulator fold — a merge consumes its right
+    * token, so "a a a" merges once. Shared by the training loop and the
+    * frozen-merge application arm.
+    */
+  private def bpeMergeExpr(a: String, b: String): org.apache.spark.sql.Column = {
+    val (la, lb) = (sqlLit(a), sqlLit(b))
+    val lab = sqlLit(a + " " + b)
+    expr(
+      s"""aggregate(toks,
+         |  named_struct('out', cast(array() as array<string>),
+         |               'prev', cast(null as string)),
+         |  (acc, x) -> CASE
+         |    WHEN acc.prev = $la AND x = $lb THEN named_struct(
+         |      'out', array_append(acc.out, $lab),
+         |      'prev', cast(null as string))
+         |    WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
+         |    ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', x)
+         |  END,
+         |  acc -> CASE WHEN acc.prev IS NULL THEN acc.out
+         |    ELSE array_append(acc.out, acc.prev) END)""".stripMargin)
+  }
+
+  /** Frozen-merge tokenizer application — the admission idiom (IVF/PQ
+    * train-once/assign-forever) applied to BPE, which is exactly how a
+    * production tokenizer runs: the merge list is TRAINED once on the
+    * already-admitted corpus (the lower-id half, split at (max_id+1)/2 —
+    * a pure function of the corpus, the xAnnIvfAdmit convention), then a
+    * new batch is encoded by replaying the frozen merges in training
+    * order — a k-deep narrow map per ingest batch, O(batch) with no
+    * corpus-wide pair counts and no re-reading admitted documents
+    * (re-training per batch would both cost K corpus passes AND move
+    * every existing document's token sequence, invalidating anything
+    * keyed on it). Output: the admitted batch's before/after counts and
+    * sequence md5s. The generated twin trains on the same half (its
+    * per-round pair counts filter to the training ids; the recode CTEs
+    * replay every doc, which applies the same merges in the same order)
+    * and reads the complement — hash-gated bitwise.
+    */
+  def xTextBpeAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
+      .withColumn("n_before", size(col("toks")).cast("long"))
+    val half = Tables.documents(spark, dir)
+      .agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+    var train = all.filter(col("doc_id") < half)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    for (r <- 1 to bpeRounds if !exhausted) {
+      val top = train.select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |    i -> struct(toks[i] AS a, toks[i + 1] AS b))
+          |  ELSE cast(array() as array<struct<a:string,b:string>>) END""".stripMargin))
+          .as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect().headOption
+      top match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          merges += ((a, b))
+          train = train.withColumn("toks", bpeMergeExpr(a, b))
+          if (r % bpeCheckpointEvery == 0 && r < bpeRounds)
+            train = train.localCheckpoint()
+      }
+    }
+    var admit = all.filter(col("doc_id") >= half)
+    merges.foreach { case (a, b) =>
+      admit = admit.withColumn("toks", bpeMergeExpr(a, b))
+    }
+    admit.select(col("doc_id"), col("n_before"),
       size(col("toks")).cast("long").as("n_after"),
       md5(concat_ws("|", col("toks"))).as("tok_hash"))
       .orderBy("doc_id")
@@ -791,7 +908,9 @@ object TextAnalysis {
     "x_text_c4_rules"    -> (xTextC4Rules _),
     "x_corpus_mix"       -> (xCorpusMix _),
     "x_text_bpe"         -> (xTextBpe _),
-    "x_text_bpe_r6"      -> ((s: SparkSession, d: String) => textBpe(s, d, 6)))
+    "x_text_bpe_r6"      -> ((s: SparkSession, d: String) => textBpe(s, d, 6)),
+    "x_text_bpe_admit"   -> (xTextBpeAdmit _),
+    "x_text_lm_heldout"  -> (xTextLmHeldout _))
 
   // Winnowing twin CTE chain (through the per-doc fingerprint relation
   // `fpall`), shared by the per-doc rollup and the cross-doc pair join:
@@ -844,13 +963,23 @@ object TextAnalysis {
     */
   private def bpeOracleSql: String = bpeOracleSql(bpeRounds)
 
-  private def bpeOracleSql(rounds: Int): String = {
+  /** `trainWhere` restricts which documents each round's pair counts
+    * LEARN from (the admission arm trains on the lower-id half); the
+    * recode CTEs still replay every document — applying the same merges
+    * in the same order, which is exactly the frozen-merge application —
+    * and `outWhere` picks the population the caller reads. Both default
+    * to unrestricted, emitting byte-identical SQL to the historical
+    * twin (the clauses only appear when non-trivial).
+    */
+  private def bpeOracleSql(rounds: Int, trainWhere: String = "",
+      outWhere: String = ""): String = {
+    val trainAnd = if (trainWhere.isEmpty) "" else s" AND ($trainWhere)"
     val roundBlocks = (1 to rounds).map { r =>
       val prev = s"d${r - 1}"
       s"""p$r AS (
          |  SELECT t.toks[i] AS a, t.toks[i + 1] AS b, count(*) AS n FROM (
          |    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
-         |    FROM $prev WHERE len(toks) >= 2) t
+         |    FROM $prev WHERE len(toks) >= 2$trainAnd) t
          |  GROUP BY 1, 2),
          |top$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a, b LIMIT 1),
          |pos$r AS MATERIALIZED (
@@ -880,19 +1009,57 @@ object TextAnalysis {
          |  WHERE c.i IS NULL
          |  GROUP BY p.doc_id)""".stripMargin
     }.mkString(",\n")
+    val outAnd = if (outWhere.isEmpty) "" else s"\nWHERE $outWhere"
     s"""WITH d0 AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
        |$roundBlocks
        |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_before,
        |  CAST(len(dk.toks) AS BIGINT) AS n_after,
        |  md5(array_to_string(dk.toks, '|')) AS tok_hash
-       |FROM d0 JOIN d$rounds dk ON d0.doc_id = dk.doc_id
+       |FROM d0 JOIN d$rounds dk ON d0.doc_id = dk.doc_id$outAnd
        |ORDER BY d0.doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "x_text_bpe" -> bpeOracleSql,
     "x_text_bpe_r6" -> bpeOracleSql(6),
+    "x_text_bpe_admit" -> bpeOracleSql(bpeRounds,
+      trainWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)",
+      outWhere = "d0.doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)"),
+    // Twin of the frozen reference-LM filter: same md5 split, same
+    // add-1 arithmetic on BIGINT counts (BIGINT / BIGINT is a DOUBLE
+    // divide in both engines; ln is one CR op on the same rational),
+    // HUGEINT sum cast back to BIGINT per the engine-parity notes.
+    "x_text_lm_heldout" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |pairs AS (
+        |  SELECT t.doc_id, t.ws[i] AS w1, t.ws[i + 1] AS w2,
+        |    ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 AS tr
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM docs WHERE len(ws) >= 2) t),
+        |bgc AS (SELECT w1, w2, count(*) AS n2 FROM pairs WHERE tr GROUP BY 1, 2),
+        |pfx AS (SELECT w1, count(*) AS n1 FROM pairs WHERE tr GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM pfx),
+        |lp AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN f.n1 IS NULL THEN ln(1.0 / v.v)
+        |         ELSE ln((COALESCE(b.n2, 0) + 1) / (f.n1 + v.v)) END AS lp,
+        |    CASE WHEN b.n2 IS NULL OR f.n1 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM pairs p
+        |  LEFT JOIN bgc b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN pfx f ON f.w1 = p.w1
+        |  CROSS JOIN v),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(oov) AS BIGINT) AS n_oov,
+        |    round(avg(lp), 4) AS avg_logprob
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(per.n_oov, 0) AS n_oov, per.avg_logprob
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "x_text_winnow" ->
       s"""$winnowFpCtes
         |SELECT doc_id, count(*) AS n_fingerprints,

@@ -969,6 +969,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("revenue_e4") >= 0))
   }
 
+  test("lm heldout: valid logprobs, train docs fully in-vocabulary") {
+    // The smoothed conditional (c2+1)/(c1+V) is always <= 1 (c2 <= c1,
+    // V >= 1) so every score is <= 0; and a TRAIN-split doc contributed
+    // its own bigrams to the LM, so its n_oov must be exactly 0 — the
+    // held-out structure is real, not a re-labeled corpus LM.
+    val rows = ext.TextAnalysis.xTextLmHeldout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val trainIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100L)).as("b"))
+      .filter(col("b") < 80).collect().map(_.getLong(0)).toSet
+    var heldoutOov = 0L
+    rows.foreach { r =>
+      val (id, nb, noov) = (r.getLong(0), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_oov"))
+      assert(noov <= nb, s"doc $id: oov > bigrams")
+      if (nb > 0) assert(r.getAs[Double]("avg_logprob") <= 0.0,
+        s"doc $id: smoothed ln p must be <= 0")
+      if (trainIds(id)) assert(noov == 0L,
+        s"train doc $id reports $noov OOV bigrams — LM not trained on it?")
+      else heldoutOov += noov
+    }
+    assert(heldoutOov > 0, "no held-out doc had any OOV bigram — split vacuous?")
+  }
+
+  test("bpe admission: frozen merges cover every admitted doc, monotone") {
+    // Train-once/apply-forever for the tokenizer: the output is exactly
+    // the upper-id half, merges only ever shrink a sequence, and a doc
+    // in BOTH arms must carry identical merged sequences when the full
+    // corpus and the train half agree on the merge list (not asserted
+    // here — the oracle gate pins the sequences; this pins the shape).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val half = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
+    val rows = ext.TextAnalysis.xTextBpeAdmit(spark, sf).collect()
+    assert(rows.length == docs.filter(col("doc_id") >= half).count(),
+      "every admitted doc must be encoded exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"),
+        s"merge grew doc ${r.getLong(0)}")
+      assert(r.getLong(0) >= half, "trained-half doc leaked into admission output")
+    }
+  }
+
   test("pq admission: every new vector coded, codes in range, half split") {
     val rows = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
