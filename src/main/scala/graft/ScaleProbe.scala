@@ -32,7 +32,12 @@ object ScaleProbe {
     // winnow-pairs' df∈[2,50] cutoff faces every fingerprint's df ×N
     // (boilerplate prints cross the cutoff and must fall out, the
     // ngram-jaccard story)
-    "x_text_bpe", "x_text_bigram_logprob", "x_text_winnow_pairs")
+    "x_text_bpe", "x_text_bigram_logprob", "x_text_winnow_pairs",
+    // round-7 additions: the frozen-merge application (train-side pair
+    // counts ×N, application a narrow map) and the reference-LM filter
+    // (train-side gram aggregates shrink to (gram, count); the scoring
+    // join faces every gram's df ×N — the contamination-join stress)
+    "x_text_bpe_admit", "x_text_lm_heldout")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
