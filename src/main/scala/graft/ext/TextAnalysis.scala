@@ -405,6 +405,44 @@ object TextAnalysis {
          |    ELSE array_append(acc.out, acc.prev) END)""".stripMargin)
   }
 
+  /** The trained merge list as a first-class artifact — what a
+    * production system persists and ships to every tokenizer worker
+    * (the doc-level gates pin the APPLIED result; this pins the
+    * artifact itself, so a stored vocabulary can be diffed/validated
+    * against retraining): one (round, a, b, n) row per merge in
+    * training order, n = the pair's corpus count at selection time.
+    * The loop is the same driver-side Lloyd regime as textBpe (one
+    * 1-row collect per round); the result is a K-row local relation.
+    */
+  def xTextBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to bpeRounds if !exhausted) {
+      val top = docs.select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |    i -> struct(toks[i] AS a, toks[i + 1] AS b))
+          |  ELSE cast(array() as array<struct<a:string,b:string>>) END""".stripMargin))
+          .as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect().headOption
+      top match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          rows += ((r.toLong, a, b, row.getLong(2)))
+          docs = docs.withColumn("toks", bpeMergeExpr(a, b))
+          if (r % bpeCheckpointEvery == 0 && r < bpeRounds)
+            docs = docs.localCheckpoint()
+      }
+    }
+    rows.toSeq.toDF("round", "a", "b", "n").orderBy("round")
+  }
+
   /** Frozen-merge tokenizer application — the admission idiom (IVF/PQ
     * train-once/assign-forever) applied to BPE, which is exactly how a
     * production tokenizer runs: the merge list is TRAINED once on the
@@ -910,6 +948,7 @@ object TextAnalysis {
     "x_text_bpe"         -> (xTextBpe _),
     "x_text_bpe_r6"      -> ((s: SparkSession, d: String) => textBpe(s, d, 6)),
     "x_text_bpe_admit"   -> (xTextBpeAdmit _),
+    "x_text_bpe_vocab"   -> (xTextBpeVocab _),
     "x_text_lm_heldout"  -> (xTextLmHeldout _))
 
   // Winnowing twin CTE chain (through the per-doc fingerprint relation
@@ -1020,12 +1059,34 @@ object TextAnalysis {
        |ORDER BY d0.doc_id""".stripMargin
   }
 
+  /** The merge-LIST twin: the same per-round CTE chain, but the output
+    * is the trained artifact itself — one (round, a, b, n) row per
+    * merge, re-selected from each round's pair counts with the same
+    * (n DESC, a, b) greedy order. An exhausted round contributes no row
+    * (LIMIT 1 over an empty p$r), mirroring the Spark loop's early exit.
+    */
+  private def bpeVocabOracleSql(rounds: Int): String = {
+    // Reuse the full round chain (the recodes ARE the training state the
+    // later rounds' counts depend on), then read each round's winner.
+    val body = bpeOracleSql(rounds)
+    val chain = body.substring(0, body.lastIndexOf("SELECT d0.doc_id"))
+    val tops = (1 to rounds).map { r =>
+      s"""(SELECT CAST($r AS BIGINT) AS round, a, b, CAST(n AS BIGINT) AS n
+         |   FROM p$r ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${chain.trim.stripSuffix(",")}
+       |SELECT * FROM (
+       |$tops)
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_text_bpe" -> bpeOracleSql,
     "x_text_bpe_r6" -> bpeOracleSql(6),
     "x_text_bpe_admit" -> bpeOracleSql(bpeRounds,
       trainWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)",
       outWhere = "d0.doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)"),
+    "x_text_bpe_vocab" -> bpeVocabOracleSql(bpeRounds),
     // Twin of the frozen reference-LM filter: same md5 split, same
     // add-1 arithmetic on BIGINT counts (BIGINT / BIGINT is a DOUBLE
     // divide in both engines; ln is one CR op on the same rational),

@@ -914,6 +914,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .toMap
     assert(rows(0L) == (5L, 1L), s"chained greedy merges wrong: ${rows(0L)}")
     assert(rows(1L) == (3L, 2L), s"non-matching tail mishandled: ${rows(1L)}")
+    // The merge-list artifact on the same corpus, fully hand-computed:
+    // r1 picks (x,x) with corpus count 5 (4 in doc0 + 1 in doc1); after
+    // merging, r2's pairs all tie at 1 and "x"<"x x"<"y" picks
+    // ("x x","x"); r3 then chains ("x x","x x x").
+    val vocab = ext.TextAnalysis.xTextBpeVocab(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getAs[Long]("n")))
+    assert(vocab.toSeq == Seq(
+      (1L, "x", "x", 5L),
+      (2L, "x x", "x", 1L),
+      (3L, "x x", "x x x", 1L)), s"merge list wrong: ${vocab.toSeq}")
   }
 
   test("bpe merges accented/CJK/quote-bearing top pairs (no ASCII guard)") {
