@@ -51,6 +51,7 @@ object Bench {
     "x_ann_pq_admit",
     "x_ann_ivfadc",
     "x_dedup_emb_cosine",
+    "x_emb_corpus_prep",
     "x_text_quality",
     "x_text_tokens",
     "x_text_tfidf",

@@ -37,7 +37,10 @@ object ScaleProbe {
     // counts ×N, application a narrow map) and the reference-LM filter
     // (train-side gram aggregates shrink to (gram, count); the scoring
     // join faces every gram's df ×N — the contamination-join stress)
-    "x_text_bpe_admit", "x_text_lm_heldout")
+    "x_text_bpe_admit", "x_text_lm_heldout",
+    // the composed vector-corpus pipeline: replication multiplies the
+    // label-blocked dedup pair join AND every IVF cell's population
+    "x_emb_corpus_prep")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

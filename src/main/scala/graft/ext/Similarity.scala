@@ -407,6 +407,50 @@ object Similarity {
       .orderBy("cell", "rank")
   }
 
+  /** End-to-end VECTOR-corpus prep — the embedding-side counterpart of
+    * x_llm_corpus_prep, composed from the shared operators exactly as a
+    * production vector-store build runs them: (1) embedding-cosine
+    * near-dup removal (label-blocked exact pairs ≥ 0.8, higher id of
+    * each pair dropped — the losers anti-join on 8-byte ids, vectors
+    * never shuffled for it); (2) the coarse quantizer trained on the
+    * SURVIVORS with hash-spread seeding (dedup changes which low ids
+    * exist, so id-prefix seeding would be corpus-order-fragile — this is
+    * the case the seeding arm exists for) and the deduped corpus
+    * assigned to cells; (3) per-cell diversity cap (8 by the
+    * growth-stable md5 bucket — dense regions can't dominate the
+    * retained set); (4) int8 quantization of the kept vectors. One
+    * result pins all four stages: (cell, rank, vec_id, code summary) —
+    * bitwise vs a single composed DuckDB twin whose CTE chains are the
+    * same generated pieces (the prelude/srcTable composition).
+    * Scale shape: each stage is the already-probed operator — nothing
+    * new shuffles; the only corpus-wide exchanges are the dedup pair
+    * join (label-blocked) and the one cell assignment pass.
+    */
+  def xEmbCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val losers = Dedup.xDedupEmbCosine(spark, dir)
+      .select(col("id2").as("vec_id")).distinct()
+    val surv = Tables.embeddings(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
+    surv
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell"),
+        TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 8)
+      .select(col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id"),
+        expr("transform(embedding, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
+          .as("codes"))
+      .select(col("cell"), col("rank"), col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+      .orderBy("cell", "rank")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * storage/bandwidth scale move for a 100 TB vector corpus (4× smaller
     * than float32, SIMD-friendly dot products downstream): code_i =
@@ -733,7 +777,8 @@ object Similarity {
     "x_ann_pq_admit"   -> (xAnnPqAdmit _),
     "x_ann_ivfadc"     -> (xAnnIvfAdc _),
     "x_diversity_sample" -> (xDiversitySample _),
-    "x_emb_quantize"   -> (xEmbQuantize _))
+    "x_emb_quantize"   -> (xEmbQuantize _),
+    "x_emb_corpus_prep" -> (xEmbCorpusPrep _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -816,8 +861,15 @@ object Similarity {
     * ANN/diversity default) keeps the historical train-on-everything
     * semantics byte-for-byte.
     */
+  /** `srcTable`/`prelude` let a COMPOSED twin run the whole chain over a
+    * derived relation (e.g. the dedup survivors in x_emb_corpus_prep):
+    * prelude CTEs are emitted right after WITH, and the chain's `e`
+    * header reads from srcTable. Defaults emit byte-identical SQL to
+    * the historical chain.
+    */
   private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1,
-      trainWhere: String = "TRUE", hashSpread: Boolean = false): String = {
+      trainWhere: String = "TRUE", hashSpread: Boolean = false,
+      srcTable: String = "embeddings", prelude: String = ""): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 64),
@@ -839,10 +891,10 @@ object Similarity {
            |  WHERE rn <= $k)""".stripMargin
       else s"seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k)"
     val header =
-      s"""WITH e AS (
+      s"""WITH ${prelude}e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
+         |  FROM $srcTable),
          |$seedsSql,
          |d0 AS (
          |  SELECT e.vec_id, s.cell,
@@ -931,6 +983,50 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The composed twin of xEmbCorpusPrep: the emb-cosine dedup as
+    * prelude CTEs (disjoint names ec/ecn/losers/surv), the shared
+    * hash-seeded quantizer chain run over `surv`, then the diversity
+    * cap and int8 quantization tails — every piece the same generated
+    * arithmetic its standalone gate pins.
+    */
+  private def embCorpusPrepOracleSql: String = {
+    val prelude =
+      """ec AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |ecn AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ec),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ecn a JOIN ecn b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.8),
+        |surv AS (
+        |  SELECT * FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
+        |""".stripMargin
+    s"""${ivfAssignOracleCtes(16, 1, "TRUE", hashSpread = true,
+        srcTable = "surv", prelude = prelude)},
+       |bkt AS (
+       |  SELECT vec_id, cell,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+       |  FROM a1),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell ORDER BY bucket, vec_id) AS rank
+       |  FROM bkt),
+       |kept AS (SELECT cell, rank, vec_id FROM ranked WHERE rank <= 8),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      v -> CAST(greatest(least(floor(v * 127 + 0.5), 127), -127) AS BIGINT)) AS codes
+       |  FROM surv)
+       |SELECT CAST(k.cell AS BIGINT) AS cell, k.rank, k.vec_id,
+       |  CAST(list_sum(q.codes) AS BIGINT) AS sum_codes,
+       |  list_min(q.codes) AS min_code, list_max(q.codes) AS max_code
+       |FROM kept k JOIN qz q ON q.vec_id = k.vec_id
+       |ORDER BY cell, k.rank""".stripMargin
   }
 
   /** The DuckDB twin of xDiversitySample: the SAME quantizer chain as
@@ -1191,6 +1287,7 @@ object Similarity {
     "x_ann_pq_admit" -> pqAdmitOracleSql,
     "x_ann_ivfadc" -> annIvfAdcOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
+    "x_emb_corpus_prep" -> embCorpusPrepOracleSql,
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -979,6 +979,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("revenue_e4") >= 0))
   }
 
+  test("emb corpus prep: losers excluded, cells capped, codes bounded") {
+    val losers = ext.Dedup.xDedupEmbCosine(spark, sf).collect()
+      .map(_.getAs[Long]("id2")).toSet
+    val rows = ext.Similarity.xEmbCorpusPrep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perCell = rows.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
+    rows.foreach { r =>
+      assert(!losers(r.getAs[Long]("vec_id")),
+        s"near-dup loser ${r.getAs[Long]("vec_id")} survived the composed prep")
+      assert(r.getAs[Long]("min_code") >= -127 && r.getAs[Long]("max_code") <= 127)
+    }
+  }
+
   test("lm heldout: valid logprobs, train docs fully in-vocabulary") {
     // The smoothed conditional (c2+1)/(c1+V) is always <= 1 (c2 <= c1,
     // V >= 1) so every score is <= 0; and a TRAIN-split doc contributed
