@@ -114,11 +114,18 @@ object BpeProbe {
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
     val out = ext.TextAnalysis.textBpe(spark, work, 3)
     out.coalesce(1).write.mode("overwrite").parquet(s"$work/out/x_text_bpe")
-    val sql = SparkEntry.oracleSql("x_text_bpe")
-      .replace("\"", "\\\"").replace("\n", "\\n")
+    // The frozen-merge admission arm on the same planted corpus: trains
+    // on the lower-id half (whose top pairs are equally non-ASCII) and
+    // encodes the upper half — the UTF-8 × admission cross product.
+    val admit = ext.TextAnalysis.xTextBpeAdmit(spark, work)
+    admit.coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/out/x_text_bpe_admit")
+    def esc(s: String) = s.replace("\"", "\\\"").replace("\n", "\\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$work/out/oracle_sql.json"),
-      s"""{"x_text_bpe": "$sql"}""".getBytes("UTF-8"))
-    println(s"""{"mode":"utf8","work":"$work","rows":${out.count()}}""")
+      (s"""{"x_text_bpe": "${esc(SparkEntry.oracleSql("x_text_bpe"))}",""" +
+        s""" "x_text_bpe_admit": "${esc(SparkEntry.oracleSql("x_text_bpe_admit"))}"}""")
+        .getBytes("UTF-8"))
+    println(s"""{"mode":"utf8","work":"$work","rows":${out.count()},"admit_rows":${admit.count()}}""")
   }
 }
