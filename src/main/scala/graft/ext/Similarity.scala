@@ -729,6 +729,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
   }
 
+  /** Incremental residual-IVFADC admission — the composed frozen-state
+    * arm that completes the admission matrix (IVF cells, flat-PQ codes,
+    * and now the full residual pipeline): coarse centroids AND residual
+    * codebooks are trained ONCE on the admitted half, both frozen, and a
+    * new batch is (1) assigned to its frozen coarse cell, (2) residual'd
+    * against that frozen centroid, (3) encoded with the frozen residual
+    * codebooks — three codegen'd narrow passes, O(batch) per ingest,
+    * nothing admitted ever re-trained, re-assigned, or re-coded (any of
+    * which would silently invalidate the persisted inverted lists AND
+    * every ADC structure built over them — the reason production IVFADC
+    * deployments version quantizer state instead of refreshing it).
+    * Output: (vec_id, cell, c0..c7) for the admitted batch, hash-gated
+    * bitwise against the composed twin (coarse chain with trainWhere +
+    * residual CTE + PQ chains with the same trainWhere).
+    */
+  def xAnnIvfAdcAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head.getLong(0)
+    val train = e.filter(col("vec_id") < split)
+    val cents = lloydCentroids(train, 16, 1)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    def withRes(df: DataFrame): DataFrame = df
+      .withColumn("cell", VectorFunctions.nearestCentroid(col("embedding"), cents))
+      .withColumn("rv", zip_with(col("embedding"),
+        element_at(centsLit, (col("cell") + 1).cast("int")),
+        (a, b) => a.cast("double") - b))
+    val cbs = pqCodebooks(
+      withRes(train).select(col("vec_id"), col("rv").as("embedding")))
+    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
+      expr(s"slice(rv, ${s * pqSub + 1}, $pqSub)"), cbs(s))
+      .cast("long").as(s"c$s"))
+    withRes(e.filter(col("vec_id") >= split))
+      .select(col("vec_id") +: col("cell").cast("long").as("cell") +: codeCols: _*)
+      .orderBy("vec_id")
+  }
+
   /** Incremental PQ admission — the codes-side member of the admission
     * trilogy (MinHash signature state, IVF cell assignment, PQ codes):
     * the m codebooks are trained ONCE on the already-admitted corpus
@@ -776,6 +812,7 @@ object Similarity {
     "x_ann_ivfpq"      -> (xAnnIvfPq _),
     "x_ann_pq_admit"   -> (xAnnPqAdmit _),
     "x_ann_ivfadc"     -> (xAnnIvfAdc _),
+    "x_ann_ivfadc_admit" -> (xAnnIvfAdcAdmit _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _),
     "x_emb_corpus_prep" -> (xEmbCorpusPrep _))
@@ -1200,6 +1237,28 @@ object Similarity {
     * half only, read the frozen-codebook codes of the upper half from the
     * final (train-unrestricted) `codes` CTE.
     */
+  /** The composed twin of xAnnIvfAdcAdmit: the coarse chain trained on
+    * the admitted half (a1 assigns everyone against the frozen refc1),
+    * residuals for everyone against those frozen centroids, the PQ
+    * chains trained on the half's residuals (codes encode everyone),
+    * output filtered to the complement.
+    */
+  private def ivfAdcAdmitOracleSql: String = {
+    val half = "(SELECT (max(vec_id) + 1) // 2 FROM e)"
+    val codeCols = (0 until pqM).map(s => s"CAST(c.c$s AS BIGINT) AS c$s")
+      .mkString(", ")
+    s"""${ivfAssignOracleCtes(16, 1, s"vec_id < $half")},
+       |res AS (
+       |  SELECT e.vec_id, a1.cell,
+       |    list_transform(generate_series(1, $dims), i -> e.v[i] - rc.c[i]) AS rv
+       |  FROM e JOIN a1 USING (vec_id) JOIN refc1 rc ON rc.cell = a1.cell),
+       |${pqOracleChains(s"vec_id < $half", "res", "rv")}
+       |SELECT c.vec_id, CAST(r.cell AS BIGINT) AS cell, $codeCols
+       |FROM codes c JOIN a1 r USING (vec_id)
+       |WHERE c.vec_id >= $half
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   private def pqAdmitOracleSql: String = {
     val half = "(SELECT (max(vec_id) + 1) // 2 FROM e)"
     val codeCols = (0 until pqM).map(s => s"CAST(c$s AS BIGINT) AS c$s")
@@ -1286,6 +1345,7 @@ object Similarity {
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_pq_admit" -> pqAdmitOracleSql,
     "x_ann_ivfadc" -> annIvfAdcOracleSql,
+    "x_ann_ivfadc_admit" -> ivfAdcAdmitOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_corpus_prep" -> embCorpusPrepOracleSql,
     "x_emb_quantize" ->

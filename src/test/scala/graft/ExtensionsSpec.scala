@@ -1037,6 +1037,23 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfadc admission: every new vector coded against frozen state") {
+    val rows = ext.Similarity.xAnnIvfAdcAdmit(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val split = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
+    assert(rows.length == emb.filter(col("vec_id") >= split).count(),
+      "every admitted vector gets a cell + codes")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= split, "trained-half vector leaked into admission")
+      val cell = r.getAs[Long]("cell")
+      assert(cell >= 0 && cell < 16, s"coarse cell $cell out of range")
+      (0 until 8).foreach { s =>
+        val c = r.getAs[Long](s"c$s")
+        assert(c >= 0 && c < 16, s"residual code c$s=$c out of range")
+      }
+    }
+  }
+
   test("pq admission: every new vector coded, codes in range, half split") {
     val rows = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
