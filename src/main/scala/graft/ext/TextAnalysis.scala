@@ -387,7 +387,7 @@ object TextAnalysis {
     * token, so "a a a" merges once. Shared by the training loop and the
     * frozen-merge application arm.
     */
-  private def bpeMergeExpr(a: String, b: String): org.apache.spark.sql.Column = {
+  private[graft] def bpeMergeExpr(a: String, b: String): org.apache.spark.sql.Column = {
     val (la, lb) = (sqlLit(a), sqlLit(b))
     val lab = sqlLit(a + " " + b)
     expr(

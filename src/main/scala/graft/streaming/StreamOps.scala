@@ -207,6 +207,10 @@ object StreamOps {
 
   private[streaming] def updateSessions(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
+    // State and gap arithmetic stay at ms (the gap is 30 min — sub-ms
+    // deltas cannot flip a session boundary that coarse), but the
+    // in-batch ORDER is µs like the batch operator's ts_us sort, so
+    // same-ms/different-µs events sessionize in batch order.
     val out = scala.collection.mutable.Buffer[SessionOut]()
     def close(s: SessionState): Unit =
       out += SessionOut(userId, s.n, (s.last - s.start) / 60000.0)
@@ -215,7 +219,7 @@ object StreamOps {
       state.remove()
     } else {
       var cur = state.getOption
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         val t = e.ts.getTime
         cur match {
           case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>

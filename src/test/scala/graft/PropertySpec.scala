@@ -152,6 +152,39 @@ class PropertySpec extends AnyFunSuite {
     strs.foreach(s => assert(got(s) == model(s), s"codegen != model on ${s.take(20)}"))
   }
 
+  test("bpeMergeExpr == greedy model for any tokens, quotes/backslashes/unicode included") {
+    import spark.implicits._
+    // The merged-pair literals are embedded in generated SQL via sqlLit;
+    // this pins (escaping × greedy non-overlap) for token alphabets the
+    // corpus tests can't enumerate — quote, backslash, accents, CJK,
+    // empty string — against a direct left-to-right reference model.
+    def model(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += s"$a $b"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val tokGen = Gen.oneOf("a", "b", "l'été", "\\", "'", "''", "日本語", "é\\'x", "")
+    val docGen = Gen.listOfN(8, tokGen)
+    val docs: Seq[List[String]] =
+      (1 to 40).flatMap(i => docGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // merge pairs drawn from actually-adjacent tokens so merges fire
+    docs.zipWithIndex.foreach { case (toks, i) =>
+      val (a, b) = if (toks.size >= 2) (toks(i % (toks.size - 1)), toks(i % (toks.size - 1) + 1))
+        else ("a", "b")
+      val got = Seq(Tuple1(toks))
+        .toDF("toks")
+        .withColumn("toks", ext.TextAnalysis.bpeMergeExpr(a, b))
+        .head.getSeq[String](0).toList
+      assert(got == model(toks, a, b),
+        s"merge of ('$a','$b') over $toks: got $got, want ${model(toks, a, b)}")
+    }
+  }
+
   test("salted join row multiset equals the plain join for any salt count") {
     import spark.implicits._
     samples(3).zip(Seq(1, 3, 7)).foreach { case (rows, salts) =>
