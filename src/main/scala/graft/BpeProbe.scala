@@ -48,7 +48,8 @@ object BpeProbe {
       case "depth" =>
         val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
         val rounds = if (args.length > 2) args(2).toInt else 24
-        depth(spark, dir, rounds)
+        val cadence = if (args.length > 3) args(3).toInt else 8
+        depth(spark, dir, rounds, cadence)
       case "utf8" =>
         val work = if (args.length > 1) args(1) else "/tmp/graft_bpe_utf8"
         utf8(spark, work)
@@ -57,10 +58,16 @@ object BpeProbe {
     spark.stop()
   }
 
-  private def depth(spark: SparkSession, dir: String, rounds: Int): Unit = {
+  private def depth(spark: SparkSession, dir: String, rounds: Int,
+      cadence: Int): Unit = {
     val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    val t0All = System.nanoTime()
     val df = ext.TextAnalysis.textBpe(spark, dir, rounds,
-      (_, w) => walls += w)
+      (_, w) => walls += w, cadence)
+    // Construction wall = all per-round collects PLUS the eager
+    // checkpoints between them — the number that adjudicates cadence
+    // choices (per-round timers alone exclude checkpoint cost).
+    val buildWall = (System.nanoTime() - t0All) / 1e9
     val t0 = System.nanoTime()
     val n = df.count()
     val finalWall = (System.nanoTime() - t0) / 1e9
@@ -76,7 +83,7 @@ object BpeProbe {
     val done = walls.size // may stop early if the corpus merges to 1-token docs
     val (h1, h2) = walls.splitAt(done / 2)
     val (m1, m2) = (median(h1.toSeq), median(h2.toSeq))
-    println(f"""{"mode":"depth","rounds_requested":$rounds,"rounds_run":$done,"per_round_wall":[${walls.map(w => f"$w%.3f").mkString(",")}],"median_first_half":$m1%.3f,"median_second_half":$m2%.3f,"final_action_wall":$finalWall%.3f,"plan_nodes":$planNodes,"out_rows":$n}""")
+    println(f"""{"mode":"depth","rounds_requested":$rounds,"rounds_run":$done,"cadence":$cadence,"build_wall":$buildWall%.3f,"per_round_wall":[${walls.map(w => f"$w%.3f").mkString(",")}],"median_first_half":$m1%.3f,"median_second_half":$m2%.3f,"final_action_wall":$finalWall%.3f,"plan_nodes":$planNodes,"out_rows":$n}""")
     require(m2 <= 3.0 * m1 + 0.05,
       f"per-round wall grew with depth: first-half median $m1%.3f s, second-half $m2%.3f s — lineage truncation not holding")
   }

@@ -337,15 +337,21 @@ object TextAnalysis {
     * grows linearly with rounds and at K≈50+ would hit analyzer/codegen
     * limits long before compute does. Truncating lineage every R rounds
     * (localCheckpoint here; a reliable checkpoint on a real cluster)
-    * keeps depth O(R) while the per-round work — a shrinking pair-count
-    * aggregate plus a narrow recode map — is unchanged. Probe-verified
-    * ~flat per-round wall at K=24 (ScaleProbe --bpe-depth, SCALE.md).
+    * keeps depth O(R). The cadence is a measured cost model, not a
+    * guess: round r since the last checkpoint re-evaluates r recode
+    * layers in its pair count, so a window of c rounds costs
+    * ~c + c(c−1)/2 recode passes + 1 checkpoint pass — minimized at
+    * c≈2 when a checkpoint costs about one pass (measured sf0.1 K=24:
+    * 79 s at c=8, 55 s at c=4, 39 s at c=2 — BpeProbe depth). A cluster
+    * whose RELIABLE checkpoint is much pricier than one corpus pass
+    * should raise `checkpointEvery` toward 4–8 via the textBpe param.
     */
-  private val bpeCheckpointEvery = 8
+  private val bpeCheckpointEvery = 2
 
   private[graft] def textBpe(spark: SparkSession, dir: String,
       rounds: Int,
-      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, Double) => Unit = (_, _) => (),
+      checkpointEvery: Int = bpeCheckpointEvery): DataFrame = {
     var docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
       .withColumn("n_before", size(col("toks")).cast("long"))
@@ -372,7 +378,7 @@ object TextAnalysis {
         case Some(row) =>
           val (a, b) = (row.getString(0), row.getString(1))
           docs = docs.withColumn("toks", bpeMergeExpr(a, b))
-          if (r % bpeCheckpointEvery == 0 && r < rounds)
+          if (r % checkpointEvery == 0 && r < rounds)
             docs = docs.localCheckpoint()
       }
     }
