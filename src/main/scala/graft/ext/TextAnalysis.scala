@@ -953,6 +953,12 @@ object TextAnalysis {
     "x_corpus_mix"       -> (xCorpusMix _),
     "x_text_bpe"         -> (xTextBpe _),
     "x_text_bpe_r6"      -> ((s: SparkSession, d: String) => textBpe(s, d, 6)),
+    // Depth 12 spans SIX checkpoint windows at the c=2 cadence — the
+    // oracle-gated proof that lineage truncation composes with the
+    // bitwise gate (the twin's per-round MATERIALIZED CTEs hold its
+    // memory linear in rounds; measured 4 s / 2.4 GB at 6 rounds,
+    // sf0.1).
+    "x_text_bpe_r12"     -> ((s: SparkSession, d: String) => textBpe(s, d, 12)),
     "x_text_bpe_admit"   -> (xTextBpeAdmit _),
     "x_text_bpe_vocab"   -> (xTextBpeVocab _),
     "x_text_lm_heldout"  -> (xTextLmHeldout _))
@@ -1089,6 +1095,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "x_text_bpe" -> bpeOracleSql,
     "x_text_bpe_r6" -> bpeOracleSql(6),
+    "x_text_bpe_r12" -> bpeOracleSql(12),
     "x_text_bpe_admit" -> bpeOracleSql(bpeRounds,
       trainWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)",
       outWhere = "d0.doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)"),
