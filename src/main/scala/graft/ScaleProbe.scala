@@ -145,6 +145,10 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val recallPq2 = ext.Similarity.probeRecall5Pq(spark, work, idShift,
       32 * nReplicas, 2)
+    // Hash-spread PQ seeds (the x_ann_pq_seedh guard) at 10×.
+    spark.catalog.clearCache()
+    val recallPqSeedh = ext.Similarity.probeRecall5Pq(spark, work, idShift,
+      32 * nReplicas, 1, hashSpread = true)
     // IVF+PQ arm: candidates bounded to probed inverted lists (N× fuller)
     // AND ranked in the compressed domain — both quantizers stressed at
     // once, same held shortlist fraction.
@@ -165,6 +169,7 @@ object ScaleProbe {
       f",\"ann_capped64_recall5_x$nReplicas%d\":$recallCapped%.2f" +
       f",\"pq_recall5_x$nReplicas%d\":$recallPq%.2f" +
       f",\"pq_r2_recall5_x$nReplicas%d\":$recallPq2%.2f" +
+      f",\"pq_seedh_recall5_x$nReplicas%d\":$recallPqSeedh%.2f" +
       f",\"ivfpq_recall5_x$nReplicas%d\":$recallIvfPq%.2f" +
       f",\"ivfadc_recall5_x$nReplicas%d\":$recallIvfAdc%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
@@ -185,6 +190,8 @@ object ScaleProbe {
       f"PQ ANN recall@5 degraded to $recallPq%.2f at $nReplicas× replication")
     require(recallPq2 >= 0.5,
       f"PQ(r=2) ANN recall@5 degraded to $recallPq2%.2f at $nReplicas× replication")
+    require(recallPqSeedh >= 0.5,
+      f"PQ(hash-spread seeds) recall@5 degraded to $recallPqSeedh%.2f at $nReplicas× replication")
     require(recallIvfPq >= 0.5,
       f"IVF+PQ recall@5 degraded to $recallIvfPq%.2f at $nReplicas× replication")
     require(recallIvfAdc >= 0.5,

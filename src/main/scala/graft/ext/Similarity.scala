@@ -207,9 +207,10 @@ object Similarity {
     * still separates true neighbors from the bulk at N× corpus size.
     */
   def probeRecall5Pq(spark: SparkSession, dir: String, replicaShift: Long,
-      shortlist: Int = pqShortlist, cbRounds: Int = 1): Double =
+      shortlist: Int = pqShortlist, cbRounds: Int = 1,
+      hashSpread: Boolean = false): Double =
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
-      annPq(spark, dir, replicaShift, shortlist, cbRounds))
+      annPq(spark, dir, replicaShift, shortlist, cbRounds, hashSpread))
 
   /** IVF+PQ recall under the same probe: inverted lists fill N× AND
     * every code cell fills N×, so this stresses both quantizers at once. */
@@ -496,9 +497,20 @@ object Similarity {
     * (x_ann_pq at 1, x_ann_pq_r2 at 2).
     */
   private def pqCodebooks(e: DataFrame,
-      rounds: Int = 1): Array[Array[Array[Double]]] = {
-    val seedRows: Array[Array[Double]] = e.filter(col("vec_id") < pqK)
-      .orderBy("vec_id").select("embedding").collect()
+      rounds: Int = 1,
+      hashSpread: Boolean = false): Array[Array[Array[Double]]] = {
+    // Seed VECTORS: first pqK by id (default), or the pqK lowest
+    // (md5-bucket, vec_id) ranks (hashSpread — the same clustered-low-id
+    // guard as the IVF seeding arm); every subspace slices the SAME
+    // seed vector set, so the twin ranks once and slices per chain.
+    val seedRows: Array[Array[Double]] =
+      (if (hashSpread)
+        e.select(col("embedding"),
+          TextAnalysis.md5Bucket(10000, col("vec_id")).as("b"), col("vec_id"))
+          .orderBy("b", "vec_id").limit(pqK).select("embedding").collect()
+      else
+        e.filter(col("vec_id") < pqK)
+          .orderBy("vec_id").select("embedding").collect())
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
@@ -578,9 +590,9 @@ object Similarity {
 
   private[ext] def annPq(spark: SparkSession, dir: String,
       replicaShift: Long, shortlist: Int = pqShortlist,
-      cbRounds: Int = 1): DataFrame = {
+      cbRounds: Int = 1, hashSpread: Boolean = false): DataFrame = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val cbs = pqCodebooks(e, cbRounds)
+    val cbs = pqCodebooks(e, cbRounds, hashSpread)
     val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
       expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s)).as(s"c$s"))
     val coded = e.select(
@@ -809,6 +821,11 @@ object Similarity {
     // the product quantizer: scaling codebook training is oracle-proven.
     "x_ann_pq_r2"      -> ((s: SparkSession, d: String) =>
       annPq(s, d, 0L, pqShortlist, 2)),
+    // PQ seeding guard — hash-spread seed vectors for the codebooks,
+    // completing the clustered-low-id-seed defense across BOTH
+    // quantizer families (IVF: x_ann_ivf_seedh).
+    "x_ann_pq_seedh"   -> ((s: SparkSession, d: String) =>
+      annPq(s, d, 0L, pqShortlist, 1, hashSpread = true)),
     "x_ann_ivfpq"      -> (xAnnIvfPq _),
     "x_ann_pq_admit"   -> (xAnnPqAdmit _),
     "x_ann_ivfadc"     -> (xAnnIvfAdc _),
@@ -1112,7 +1129,8 @@ object Similarity {
     * is always named pref$s so the ADC tail is round-agnostic.
     */
   private def pqOracleChains(trainWhere: String, srcTable: String,
-      srcCol: String, rounds: Int = 1): String = {
+      srcCol: String, rounds: Int = 1,
+      hashSpread: Boolean = false): String = {
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 8),
@@ -1120,10 +1138,20 @@ object Similarity {
         |      (a, x) -> a + x)""".stripMargin
     val subChains = (0 until pqM).map { s =>
       val off = s * pqSub
+      val seedsSql =
+        if (hashSpread)
+          s"""seeds$s AS (
+             |  SELECT rn - 1 AS cell, sv AS c FROM (
+             |    SELECT sv, row_number() OVER (ORDER BY
+             |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+             |        vec_id) AS rn
+             |    FROM es$s)
+             |  WHERE rn <= $pqK)""".stripMargin
+        else s"seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK)"
       val header =
         s"""es$s AS (
            |  SELECT vec_id, list_slice($srcCol, ${off + 1}, ${off + pqSub}) AS sv FROM $srcTable),
-           |seeds$s AS (SELECT vec_id AS cell, sv AS c FROM es$s WHERE vec_id < $pqK)""".stripMargin
+           |$seedsSql""".stripMargin
       val roundBlocks = (1 to rounds).map { r =>
         val prevC = if (r == 1) s"seeds$s" else s"pref${s}_r${r - 1}"
         val refName = if (r == rounds) s"pref$s" else s"pref${s}_r$r"
@@ -1219,12 +1247,13 @@ object Similarity {
     * candidates, shortlist, exact re-rank. */
   private def annPqOracleSql: String = annPqOracleSql(1)
 
-  private def annPqOracleSql(rounds: Int): String =
+  private def annPqOracleSql(rounds: Int,
+      hashSpread: Boolean = false): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings),
-       |${pqOracleChains("TRUE", "e", "v", rounds)},
+       |${pqOracleChains("TRUE", "e", "v", rounds, hashSpread)},
        |adc AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |  $pqAdcTerms AS d
@@ -1342,6 +1371,7 @@ object Similarity {
     "x_ann_ivf_admit" -> ivfAdmitOracleSql,
     "x_ann_pq" -> annPqOracleSql,
     "x_ann_pq_r2" -> annPqOracleSql(2),
+    "x_ann_pq_seedh" -> annPqOracleSql(1, hashSpread = true),
     "x_ann_ivfpq" -> annIvfPqOracleSql,
     "x_ann_pq_admit" -> pqAdmitOracleSql,
     "x_ann_ivfadc" -> annIvfAdcOracleSql,
