@@ -121,7 +121,7 @@ object Pipeline {
     // change it). An empty batch short-circuits to zero pairs BEFORE
     // deriving the id (no row to fold) and commits nothing.
     val stats = newDocs.agg(count(lit(1)), min(col("doc_id")),
-      max(col("doc_id")), bit_xor(xxhash64(col("doc_id")))).head
+      max(col("doc_id")), bit_xor(xxhash64(col("doc_id")))).head()
     if (stats.getLong(0) == 0L) {
       import org.apache.spark.sql.types._
       return spark.createDataFrame(

@@ -325,6 +325,12 @@ object Similarity {
     cents
   }
 
+  /** Spec/stream access to the coarse-quantizer trainer: the streaming
+    * admission op freezes exactly these centroids (see
+    * StreamOps.assignVectors and its batch-parity spec). */
+  private[graft] def trainCoarseCentroids(train: DataFrame, k: Int,
+      rounds: Int): Array[Array[Double]] = lloydCentroids(train, k, rounds)
+
   private def ivfAssigned(spark: SparkSession, dir: String,
       k: Int = 16, rounds: Int = 1,
       hashSpread: Boolean = false): (DataFrame, Array[Array[Double]]) = {
@@ -351,7 +357,7 @@ object Similarity {
     */
   def xAnnIvfAdmit(spark: SparkSession, dir: String): DataFrame = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head.getLong(0)
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
     val cents = lloydCentroids(e.filter(col("vec_id") < split), 16, 1)
     e.filter(col("vec_id") >= split)
       .select(col("vec_id"),
@@ -758,7 +764,7 @@ object Similarity {
     */
   def xAnnIvfAdcAdmit(spark: SparkSession, dir: String): DataFrame = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head.getLong(0)
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
     val train = e.filter(col("vec_id") < split)
     val cents = lloydCentroids(train, 16, 1)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
@@ -791,7 +797,7 @@ object Similarity {
     */
   def xAnnPqAdmit(spark: SparkSession, dir: String): DataFrame = {
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head.getLong(0)
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
     val cbs = pqCodebooks(e.filter(col("vec_id") < split))
     val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
       expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s))

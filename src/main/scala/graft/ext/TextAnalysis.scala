@@ -470,7 +470,7 @@ object TextAnalysis {
       .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
       .withColumn("n_before", size(col("toks")).cast("long"))
     val half = Tables.documents(spark, dir)
-      .agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
     var train = all.filter(col("doc_id") < half)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false

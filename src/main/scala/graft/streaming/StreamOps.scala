@@ -196,6 +196,27 @@ object StreamOps {
     }
   }
 
+  case class VecIn(vec_id: Long, embedding: Array[Float])
+
+  /** Streaming frozen-quantizer admission — the RUNTIME shape of the
+    * batch admission family (xAnnIvfAdmit etc.): the coarse centroids
+    * are trained once batch-side, frozen, and embedded as literals in
+    * the codegen'd nearest_centroid expression, so each arriving vector
+    * is assigned to its inverted-list cell in a STATELESS narrow map —
+    * no state store, no watermark, no shuffle; at cluster scale this is
+    * a pure per-executor pass over the ingest stream, which is exactly
+    * why admission freezes quantizer state instead of re-clustering
+    * (re-training inside a stream would need a corpus-wide iterative
+    * job no streaming runtime can express incrementally). Batch parity
+    * is spec-gated: streaming assignments == xAnnIvfAdmit's rows.
+    */
+  def assignVectors(vecs: Dataset[VecIn],
+      centroids: Array[Array[Double]]): DataFrame =
+    vecs.select(col("vec_id"),
+      graft.functions.VectorFunctions
+        .nearestCentroid(col("embedding"), centroids)
+        .cast("long").as("cell"))
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

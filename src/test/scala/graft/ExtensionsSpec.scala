@@ -1037,6 +1037,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming vector admission matches the batch admit assignments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the coarse quantizer on the lower-id half (the batch admit
+    // convention), stream the upper half through the stateless
+    // assignment map, and require cell-for-cell equality with
+    // xAnnIvfAdmit — the admission family's runtime shape is streaming
+    // ingest, so the codegen'd nearest_centroid must behave identically
+    // under readStream.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val split = (e.agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
+    val cents = ext.Similarity.trainCoarseCentroids(
+      e.filter(col("vec_id") < split), 16, 1)
+    val upper = e.filter(col("vec_id") >= split)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.assignVectors(input.toDS(), cents)
+      .writeStream.format("memory").queryName("vec_admit_out")
+      .outputMode("append").start()
+    input.addData(upper.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT vec_id, cell FROM vec_admit_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    val batch = ext.Similarity.xAnnIvfAdmit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cell")).toMap
+    assert(streamed == batch,
+      s"streaming admission diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
   test("ivfadc admission: every new vector coded against frozen state") {
     val rows = ext.Similarity.xAnnIvfAdcAdmit(spark, sf).collect()
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
