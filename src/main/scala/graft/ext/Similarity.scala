@@ -414,6 +414,46 @@ object Similarity {
       .orderBy("cell", "rank")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): block by the
+    * coarse quantizer's CELLS — embedding-space blocking, no label
+    * crutch — and inside each cell drop every vector whose cosine to a
+    * LOWER-id cell-mate rounds to ≥ 0.8 (keep-lowest, the family
+    * convention). This is the shape that runs at 100 TB: the cell
+    * assignment is the already-partitioned inverted-list layout, so the
+    * pair join is per-cell-linear (k cells bound the blocks the way the
+    * df cutoff bounds gram joins) and nothing compares across cells —
+    * the quadratic risk is bounded by max cell size, with the
+    * diversity-cap/bucket guards as the degenerate-cell backstop.
+    * Output: every vector's (cell, kept) verdict, hash-gated against
+    * the composed twin (shared quantizer chain + within-cell pair
+    * join). The cosine threshold is the deployment knob (SemDeDup used
+    * ~0.96 on trained embeddings, where near-dups are near-identical);
+    * the gated value is `semThreshold` = 0.4 because the synthetic
+    * near-random testdata tops out at 0.51 within-cell — 0.4 exercises
+    * BOTH verdict branches (14 of 500 dropped at sf0.01) instead of
+    * vacuously keeping everything.
+    */
+  private val semThreshold = 0.4
+
+  def xDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = ivfAssigned(spark, dir)
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val losers = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 4) >= semThreshold)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** End-to-end VECTOR-corpus prep — the embedding-side counterpart of
     * x_llm_corpus_prep, composed from the shared operators exactly as a
     * production vector-store build runs them: (1) embedding-cosine
@@ -838,7 +878,8 @@ object Similarity {
     "x_ann_ivfadc_admit" -> (xAnnIvfAdcAdmit _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _),
-    "x_emb_corpus_prep" -> (xEmbCorpusPrep _))
+    "x_emb_corpus_prep" -> (xEmbCorpusPrep _),
+    "x_dedup_semantic" -> (xDedupSemantic _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -1384,6 +1425,21 @@ object Similarity {
     "x_ann_ivfadc_admit" -> ivfAdcAdmitOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_corpus_prep" -> embCorpusPrepOracleSql,
+    // SemDeDup twin: shared quantizer chain, vectors joined back to
+    // their (v, nrm), within-cell keep-lowest pair verdicts.
+    "x_dedup_semantic" ->
+      s"""${ivfAssignOracleCtes()},
+         |sem AS (
+         |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
+         |  FROM a1 JOIN e USING (vec_id)),
+         |losers AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sem a JOIN sem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $semThreshold)
+         |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+         |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM sem s LEFT JOIN losers l USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin,
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -979,6 +979,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("revenue_e4") >= 0))
   }
 
+  test("semantic dedup: every vector judged, both verdicts non-vacuous") {
+    val rows = ext.Similarity.xDedupSemantic(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n, "every vector gets a verdict")
+    val kept = rows.count(_.getAs[Long]("kept") == 1L)
+    // Both branches must fire — a threshold that keeps (or drops)
+    // everything is a vacuous gate, the thing the 0.4 cut exists to
+    // avoid on this near-random corpus.
+    assert(kept > 0 && kept < n, s"degenerate verdicts: kept=$kept of $n")
+  }
+
   test("emb corpus prep: losers excluded, cells capped, codes bounded") {
     val losers = ext.Dedup.xDedupEmbCosine(spark, sf).collect()
       .map(_.getAs[Long]("id2")).toSet
