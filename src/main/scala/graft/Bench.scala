@@ -233,18 +233,25 @@ object Bench {
     val sweep = sweepNames.map { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val w = try { SparkEntry.queries(name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+      val (w, p) = try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // join strategies recorded for the sweep too: single-run walls
+        // are too noisy to gate on, but a plan flip IS adjudicable.
+        (wall, try joinStrategies(df) catch { case _: Throwable => "" })
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, "")
       }
-      (name, w)
+      (name, w, p)
     }
-    val sweepJson = sweep.map { case (k, w) => "\"" + k + "\":" + f"$w%.3f" }
+    val sweepJson = sweep.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
-    val sweepTotal = sweep.collect { case (_, w) if w >= 0 => w }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_total":$sweepTotal,"errors":$errs,"sf":"$sfDir"}""")
+    val sweepPlans = sweep.collect { case (k, _, p) if p.nonEmpty =>
+      "\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
+    val sweepTotal = sweep.collect { case (_, w, _) if w >= 0 => w }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_plans":$sweepPlans,"sweep_total":$sweepTotal,"errors":$errs,"sf":"$sfDir"}""")
     // Compact trailing summary: the driver's artifact keeps only the LAST
     // 2,000 chars of output, which truncated BENCH_r06 down to the tail of
     // the cpu map — the wall times and total were lost. This second line is

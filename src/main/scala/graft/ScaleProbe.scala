@@ -40,7 +40,10 @@ object ScaleProbe {
     "x_text_bpe_admit", "x_text_lm_heldout",
     // the composed vector-corpus pipeline: replication multiplies the
     // label-blocked dedup pair join AND every IVF cell's population
-    "x_emb_corpus_prep")
+    "x_emb_corpus_prep",
+    // SemDeDup: every replica set lands in one cell, the within-cell
+    // pair join's replication worst case
+    "x_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
