@@ -178,8 +178,13 @@ object Bench {
     val calib = calibration(spark)
     val calibShort = calibrationShort(spark)
     var failed = List.empty[String]
+    // Isolation mode benches ANY gated query (sweep-tail ones included),
+    // and an unknown name is an error — a silent empty run once let a
+    // mistyped adjudication read as "query is fine".
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val benchSet =
-      if (only.nonEmpty) headline.filter(only) else headline
+      if (only.nonEmpty) only.toVector.sorted else headline
     val results = benchSet.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       var lastDf: org.apache.spark.sql.DataFrame = null

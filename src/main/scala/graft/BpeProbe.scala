@@ -78,14 +78,17 @@ object BpeProbe {
     val planNodes = df.queryExecution.optimizedPlan.collect { case p => p }.size
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      if (s.isEmpty) 0.0 else s(s.size / 2)
     }
     val done = walls.size // may stop early if the corpus merges to 1-token docs
     val (h1, h2) = walls.splitAt(done / 2)
     val (m1, m2) = (median(h1.toSeq), median(h2.toSeq))
     println(f"""{"mode":"depth","rounds_requested":$rounds,"rounds_run":$done,"cadence":$cadence,"build_wall":$buildWall%.3f,"per_round_wall":[${walls.map(w => f"$w%.3f").mkString(",")}],"median_first_half":$m1%.3f,"median_second_half":$m2%.3f,"final_action_wall":$finalWall%.3f,"plan_nodes":$planNodes,"out_rows":$n}""")
-    require(m2 <= 3.0 * m1 + 0.05,
-      f"per-round wall grew with depth: first-half median $m1%.3f s, second-half $m2%.3f s — lineage truncation not holding")
+    // The flatness gate needs both halves populated (≥2 rounds each);
+    // shallow runs still print the report line above.
+    if (done >= 4)
+      require(m2 <= 3.0 * m1 + 0.05,
+        f"per-round wall grew with depth: first-half median $m1%.3f s, second-half $m2%.3f s — lineage truncation not holding")
   }
 
   /** Deterministic planted corpus: accented / CJK / quote-bearing vocab
@@ -127,7 +130,8 @@ object BpeProbe {
     val admit = ext.TextAnalysis.xTextBpeAdmit(spark, work)
     admit.coalesce(1).write.mode("overwrite")
       .parquet(s"$work/out/x_text_bpe_admit")
-    def esc(s: String) = s.replace("\"", "\\\"").replace("\n", "\\n")
+    def esc(s: String) = s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$work/out/oracle_sql.json"),
       (s"""{"x_text_bpe": "${esc(SparkEntry.oracleSql("x_text_bpe"))}",""" +

@@ -1012,16 +1012,21 @@ object Similarity {
       val qv = s"qv$r"
       val refc = s"refc$r"
       // training rounds assign only the training population; the final
-      // round assigns everyone (callers filter a$rounds as needed)
+      // round assigns everyone (callers filter a$rounds as needed).
+      // Multi-round refc CTEs are referenced twice downstream (next d +
+      // next refc's fallback) — MATERIALIZED caps the ~2^rounds plain-CTE
+      // inlining (CLAUDE.md iterative-oracle rule); rounds=1 stays plain
+      // so historical single-round twins are byte-identical.
       val src = if (r == rounds) "e"
         else s"(SELECT * FROM e WHERE $trainWhere) e"
+      val mat = if (rounds > 1) " MATERIALIZED" else ""
       s"""$qv AS (
          |  SELECT $prevA.cell, g.i,
          |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
          |    count(*) AS n
          |  FROM e JOIN $prevA USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
          |  GROUP BY $prevA.cell, g.i),
-         |$refc AS (
+         |$refc AS$mat (
          |  SELECT s.cell, COALESCE(r.c, s.c) AS c
          |  FROM $prevC s LEFT JOIN (
          |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
@@ -1205,6 +1210,13 @@ object Similarity {
         val dName = s"d${r - 1}_$s"
         val aName = s"a${r - 1}_$s"
         val qvName = if (r == 1) s"qv_$s" else s"qv${r}_$s"
+        // Each refined-codebook CTE is referenced twice downstream (the
+        // next assignment AND the next refine's fallback / the ADC
+        // joins), so plain CTEs inline ~2^rounds — the CLAUDE.md
+        // iterative-oracle blowup. MATERIALIZED caps that; rounds=1
+        // stays plain so the historical single-round twins are
+        // byte-identical.
+        val mat = if (rounds > 1) " MATERIALIZED" else ""
         s"""$dName AS (
            |  SELECT e.vec_id, s.cell, $dist AS d
            |  FROM (SELECT * FROM es$s WHERE $trainWhere) e, $prevC s),
@@ -1220,7 +1232,7 @@ object Similarity {
            |  FROM es$s e JOIN $aName a USING (vec_id)
            |  CROSS JOIN generate_series(1, $pqSub) g(i)
            |  GROUP BY a.cell, g.i),
-           |$refName AS (
+           |$refName AS$mat (
            |  SELECT s.cell, COALESCE(r.c, s.c) AS c
            |  FROM $prevC s LEFT JOIN (
            |    SELECT cell, list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c

@@ -264,12 +264,17 @@ object TextAnalysis {
   def xTextLmHeldout(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("ws", split(lowerS(col("text")), " "))
+    // Persisted: consumed by the two train-side aggregates, the vocab
+    // scalar, AND the scoring join — unpersisted, Spark would re-run
+    // the tokenize+explode subtree once per consumer (~4 corpus passes;
+    // the ivfAssigned persist idiom).
     val pairs = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
         (md5Bucket(100, col("doc_id")) < 80).as("tr"))
+      .persist()
     val bgc = pairs.filter(col("tr")).groupBy("w1", "w2")
       .agg(count(lit(1)).as("n2"))
     val pfx = pairs.filter(col("tr")).groupBy("w1")
@@ -348,13 +353,24 @@ object TextAnalysis {
     */
   private val bpeCheckpointEvery = 2
 
-  private[graft] def textBpe(spark: SparkSession, dir: String,
-      rounds: Int,
+  /** THE top-pair training loop — the single implementation behind
+    * textBpe, the vocab artifact, and the admission trainer (three
+    * oracle-pinned surfaces; a tie-break/cadence/exhaustion edit here
+    * cannot desync one of them from its twin). Counts every adjacent
+    * pair over `docs0`, picks the (n DESC, a, b) winner, greedily
+    * recodes, localCheckpoints every `checkpointEvery` rounds, and
+    * early-exits when no pairs remain (the twins' per-round CTEs
+    * degrade to no-op rebuilds on an empty top — NULL comparisons fail
+    * the match predicate — so no mirror is needed). Returns the merge
+    * list (round, a, b, corpus count at selection) and the recoded
+    * relation.
+    */
+  private def bpeTrain(docs0: DataFrame, rounds: Int,
       onRound: (Int, Double) => Unit = (_, _) => (),
-      checkpointEvery: Int = bpeCheckpointEvery): DataFrame = {
-    var docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
-      .withColumn("n_before", size(col("toks")).cast("long"))
+      checkpointEvery: Int = bpeCheckpointEvery)
+      : (Vector[(Long, String, String, Long)], DataFrame) = {
+    var docs = docs0
+    val merges = Vector.newBuilder[(Long, String, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
       val t0 = System.nanoTime()
@@ -369,23 +385,36 @@ object TextAnalysis {
         .collect().headOption
       onRound(r, (System.nanoTime() - t0) / 1e9)
       top match {
-        case None =>
-          // Every document is down to <= 1 token: no adjacent pairs left
-          // anywhere, so remaining rounds are no-ops. The twin needs no
-          // mirror — its per-round CTEs degrade to no-op rebuilds when
-          // top$r is empty (NULL comparisons fail the match predicate).
-          exhausted = true
+        case None => exhausted = true
         case Some(row) =>
           val (a, b) = (row.getString(0), row.getString(1))
+          merges += ((r.toLong, a, b, row.getLong(2)))
           docs = docs.withColumn("toks", bpeMergeExpr(a, b))
           if (r % checkpointEvery == 0 && r < rounds)
             docs = docs.localCheckpoint()
       }
     }
+    (merges.result(), docs)
+  }
+
+  private def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
+
+  private def bpeSummary(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("n_before"),
       size(col("toks")).cast("long").as("n_after"),
       md5(concat_ws("|", col("toks"))).as("tok_hash"))
       .orderBy("doc_id")
+
+  private[graft] def textBpe(spark: SparkSession, dir: String,
+      rounds: Int,
+      onRound: (Int, Double) => Unit = (_, _) => (),
+      checkpointEvery: Int = bpeCheckpointEvery): DataFrame = {
+    val docs0 = bpeTokenize(spark, dir)
+      .withColumn("n_before", size(col("toks")).cast("long"))
+    val (_, docs) = bpeTrain(docs0, rounds, onRound, checkpointEvery)
+    bpeSummary(docs)
   }
 
   /** One greedy left-to-right merge of pair (a, b) over `toks`: a
@@ -422,31 +451,8 @@ object TextAnalysis {
     */
   def xTextBpeVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
-    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    var exhausted = false
-    for (r <- 1 to bpeRounds if !exhausted) {
-      val top = docs.select(explode(expr(
-        """CASE WHEN size(toks) >= 2
-          |  THEN transform(sequence(0, size(toks) - 2),
-          |    i -> struct(toks[i] AS a, toks[i + 1] AS b))
-          |  ELSE cast(array() as array<struct<a:string,b:string>>) END""".stripMargin))
-          .as("p"))
-        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .collect().headOption
-      top match {
-        case None => exhausted = true
-        case Some(row) =>
-          val (a, b) = (row.getString(0), row.getString(1))
-          rows += ((r.toLong, a, b, row.getLong(2)))
-          docs = docs.withColumn("toks", bpeMergeExpr(a, b))
-          if (r % bpeCheckpointEvery == 0 && r < bpeRounds)
-            docs = docs.localCheckpoint()
-      }
-    }
-    rows.toSeq.toDF("round", "a", "b", "n").orderBy("round")
+    val (merges, _) = bpeTrain(bpeTokenize(spark, dir), bpeRounds)
+    merges.toDF("round", "a", "b", "n").orderBy("round")
   }
 
   /** Frozen-merge tokenizer application — the admission idiom (IVF/PQ
@@ -466,42 +472,16 @@ object TextAnalysis {
     * and reads the complement — hash-gated bitwise.
     */
   def xTextBpeAdmit(spark: SparkSession, dir: String): DataFrame = {
-    val all = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lowerS(col("text")), " ").as("toks"))
+    val all = bpeTokenize(spark, dir)
       .withColumn("n_before", size(col("toks")).cast("long"))
     val half = Tables.documents(spark, dir)
       .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
-    var train = all.filter(col("doc_id") < half)
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var exhausted = false
-    for (r <- 1 to bpeRounds if !exhausted) {
-      val top = train.select(explode(expr(
-        """CASE WHEN size(toks) >= 2
-          |  THEN transform(sequence(0, size(toks) - 2),
-          |    i -> struct(toks[i] AS a, toks[i + 1] AS b))
-          |  ELSE cast(array() as array<struct<a:string,b:string>>) END""".stripMargin))
-          .as("p"))
-        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .collect().headOption
-      top match {
-        case None => exhausted = true
-        case Some(row) =>
-          val (a, b) = (row.getString(0), row.getString(1))
-          merges += ((a, b))
-          train = train.withColumn("toks", bpeMergeExpr(a, b))
-          if (r % bpeCheckpointEvery == 0 && r < bpeRounds)
-            train = train.localCheckpoint()
-      }
-    }
+    val (merges, _) = bpeTrain(all.filter(col("doc_id") < half), bpeRounds)
     var admit = all.filter(col("doc_id") >= half)
-    merges.foreach { case (a, b) =>
+    merges.foreach { case (_, a, b, _) =>
       admit = admit.withColumn("toks", bpeMergeExpr(a, b))
     }
-    admit.select(col("doc_id"), col("n_before"),
-      size(col("toks")).cast("long").as("n_after"),
-      md5(concat_ws("|", col("toks"))).as("tok_hash"))
-      .orderBy("doc_id")
+    bpeSummary(admit)
   }
 
   /** Token counting per source: whitespace tokens + regex word tokens. */

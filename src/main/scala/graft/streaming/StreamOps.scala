@@ -19,7 +19,11 @@ object StreamOps {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, n_events: Int, duration_minutes: Double)
 
-  private val gapMs = 30L * 60 * 1000
+  // 30-minute inactivity gap, in µs: the batch Sessionize compares
+  // ts_us gaps at µs precision (`> gapUs` starts a new session), so the
+  // streaming twin must too — ms-truncated gap arithmetic diverges
+  // exactly at the 30:00.000 boundary when events carry sub-ms parts.
+  private val gapUs = 1800L * 1000 * 1000
 
   /** Watermarked tumbling-window counts per event_type — the streaming
     * form of the A6/A2 rollups.
@@ -228,26 +232,26 @@ object StreamOps {
 
   private[streaming] def updateSessions(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    // State and gap arithmetic stay at ms (the gap is 30 min — sub-ms
-    // deltas cannot flip a session boundary that coarse), but the
-    // in-batch ORDER is µs like the batch operator's ts_us sort, so
-    // same-ms/different-µs events sessionize in batch order.
+    // All session arithmetic runs at µs — the batch operator's ts_us
+    // precision — including the gap comparison (an ms-truncated gap
+    // reads exactly-30:00.000 when the true µs gap is longer, flipping
+    // the boundary verdict vs batch). State (start, last) carries µs.
     val out = scala.collection.mutable.Buffer[SessionOut]()
     def close(s: SessionState): Unit =
-      out += SessionOut(userId, s.n, (s.last - s.start) / 60000.0)
+      out += SessionOut(userId, s.n, (s.last - s.start) / 60000000.0)
     if (state.hasTimedOut) {
       state.getOption.foreach(close)
       state.remove()
     } else {
       var cur = state.getOption
       events.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
-        val t = e.ts.getTime
+        val t = tsMicros(e.ts)
         cur match {
-          case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+          case Some(s) if t >= s.start - gapUs && t - s.last <= gapUs =>
             // In-reach event (possibly out-of-order within the session's
             // gap window): widen both ends so durations match batch.
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-          case Some(s) if t > s.last + gapMs =>
+          case Some(s) if t > s.last + gapUs =>
             close(s)
             cur = Some(SessionState(t, t, 1))
           case Some(_) =>
@@ -262,7 +266,9 @@ object StreamOps {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
+        // Timeout API is ms-granular; round up so a session is never
+        // closed while still (sub-ms) inside its gap.
+        state.setTimeoutTimestamp(s.last / 1000L + gapUs / 1000L + 1L)
       }
     }
     out.iterator
