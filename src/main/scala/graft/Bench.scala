@@ -148,8 +148,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional args: query names to bench in isolation (regression
     // adjudication — prints ALL per-run walls/CPUs, not just best-of-3,
-    // and skips the sweep). No args = the driver's full headline run.
-    val only: Set[String] = args.toSet
+    // and skips the sweep). "--sweep-n N" makes the no-arg sweep run each
+    // tail query N times and record the median wall (single-run sweep
+    // walls swing up to 4× run-to-run; a median is numerically
+    // adjudicable where a single sample is plan-flips-only). No args =
+    // the driver's full headline run with a single-run sweep.
+    val sweepN: Int = args.sliding(2).collectFirst {
+      case Array("--sweep-n", n) => n.toInt
+    }.getOrElse(1)
+    require(sweepN >= 1, s"--sweep-n must be >= 1, got $sweepN")
+    val only: Set[String] = {
+      val qs = args.toVector
+      val i = qs.indexOf("--sweep-n")
+      (if (i >= 0) qs.patch(i, Nil, 2) else qs).toSet
+    }
+    // Validate names BEFORE building the session: a mistyped query used
+    // to pay session startup + two calibration passes before erroring.
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -178,11 +194,6 @@ object Bench {
     val calib = calibration(spark)
     val calibShort = calibrationShort(spark)
     var failed = List.empty[String]
-    // Isolation mode benches ANY gated query (sweep-tail ones included),
-    // and an unknown name is an error — a silent empty run once let a
-    // mistyped adjudication read as "query is fine".
-    val unknown = only -- SparkEntry.queries.keySet
-    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val benchSet =
       if (only.nonEmpty) only.toVector.sorted else headline
     val results = benchSet.filter(SparkEntry.queries.contains).map { name =>
@@ -236,19 +247,27 @@ object Bench {
       if (only.nonEmpty) Vector.empty[String]
       else SparkEntry.queries.keys.toVector.sorted.filterNot(headline.toSet)
     val sweep = sweepNames.map { name =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val (w, p) = try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        df.count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        // join strategies recorded for the sweep too: single-run walls
-        // are too noisy to gate on, but a plan flip IS adjudicable.
-        (wall, try joinStrategies(df) catch { case _: Throwable => "" })
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
-        (-1.0, "")
+      // sweepN runs, lower-median wall (deterministic for even N); with
+      // the default sweepN=1 this is exactly the historical single run.
+      val runs = (1 to sweepN).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // join strategies recorded for the sweep too: single-run walls
+          // are too noisy to gate on, but a plan flip IS adjudicable.
+          (wall, try joinStrategies(df) catch { case _: Throwable => "" })
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
+          (-1.0, "")
+        }
       }
+      val ok = runs.filter(_._1 >= 0)
+      val (w, p) =
+        if (ok.isEmpty) (-1.0, "")
+        else (ok.map(_._1).sorted.apply((ok.size - 1) / 2), ok.last._2)
       (name, w, p)
     }
     val sweepJson = sweep.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
@@ -256,7 +275,7 @@ object Bench {
     val sweepPlans = sweep.collect { case (k, _, p) if p.nonEmpty =>
       "\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
     val sweepTotal = sweep.collect { case (_, w, _) if w >= 0 => w }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_plans":$sweepPlans,"sweep_total":$sweepTotal,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_plans":$sweepPlans,"sweep_total":$sweepTotal,"sweep_n":$sweepN,"errors":$errs,"sf":"$sfDir"}""")
     // Compact trailing summary: the driver's artifact keeps only the LAST
     // 2,000 chars of output, which truncated BENCH_r06 down to the tail of
     // the cpu map — the wall times and total were lost. This second line is
@@ -265,7 +284,7 @@ object Bench {
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, w, _, _) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"n_headline":${results.size},"n_sweep":${sweep.size},"sweep_total":${f"$sweepTotal%.3f"},"top5":$top5,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"n_headline":${results.size},"n_sweep":${sweep.size},"sweep_total":${f"$sweepTotal%.3f"},"sweep_n":$sweepN,"top5":$top5,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -971,6 +971,12 @@ object Similarity {
   private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1,
       trainWhere: String = "TRUE", hashSpread: Boolean = false,
       srcTable: String = "embeddings", prelude: String = ""): String = {
+    // The hashSpread seed CTE ranks over the FULL `e` relation while the
+    // Spark trainer seeds from its train subset — composing it with a
+    // train filter would silently desync the twin, so fail loudly.
+    require(trainWhere == "TRUE" || !hashSpread,
+      "hashSpread seeding is only supported with trainWhere=TRUE " +
+        "(oracle seed CTE ranks the full relation, not the train subset)")
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 64),
@@ -1183,6 +1189,11 @@ object Similarity {
   private def pqOracleChains(trainWhere: String, srcTable: String,
       srcCol: String, rounds: Int = 1,
       hashSpread: Boolean = false): String = {
+    // Same guard as ivfAssignOracleCtes: the seed CTE ignores trainWhere,
+    // so the composition with a train filter would desync the twin.
+    require(trainWhere == "TRUE" || !hashSpread,
+      "hashSpread seeding is only supported with trainWhere=TRUE " +
+        "(oracle seed CTE ranks the full relation, not the train subset)")
     val dist =
       """list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, 8),

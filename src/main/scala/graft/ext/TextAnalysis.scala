@@ -289,9 +289,14 @@ object TextAnalysis {
           .otherwise(log((coalesce(col("n2"), lit(0L)) + lit(1L)) /
             (col("n1") + col("v")))).as("lp"),
         (col("n2").isNull || col("n1").isNull).cast("long").as("oov"))
+    // Eager localCheckpoint (one small row per doc) so `pairs` can be
+    // unpersisted HERE instead of staying resident for the rest of a
+    // ~96-query Verify/Bench session (nothing downstream reuses it).
     val perDoc = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
         round(avg(col("lp")), 4).as("avg_logprob"))
+      .localCheckpoint()
+    pairs.unpersist()
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -1004,6 +1009,21 @@ object TextAnalysis {
     */
   private def bpeOracleSql(rounds: Int, trainWhere: String = "",
       outWhere: String = ""): String = {
+    val outAnd = if (outWhere.isEmpty) "" else s"\nWHERE $outWhere"
+    s"""${bpeOracleChain(rounds, trainWhere)}
+       |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_before,
+       |  CAST(len(dk.toks) AS BIGINT) AS n_after,
+       |  md5(array_to_string(dk.toks, '|')) AS tok_hash
+       |FROM d0 JOIN d$rounds dk ON d0.doc_id = dk.doc_id$outAnd
+       |ORDER BY d0.doc_id""".stripMargin
+  }
+
+  /** The shared WITH-chain (d0 + every round's CTE block, ending after
+    * the last d$rounds) that both the doc-level twin and the vocab twin
+    * append their own tail SELECT to — factored out so the vocab twin
+    * doesn't have to slice the doc twin's text by substring surgery.
+    */
+  private def bpeOracleChain(rounds: Int, trainWhere: String = ""): String = {
     val trainAnd = if (trainWhere.isEmpty) "" else s" AND ($trainWhere)"
     val roundBlocks = (1 to rounds).map { r =>
       val prev = s"d${r - 1}"
@@ -1040,15 +1060,9 @@ object TextAnalysis {
          |  WHERE c.i IS NULL
          |  GROUP BY p.doc_id)""".stripMargin
     }.mkString(",\n")
-    val outAnd = if (outWhere.isEmpty) "" else s"\nWHERE $outWhere"
     s"""WITH d0 AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-       |$roundBlocks
-       |SELECT d0.doc_id, CAST(len(d0.toks) AS BIGINT) AS n_before,
-       |  CAST(len(dk.toks) AS BIGINT) AS n_after,
-       |  md5(array_to_string(dk.toks, '|')) AS tok_hash
-       |FROM d0 JOIN d$rounds dk ON d0.doc_id = dk.doc_id$outAnd
-       |ORDER BY d0.doc_id""".stripMargin
+       |$roundBlocks""".stripMargin
   }
 
   /** The merge-LIST twin: the same per-round CTE chain, but the output
@@ -1060,13 +1074,11 @@ object TextAnalysis {
   private def bpeVocabOracleSql(rounds: Int): String = {
     // Reuse the full round chain (the recodes ARE the training state the
     // later rounds' counts depend on), then read each round's winner.
-    val body = bpeOracleSql(rounds)
-    val chain = body.substring(0, body.lastIndexOf("SELECT d0.doc_id"))
     val tops = (1 to rounds).map { r =>
       s"""(SELECT CAST($r AS BIGINT) AS round, a, b, CAST(n AS BIGINT) AS n
          |   FROM p$r ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""${chain.trim.stripSuffix(",")}
+    s"""${bpeOracleChain(rounds)}
        |SELECT * FROM (
        |$tops)
        |ORDER BY round""".stripMargin

@@ -120,7 +120,7 @@ object StreamOps {
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.
     */
-  case class TouchState(touchType: String, tsUs: Long)
+  case class TouchState(touchType: String, tsUs: Long, eventId: Long)
   case class AttrOut(user_id: Long, purchase_id: Long, channel: String,
     value_e4: Long)
 
@@ -185,9 +185,13 @@ object StreamOps {
             // batch operator's double→bigint cast
             out += AttrOut(userId, e.event_id, channel,
               (e.value * 10000d).toLong)
-          } else if (cur.forall(_.tsUs <= t)) {
-            // out-of-order touch older than the tracked one never wins
-            cur = Some(TouchState(e.event_type, t))
+          } else if (cur.forall(s => s.tsUs < t ||
+              (s.tsUs == t && s.eventId < e.event_id))) {
+            // Out-of-order touch older than the tracked one never wins;
+            // on an exactly-equal-µs tie the HIGHER event_id wins — the
+            // batch window's (ts_us, tag, event_id) last-wins order —
+            // independent of which micro-batch each touch arrived in.
+            cur = Some(TouchState(e.event_type, t, e.event_id))
           }
         }
       cur.foreach { s =>

@@ -862,6 +862,47 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming attribution diverged:\n  stream=$streamed\n  batch=$batch")
   }
 
+  test("streaming attribution breaks same-µs touch ties on event_id across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Two touches at the EXACT same µs, delivered in separate
+    // micro-batches with the lower event_id arriving LAST: the batch
+    // window's (ts_us, tag, event_id) last-wins order credits the
+    // higher event_id, so arrival order must not decide the channel.
+    def tsUs(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val base = 1700000000000000L
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.attribute(input.toDS())
+      .writeStream.format("memory").queryName("attr_tie_out")
+      .outputMode("append").start()
+    // Batch 1: the higher-id click at t=base.
+    input.addData(streaming.StreamOps.Event(10, tsUs(base), 1, "click", 0.0))
+    query.processAllAvailable()
+    // Batch 2: the LOWER-id view at the same µs (late arrival), then the
+    // purchase. The old later-arrival-wins (<=) logic credited "view".
+    input.addData(
+      streaming.StreamOps.Event(5, tsUs(base), 1, "view", 0.0),
+      streaming.StreamOps.Event(20, tsUs(base + 1000000L), 1, "purchase", 5.0))
+    query.processAllAvailable()
+    // Batch 3: a same-µs HIGHER-id touch must still overwrite, then a
+    // second purchase confirms the tie falls the other way.
+    input.addData(
+      streaming.StreamOps.Event(30, tsUs(base), 1, "signup", 0.0),
+      streaming.StreamOps.Event(40, tsUs(base + 2000000L), 1, "purchase", 7.0))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT purchase_id, channel FROM attr_tie_out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    query.stop()
+    assert(out(20L) == "click",
+      s"same-µs tie went to the later ARRIVAL, not the higher event_id: $out")
+    assert(out(40L) == "signup",
+      s"same-µs higher-id touch failed to overwrite: $out")
+  }
+
   test("streaming windowed counts aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
