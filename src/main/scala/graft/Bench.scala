@@ -149,13 +149,17 @@ object Bench {
     // Optional args: query names to bench in isolation (regression
     // adjudication — prints ALL per-run walls/CPUs, not just best-of-3,
     // and skips the sweep). "--sweep-n N" makes the no-arg sweep run each
-    // tail query N times and record the median wall (single-run sweep
-    // walls swing up to 4× run-to-run; a median is numerically
-    // adjudicable where a single sample is plan-flips-only). No args =
-    // the driver's full headline run with a single-run sweep.
+    // tail query up to N times and record the median wall (single-run
+    // sweep walls swing up to 4× run-to-run; a median is numerically
+    // adjudicable where a single sample is plan-flips-only). Default 3,
+    // applied only to queries whose FIRST wall is under 2 s — that is
+    // the noise-dominated tail; the few multi-second sweep heavies are
+    // compute-bound (proportionally less noisy) and already gated on
+    // plan flips, so tripling them would cost ~2 driver minutes for no
+    // added signal. "--sweep-n 1" restores the historical single run.
     val sweepN: Int = args.sliding(2).collectFirst {
       case Array("--sweep-n", n) => n.toInt
-    }.getOrElse(1)
+    }.getOrElse(3)
     require(sweepN >= 1, s"--sweep-n must be >= 1, got $sweepN")
     val only: Set[String] = {
       val qs = args.toVector
@@ -246,10 +250,11 @@ object Bench {
     val sweepNames =
       if (only.nonEmpty) Vector.empty[String]
       else SparkEntry.queries.keys.toVector.sorted.filterNot(headline.toSet)
+    // Below this first-run wall, a sweep query gets sweepN runs and a
+    // median; at or above it, one run (compute-bound, plan-flip-gated).
+    val sweepMedianMaxWall = 2.0
     val sweep = sweepNames.map { name =>
-      // sweepN runs, lower-median wall (deterministic for even N); with
-      // the default sweepN=1 this is exactly the historical single run.
-      val runs = (1 to sweepN).map { _ =>
+      def run(): (Double, String) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
@@ -264,7 +269,14 @@ object Bench {
           (-1.0, "")
         }
       }
+      val first = run()
+      val runs = first +: (
+        if (first._1 >= 0 && first._1 < sweepMedianMaxWall)
+          (2 to sweepN).map(_ => run())
+        else Seq.empty)
       val ok = runs.filter(_._1 >= 0)
+      // Lower median (deterministic for even N); sweepN=1 is exactly the
+      // historical single run.
       val (w, p) =
         if (ok.isEmpty) (-1.0, "")
         else (ok.map(_._1).sorted.apply((ok.size - 1) / 2), ok.last._2)

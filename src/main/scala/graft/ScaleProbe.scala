@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * N, every LSH bucket fills N×), so it stresses exactly the guards
   * (df cutoff, banding, bucketing) that keep those operators sub-quadratic.
   *
-  * Usage: runMain graft.ScaleProbe [baseSfDir] [workDir] [replicas]
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [workDir] [replicas] [q1,q2,...]
   * Prints one JSON line: {"q":{"name":{"x1":s,"xN":s},...}}
+  * The optional 4th arg restricts the probe to a comma-separated query
+  * subset and SKIPS the ANN recall arms — the 100× mode, where running
+  * the full probe set (simhash's replication worst case, the recall
+  * brute-force baselines) would dominate the wall for no new evidence.
   */
 object ScaleProbe {
   val probeQueries: Vector[String] = Vector(
@@ -42,13 +46,21 @@ object ScaleProbe {
     // label-blocked dedup pair join AND every IVF cell's population
     "x_emb_corpus_prep",
     // SemDeDup: every replica set lands in one cell, the within-cell
-    // pair join's replication worst case
-    "x_dedup_semantic")
+    // pair join's replication worst case — and the k=64 density arm,
+    // whose 4× cell count should shrink exactly that pair join (the
+    // k ~ √N guard measured head-to-head against the k=16 row)
+    "x_dedup_semantic", "x_dedup_semantic_k64")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 10
+    val subset: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,8 +113,18 @@ object ScaleProbe {
     }
     // warm-up
     time(base, "a2_category_rollup")
-    val results = probeQueries.map { q =>
+    val probeSet = subset.fold(probeQueries)(s =>
+      probeQueries.filter(s) ++ (s -- probeQueries.toSet).toVector.sorted)
+    val results = probeSet.map { q =>
       q -> (time(base, q), time(work, q))
+    }
+    if (subset.isDefined) {
+      val json = results.map { case (q, (x1, xn)) =>
+        f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
+      }.mkString("{\"q\":{", ",", "}}")
+      println(json)
+      spark.stop()
+      return
     }
     // ANN recall with buckets N× fuller: the spec gate (recall@5 ≥ 0.8 vs
     // exact brute force) must hold on the replicated corpus too. Same-base

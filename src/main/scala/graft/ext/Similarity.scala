@@ -435,8 +435,16 @@ object Similarity {
     */
   private val semThreshold = 0.4
 
-  def xDedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, _) = ivfAssigned(spark, dir)
+  /** (k, rounds) parameterize the coarse quantizer exactly like the ANN
+    * gates (x_ann_ivf_k8r2's arm idiom): k is the DENSITY knob — cells
+    * shrink ~linearly in k, so the within-cell pair join's quadratic
+    * term drops ~k× — which is the k ~ √N scaling guard SCALE.md
+    * documents, here as a gated parameter rather than prose (the k=64
+    * arm below). Defaults emit the historical (16, 1) shape bitwise.
+    */
+  def xDedupSemantic(spark: SparkSession, dir: String,
+      k: Int = 16, rounds: Int = 1): DataFrame = {
+    val (assigned, _) = ivfAssigned(spark, dir, k, rounds)
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = assigned.select(col("cell"), col("vec_id").as("id2"),
@@ -484,6 +492,57 @@ object Similarity {
     surv
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell"),
+        TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 8)
+      .select(col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id"),
+        expr("transform(embedding, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
+          .as("codes"))
+      .select(col("cell"), col("rank"), col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+      .orderBy("cell", "rank")
+  }
+
+  /** xEmbCorpusPrep with the SemDeDup stage composed in at the paper's
+    * position (Abbas et al. 2023 run semantic dedup on the k-means
+    * cells BEFORE downstream corpus shaping): (1) exact-pair cosine
+    * near-dup removal; (1.5) the coarse quantizer trained ONCE on the
+    * survivors (hash-spread seeds) and its cells used for within-cell
+    * keep-lowest semantic dedup at the gated threshold — one Lloyd pass
+    * serves BOTH the dedup blocking and the downstream cell layout (the
+    * paper's shape, and the 100 TB shape: no second training pass);
+    * (2) per-cell diversity cap over the SEMANTIC survivors; (3) int8
+    * quantization. Output schema matches x_emb_corpus_prep, so the two
+    * gated rows differ exactly by the semantic stage's removals — the
+    * composed twin reuses the same generated prelude/quantizer chain
+    * with a semantic-loser CTE spliced in (names disjoint from the
+    * prelude's `losers`).
+    */
+  def xEmbCorpusPrepSem(spark: SparkSession, dir: String): DataFrame = {
+    val losers = Dedup.xDedupEmbCosine(spark, dir)
+      .select(col("id2").as("vec_id")).distinct()
+    val surv = Tables.embeddings(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val assigned = withVecNorm(surv).withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val semLosers = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 4) >= semThreshold)
+      .select(col("id2").as("vec_id")).distinct()
+    val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
+    sem
+      .select(col("vec_id"), col("embedding"), col("cell"),
         TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 8)
@@ -879,7 +938,13 @@ object Similarity {
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _),
     "x_emb_corpus_prep" -> (xEmbCorpusPrep _),
-    "x_dedup_semantic" -> (xDedupSemantic _))
+    "x_emb_corpus_prep_sem" -> (xEmbCorpusPrepSem _),
+    "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
+    // The k ~ √N density arm: 4× the cells, ~4× smaller within-cell
+    // pair blocks — the overfull-cell guard as a green gated row
+    // instead of a SCALE.md prose note.
+    "x_dedup_semantic_k64" -> ((s: SparkSession, d: String) =>
+      xDedupSemantic(s, d, 64, 1)))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -1063,6 +1128,25 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The SemDeDup twin at (k, rounds): the shared quantizer chain, each
+    * vector joined back to its (v, nrm), within-cell keep-lowest pair
+    * verdicts. Defaults emit byte-identical SQL to the historical
+    * x_dedup_semantic twin; the k=64 arm is the density-scaling gate.
+    */
+  private def semanticOracleSql(k: Int = 16, rounds: Int = 1): String =
+    s"""${ivfAssignOracleCtes(k, rounds)},
+       |sem AS (
+       |  SELECT a$rounds.vec_id, a$rounds.cell, e.v, e.nrm
+       |  FROM a$rounds JOIN e USING (vec_id)),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sem a JOIN sem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $semThreshold)
+       |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM sem s LEFT JOIN losers l USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+
   /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
     * gate): the shared quantizer chain above at (k, rounds), then the
     * nProbe=4 probe walk, candidate union, exact cosine re-rank.
@@ -1101,9 +1185,13 @@ object Similarity {
     * prelude CTEs (disjoint names ec/ecn/losers/surv), the shared
     * hash-seeded quantizer chain run over `surv`, then the diversity
     * cap and int8 quantization tails — every piece the same generated
-    * arithmetic its standalone gate pins.
+    * arithmetic its standalone gate pins. `semantic = true` splices the
+    * SemDeDup stage between the quantizer chain and the diversity cap
+    * (within-cell keep-lowest over a1's cells — CTE names semv/semlosers,
+    * disjoint from the prelude's `losers`); false emits byte-identical
+    * SQL to the historical x_emb_corpus_prep twin.
     */
-  private def embCorpusPrepOracleSql: String = {
+  private def embCorpusPrepOracleSql(semantic: Boolean = false): String = {
     val prelude =
       """ec AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1118,12 +1206,24 @@ object Similarity {
         |  SELECT * FROM embeddings
         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
         |""".stripMargin
+    val semCtes = if (!semantic) "" else
+      s"""semv AS (
+         |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
+         |  FROM a1 JOIN e USING (vec_id)),
+         |semlosers AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM semv a JOIN semv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $semThreshold),
+         |""".stripMargin
+    val bktSrc = if (semantic)
+      "a1 WHERE vec_id NOT IN (SELECT vec_id FROM semlosers)"
+    else "a1"
     s"""${ivfAssignOracleCtes(16, 1, "TRUE", hashSpread = true,
         srcTable = "surv", prelude = prelude)},
-       |bkt AS (
+       |${semCtes}bkt AS (
        |  SELECT vec_id, cell,
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
-       |  FROM a1),
+       |  FROM $bktSrc),
        |ranked AS (
        |  SELECT cell, vec_id,
        |    row_number() OVER (PARTITION BY cell ORDER BY bucket, vec_id) AS rank
@@ -1447,22 +1547,12 @@ object Similarity {
     "x_ann_ivfadc" -> annIvfAdcOracleSql,
     "x_ann_ivfadc_admit" -> ivfAdcAdmitOracleSql,
     "x_diversity_sample" -> diversitySampleOracleSql,
-    "x_emb_corpus_prep" -> embCorpusPrepOracleSql,
+    "x_emb_corpus_prep" -> embCorpusPrepOracleSql(),
+    "x_emb_corpus_prep_sem" -> embCorpusPrepOracleSql(semantic = true),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
-    "x_dedup_semantic" ->
-      s"""${ivfAssignOracleCtes()},
-         |sem AS (
-         |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
-         |  FROM a1 JOIN e USING (vec_id)),
-         |losers AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM sem a JOIN sem b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $semThreshold)
-         |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
-         |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM sem s LEFT JOIN losers l USING (vec_id)
-         |ORDER BY s.vec_id""".stripMargin,
+    "x_dedup_semantic" -> semanticOracleSql(),
+    "x_dedup_semantic_k64" -> semanticOracleSql(64, 1),
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

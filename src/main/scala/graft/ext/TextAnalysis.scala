@@ -479,14 +479,28 @@ object TextAnalysis {
   def xTextBpeAdmit(spark: SparkSession, dir: String): DataFrame = {
     val all = bpeTokenize(spark, dir)
       .withColumn("n_before", size(col("toks")).cast("long"))
-    val half = Tables.documents(spark, dir)
-      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
-    val (merges, _) = bpeTrain(all.filter(col("doc_id") < half), bpeRounds)
+    val (half, merges) = admitMergeList(spark, dir)
     var admit = all.filter(col("doc_id") >= half)
-    merges.foreach { case (_, a, b, _) =>
+    merges.foreach { case (a, b) =>
       admit = admit.withColumn("toks", bpeMergeExpr(a, b))
     }
     bpeSummary(admit)
+  }
+
+  /** The admission split + frozen merge list (train-once lower-id half,
+    * merges in training order) — factored out of xTextBpeAdmit so the
+    * STREAMING tokenizer (StreamOps.tokenizeDocs, the runtime half of
+    * the admission arm) and its batch-parity spec train through the one
+    * shared path; a split or tie-break edit here cannot desync the
+    * batch gate from the streaming surface.
+    */
+  private[graft] def admitMergeList(spark: SparkSession, dir: String)
+      : (Long, Vector[(String, String)]) = {
+    val half = Tables.documents(spark, dir)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val (merges, _) = bpeTrain(
+      bpeTokenize(spark, dir).filter(col("doc_id") < half), bpeRounds)
+    (half, merges.map(m => (m._2, m._3)))
   }
 
   /** Token counting per source: whitespace tokens + regex word tokens. */
@@ -798,83 +812,33 @@ object TextAnalysis {
 
   /** Winnowing fingerprint: k-gram rolling hashes over the normalized
     * text, minimum per sliding window (MOSS-style winnowing) → a compact,
-    * position-robust fingerprint set per document. Computed in
-    * mapPartitions: O(n) per doc via the rolling update, no per-gram
-    * string allocation. Oracle-verified: the rolling hash is pure integer
-    * arithmetic mod 1e9+7, so the DuckDB twin recomputes each gram's hash
-    * directly (an 8-deep Horner fold over ord(substr)) and replays the
-    * window-min + consecutive-dedup winnow with SQL window functions —
-    * bitwise equality, no tolerance — including the <k-chars fallback,
-    * which fingerprints the whole short string with the same Horner fold
-    * (the oracle's `short` branch), so a future corpus with short docs
-    * stays gated instead of silently diverging.
+    * position-robust fingerprint set per document. The core lives in
+    * `functions.WinnowFingerprints` (a codegen'd unary expression — the
+    * gated queries below run it inside WholeStageCodegen, no object
+    * serde); this delegate keeps the plain-Scala surface the specs and
+    * streaming paths pin. Oracle-verified: the rolling hash is pure
+    * integer arithmetic mod 1e9+7, so the DuckDB twin recomputes each
+    * gram's hash directly (an 8-deep Horner fold over ord(substr)) and
+    * replays the window-min + consecutive-dedup winnow with SQL window
+    * functions — bitwise equality, no tolerance — including the <k-chars
+    * fallback, which fingerprints the whole short string with the same
+    * Horner fold (the oracle's `short` branch), so a future corpus with
+    * short docs stays gated instead of silently diverging.
     */
-  private[graft] def winnowFingerprints(text: String): Array[Long] = {
-    val k = 8       // gram length (chars)
-    val w = 16      // winnow window
-    val B = 257L
-    val M = 1000000007L
-    // SIMPLE per-code-point lowercase (SimpleLower.lowerString) — bitwise
-    // with the Spark side's simple_lower AND DuckDB's utf8proc lower()
-    // on any text (the JVM FULL mapping would shift both fold values and
-    // gram positions on U+0130 / final sigma).
-    // CODE POINTS, not UTF-16 chars: DuckDB's substr positions and
-    // ord() are code-point-based, so both the fold values AND the gram
-    // window positions must index code points for the oracle to stay
-    // bitwise on non-ASCII text (a surrogate pair is one position, not
-    // two).
-    val s: Array[Int] =
-      graft.functions.SimpleLower.lowerString(text).replace(" ", "")
-        .codePoints().toArray
-    if (s.length < k) {
-      // Shorter than one gram: fingerprint the whole string with the same
-      // Horner fold (NOT String.hashCode, which no SQL engine can
-      // replicate) so the oracle's short-doc branch stays bitwise.
-      var h = 0L
-      var i = 0
-      while (i < s.length) { h = (h * B + s(i)) % M; i += 1 }
-      return Array(h)
-    }
-    // Weight of the outgoing char at subtraction time: the update below
-    // multiplies the accumulator by B *before* subtracting, so s(i-k)
-    // carries B^k there (not the textbook B^(k-1)). Using B^(k-1) made
-    // hashes accumulate the whole prefix — identical k-grams at
-    // different positions hashed differently, which defeats winnowing.
-    var pow = 1L
-    (1 to k).foreach(_ => pow = pow * B % M)
-    val hashes = new Array[Long](s.length - k + 1)
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      h = (h * B + s(i)) % M
-      if (i >= k) h = (h - s(i - k) * pow % M + M * B) % M
-      if (i >= k - 1) hashes(i - k + 1) = h
-      i += 1
-    }
-    // winnow: minimum hash of each w-sized window, deduped consecutive
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
-    var j = 0
-    while (j <= hashes.length - w || (j == 0 && hashes.nonEmpty)) {
-      val end = math.min(j + w, hashes.length)
-      var mn = Long.MaxValue
-      var p = j
-      while (p < end) { if (hashes(p) < mn) mn = hashes(p); p += 1 }
-      if (out.isEmpty || out.last != mn) out += mn
-      j += 1
-    }
-    out.toArray
-  }
+  private[graft] def winnowFingerprints(text: String): Array[Long] =
+    graft.functions.WinnowFingerprints.fingerprints(text)
 
   def xTextWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    // Codegen'd winnow_fingerprints expression + builtin array functions:
+    // the whole per-doc fingerprint rollup stays inside WholeStageCodegen
+    // (the previous Dataset.map forced an object-serde pair on the scan).
+    val fp = array_sort(
+      graft.functions.VectorFunctions.winnowFingerprints(col("text")))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val fp = winnowFingerprints(text).sorted
-        (id, fp.length.toLong, fp.take(4).mkString(","))
-      })
-      .toDF("doc_id", "n_fingerprints", "fingerprint_head")
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fingerprints"),
+        array_join(slice(col("fp"), 1, 4), ",").as("fingerprint_head"))
       .orderBy("doc_id")
   }
 
@@ -894,14 +858,11 @@ object TextAnalysis {
     * scan.
     */
   def xTextWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        winnowFingerprints(text).distinct.map(fp => (id, fp))
-      }
-      .toDF("doc_id", "fp")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+          .as("fp"))
     val keep = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("d"))
         .filter(col("d").between(2, 50)).select("fp"),

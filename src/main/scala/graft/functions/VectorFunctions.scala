@@ -610,6 +610,100 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], k: I
     copy(child = newChild)
 }
 
+/** winnow_fingerprints(s): MOSS-style winnowing fingerprint set of a
+  * document — k=8-gram rolling Horner hashes (base 257 mod 1e9+7) over
+  * the simple-lowercased, space-stripped CODE POINTS, minimum per
+  * w=16-hash sliding window, consecutive duplicates collapsed. A unary
+  * codegen'd expression (not mapPartitions) so a corpus-wide fingerprint
+  * scan stays inside WholeStageCodegen — the previous Dataset.map
+  * version forced a DeserializeToObject/SerializeFromObject pair on the
+  * hot path of two gated queries. Interpreted and generated paths share
+  * one static core (`WinnowFingerprints.fingerprints`, the HornerHash
+  * idiom), so they cannot drift; the same core also serves any
+  * plain-Scala caller (streaming, specs). Oracle-portable by
+  * construction: pure integer arithmetic over code points — the DuckDB
+  * twin recomputes each gram's Horner fold directly and replays the
+  * window-min + dedup with SQL window functions, bitwise.
+  */
+case class WinnowFingerprints(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowFingerprints.fingerprintArray(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.WinnowFingerprints.fingerprintArray($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** The winnow core — moved verbatim from TextAnalysis.winnowFingerprints
+    * (which now delegates here). See that site's original rationale:
+    * SIMPLE lowercase (utf8proc parity on U+0130/final sigma), code-point
+    * indexing (DuckDB substr/ord positions), the B^k outgoing weight
+    * (the update multiplies by B before subtracting), and the <k-chars
+    * whole-string fallback that keeps short docs oracle-gated.
+    */
+  def fingerprints(text: String): Array[Long] = {
+    val k = 8       // gram length (chars)
+    val w = 16      // winnow window
+    val B = 257L
+    val M = 1000000007L
+    val s: Array[Int] =
+      SimpleLower.lowerString(text).replace(" ", "").codePoints().toArray
+    if (s.length < k) {
+      var h = 0L
+      var i = 0
+      while (i < s.length) { h = (h * B + s(i)) % M; i += 1 }
+      return Array(h)
+    }
+    var pow = 1L
+    (1 to k).foreach(_ => pow = pow * B % M)
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * B + s(i)) % M
+      if (i >= k) h = (h - s(i - k) * pow % M + M * B) % M
+      if (i >= k - 1) hashes(i - k + 1) = h
+      i += 1
+    }
+    // winnow: minimum hash of each w-sized window, deduped consecutive
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var j = 0
+    while (j <= hashes.length - w || (j == 0 && hashes.nonEmpty)) {
+      val end = math.min(j + w, hashes.length)
+      var mn = Long.MaxValue
+      var p = j
+      while (p < end) { if (hashes(p) < mn) mn = hashes(p); p += 1 }
+      if (out.isEmpty || out.last != mn) out += mn
+      j += 1
+    }
+    out.toArray
+  }
+
+  /** Static forwarder for the expression's interpreted and generated
+    * paths (callable from generated Java, like HornerHash.foldUtf8).
+    */
+  def fingerprintArray(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      fingerprints(s.toString))
+}
+
 object VectorFunctions {
   /** Register the codegen'd expressions for SQL/expr use on this session
     * (idempotent). horner_hash's modulus must be a foldable literal —
@@ -631,6 +725,8 @@ object VectorFunctions {
         }), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simple_lower", exprs => SimpleLower(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints", exprs => WinnowFingerprints(exprs(0)), "scala_udf")
   }
 
   /** Column API: dot_product(a, b) as a codegen'd expression. */
@@ -659,6 +755,14 @@ object VectorFunctions {
   def simpleLower(s: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(SimpleLower(GraftSqlBridge.expression(s)))
+  }
+
+  /** Column API: winnowing fingerprint array (array<bigint>) of a text
+    * column — the codegen'd substring-dup fingerprint scan.
+    */
+  def winnowFingerprints(s: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(s)))
   }
 
   /** Column API: index of the squared-L2-nearest centroid to vector `v`. */

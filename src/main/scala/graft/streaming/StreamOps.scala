@@ -225,6 +225,38 @@ object StreamOps {
         .nearestCentroid(col("embedding"), centroids)
         .cast("long").as("cell"))
 
+  /** Streaming frozen-merge BPE tokenizer — the RUNTIME half of
+    * x_text_bpe_admit, the assignVectors idiom for text: the merge list
+    * is trained once batch-side (TextAnalysis.admitMergeList — the
+    * x_text_bpe_vocab artifact a production system ships to tokenizer
+    * workers), frozen, and replayed in training order through the SAME
+    * codegen'd greedy-merge expression the batch admission arm applies
+    * (bpeMergeExpr), composed as a STATELESS narrow map over the ingest
+    * stream — no state store, no watermark, no shuffle; each executor
+    * holds only the K-entry merge list. Re-training inside the stream
+    * would need corpus-wide pair counts per round (a batch job by
+    * nature) AND would move every existing document's token sequence —
+    * the same reason quantizer admission freezes centroids. Batch
+    * parity is spec-gated bitwise: per-doc token counts and sequence
+    * md5s equal the frozen-merge batch path on the same documents,
+    * independent of micro-batch boundaries (the map is stateless, so
+    * batching cannot matter — the spec splits the corpus mid-stream to
+    * prove it).
+    */
+  def tokenizeDocs(docs: Dataset[DocIn],
+      merges: Seq[(String, String)]): DataFrame = {
+    var df = docs.select(col("doc_id"),
+      split(graft.functions.VectorFunctions.simpleLower(col("text")), " ")
+        .as("toks"))
+      .withColumn("n_before", size(col("toks")).cast("long"))
+    merges.foreach { case (a, b) =>
+      df = df.withColumn("toks", graft.ext.TextAnalysis.bpeMergeExpr(a, b))
+    }
+    df.select(col("doc_id"), col("n_before"),
+      size(col("toks")).cast("long").as("n_after"),
+      md5(concat_ws("|", col("toks"))).as("tok_hash"))
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -732,6 +732,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((self intersect a).nonEmpty && (self intersect b).nonEmpty)
   }
 
+  test("winnow expression matches the plain-Scala core; gated plans have no object serde") {
+    import spark.implicits._
+    // The codegen'd winnow_fingerprints expression and the static core
+    // must agree on every text shape (short-branch, non-ASCII, long) —
+    // collect() through a DataFrame exercises the GENERATED path, so
+    // interpreted/codegen drift would fail here.
+    val texts = Seq("", "a B", "naïve tëxt 😀 日本語",
+      Seq.fill(6)("the quick brown fox jumps").mkString(" "))
+    val got = texts.toDF("text")
+      .select(functions.VectorFunctions.winnowFingerprints(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == functions.WinnowFingerprints.fingerprints(t).toSeq,
+        s"expression diverges from core on '$t'")
+    }
+    // Both gated winnow queries must plan WITHOUT object serde — the
+    // point of the expression port: the fingerprint scan stays inside
+    // WholeStageCodegen instead of a Deserialize/Serialize sandwich
+    // around a Dataset.map.
+    for (q <- Seq("x_text_winnow", "x_text_winnow_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      for (bad <- Seq("DeserializeToObject", "SerializeFromObject",
+          "MapPartitions", "MapElements"))
+        assert(!plan.contains(bad), s"$q plan contains $bad")
+    }
+  }
+
   test("winnow pairs flag planted substring-duplicates, not unrelated docs") {
     import spark.implicits._
     // long enough that its ~2/(w+1) winnow density clears the >= 8
@@ -783,6 +811,48 @@ class ExtensionsSpec extends AnyFunSuite {
     // candidate pair has it on the larger side
     assert(streamed.map(_._2) == batchCand.map(_._2),
       "streaming drop set must equal the batch candidates' larger sides")
+  }
+
+  test("streaming frozen-merge tokenizer matches the batch admission path bitwise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Train once on the admitted (lower-id) half through the SAME path
+    // the batch gate uses, then stream the complement through the
+    // frozen-merge tokenizer split across TWO micro-batches — the map
+    // is stateless, so batching must not matter, and every per-doc
+    // (n_before, n_after, tok_hash) must equal x_text_bpe_admit's row.
+    val (half, merges) = ext.TextAnalysis.admitMergeList(spark, sf)
+    assert(merges.nonEmpty, "admission training produced no merges")
+    val batch = ext.TextAnalysis.xTextBpeAdmit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          r.getAs[String]("tok_hash")))).toMap
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") >= half).collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps.tokenizeDocs(input.toDS(), merges)
+      .writeStream.format("memory").queryName("bpe_tok_out")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, n_before, n_after, tok_hash FROM bpe_tok_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    query.stop()
+    assert(streamed == batch,
+      s"streaming tokenizer diverged from batch admission " +
+        s"(stream=${streamed.size} rows, batch=${batch.size} rows)")
+    // The merges must actually fire on the admitted half (non-vacuous):
+    // at least one doc's token count shrinks.
+    assert(streamed.exists { case (_, (nb, na, _)) => na < nb },
+      "no admitted doc was compressed — frozen merges never applied")
   }
 
   test("streaming near-dup index evicts buckets after the TTL horizon") {
@@ -1031,6 +1101,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < n, s"degenerate verdicts: kept=$kept of $n")
   }
 
+  test("semantic dedup k=64 arm: denser cell grid, verdicts still non-vacuous") {
+    val rows = ext.Similarity.xDedupSemantic(spark, sf, 64, 1).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n, "every vector gets a verdict")
+    // The density knob must actually take: 4× the cells of the k=16 arm
+    // should be populated on this corpus (near-random vectors spread).
+    val cells = rows.map(_.getAs[Long]("cell")).distinct.length
+    assert(cells > 16, s"k=64 arm landed in only $cells cells")
+    val kept = rows.count(_.getAs[Long]("kept") == 1L)
+    assert(kept > 0 && kept < n, s"degenerate verdicts: kept=$kept of $n")
+    // Keep-lowest is k-invariant at the extreme: vec 0 has no lower id
+    // to lose to, whatever cell the denser grid lands it in.
+    assert(rows.find(_.getAs[Long]("vec_id") == 0L)
+      .forall(_.getAs[Long]("kept") == 1L), "vec 0 cannot lose keep-lowest")
+  }
+
   test("emb corpus prep: losers excluded, cells capped, codes bounded") {
     val losers = ext.Dedup.xDedupEmbCosine(spark, sf).collect()
       .map(_.getAs[Long]("id2")).toSet
@@ -1043,6 +1129,35 @@ class ExtensionsSpec extends AnyFunSuite {
         s"near-dup loser ${r.getAs[Long]("vec_id")} survived the composed prep")
       assert(r.getAs[Long]("min_code") >= -127 && r.getAs[Long]("max_code") <= 127)
     }
+  }
+
+  test("emb corpus prep + SemDeDup stage: a subset of prep, removals real") {
+    // The sem variant differs from x_emb_corpus_prep exactly by the
+    // within-cell semantic stage: same quantizer (trained on the same
+    // cosine-dedup survivors), so every kept (cell, vec_id) must also
+    // appear in the base prep's ASSIGNMENT universe, the kept set must
+    // shrink or hold vs the base, and at the gated threshold the stage
+    // must actually remove vectors (non-vacuous on this corpus).
+    val base = ext.Similarity.xEmbCorpusPrep(spark, sf).collect()
+    val sem = ext.Similarity.xEmbCorpusPrepSem(spark, sf).collect()
+    assert(sem.nonEmpty && sem.length <= base.length)
+    // Removals land UPSTREAM of the per-cell cap, so the capped output
+    // SIZE typically doesn't shrink (full cells backfill from rank 9+);
+    // the real signal is the kept-id set shifting — semantic losers that
+    // were ranked <= 8 leave, later ranks slide in (7 swaps at sf0.001,
+    // 5 at sf0.01 — measured, and the bitwise oracle pins the exact
+    // membership).
+    val baseIds = base.map(_.getAs[Long]("vec_id")).toSet
+    val semIds = sem.map(_.getAs[Long]("vec_id")).toSet
+    assert(semIds != baseIds,
+      "semantic stage changed nothing in the kept set — vacuous composition")
+    // No cosine loser may reappear through the semantic path.
+    val cosLosers = ext.Dedup.xDedupEmbCosine(spark, sf).collect()
+      .map(_.getAs[Long]("id2")).toSet
+    assert(semIds.intersect(cosLosers).isEmpty,
+      "cosine near-dup loser survived the composed sem prep")
+    val perCell = sem.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
   }
 
   test("lm heldout: valid logprobs, train docs fully in-vocabulary") {
