@@ -253,6 +253,15 @@ object Bench {
     // Below this first-run wall, a sweep query gets sweepN runs and a
     // median; at or above it, one run (compute-bound, plan-flip-gated).
     val sweepMedianMaxWall = 2.0
+    // A first sample in [2s, 8s) may itself be the documented up-to-4×
+    // host-noise outlier on a sub-2s query (0.6s × 4 = 2.4s) — the exact
+    // case the median exists for — so spend ONE confirmation run: if it
+    // lands back under 2s the query is tail-class and gets the full
+    // median; if both samples are ≥ 2s the query is confirmed heavy and
+    // keeps the two (median = the lower). Past 8s no sub-2s query can
+    // reach it even at 4×, so a single sample suffices — tripling the
+    // 13.7s BPE-depth-12 run would cost driver minutes for no signal.
+    val sweepConfirmMaxWall = 8.0
     val sweep = sweepNames.map { name =>
       def run(): (Double, String) = {
         spark.catalog.clearCache()
@@ -270,10 +279,16 @@ object Bench {
         }
       }
       val first = run()
-      val runs = first +: (
-        if (first._1 >= 0 && first._1 < sweepMedianMaxWall)
-          (2 to sweepN).map(_ => run())
-        else Seq.empty)
+      val runs: Seq[(Double, String)] =
+        if (first._1 < 0) Seq(first)
+        else if (first._1 < sweepMedianMaxWall)
+          first +: (2 to sweepN).map(_ => run())
+        else if (first._1 < sweepConfirmMaxWall && sweepN >= 2) {
+          val second = run()
+          if (second._1 >= 0 && second._1 < sweepMedianMaxWall)
+            Seq(first, second) ++ (3 to sweepN).map(_ => run())
+          else Seq(first, second)
+        } else Seq(first)
       val ok = runs.filter(_._1 >= 0)
       // Lower median (deterministic for even N); sweepN=1 is exactly the
       // historical single run.

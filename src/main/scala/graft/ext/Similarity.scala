@@ -487,11 +487,22 @@ object Similarity {
     val surv = Tables.embeddings(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    capAndQuantize(surv.select(col("vec_id"), col("embedding"),
+      VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
+  }
+
+  /** Shared tail of the two composed prep pipelines: per-cell diversity
+    * cap (8 by the growth-stable md5 bucket) + int8 quantization +
+    * (sum, min, max) code summary over a (vec_id, embedding, cell)
+    * relation. ONE implementation — the oracle side is likewise one
+    * generator with a `semantic` flag — so the two gated rows can only
+    * ever differ by the semantic stage, never by tail drift.
+    */
+  private def capAndQuantize(assigned: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
-    surv
-      .select(col("vec_id"), col("embedding"),
-        VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell"),
+    assigned
+      .select(col("vec_id"), col("embedding"), col("cell"),
         TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 8)
@@ -527,6 +538,10 @@ object Similarity {
     val surv = Tables.embeddings(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    // Persisted: referenced THREE times in the returned plan (both pair
+    // sides + the anti-join base), so it cannot be unpersisted before
+    // the caller's action — the ivfAssigned idiom; the Verify/Bench
+    // runners clearCache() after every query, which bounds residency.
     val assigned = withVecNorm(surv).withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
@@ -539,22 +554,7 @@ object Similarity {
         / (col("n1") * col("n2")), 4) >= semThreshold)
       .select(col("id2").as("vec_id")).distinct()
     val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
-    sem
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 8)
-      .select(col("cell").cast("long").as("cell"),
-        col("rank").cast("long").as("rank"), col("vec_id"),
-        expr("transform(embedding, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
-          .as("codes"))
-      .select(col("cell"), col("rank"), col("vec_id"),
-        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
-        array_min(col("codes")).as("min_code"),
-        array_max(col("codes")).as("max_code"))
-      .orderBy("cell", "rank")
+    capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
   }
 
   /** Int8 scalar quantization of the embedding column — the standard

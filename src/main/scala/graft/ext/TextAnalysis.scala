@@ -289,14 +289,21 @@ object TextAnalysis {
           .otherwise(log((coalesce(col("n2"), lit(0L)) + lit(1L)) /
             (col("n1") + col("v")))).as("lp"),
         (col("n2").isNull || col("n1").isNull).cast("long").as("oov"))
-    // Eager localCheckpoint (one small row per doc) so `pairs` can be
-    // unpersisted HERE instead of staying resident for the rest of a
-    // ~96-query Verify/Bench session (nothing downstream reuses it).
+    // NOT checkpointed-and-unpersisted here, deliberately: an eager
+    // localCheckpoint would let `pairs` be unpersisted at construction,
+    // but it (a) runs the whole scoring job as a construction-time side
+    // effect and (b) truncates the returned plan to a checkpoint scan —
+    // Bench's sweep records joinStrategies from that plan, and per
+    // CLAUDE.md sweep regressions are gated on PLAN FLIPS, so hiding
+    // the scoring joins would blind the regression gate (a lazy
+    // checkpoint instead would defeat the persist: unpersisting at
+    // construction recomputes the subtree once per consumer). Residency
+    // is bounded where it matters: Verify and Bench clearCache() after
+    // every query; an interactive session holding many gated relations
+    // should do the same.
     val perDoc = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
         round(avg(col("lp")), 4).as("avg_logprob"))
-      .localCheckpoint()
-    pairs.unpersist()
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

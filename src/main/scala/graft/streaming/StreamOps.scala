@@ -120,6 +120,13 @@ object StreamOps {
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.
     */
+  // STATE-SCHEMA COMPATIBILITY: adding eventId (r8, the same-µs tie fix)
+  // changed the flatMapGroupsWithState state encoder from a 2-field to a
+  // 3-field product — a deployment restarting from a checkpoint written
+  // by the older shape will fail state deserialization and must restart
+  // with a fresh checkpoint dir (or migrate state offline). Spark offers
+  // no built-in state-schema evolution for case-class encoders; version
+  // any future field change the same way.
   case class TouchState(touchType: String, tsUs: Long, eventId: Long)
   case class AttrOut(user_id: Long, purchase_id: Long, channel: String,
     value_e4: Long)
