@@ -49,7 +49,10 @@ object ScaleProbe {
     // pair join's replication worst case — and the k=64 density arm,
     // whose 4× cell count should shrink exactly that pair join (the
     // k ~ √N guard measured head-to-head against the k=16 row)
-    "x_dedup_semantic", "x_dedup_semantic_k64")
+    "x_dedup_semantic", "x_dedup_semantic_k64",
+    // the SemDeDup-composed prep: same label-block worst case as
+    // x_emb_corpus_prep stage 1, plus the within-cell pair join
+    "x_emb_corpus_prep_sem")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

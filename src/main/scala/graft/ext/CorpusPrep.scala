@@ -95,8 +95,8 @@ object CorpusPrep {
         when(splitBucket < 80, "train").when(splitBucket < 90, "val").otherwise("test"))
   }
 
-  def xLlmCorpusPrep(spark: SparkSession, dir: String): DataFrame =
-    trainingCorpus(spark, dir)
+  private def prepRollup(perDoc: DataFrame): DataFrame =
+    perDoc
       .groupBy(col("split"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
@@ -104,17 +104,46 @@ object CorpusPrep {
         max(col("quality_score")).as("max_quality"))
       .orderBy("split", "pred_lang")
 
+  def xLlmCorpusPrep(spark: SparkSession, dir: String): DataFrame =
+    prepRollup(trainingCorpus(spark, dir))
+
+  /** The text prep pipeline with the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") SUBSTRING-dedup stage
+    * composed in: documents sharing a long contiguous region (≥ 8 winnow
+    * fingerprints ≈ 70+ normalized chars — the gated x_text_winnow_pairs
+    * operator, reused verbatim) drop the higher doc_id, on top of the
+    * exact + bag-overlap near-dup stages trainingCorpus already runs.
+    * That is the paper's position for substring dedup: a separate pass
+    * next to document-level dedup, catching boilerplate/quote reuse that
+    * bag-of-grams Jaccard misses. Loser verdicts are computed corpus-wide
+    * (the standalone operator's semantics — same convention as the
+    * near-dup stage's global labels) and applied as one anti-join on
+    * 8-byte ids; the winnow scan is the codegen'd expression, so the
+    * added stage is one fingerprint pass + a df-bounded self-join, the
+    * already-probed x_text_winnow_pairs shape.
+    */
+  def xLlmCorpusPrepWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val subLosers = TextAnalysis.xTextWinnowPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    prepRollup(trainingCorpus(spark, dir)
+      .join(subLosers, Seq("doc_id"), "left_anti"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_llm_corpus_prep" -> (xLlmCorpusPrep _))
+    "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
+    "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
     * expressions from their TextAnalysis twins, and the split bucket —
     * one recursive WITH chain pinning the whole pipeline bitwise.
+    * `extraCtes`/`extraWhere` splice an additional dedup stage into the
+    * chain (the winnow-composed twin below); empty defaults emit
+    * byte-identical SQL to the historical x_llm_corpus_prep twin.
     */
-  val oracle: Map[String, String] = Map(
-    "x_llm_corpus_prep" ->
-      """WITH RECURSIVE gsrc AS (
+  private def llmCorpusPrepOracleSql(extraCtes: String = "",
+      extraWhere: String = ""): String =
+    s"""WITH RECURSIVE gsrc AS (
         |  SELECT DISTINCT doc_id, source, gram FROM (
         |    SELECT doc_id, source,
         |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
@@ -187,7 +216,7 @@ object CorpusPrep {
         |  FROM keep k
         |  JOIN pred p ON k.doc_id = p.doc_id
         |  JOIN qual q ON k.doc_id = q.doc_id
-        |  LEFT JOIN cont ON k.doc_id = cont.doc_id)
+        |  LEFT JOIN cont ON k.doc_id = cont.doc_id)$extraCtes
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  pred_lang, COUNT(*) AS n_docs,
@@ -195,7 +224,26 @@ object CorpusPrep {
         |  MIN(quality_score) AS min_quality,
         |  MAX(quality_score) AS max_quality
         |FROM scored
-        |WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2
+        |WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2$extraWhere
         |GROUP BY 1, 2
-        |ORDER BY split, pred_lang""".stripMargin)
+        |ORDER BY split, pred_lang""".stripMargin
+
+  /** The winnow-stage splice: the shared fingerprint chain + the
+    * prefixed ("w") pair-join CTEs from TextAnalysis — the SAME
+    * generators the standalone x_text_winnow / x_text_winnow_pairs
+    * twins emit, names disjoint from this chain's `keep`/`df`/`c` — and
+    * the loser set (higher doc_id of every ≥ 8-shared-fingerprint
+    * pair) excluded in the final WHERE.
+    */
+  private def winnowStageCtes: String =
+    ",\n" + TextAnalysis.winnowFpCtes.stripPrefix("WITH ") + ",\n" +
+      TextAnalysis.winnowPairCtes("w") + ",\n" +
+      """wlosers AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM wprs WHERE n_shared >= 8)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_llm_corpus_prep" -> llmCorpusPrepOracleSql(),
+    "x_llm_corpus_prep_winnow" -> llmCorpusPrepOracleSql(
+      extraCtes = winnowStageCtes,
+      extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)"))
 }

@@ -925,7 +925,7 @@ object TextAnalysis {
   // SQL). Window minimum = min() OVER a 16-row forward frame, keeping
   // only window starts (i <= greatest(nh-15, 1), which also covers the
   // docs-shorter-than-one-window case); consecutive dedup = lag().
-  private def winnowFpCtes: String =
+  private[ext] def winnowFpCtes: String =
     ("""WITH norm AS (
         |  SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents),
         |pos AS (
@@ -958,6 +958,25 @@ object TextAnalysis {
         |  FROM norm WHERE length(s) < 8),
         |fpall AS (
         |  SELECT doc_id, mn FROM fp UNION ALL SELECT doc_id, mn FROM short)""".stripMargin)
+
+  /** The winnow pair-join CTE chain over `fpall` (distinct fingerprints
+    * → df cutoff [2, 50] → self-join → per-pair shared count), with a
+    * CTE-name prefix so composed twins can splice it next to chains
+    * that already use `keep`/`df` (the llm-prep chain does — CLAUDE.md's
+    * disjoint-CTE-names rule). The x_text_winnow_pairs twin uses the
+    * unprefixed names; prefix "" emits byte-identical SQL to the
+    * historical twin.
+    */
+  private[ext] def winnowPairCtes(p: String): String =
+    s"""${p}fps AS (SELECT DISTINCT doc_id, mn FROM fpall),
+       |${p}df AS (SELECT mn, count(*) AS d FROM ${p}fps GROUP BY mn),
+       |${p}keep AS (
+       |  SELECT doc_id, ${p}fps.mn FROM ${p}fps JOIN ${p}df USING (mn)
+       |  WHERE d BETWEEN 2 AND 50),
+       |${p}prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM ${p}keep a JOIN ${p}keep b ON a.mn = b.mn AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** The DuckDB twin of xTextBpe: each round recomputes the top pair in
     * SQL (scalar subqueries — the twin needs nothing from the Spark
@@ -1103,15 +1122,7 @@ object TextAnalysis {
     // distinct, df ∈ [2, 50] cutoff, self-join, shared count ≥ 8.
     "x_text_winnow_pairs" ->
       s"""$winnowFpCtes,
-        |fps AS (SELECT DISTINCT doc_id, mn FROM fpall),
-        |df AS (SELECT mn, count(*) AS d FROM fps GROUP BY mn),
-        |keep AS (
-        |  SELECT doc_id, fps.mn FROM fps JOIN df USING (mn)
-        |  WHERE d BETWEEN 2 AND 50),
-        |prs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |  FROM keep a JOIN keep b ON a.mn = b.mn AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+        |${winnowPairCtes("")}
         |SELECT doc_a, doc_b, n_shared FROM prs
         |WHERE n_shared >= 8
         |ORDER BY doc_a, doc_b""".stripMargin,

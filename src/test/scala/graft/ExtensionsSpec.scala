@@ -1160,6 +1160,28 @@ class ExtensionsSpec extends AnyFunSuite {
     perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
   }
 
+  test("winnow-composed prep drops exactly the substring-dup survivors of the other stages") {
+    // First-principles expectation: the winnow stage must remove exactly
+    // (surviving corpus ∩ winnow losers) — documents whose contiguous
+    // overlap cleared >= 8 shared fingerprints but whose BAG overlap
+    // stayed under the Jaccard 0.5 near-dup bar (the class Lee et al.'s
+    // substring dedup exists for; at this SF the planted corpus holds at
+    // least one such doc, or this test would be pinning a vacuous stage).
+    val survivors = ext.CorpusPrep.trainingCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val losers = ext.TextAnalysis.xTextWinnowPairs(spark, sf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val expectedDrop = survivors.intersect(losers)
+    assert(expectedDrop.nonEmpty,
+      "no winnow loser survives the other stages at this SF — stage vacuous")
+    val base = ext.CorpusPrep.xLlmCorpusPrep(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    val composed = ext.CorpusPrep.xLlmCorpusPrepWinnow(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(composed == base - expectedDrop.size,
+      s"composed prep dropped ${base - composed}, expected ${expectedDrop.size}")
+  }
+
   test("lm heldout: valid logprobs, train docs fully in-vocabulary") {
     // The smoothed conditional (c2+1)/(c1+V) is always <= 1 (c2 <= c1,
     // V >= 1) so every score is <= 0; and a TRAIN-split doc contributed
