@@ -944,7 +944,13 @@ object Similarity {
     // pair blocks — the overfull-cell guard as a green gated row
     // instead of a SCALE.md prose note.
     "x_dedup_semantic_k64" -> ((s: SparkSession, d: String) =>
-      xDedupSemantic(s, d, 64, 1)))
+      xDedupSemantic(s, d, 64, 1)),
+    // The EXACT configuration SCALE.md's density-guard recall probe
+    // cites (k=64, 3 Lloyd rounds, recall 1.00) as a gated row — also
+    // the only gate composing the multi-round MATERIALIZED refine chain
+    // with a non-default k.
+    "x_dedup_semantic_k64r3" -> ((s: SparkSession, d: String) =>
+      xDedupSemantic(s, d, 64, 3)))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -1553,6 +1559,7 @@ object Similarity {
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     "x_dedup_semantic" -> semanticOracleSql(),
     "x_dedup_semantic_k64" -> semanticOracleSql(64, 1),
+    "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,
