@@ -115,15 +115,24 @@ object CorpusPrep {
     * exact + bag-overlap near-dup stages trainingCorpus already runs.
     * That is the paper's position for substring dedup: a separate pass
     * next to document-level dedup, catching boilerplate/quote reuse that
-    * bag-of-grams Jaccard misses. Loser verdicts are computed corpus-wide
-    * (the standalone operator's semantics — same convention as the
-    * near-dup stage's global labels) and applied as one anti-join on
-    * 8-byte ids; the winnow scan is the codegen'd expression, so the
+    * bag-of-grams Jaccard misses. POLICY: a training doc loses only to a
+    * NON-EVAL keeper — pairs whose lower-id side is the src0 eval set
+    * don't produce drops, because otherwise whether a training doc
+    * sharing eval boilerplate survives would depend on its id relative
+    * to the eval doc's (an id-order accident, not policy); eval overlap
+    * is the DECONTAMINATION stage's job, and it already filters these
+    * docs by gram-overlap fraction. Verdicts are otherwise corpus-wide
+    * (the standalone operator's semantics) and applied as one anti-join
+    * on 8-byte ids; the winnow scan is the codegen'd expression, so the
     * added stage is one fingerprint pass + a df-bounded self-join, the
     * already-probed x_text_winnow_pairs shape.
     */
   def xLlmCorpusPrepWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val nonEvalKeepers = Tables.documents(spark, dir)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id").as("doc_a"))
     val subLosers = TextAnalysis.xTextWinnowPairs(spark, dir)
+      .join(nonEvalKeepers, Seq("doc_a"))
       .select(col("doc_b").as("doc_id")).distinct()
     prepRollup(trainingCorpus(spark, dir)
       .join(subLosers, Seq("doc_id"), "left_anti"))
@@ -230,16 +239,22 @@ object CorpusPrep {
 
   /** The winnow-stage splice: the shared fingerprint chain + the
     * prefixed ("w") pair-join CTEs from TextAnalysis — the SAME
-    * generators the standalone x_text_winnow / x_text_winnow_pairs
-    * twins emit, names disjoint from this chain's `keep`/`df`/`c` — and
-    * the loser set (higher doc_id of every ≥ 8-shared-fingerprint
-    * pair) excluded in the final WHERE.
+    * generators (headerless body + prefix-parameterized pair chain, no
+    * string surgery) the standalone x_text_winnow / x_text_winnow_pairs
+    * twins build from, names disjoint from this chain's `keep`/`df`/`c`
+    * — and the loser set excluded in the final WHERE. The share
+    * threshold interpolates from the ONE TextAnalysis constant the
+    * Spark filter and the standalone twin also use; the non-eval-keeper
+    * join mirrors the Spark side's policy above.
     */
   private def winnowStageCtes: String =
-    ",\n" + TextAnalysis.winnowFpCtes.stripPrefix("WITH ") + ",\n" +
+    ",\n" + TextAnalysis.winnowFpCtesBody + ",\n" +
       TextAnalysis.winnowPairCtes("w") + ",\n" +
-      """wlosers AS (
-        |  SELECT DISTINCT doc_b AS doc_id FROM wprs WHERE n_shared >= 8)""".stripMargin
+      s"""wlosers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM wprs
+         |  JOIN documents ka ON wprs.doc_a = ka.doc_id
+         |  WHERE ka.source <> 'src0'
+         |    AND n_shared >= ${TextAnalysis.winnowShareThreshold})""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_llm_corpus_prep" -> llmCorpusPrepOracleSql(),

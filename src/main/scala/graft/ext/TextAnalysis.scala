@@ -878,7 +878,7 @@ object TextAnalysis {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 8)
+      .filter(col("n_shared") >= winnowShareThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -925,8 +925,19 @@ object TextAnalysis {
   // SQL). Window minimum = min() OVER a 16-row forward frame, keeping
   // only window starts (i <= greatest(nh-15, 1), which also covers the
   // docs-shorter-than-one-window case); consecutive dedup = lag().
-  private[ext] def winnowFpCtes: String =
-    ("""WITH norm AS (
+  /** The minimum shared winnow fingerprints for a substring-dup pair —
+    * ONE constant for the Spark filter, the standalone twin, and the
+    * composed llm-prep twin (three sites that silently desync if the
+    * threshold is re-derived at any of them).
+    */
+  private[ext] val winnowShareThreshold = 8
+
+  /** Headerless CTE body (no leading "WITH ") so composed twins can
+    * splice it mid-chain without string surgery; the standalone twins
+    * prepend their own "WITH ".
+    */
+  private[ext] def winnowFpCtesBody: String =
+    ("""norm AS (
         |  SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents),
         |pos AS (
         |  SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM norm),
@@ -1114,17 +1125,17 @@ object TextAnalysis {
         |LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "x_text_winnow" ->
-      s"""$winnowFpCtes
+      s"""WITH $winnowFpCtesBody
         |SELECT doc_id, count(*) AS n_fingerprints,
         |  array_to_string(list_slice(list_sort(array_agg(mn)), 1, 4), ',') AS fingerprint_head
         |FROM fpall GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Cross-doc pair twin: the same fingerprint relation, per-doc
     // distinct, df ∈ [2, 50] cutoff, self-join, shared count ≥ 8.
     "x_text_winnow_pairs" ->
-      s"""$winnowFpCtes,
+      s"""WITH $winnowFpCtesBody,
         |${winnowPairCtes("")}
         |SELECT doc_a, doc_b, n_shared FROM prs
-        |WHERE n_shared >= 8
+        |WHERE n_shared >= $winnowShareThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
     "x_text_langid" ->
       """WITH toks AS (

@@ -1169,8 +1169,20 @@ class ExtensionsSpec extends AnyFunSuite {
     // least one such doc, or this test would be pinning a vacuous stage).
     val survivors = ext.CorpusPrep.trainingCorpus(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val losers = ext.TextAnalysis.xTextWinnowPairs(spark, sf)
-      .select("doc_b").collect().map(_.getLong(0)).toSet
+    // Policy: only NON-EVAL keepers produce drops (a pair whose lower-id
+    // side is the src0 eval set is decontamination's business, not
+    // dedup's — otherwise survival would hinge on id order vs the eval
+    // doc). sf0.001 plants both shapes: eval-keeper pairs like (0, 50)
+    // that must NOT drop, and the training-keeper pair that must.
+    val evalDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairRows = ext.TextAnalysis.xTextWinnowPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.exists { case (a, _) => evalDocs(a) },
+      "no eval-keeper pair at this SF — the policy branch is untested")
+    val losers = pairRows.collect { case (a, b) if !evalDocs(a) => b }.toSet
     val expectedDrop = survivors.intersect(losers)
     assert(expectedDrop.nonEmpty,
       "no winnow loser survives the other stages at this SF — stage vacuous")
