@@ -51,8 +51,9 @@ object ScaleProbe {
     // k ~ √N guard measured head-to-head against the k=16 row)
     "x_dedup_semantic", "x_dedup_semantic_k64",
     // the SemDeDup-composed prep: same label-block worst case as
-    // x_emb_corpus_prep stage 1, plus the within-cell pair join
-    "x_emb_corpus_prep_sem")
+    // x_emb_corpus_prep stage 1, plus the within-cell pair join — and
+    // its k=64 density arm, head-to-head like the standalone pair
+    "x_emb_corpus_prep_sem", "x_emb_corpus_prep_sem_k64")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

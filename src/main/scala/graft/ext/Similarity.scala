@@ -530,14 +530,19 @@ object Similarity {
     * gated rows differ exactly by the semantic stage's removals — the
     * composed twin reuses the same generated prelude/quantizer chain
     * with a semantic-loser CTE spliced in (names disjoint from the
-    * prelude's `losers`).
+    * prelude's `losers`). `k` is the same density knob the standalone
+    * x_dedup_semantic_k64 arm gates — here it scales the within-cell
+    * pair join INSIDE the composed pipeline (the k=64 arm below), so
+    * the overfull-cell guard is parameter-gated at the composition
+    * level too, not just standalone.
     */
-  def xEmbCorpusPrepSem(spark: SparkSession, dir: String): DataFrame = {
+  def xEmbCorpusPrepSem(spark: SparkSession, dir: String,
+      k: Int = 16): DataFrame = {
     val losers = Dedup.xDedupEmbCosine(spark, dir)
       .select(col("id2").as("vec_id")).distinct()
     val surv = Tables.embeddings(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val cents = lloydCentroids(surv, k, 1, hashSpread = true)
     // Persisted: referenced THREE times in the returned plan (both pair
     // sides + the anti-join base), so it cannot be unpersisted before
     // the caller's action — the ivfAssigned idiom; the Verify/Bench
@@ -938,7 +943,13 @@ object Similarity {
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _),
     "x_emb_corpus_prep" -> (xEmbCorpusPrep _),
-    "x_emb_corpus_prep_sem" -> (xEmbCorpusPrepSem _),
+    "x_emb_corpus_prep_sem" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepSem(s, d)),
+    // The density knob INSIDE the composed pipeline: 4× the cells shrink
+    // the semantic stage's within-cell pair join (probed 10× head-to-head
+    // like the standalone k64 arm) while the cap/int8 tail is k-invariant.
+    "x_emb_corpus_prep_sem_k64" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepSem(s, d, 64)),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
     // The k ~ √N density arm: 4× the cells, ~4× smaller within-cell
     // pair blocks — the overfull-cell guard as a green gated row
@@ -1195,9 +1206,11 @@ object Similarity {
     * SemDeDup stage between the quantizer chain and the diversity cap
     * (within-cell keep-lowest over a1's cells — CTE names semv/semlosers,
     * disjoint from the prelude's `losers`); false emits byte-identical
-    * SQL to the historical x_emb_corpus_prep twin.
+    * SQL to the historical x_emb_corpus_prep twin. `k` parameterizes
+    * the quantizer cell count exactly as the Spark side's density knob.
     */
-  private def embCorpusPrepOracleSql(semantic: Boolean = false): String = {
+  private def embCorpusPrepOracleSql(semantic: Boolean = false,
+      k: Int = 16): String = {
     val prelude =
       """ec AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1224,7 +1237,7 @@ object Similarity {
     val bktSrc = if (semantic)
       "a1 WHERE vec_id NOT IN (SELECT vec_id FROM semlosers)"
     else "a1"
-    s"""${ivfAssignOracleCtes(16, 1, "TRUE", hashSpread = true,
+    s"""${ivfAssignOracleCtes(k, 1, "TRUE", hashSpread = true,
         srcTable = "surv", prelude = prelude)},
        |${semCtes}bkt AS (
        |  SELECT vec_id, cell,
@@ -1555,6 +1568,8 @@ object Similarity {
     "x_diversity_sample" -> diversitySampleOracleSql,
     "x_emb_corpus_prep" -> embCorpusPrepOracleSql(),
     "x_emb_corpus_prep_sem" -> embCorpusPrepOracleSql(semantic = true),
+    "x_emb_corpus_prep_sem_k64" ->
+      embCorpusPrepOracleSql(semantic = true, k = 64),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     "x_dedup_semantic" -> semanticOracleSql(),
