@@ -53,7 +53,11 @@ object ScaleProbe {
     // the SemDeDup-composed prep: same label-block worst case as
     // x_emb_corpus_prep stage 1, plus the within-cell pair join — and
     // its k=64 density arm, head-to-head like the standalone pair
-    "x_emb_corpus_prep_sem", "x_emb_corpus_prep_sem_k64")
+    "x_emb_corpus_prep_sem", "x_emb_corpus_prep_sem_k64",
+    // the winnow-composed text prep: the llm-prep chain + one
+    // fingerprint pass + the df-bounded pair join (both already probed
+    // standalone; this row pins the composition)
+    "x_llm_corpus_prep_winnow")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
