@@ -1131,6 +1131,41 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup (k=64, r=3) arm: refined denser grid, verdicts non-vacuous") {
+    // The multi-round × non-default-k composition: 3 Lloyd refinements
+    // over the 64-cell grid must still spread the corpus (cells > 16)
+    // and produce live verdicts; keep-lowest leaves vec 0 untouchable.
+    val rows = ext.Similarity.xDedupSemantic(spark, sf, 64, 3).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n, "every vector gets a verdict")
+    val cells = rows.map(_.getAs[Long]("cell")).distinct.length
+    assert(cells > 16, s"k=64/r=3 arm landed in only $cells cells")
+    val kept = rows.count(_.getAs[Long]("kept") == 1L)
+    assert(kept > 0 && kept < n, s"degenerate verdicts: kept=$kept of $n")
+    assert(rows.find(_.getAs[Long]("vec_id") == 0L)
+      .forall(_.getAs[Long]("kept") == 1L), "vec 0 cannot lose keep-lowest")
+  }
+
+  test("composed prep density arm (k=64): denser grid, tail invariants hold") {
+    val rows = ext.Similarity.xEmbCorpusPrepSem(spark, sf, 64).collect()
+    assert(rows.nonEmpty)
+    // The density knob must take inside the composition: more populated
+    // cells than the 16-cell default can produce.
+    val cells = rows.map(_.getAs[Long]("cell")).distinct.length
+    assert(cells > 16, s"k=64 composed arm landed in only $cells cells")
+    val perCell = rows.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
+    // The k-invariant stages still hold: no cosine loser reappears, and
+    // the int8 codes stay in range.
+    val cosLosers = ext.Dedup.xDedupEmbCosine(spark, sf).collect()
+      .map(_.getAs[Long]("id2")).toSet
+    rows.foreach { r =>
+      assert(!cosLosers(r.getAs[Long]("vec_id")),
+        s"cosine loser ${r.getAs[Long]("vec_id")} survived the k64 composed prep")
+      assert(r.getAs[Long]("min_code") >= -127 && r.getAs[Long]("max_code") <= 127)
+    }
+  }
+
   test("emb corpus prep + SemDeDup stage: a subset of prep, removals real") {
     // The sem variant differs from x_emb_corpus_prep exactly by the
     // within-cell semantic stage: same quantizer (trained on the same
