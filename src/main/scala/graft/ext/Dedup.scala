@@ -553,8 +553,9 @@ object Dedup {
 
   /** Embedding-cosine near-dup, label-blocked exact variant: exact cosine
     * over pairs within the same label block (blocking keeps the pair join
-    * linear in block size; the unblocked scale path is the LSH ANN in
-    * Similarity).
+    * linear in block size; the unblocked scale path is GATED as
+    * Similarity.xDedupEmbCosineLsh — signature-blocked candidates, same
+    * verdicts, cross-label reach).
     */
   def xDedupEmbCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -388,6 +388,44 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id"), 5)
   }
 
+  /** The BANDED SWAP for embedding near-dup detection — SCALE.md's
+    * documented 100 TB guard for x_dedup_emb_cosine's label-block pair
+    * join, gated instead of prose: candidate pairs are LSH bucket
+    * collisions (exact signature equality in ANY of the 12 tables — the
+    * MinHash-banding idiom in embedding space, no label crutch), then
+    * the same exact round(cosine, 4) ≥ 0.8 verdicts. Blocking by
+    * signature bounds the pair join by bucket occupancy (signature
+    * entropy, plus the ANN family's bucket-cap arm at need) instead of
+    * label-block size, and finds CROSS-label near-dups the label
+    * blocking structurally cannot. Identical-replica packing still
+    * concentrates (replicas share every signature) — removing identical
+    * vectors is exact dedup's job upstream; this arm guards DENSITY,
+    * distinct-but-close vectors. Recall vs the label-blocked exact
+    * operator is spec-gated; per-pair collision probability at cosine c
+    * is 1−(1−(1−acos(c)/π)¹⁰)¹² ≈ 1.0 at planted near-dup cosines.
+    */
+  def xDedupEmbCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val sig = (0 until nTables).foldLeft(e)((df, t) =>
+      df.withColumn(s"s$t", bucketExpr(t)))
+    val buckets = sig.select(col("vec_id"), col("v"), col("nrm"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), col(s"s$t").as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot / (col("n1") * col("n2")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.8)
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
   /** Cluster-balanced diversity sampling (the SemDeDup-ish corpus
     * subsampling step): keep up to `perCell` vectors per IVF cell,
     * chosen by the growth-stable md5 id bucket — a deterministic
@@ -950,6 +988,7 @@ object Similarity {
     // like the standalone k64 arm) while the cap/int8 tail is k-invariant.
     "x_emb_corpus_prep_sem_k64" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepSem(s, d, 64)),
+    "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
     // The k ~ √N density arm: 4× the cells, ~4× smaller within-cell
     // pair blocks — the overfull-cell guard as a green gated row
@@ -974,7 +1013,14 @@ object Similarity {
     * sign bits. Probe masks ride in a 672-row VALUES list keyed by the
     * UNPIVOT's table label.
     */
-  private def annLshOracleSql: String = {
+  /** The e/sig/corpus chain shared by the ANN-LSH twin and the
+    * LSH-blocked dedup twin (headerless, today's composition
+    * convention): every vector's 12 exact 10-bit signatures, unpivoted
+    * to the (vec_id, tbl, bucket) inverted-list relation — the
+    * hyperplanes embedded as literal DOUBLE[64] lists from the SAME
+    * seed-42 matrices the codegen'd expression references.
+    */
+  private def lshCorpusCtes: String = {
     def planeList(p: Array[Double]) = p.mkString("[", ", ", "]")
     def sigT(t: Int): String =
       tablePlanes(t).foldLeft("0::BIGINT") { (acc, plane) =>
@@ -983,9 +1029,7 @@ object Similarity {
     val sigCols = (0 until nTables)
       .map(t => s"    ${sigT(t)} AS s$t").mkString(",\n")
     val unpivotCols = (0 until nTables).map(t => s"s$t").mkString(", ")
-    val maskRows = (0 until nTables).flatMap(t =>
-      probeMasks.map(m => s"('s$t', $m)")).mkString(",\n    ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings),
@@ -995,7 +1039,13 @@ object Similarity {
        |  FROM e),
        |corpus AS (
        |  SELECT vec_id, tbl, bucket FROM sig
-       |  UNPIVOT (bucket FOR tbl IN ($unpivotCols))),
+       |  UNPIVOT (bucket FOR tbl IN ($unpivotCols)))""".stripMargin
+  }
+
+  private def annLshOracleSql: String = {
+    val maskRows = (0 until nTables).flatMap(t =>
+      probeMasks.map(m => s"('s$t', $m)")).mkString(",\n    ")
+    s"""WITH $lshCorpusCtes,
        |masks(tbl, m) AS (VALUES
        |    $maskRows),
        |probes AS (
@@ -1572,6 +1622,23 @@ object Similarity {
       embCorpusPrepOracleSql(semantic = true, k = 64),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
+    // LSH-blocked cosine dedup twin: the shared signature/inverted-list
+    // chain, any-table collision candidates, exact verdicts.
+    "x_dedup_emb_cosine_lsh" ->
+      s"""WITH $lshCorpusCtes,
+         |cd AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM corpus a JOIN corpus b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |cpairs AS (
+         |  SELECT cd.id1, cd.id2,
+         |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+         |  FROM cd
+         |  JOIN e x ON x.vec_id = cd.id1
+         |  JOIN e y ON y.vec_id = cd.id2)
+         |SELECT id1, id2, cosine FROM cpairs
+         |WHERE cosine >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
     "x_dedup_semantic" -> semanticOracleSql(),
     "x_dedup_semantic_k64" -> semanticOracleSql(64, 1),
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),

@@ -1166,6 +1166,47 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH-blocked emb cosine dedup finds planted near-dups incl. cross-label") {
+    import spark.implicits._
+    // The stock synthetic vectors top out near cosine 0.47, so BOTH
+    // cosine-dedup arms are vacuous on the raw corpus (their oracle
+    // gates pin the empty result). Plant three near-identical vectors —
+    // two sharing a label, one under a DIFFERENT label — on top of the
+    // corpus: the label-blocked exact operator must find exactly the
+    // within-label pair, and the LSH-blocked arm must find all three
+    // pairs, the cross-label ones being the pairs label blocking
+    // structurally cannot see (the arm's reason to exist). Scaled
+    // copies keep cosine exactly 1.0 while the bytes differ.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9000001L, v.map(_ * 1.01f).toArray, 5),
+      (9000002L, v.map(_ * 1.02f).toArray, 5),
+      (9000003L, v.map(_ * 1.03f).toArray, 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("lshcos").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val exact = ext.Dedup.xDedupEmbCosine(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val lsh = ext.Similarity.xDedupEmbCosineLsh(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // (vec 0 shares the planted direction and label 5, so pairs with it
+    // appear too — the claims below are membership, not set equality)
+    assert(exact.contains((9000001L, 9000002L)),
+      s"label-blocked exact missed the planted within-label pair: $exact")
+    assert(!exact.exists { case (a, b) => a == 9000003L || b == 9000003L },
+      s"label blocking paired the cross-label plant: $exact")
+    val expectedLsh = Set((9000001L, 9000002L),
+      (9000001L, 9000003L), (9000002L, 9000003L))
+    assert(expectedLsh.subsetOf(lsh),
+      s"LSH arm missed planted pairs: ${expectedLsh -- lsh}")
+    // every exact (label-blocked) verdict is also found by the unblocked
+    // arm on this corpus: identical directions share every signature
+    assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
+  }
+
   test("emb corpus prep + SemDeDup stage: a subset of prep, removals real") {
     // The sem variant differs from x_emb_corpus_prep exactly by the
     // within-cell semantic stage: same quantizer (trained on the same
