@@ -405,17 +405,32 @@ object Similarity {
     * is 1−(1−(1−acos(c)/π)¹⁰)¹² ≈ 1.0 at planted near-dup cosines.
     */
   def xDedupEmbCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val buckets = lshInvertedList(withVecNorm(Tables.embeddings(spark, dir)))
+    lshVerifiedPairs(buckets, buckets)
+  }
+
+  /** The (vec_id, v, nrm, tbl, bucket) inverted-list relation behind the
+    * LSH dedup family — every vector exploded to its 12 exact-signature
+    * memberships (the SQL `corpus` CTE of lshCorpusCtes, Spark-side).
+    */
+  private def lshInvertedList(e: DataFrame): DataFrame = {
     val sig = (0 until nTables).foldLeft(e)((df, t) =>
       df.withColumn(s"s$t", bucketExpr(t)))
-    val buckets = sig.select(col("vec_id"), col("v"), col("nrm"),
+    sig.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"), col(s"s$t").as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("id1"),
+  }
+
+  /** Collision candidates (id1 < id2, any shared table signature) between
+    * two inverted-list sides, verified by the exact round(cosine, 4) ≥ 0.8
+    * verdict — the shared tail of the full dedup and the admission arm.
+    */
+  private def lshVerifiedPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.select(col("tbl"), col("bucket"), col("vec_id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
-    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("id2"),
+    val b = right.select(col("tbl"), col("bucket"), col("vec_id").as("id2"),
       col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
@@ -424,6 +439,45 @@ object Similarity {
       .filter(col("cosine") >= 0.8)
       .distinct()
       .orderBy("id1", "id2")
+  }
+
+  /** Incremental LSH-dedup admission — the dedup family's member of the
+    * frozen-state admission matrix (IVF cells, PQ codes, BPE merges, and
+    * now the near-dup index): the inverted list over the already-admitted
+    * half is FROZEN state a production ingest keeps persisted (the
+    * minhashIncrement idiom — union each admitted batch's signatures into
+    * it), and a new batch is (1) signed by the same codegen'd hyperplane
+    * expressions, (2) probed against admitted + in-batch signatures, (3)
+    * verdict-checked by the same exact cosine — O(batch × bucket
+    * occupancy) per ingest, never O(corpus). Pairs are exactly the full
+    * operator's output restricted to new-id larger sides (admitted-vs-
+    * admitted pairs were already adjudicated when THEY were admitted).
+    * Unlike the MinHash admission arm (engine-native hashing, spec-only),
+    * the hyperplane signatures are exact arithmetic — so this arm is
+    * oracle-gated bitwise via the shared signature CTE chain.
+    */
+  def xDedupEmbCosineLshAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val buckets = lshInvertedList(e)
+    lshVerifiedPairs(buckets, buckets.filter(col("vec_id") >= split))
+  }
+
+  /** Streaming-facing LSH band hits: each vector's 12 (table, signature)
+    * memberships packed into one Long bucket key (tbl·2¹⁰ + sig — table
+    * id in the high bits keeps tables' buckets disjoint), computed by the
+    * SAME codegen'd hyperplane expressions as the batch inverted list so
+    * stream and batch collide identically. A stateless narrow map — the
+    * minhashBandKeys idiom in embedding space, feeding the shared
+    * StreamOps bucket state machine.
+    */
+  private[graft] def streamBandHits(vecs: DataFrame): DataFrame = {
+    val sig = (0 until nTables).foldLeft(vecs)((df, t) =>
+      df.withColumn(s"s$t", bucketExpr(t)))
+    sig.select(col("vec_id").as("doc_id"), col("ts"),
+      explode(array((0 until nTables).map(t =>
+        (lit(t.toLong * (1L << planesPerTable)) + col(s"s$t")).as("b")): _*))
+        .as("bucket"))
   }
 
   /** Cluster-balanced diversity sampling (the SemDeDup-ish corpus
@@ -989,6 +1043,7 @@ object Similarity {
     "x_emb_corpus_prep_sem_k64" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepSem(s, d, 64)),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
+    "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
     // The k ~ √N density arm: 4× the cells, ~4× smaller within-cell
     // pair blocks — the overfull-cell guard as a green gated row
@@ -1630,6 +1685,25 @@ object Similarity {
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM corpus a JOIN corpus b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |cpairs AS (
+         |  SELECT cd.id1, cd.id2,
+         |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+         |  FROM cd
+         |  JOIN e x ON x.vec_id = cd.id1
+         |  JOIN e y ON y.vec_id = cd.id2)
+         |SELECT id1, id2, cosine FROM cpairs
+         |WHERE cosine >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    // Admission twin: same signature chain, candidate join restricted to
+    // new-id (upper-half) larger sides — the frozen-index probe replayed
+    // deterministically (// is DuckDB floor-div, matching Spark's div).
+    "x_dedup_emb_cosine_lsh_admit" ->
+      s"""WITH $lshCorpusCtes,
+         |cd AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM corpus a JOIN corpus b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id >= (SELECT (max(vec_id) + 1) // 2 FROM e)),
          |cpairs AS (
          |  SELECT cd.id1, cd.id2,
          |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine

@@ -116,6 +116,36 @@ object StreamOps {
     }
   }
 
+  case class VecTs(vec_id: Long, ts: java.sql.Timestamp,
+    embedding: Array[Float])
+
+  /** Streaming embedding near-dup admission — the online half of
+    * x_dedup_emb_cosine_lsh(_admit): each arriving vector is signed by
+    * the SAME 12 codegen'd hyperplane expressions the batch inverted
+    * list uses (Similarity.streamBandHits — a stateless narrow map, no
+    * shuffle before the state store), and the shared per-bucket state
+    * machine (updateBuckets — the text near-dup path's TTL'd keeper
+    * index, reused wholesale) retains the first vector seen per occupied
+    * (table, signature) bucket and emits (kept, candidate-dup) pairs
+    * online. Same semantics as the text arm: candidates, not verdicts —
+    * the exact-cosine check is one narrow join downstream at the
+    * consumer's threshold (state stores 16 bytes/bucket, not 64 floats;
+    * at cosine ≥ 0.8 the signature collision probability is ≈ 1.0 across
+    * 12 tables, so the candidate stream's recall is the batch arm's).
+    * State is bounded by the same TTL horizon; parity with the batch
+    * candidate join is spec-gated on planted near-dups.
+    */
+  def dedupNearDupVecs(vecs: Dataset[VecTs],
+      ttlMs: Long = 60L * 60 * 1000): Dataset[DupOut] = {
+    import vecs.sparkSession.implicits._
+    graft.ext.Similarity.streamBandHits(vecs.toDF())
+      .as[BandHit]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, DupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateBuckets(ttlMs))
+  }
+
   /** Stateful streaming sessionization: a 30-minute inactivity gap closes a
     * session; closed sessions are emitted (Append mode). State per user is
     * one (start, last, n) triple; event-time timeout flushes idle users.

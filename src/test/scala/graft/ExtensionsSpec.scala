@@ -1205,6 +1205,77 @@ class ExtensionsSpec extends AnyFunSuite {
     // every exact (label-blocked) verdict is also found by the unblocked
     // arm on this corpus: identical directions share every signature
     assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
+    // Admission arm == the full operator restricted to new-id (upper
+    // half) larger sides: the planted ids sit in the new half, so every
+    // planted pair survives the restriction; any admitted-vs-admitted
+    // pair (e.g. vec 0 cliques) is correctly absent.
+    val split = (spark.read.parquet(s"$tmp/embeddings.parquet")
+      .agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
+    val admit = ext.Similarity.xDedupEmbCosineLshAdmit(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(admit == lsh.filter(_._2 >= split),
+      s"admission arm is not the new-id restriction of the full arm")
+    assert(Set((9000001L, 9000002L), (9000001L, 9000003L),
+      (9000002L, 9000003L)).subsetOf(admit),
+      s"admission arm missed planted new-batch pairs: $admit")
+  }
+
+  test("streaming embedding near-dup emits batch candidates incl. planted trio") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same planted corpus as the batch LSH test: scaled copies of vec 0
+    // (cosine exactly 1.0, bytes differ) under two labels. Streamed in
+    // one micro-batch, the per-bucket keeper is the bucket minimum —
+    // the batch keep-lowest convention — so every verified batch pair's
+    // larger side must appear in the streamed drop set, and every
+    // streamed pair must be a signature-collision candidate.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9000001L, v.map(_ * 1.01f).toArray, 5),
+      (9000002L, v.map(_ * 1.02f).toArray, 5),
+      (9000003L, v.map(_ * 1.03f).toArray, 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("lshstream").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val all = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val vecs = all.select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecTs(r.getLong(0), t0,
+        r.getSeq[Float](1).toArray))
+    val input = MemoryStream[streaming.StreamOps.VecTs]
+    val query = streaming.StreamOps.dedupNearDupVecs(input.toDS())
+      .writeStream.format("memory").queryName("vec_neardup_out")
+      .outputMode("append").start()
+    input.addData(vecs.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT kept_doc_id, dup_doc_id FROM vec_neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    // batch candidate pairs from the same packed band hits (static DF
+    // through the same codegen'd expressions the stream ran)
+    val hits = ext.Similarity.streamBandHits(
+      all.withColumn("ts", lit(t0)))
+    val cand = hits.as("a").join(hits.as("b"), Seq("bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "planted near-dups must collide")
+    assert(streamed.subsetOf(cand),
+      s"streamed pairs not batch candidates: ${(streamed -- cand).take(5)}")
+    // single micro-batch ⇒ keeper = bucket min ⇒ a vector is dropped iff
+    // it collides with a lower id — exactly the candidates' larger sides
+    assert(streamed.map(_._2) == cand.map(_._2),
+      "streaming drop set must equal the batch candidates' larger sides")
+    // every VERIFIED batch pair is caught online: its larger side drops
+    val verified = ext.Similarity.xDedupEmbCosineLsh(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(verified.map(_._2).subsetOf(streamed.map(_._2)),
+      "a verified near-dup escaped the online index")
+    assert(Set(9000001L, 9000002L, 9000003L).subsetOf(streamed.map(_._2)),
+      s"planted trio not dropped online: $streamed")
   }
 
   test("emb corpus prep + SemDeDup stage: a subset of prep, removals real") {
