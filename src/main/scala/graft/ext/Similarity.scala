@@ -405,39 +405,52 @@ object Similarity {
     * is 1−(1−(1−acos(c)/π)¹⁰)¹² ≈ 1.0 at planted near-dup cosines.
     */
   def xDedupEmbCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = lshInvertedList(withVecNorm(Tables.embeddings(spark, dir)))
-    lshVerifiedPairs(buckets, buckets)
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val buckets = lshInvertedList(e)
+    lshVerifiedPairs(buckets, buckets, e)
   }
 
-  /** The (vec_id, v, nrm, tbl, bucket) inverted-list relation behind the
-    * LSH dedup family — every vector exploded to its 12 exact-signature
+  /** The (vec_id, tbl, bucket) inverted-list relation behind the LSH
+    * dedup family — every vector exploded to its 12 exact-signature
     * memberships (the SQL `corpus` CTE of lshCorpusCtes, Spark-side).
+    * Deliberately id-only: the 12×-exploded relation is what shuffles
+    * into the collision join, so it carries 8-byte ids, never the
+    * 64-double vectors (those join back AFTER candidates dedup — the
+    * twin's cd/cpairs shape).
     */
   private def lshInvertedList(e: DataFrame): DataFrame = {
     val sig = (0 until nTables).foldLeft(e)((df, t) =>
       df.withColumn(s"s$t", bucketExpr(t)))
-    sig.select(col("vec_id"), col("v"), col("nrm"),
+    sig.select(col("vec_id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"), col(s"s$t").as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
+      .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** Collision candidates (id1 < id2, any shared table signature) between
     * two inverted-list sides, verified by the exact round(cosine, 4) ≥ 0.8
-    * verdict — the shared tail of the full dedup and the admission arm.
+    * verdict — the shared tail of the full dedup and the admission arm,
+    * shaped like its twin's cd/cpairs CTEs: the bucket join and the
+    * distinct shuffle only 8-byte id pairs; vectors join back once per
+    * DISTINCT pair (a pair sharing all 12 signatures costs one cosine,
+    * not twelve), two narrow hash joins at the end.
     */
-  private def lshVerifiedPairs(left: DataFrame, right: DataFrame): DataFrame = {
-    val a = left.select(col("tbl"), col("bucket"), col("vec_id").as("id1"),
-      col("v").as("v1"), col("nrm").as("n1"))
-    val b = right.select(col("tbl"), col("bucket"), col("vec_id").as("id2"),
-      col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("tbl", "bucket"))
+  private def lshVerifiedPairs(left: DataFrame, right: DataFrame,
+      e: DataFrame): DataFrame = {
+    val cd = left.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
+      .join(right.select(col("tbl"), col("bucket"), col("vec_id").as("id2")),
+        Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    cd.join(e.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         round(dot / (col("n1") * col("n2")), 4).as("cosine"))
       .filter(col("cosine") >= 0.8)
-      .distinct()
       .orderBy("id1", "id2")
   }
 
@@ -460,7 +473,7 @@ object Similarity {
     val e = withVecNorm(Tables.embeddings(spark, dir))
     val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
     val buckets = lshInvertedList(e)
-    lshVerifiedPairs(buckets, buckets.filter(col("vec_id") >= split))
+    lshVerifiedPairs(buckets, buckets.filter(col("vec_id") >= split), e)
   }
 
   /** Streaming-facing LSH band hits: each vector's 12 (table, signature)
