@@ -400,6 +400,25 @@ object Dedup {
     (newSigs, verifyPairs(cand, existingSigs.unionByName(newSigs)))
   }
 
+  /** Gated frozen-state arm over minhashIncrement at the admission
+    * matrix's half-split convention (xAnnIvfAdmit's (max_id+1)/2): the
+    * lower-id half's signature table is the persisted dedup state, the
+    * upper half arrives as the new batch, and the emitted pairs are
+    * exactly the full operator's at-least-one-new restriction (d2 ≥
+    * half — pairs are least/greatest-ordered, so the larger side decides
+    * newness). Because the portable arm's hashing is exact integer
+    * arithmetic (SketchP affine maps over the Horner fold), this arm is
+    * oracle-gated BITWISE — the admission matrix's text-dedup column
+    * upgraded from spec-only (the xxhash64 fast path's limitation, not
+    * this one's).
+    */
+  def xDedupMinhashAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val admitted = minhashSigs(docs.filter(col("doc_id") < split)).persist()
+    minhashIncrement(admitted, docs.filter(col("doc_id") >= split))._2
+  }
+
   /** Production-hash MinHash+LSH: the SAME 64-signature / 16×4-banding
     * scheme as xDedupMinhashLsh, but hashed with engine-native xxhash64
     * instead of the portable Horner-mod-prime fold — the fast path a real
@@ -580,6 +599,7 @@ object Dedup {
     "x_dedup_cluster"       -> (xDedupCluster _),
     "x_dedup_corpus_neardup" -> (xDedupCorpusNearDup _),
     "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
+    "x_dedup_minhash_admit" -> (xDedupMinhashAdmit _),
     "x_dedup_minhash_fast"  -> (xDedupMinhashFast _),
     "x_dedup_simhash"       -> (xDedupSimhash _),
     "x_dedup_chunks"        -> (xDedupChunks _),
@@ -592,7 +612,12 @@ object Dedup {
     * the 64 per-permutation mins are 64 aggregate columns, and the band
     * signatures UNPIVOT into the same (band, sig) collision join.
     */
-  private def minhashOracleSql: String = {
+  /** `pairWhere` restricts the final verified-pair SELECT (the admission
+    * twin's at-least-one-new cut); the empty default emits byte-identical
+    * SQL to the historical twin (no WHERE clause at all — the generator
+    * byte-stability rule).
+    */
+  private def minhashOracleSql(pairWhere: String = ""): String = {
     val p = SketchP
     val mins = (0 until 64)
       .map(i => s"min((${permA(i)}*g + ${permB(i)}) % $p) AS h$i").mkString(",\n    ")
@@ -604,6 +629,7 @@ object Dedup {
     val bandCols = (0 until 16).map(b => s"s$b").mkString(", ")
     val matches = (0 until 64)
       .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val whereClause = if (pairWhere.isEmpty) "" else s"\nWHERE $pairWhere"
     s"""WITH g0 AS (
        |  SELECT DISTINCT doc_id, gram FROM (
        |    SELECT doc_id,
@@ -634,12 +660,17 @@ object Dedup {
        |SELECT d1, d2, round(($matches) / 64.0, 4) AS est_jaccard
        |FROM cand
        |JOIN sigs sa ON d1 = sa.doc_id
-       |JOIN sigs sb ON d2 = sb.doc_id
+       |JOIN sigs sb ON d2 = sb.doc_id$whereClause
        |ORDER BY est_jaccard DESC, d1, d2""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
-    "x_dedup_minhash_lsh" -> minhashOracleSql,
+    "x_dedup_minhash_lsh" -> minhashOracleSql(),
+    // Admission twin: the full chain with the at-least-one-new pair cut
+    // (d2 is the pair's max, so it alone decides newness; // floor-div
+    // matches Spark's div on non-negative ids).
+    "x_dedup_minhash_admit" -> minhashOracleSql(
+      "d2 >= (SELECT (max(doc_id) + 1) // 2 FROM documents)"),
     "x_dedup_simhash" -> simhashOracleSql,
     "x_dedup_chunks" ->
       """WITH t AS (
