@@ -241,6 +241,34 @@ object Dedup {
     dedupCorpus(docs).join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware keep policy over near-dup clusters — what a
+    * production pipeline actually retains: per connected-component
+    * cluster (the same ngram-Jaccard ≥ 0.5 edges and large/small-star
+    * labels as x_dedup_cluster), keep the member with the HIGHEST
+    * composite quality score (x_text_quality's gated formula; ties to
+    * the lower doc_id) instead of the lowest id. Clustered docs only —
+    * singletons are untouched by dedup and stream through upstream.
+    * Scale shape: the cluster chain is the probed operator; the quality
+    * join is per-doc narrow; the argmax window partitions by cluster_id
+    * over CLUSTERED docs only (a small fraction of the corpus, cluster
+    * sizes bounded by near-dup semantics — not a corpus-wide window).
+    */
+  def xDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val (labels, _) = connectedComponents(pairs)
+    val quality = TextAnalysis.qualityScores(Tables.documents(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(desc("quality_score"), col("doc_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   def xDedupCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
@@ -597,6 +625,7 @@ object Dedup {
     "x_dedup_exact"         -> (xDedupExact _),
     "x_dedup_ngram_jaccard" -> (xDedupNgramJaccard _),
     "x_dedup_cluster"       -> (xDedupCluster _),
+    "x_dedup_keep_best"     -> (xDedupKeepBest _),
     "x_dedup_corpus_neardup" -> (xDedupCorpusNearDup _),
     "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
     "x_dedup_minhash_admit" -> (xDedupMinhashAdmit _),
@@ -754,6 +783,51 @@ object Dedup {
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab
+        |ORDER BY doc_id""".stripMargin,
+    // Keep-best twin: the x_dedup_cluster reach/lab chain (copied like
+    // the corpus_neardup twin copies it — the frozen-chain precedent)
+    // + the shared quality formula + per-cluster argmax.
+    "x_dedup_keep_best" ->
+      s"""WITH RECURSIVE g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))),
+        |rare AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) <= 50) f USING (gram)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_grams
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+        |  WHERE inter_grams / (sa.sz + sb.sz - inter_grams) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |q AS (
+        |  SELECT doc_id,
+        |    ${TextAnalysis.qualityScoreSql} AS quality_score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT l.doc_id, l.cluster_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+        |  FROM lab l JOIN q USING (doc_id))
+        |SELECT doc_id, cluster_id, quality_score,
+        |  CASE WHEN rn = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+        |FROM ranked
         |ORDER BY doc_id""".stripMargin,
     "x_dedup_corpus_neardup" ->
       """WITH RECURSIVE g AS (

@@ -52,6 +52,16 @@ object TextAnalysis {
     withQualityInputs(docs)
       .select(col("doc_id"), qualityScoreCol.as("quality_score"))
 
+  /** qualityScoreCol's DuckDB text (the x_text_quality twin's formula)
+    * for NEW composed twins — the pre-r8 twins that embed the same text
+    * verbatim are frozen by byte-stability and deliberately not
+    * retrofitted. Caller supplies surrounding indentation.
+    */
+  private[ext] val qualityScoreSql: String =
+    "round(least(CAST(1.0 AS DOUBLE), len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE))\n" +
+      "      * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))\n" +
+      "        / len(string_split(text, ' '))), 4)"
+
   /** The growth-stable md5 id bucket shared by the corpus sampler, the
     * train/val/test split, and CorpusPrep: adding docs never reassigns
     * existing ones. Folds EIGHT hex digits (0..2^32-1) before the mod:

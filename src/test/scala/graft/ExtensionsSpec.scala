@@ -1220,6 +1220,35 @@ class ExtensionsSpec extends AnyFunSuite {
       s"admission arm missed planted new-batch pairs: $admit")
   }
 
+  test("keep-best dedup retains the higher-quality member, not the lower id") {
+    import spark.implicits._
+    // Two planted near-dups sharing a ~100-token unique body (rare
+    // grams, df=1, Jaccard ≈ 0.86 ≥ 0.5 — one cluster). The LOWER id
+    // gets 8 appended stopwords (quality 1·(1−8/108) ≈ 0.9259), the
+    // HIGHER id 8 appended non-stopwords (quality 1.0): keep-lowest
+    // would retain 9000001; the quality policy must retain 9000002.
+    val body = (0 until 100).map(i => s"w${i}word").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("keepbest").toString
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    base.unionByName(Seq(
+        (9000001L, body + " the of and a to the of and", "en", "srcx", 1L),
+        (9000002L, body + " zulu yankee xray whiskey victor uniform tango sierra",
+          "en", "srcx", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.Dedup.xDedupKeepBest(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Double]("quality_score"),
+          r.getAs[Long]("kept")))).toMap
+    assert(out.contains(9000001L) && out.contains(9000002L),
+      s"planted pair not clustered: ${out.keys.filter(_ >= 9000000L)}")
+    assert(out(9000001L)._1 == out(9000002L)._1, "pair not in one cluster")
+    assert(out(9000002L)._2 > out(9000001L)._2,
+      s"quality ordering broken: $out")
+    assert(out(9000002L)._3 == 1L && out(9000001L)._3 == 0L,
+      s"keep-best must retain the higher-quality higher-id doc: $out")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
