@@ -24,7 +24,8 @@ object SparkEntry {
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Sessionize.queries ++
       ext.Multimodal.queries ++ ext.Approx.queries ++
-      ext.EventAnalytics.queries ++ ext.CorpusPrep.queries
+      ext.EventAnalytics.queries ++ ext.CorpusPrep.queries ++
+      ext.Selection.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -35,5 +36,6 @@ object SparkEntry {
       ext.Dedup.oracle ++ ext.Similarity.oracle ++
       ext.TextAnalysis.oracle ++ ext.Sessionize.oracle ++
       ext.Multimodal.oracle ++ ext.Approx.oracle ++
-      ext.EventAnalytics.oracle ++ ext.CorpusPrep.oracle
+      ext.EventAnalytics.oracle ++ ext.CorpusPrep.oracle ++
+      ext.Selection.oracle
 }

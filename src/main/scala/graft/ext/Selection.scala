@@ -1,0 +1,251 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for LLM corpus curation — the "which docs do
+  * we train on" stage that sits between dedup and packing in a
+  * production pipeline:
+  *
+  *  - DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+  *    for Language Models via Importance Resampling"): score every doc
+  *    by how much more likely its tokens are under a trusted TARGET
+  *    distribution than under the raw SOURCE distribution, keep the
+  *    top-N. Here the feature LM is the unigram model (the paper uses
+  *    hashed n-grams; the unigram form keeps the twin exactly
+  *    oracle-able while preserving the architecture: two count
+  *    aggregates, a fact-side join, a broadcast threshold).
+  *  - A multinomial Naive-Bayes document classifier (the CCNet /
+  *    fastText quality-classifier position: train on a labeled split,
+  *    score held-out docs) with add-1 smoothing — counts-based, so the
+  *    whole train/score loop is bitwise-replayable in SQL, unlike an
+  *    SGD-trained linear model whose float updates are order-sensitive.
+  *
+  * Float parity: every score is ln(rational) with integer numerator and
+  * denominator computed per OUTPUT row (never carried through a float
+  * aggregate), summed per doc and rounded to 4 decimals — the proven
+  * round(sum/avg(ln), 4) idiom of the logprob twins. Selection and
+  * argmax compare ROUNDED scores with deterministic id/class tiebreaks,
+  * so a sub-1e-4 cross-engine drift cannot flip membership or predicted
+  * class.
+  *
+  * Scale notes (100 TB): all relations that cross a shuffle are (token,
+  * count) pairs or per-doc rows — raw text never shuffles. The DSIR
+  * top-N is a broadcast Nth-threshold (TakeOrdered over per-doc rows,
+  * the a11_bubble_scale idiom), NOT a corpus-wide row_number window.
+  * The NB score fan-out is bounded at |classes| × tokens with the
+  * class-token table joined on (class, token) — AQE broadcasts it when
+  * it measures small, shuffles when the vocabulary is huge; priors and
+  * vocab size ride 1-row / |classes|-row broadcasts.
+  */
+object Selection {
+
+  private def lowerS(c: Column): Column =
+    graft.functions.VectorFunctions.simpleLower(c)
+
+  /** (doc_id, tok) for every non-empty whitespace token, lowercased via
+    * the engine-portable simple mapping.
+    */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lowerS(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** DSIR importance weights + top-N selection. The TARGET distribution
+    * is estimated from the trusted reference split (md5 id bucket < 20
+    * — growth-stable, the split/sampler convention), the SOURCE
+    * distribution from the whole corpus; both add-1 smoothed over the
+    * shared source vocabulary V so the log-ratio
+    * ln((nt+1)/(Nt+V)) − ln((ns+1)/(Ns+V)) is defined for every token.
+    * A doc's weight is the rounded sum over its tokens; the top
+    * `selectN` docs by (weight, lower id) get selected = 1 — the
+    * importance-resampling cut, made deterministic (the paper's Gumbel
+    * noise is a sampling device, not load-bearing for the ranking
+    * semantics).
+    *
+    * The threshold is the Nth (weight, id) pair: top-N via TakeOrdered
+    * (never a global window), its minimum re-broadcast as one row, and
+    * membership decided by lexicographic comparison against it — docs
+    * tied with the cutoff at equal rounded weight resolve by id on both
+    * engines.
+    */
+  def xDsirSelect(spark: SparkSession, dir: String,
+      selectN: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(docs)
+    val tgtToks = toks.filter(TextAnalysis.md5Bucket(100) < 20)
+    val sfreq = toks.groupBy("tok").agg(count(lit(1)).as("ns"))
+    val tfreq = tgtToks.groupBy("tok").agg(count(lit(1)).as("nt"))
+    // One broadcast row: source total + vocab, target total.
+    val consts = sfreq.agg(sum(col("ns")).as("ns_tot"),
+        count(lit(1)).as("v"))
+      .crossJoin(tfreq.agg(coalesce(sum(col("nt")), lit(0L)).as("nt_tot")))
+    val perDoc = toks
+      .join(sfreq, Seq("tok"))
+      .join(tfreq, Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(
+          log((coalesce(col("nt"), lit(0L)) + lit(1L)) /
+            (col("nt_tot") + col("v")).cast("double")) -
+          log((col("ns") + lit(1L)) /
+            (col("ns_tot") + col("v")).cast("double"))), 4)
+          .as("dsir_weight"))
+    // Nth-(weight, id) cutoff: top-N by (weight DESC, id ASC), then the
+    // LAST of those — both orders are TakeOrdered over per-doc rows.
+    val cut = perDoc.orderBy(desc("dsir_weight"), col("doc_id"))
+      .limit(selectN)
+      .orderBy(col("dsir_weight"), desc("doc_id")).limit(1)
+      .select(col("dsir_weight").as("cut_w"), col("doc_id").as("cut_id"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("dsir_weight"),
+        when(col("dsir_weight") > col("cut_w") ||
+          (col("dsir_weight") === col("cut_w") &&
+            col("doc_id") <= col("cut_id")), lit(1L)).otherwise(lit(0L))
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Multinomial Naive-Bayes classifier over the `source` label: priors
+    * and per-(class, token) counts from the train split (md5 bucket
+    * < 80, the x_train_val_split convention), held-out docs scored as
+    * ln(P(class)) + Σ_tok ln((c(class,tok)+1)/(T_class+V)), argmax per
+    * doc on the ROUNDED score with class-name tiebreak. Tokens unseen
+    * in a class score ln(1/(T_class+V)) via the left join; tokens
+    * outside the train vocabulary shift every class equally and are
+    * deliberately kept (they carry the doc's length into the score like
+    * the real multinomial model does).
+    */
+  def xTextNbClass(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tr", TextAnalysis.md5Bucket(100) < 80)
+    val toks = docs.select(col("doc_id"), col("source"), col("tr"),
+        explode(split(lowerS(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val trainToks = toks.filter(col("tr"))
+    val ctc = trainToks.groupBy(col("source").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("ctk"))
+    val classes = docs.filter(col("tr"))
+      .groupBy(col("source").as("cls")).agg(count(lit(1)).as("ndc"))
+      .join(trainToks.groupBy(col("source").as("cls"))
+        .agg(count(lit(1)).as("tc")), Seq("cls"))
+      .crossJoin(docs.filter(col("tr")).agg(count(lit(1)).as("nd_tot")))
+      .crossJoin(trainToks.agg(countDistinct(col("tok")).as("v")))
+    // Per held-out token × class: the smoothed conditional ln term. The
+    // integer inputs (ctk, tc, v) reach every row intact; ln runs once
+    // per output row, never inside a partial aggregate.
+    val held = toks.filter(!col("tr"))
+    val perDocCls = held
+      .crossJoin(broadcast(classes.select("cls", "tc", "v")))
+      .join(ctc, Seq("cls", "tok"), "left")
+      .groupBy("doc_id", "cls")
+      .agg(sum(log((coalesce(col("ctk"), lit(0L)) + lit(1L)) /
+        (col("tc") + col("v")).cast("double"))).as("s"))
+    val scored = docs.filter(!col("tr"))
+      .select(col("doc_id"), col("source").as("true_source"))
+      .crossJoin(broadcast(classes))
+      .join(perDocCls, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("true_source"), col("cls"),
+        round(log(col("ndc") / col("nd_tot").cast("double")) +
+          coalesce(col("s"), lit(0.0)), 4).as("nb_score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("nb_score"), col("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_source"),
+        col("cls").as("pred_source"), col("nb_score"),
+        when(col("cls") === col("true_source"), lit(1L)).otherwise(lit(0L))
+          .as("hit"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dsir_select"   -> ((s: SparkSession, d: String) => xDsirSelect(s, d)),
+    "x_text_nb_class" -> (xTextNbClass _))
+
+  private val md5BucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+  val oracle: Map[String, String] = Map(
+    // DSIR twin: same counts, same per-token ln(rational) pair, same
+    // Nth-(weight, id) cutoff via two ORDER BY ... LIMIT CTEs.
+    "x_dsir_select" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, tok, $md5BucketSql < 20 AS tgt
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |sfreq AS (SELECT tok, COUNT(*) AS ns FROM toks GROUP BY 1),
+        |tfreq AS (SELECT tok, COUNT(*) AS nt FROM toks WHERE tgt GROUP BY 1),
+        |stot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ns_tot,
+        |                CAST(COUNT(*) AS BIGINT) AS v FROM sfreq),
+        |ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM tfreq),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    round(SUM(
+        |      ln((COALESCE(nt, 0) + 1) /
+        |         CAST((SELECT nt_tot FROM ttot) + (SELECT v FROM stot) AS DOUBLE))
+        |      - ln((ns + 1) /
+        |         CAST((SELECT ns_tot FROM stot) + (SELECT v FROM stot) AS DOUBLE))), 4)
+        |      AS dsir_weight
+        |  FROM toks JOIN sfreq USING (tok) LEFT JOIN tfreq USING (tok)
+        |  GROUP BY doc_id),
+        |topn AS (
+        |  SELECT dsir_weight, doc_id FROM pd
+        |  ORDER BY dsir_weight DESC, doc_id LIMIT 100),
+        |cut AS (
+        |  SELECT dsir_weight AS cut_w, doc_id AS cut_id FROM topn
+        |  ORDER BY dsir_weight, doc_id DESC LIMIT 1)
+        |SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens, pd.dsir_weight,
+        |  CASE WHEN pd.dsir_weight > (SELECT cut_w FROM cut)
+        |        OR (pd.dsir_weight = (SELECT cut_w FROM cut)
+        |            AND d.doc_id <= (SELECT cut_id FROM cut))
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // NB twin: identical counts and smoothing; the argmax window orders
+    // by the rounded score with the class tiebreak, like the Spark side.
+    "x_text_nb_class" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source, text, $md5BucketSql < 80 AS tr FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, tr, tok
+        |  FROM (SELECT doc_id, source, tr,
+        |          unnest(string_split(lower(text), ' ')) AS tok FROM d)
+        |  WHERE tok <> ''),
+        |ctc AS (SELECT source AS cls, tok, COUNT(*) AS ctk
+        |        FROM toks WHERE tr GROUP BY 1, 2),
+        |clz AS (
+        |  SELECT p.cls, p.ndc, t.tc
+        |  FROM (SELECT source AS cls, COUNT(*) AS ndc FROM d WHERE tr GROUP BY 1) p
+        |  JOIN (SELECT source AS cls, COUNT(*) AS tc FROM toks WHERE tr GROUP BY 1) t
+        |    USING (cls)),
+        |ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd_tot FROM d WHERE tr),
+        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks WHERE tr),
+        |pdc AS (
+        |  SELECT t.doc_id, c.cls,
+        |    SUM(ln((COALESCE(k.ctk, 0) + 1) /
+        |        CAST(c.tc + (SELECT v FROM voc) AS DOUBLE))) AS s
+        |  FROM toks t CROSS JOIN clz c
+        |  LEFT JOIN ctc k ON k.cls = c.cls AND k.tok = t.tok
+        |  WHERE NOT t.tr
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id, d.source AS true_source, c.cls,
+        |    round(ln(c.ndc / CAST((SELECT nd_tot FROM ndt) AS DOUBLE))
+        |      + COALESCE(p.s, 0.0), 4) AS nb_score
+        |  FROM d CROSS JOIN clz c
+        |  LEFT JOIN pdc p ON p.doc_id = d.doc_id AND p.cls = c.cls
+        |  WHERE NOT d.tr),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY nb_score DESC, cls) AS rn FROM scored)
+        |SELECT doc_id, true_source, cls AS pred_source, nb_score,
+        |  CASE WHEN cls = true_source THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS hit
+        |FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)
+}

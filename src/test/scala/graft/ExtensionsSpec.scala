@@ -1249,6 +1249,82 @@ class ExtensionsSpec extends AnyFunSuite {
       s"keep-best must retain the higher-quality higher-id doc: $out")
   }
 
+  // md5 id bucket as the operators compute it (first 8 hex digits % 100)
+  // — lets planted-doc specs pick ids that land in a chosen split.
+  private def md5Bucket100(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 100
+  }
+
+  test("DSIR selects exactly N docs and ranks in-target vocab above out-of-target") {
+    import spark.implicits._
+    // Planted pair: a TARGET-split doc (bucket < 20) whose unique tokens
+    // therefore appear in the target LM, and a non-target doc with its
+    // own unique tokens (target count 0). The target-vocab doc's
+    // log-ratio is the maximum positive per-token value; the other's is
+    // negative — the weight order is forced, independent of the corpus.
+    val tgtId = (9000001L to 9000400L).find(md5Bucket100(_) < 20).get
+    val othId = (9000001L to 9000400L).find(md5Bucket100(_) >= 20).get
+    val body = (0 until 8).map(i => s"qzx$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .unionByName(Seq(
+        (tgtId, body, "en", "srcx", 1L),
+        (othId, (0 until 8).map(i => s"wvu$i").mkString(" "), "en", "srcx", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.Selection.xDsirSelect(spark, tmp).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Double]("dsir_weight"), r.getAs[Long]("selected")))).toMap
+    assert(byId(tgtId)._1 > byId(othId)._1,
+      s"target-vocab doc must outrank out-of-target: $byId")
+    assert(out.map(_.getAs[Long]("selected")).sum == 100L,
+      "exactly selectN docs must be selected")
+    // The cut is consistent: every selected (w, id) dominates every
+    // unselected one lexicographically (w desc, id asc).
+    val sel = out.filter(_.getAs[Long]("selected") == 1L)
+      .map(r => (r.getAs[Double]("dsir_weight"), r.getAs[Long]("doc_id")))
+    val unsel = out.filter(r => r.getAs[Long]("selected") == 0L &&
+        !r.isNullAt(r.fieldIndex("dsir_weight")))
+      .map(r => (r.getAs[Double]("dsir_weight"), r.getAs[Long]("doc_id")))
+    val worstSel = sel.minBy(p => (p._1, -p._2))
+    assert(unsel.forall(u => u._1 < worstSel._1 ||
+      (u._1 == worstSel._1 && u._2 > worstSel._2)),
+      "an unselected doc dominates the cutoff")
+  }
+
+  test("NB classifier predicts the class owning a planted disjoint vocabulary") {
+    import spark.implicits._
+    // Train: three docs each for classes qa/qb with disjoint vocab, ids
+    // chosen in the train split (bucket < 80). Held-out: one doc
+    // (bucket >= 80) written in qa's vocabulary but labeled qb — the
+    // classifier must predict qa (3 tokens × ln(10/..) dominates any
+    // prior gap) and report hit = 0.
+    val ids = (9100001L to 9100500L)
+    val trainIds = ids.filter(md5Bucket100(_) < 80).take(6).toSeq
+    val heldId = ids.find(md5Bucket100(_) >= 80).get
+    val rows = trainIds.take(3).map(id => (id, "aqua aqua aqua", "en", "qa", 1L)) ++
+      trainIds.drop(3).map(id => (id, "bravo bravo bravo", "en", "qb", 1L)) :+
+      ((heldId, "aqua aqua aqua", "en", "qb", 1L))
+    val tmp = java.nio.file.Files.createTempDirectory("nbclass").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .unionByName(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.Selection.xTextNbClass(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_source"), r.getAs[String]("true_source"),
+          r.getAs[Long]("hit")))).toMap
+    assert(out.contains(heldId), "held-out planted doc missing from scoring")
+    assert(out(heldId)._1 == "qa",
+      s"disjoint-vocab doc must classify to the vocab owner: ${out(heldId)}")
+    assert(out(heldId)._2 == "qb" && out(heldId)._3 == 0L,
+      s"hit must reflect pred != true label: ${out(heldId)}")
+    // Every held-out doc scores exactly once.
+    val all = ext.Selection.xTextNbClass(spark, tmp)
+    assert(all.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
