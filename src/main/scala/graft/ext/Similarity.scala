@@ -567,6 +567,43 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Approximate kNN GRAPH over the whole corpus — every vector's top
+    * `kNeighbors` neighbors WITHIN its coarse-quantizer cell, ranked by
+    * the rounded exact cosine with the id tiebreak. This is the
+    * all-vectors counterpart of the query-set ANN gates: the building
+    * block graph-based curation consumes (SemDeDup clustering, density
+    * pruning, graph dedup), and at 100 TB the only tractable shape —
+    * cell blocking makes the pair join per-cell-linear (the inverted
+    * list layout; Σ cell² work, never corpus²), the same quadratic-cell
+    * bound the semantic-dedup family carries, with the SAME k density
+    * knob (k ~ √N) as its guard. Vectors alone in their cell emit no
+    * rows (a corpus-level kNN graph tolerates isolated nodes; raising
+    * nProbe-style spill is the recall knob a deployment would add).
+    * Ranking compares the ROUNDED cosine (the x_dedup_semantic verdict
+    * idiom), so cross-engine ulp drift cannot flip a rank.
+    */
+  def xKnnGraph(spark: SparkSession, dir: String,
+      kNeighbors: Int = 5): DataFrame = {
+    val (assigned, _) = ivfAssigned(spark, dir, 16, 1)
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+          / (col("n1") * col("n2")), 4))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= kNeighbors)
+      .select(col("id1").as("vec_id"),
+        col("nn_rank").cast("long").as("nn_rank"),
+        col("id2").as("nn_id"), col("cos_sim"))
+      .orderBy("vec_id", "nn_rank")
+  }
+
   /** End-to-end VECTOR-corpus prep — the embedding-side counterpart of
     * x_llm_corpus_prep, composed from the shared operators exactly as a
     * production vector-store build runs them: (1) embedding-cosine
@@ -1068,7 +1105,8 @@ object Similarity {
     // the only gate composing the multi-round MATERIALIZED refine chain
     // with a non-default k.
     "x_dedup_semantic_k64r3" -> ((s: SparkSession, d: String) =>
-      xDedupSemantic(s, d, 64, 3)))
+      xDedupSemantic(s, d, 64, 3)),
+    "x_knn_graph" -> ((s: SparkSession, d: String) => xKnnGraph(s, d)))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -1281,6 +1319,31 @@ object Similarity {
        |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM sem s LEFT JOIN losers l USING (vec_id)
        |ORDER BY s.vec_id""".stripMargin
+
+  /** The kNN-graph twin: the shared quantizer chain, vectors joined
+    * back per cell, within-cell all-pairs cosine, per-vector rank ≤ k
+    * on the rounded similarity with the id tiebreak — the
+    * semanticOracleSql pair join with a rank head instead of a
+    * threshold verdict. CTE names disjoint from the chain's (e, seeds,
+    * d0, a0 …) per the composed-generator rule.
+    */
+  private def knnGraphOracleSql(kNeighbors: Int = 5): String =
+    s"""${ivfAssignOracleCtes(16, 1)},
+       |gph AS (
+       |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
+       |  FROM a1 JOIN e USING (vec_id)),
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |  FROM gph a JOIN gph b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |rk AS (
+       |  SELECT vec_id, nn_id, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, nn_id) AS nn_rank
+       |  FROM prs)
+       |SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, cos_sim
+       |FROM rk WHERE nn_rank <= $kNeighbors
+       |ORDER BY vec_id, nn_rank""".stripMargin
 
   /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
     * gate): the shared quantizer chain above at (k, rounds), then the
@@ -1729,6 +1792,7 @@ object Similarity {
     "x_dedup_semantic" -> semanticOracleSql(),
     "x_dedup_semantic_k64" -> semanticOracleSql(64, 1),
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
+    "x_knn_graph" -> knnGraphOracleSql(),
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -1325,6 +1325,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(all.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("kNN graph ranks a planted identical pair as mutual rank-1 at cosine 1.0") {
+    import spark.implicits._
+    // Two identical planted vectors land in the same quantizer cell by
+    // construction and are each other's maximum-similarity neighbor;
+    // ranks are contiguous per vector and self-edges are absent.
+    val vec = Seq.fill(64)(0.25f)
+    val tmp = java.nio.file.Files.createTempDirectory("knngraph").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .unionByName(Seq((9000001L, vec, 0), (9000002L, vec, 0))
+        .toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = ext.Similarity.xKnnGraph(spark, tmp).collect()
+    assert(out.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("nn_id")),
+      "self-edge in kNN graph")
+    val ranks = out.groupBy(_.getAs[Long]("vec_id"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("nn_rank")).sorted.toSeq }
+    assert(ranks.forall(rs => rs == (1L to rs.size).toSeq),
+      "per-vector ranks not contiguous from 1")
+    val top1 = out.filter(r => r.getAs[Long]("nn_rank") == 1L)
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cos_sim")))).toMap
+    assert(top1.get(9000001L).exists(t => t._1 == 9000002L && t._2 == 1.0),
+      s"planted twin not rank-1: ${top1.get(9000001L)}")
+    assert(top1.get(9000002L).exists(t => t._1 == 9000001L && t._2 == 1.0),
+      s"planted twin not mutual: ${top1.get(9000002L)}")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
