@@ -57,7 +57,17 @@ object ScaleProbe {
     // the winnow-composed text prep: the llm-prep chain + one
     // fingerprint pass + the df-bounded pair join (both already probed
     // standalone; this row pins the composition)
-    "x_llm_corpus_prep_winnow")
+    "x_llm_corpus_prep_winnow",
+    // round-8 additions: keep-best rides the cluster chain + a narrow
+    // quality join; DSIR/NB are (token, count) aggregates + fact-side
+    // joins whose df multiplies ×N (the contamination-join stress); the
+    // kNN graph is the within-cell pair join's replication worst case
+    // (every replica set lands in one cell — the SemDeDup story, with
+    // the same k ~ √N density guard)
+    "x_dedup_keep_best", "x_dsir_select", "x_text_nb_class", "x_knn_graph",
+    // the DSIR-composed prep: the llm chain + the flat x_dsir_select
+    // shape + one 8-byte semi-join
+    "x_llm_corpus_prep_dsir")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

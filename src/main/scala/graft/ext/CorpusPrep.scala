@@ -138,9 +138,29 @@ object CorpusPrep {
       .join(subLosers, Seq("doc_id"), "left_anti"))
   }
 
+  /** The text prep pipeline with the DSIR selection stage (Xie et al.
+    * 2023) composed in at its pipeline position — after cleaning,
+    * before the split rollup: only documents inside the corpus-wide
+    * top-N importance cut survive. POLICY: the weights and the cut are
+    * the GATED standalone x_dsir_select's, computed over the full
+    * corpus (the paper scores the raw pool; a cut computed post-cleaning
+    * would make each doc's selection depend on which OTHER docs the
+    * dedup stages dropped — id-order accidents, the winnow-stage
+    * anti-lesson), and the prep keeps the intersection: clean AND
+    * selected. The added cost is the already-probed x_dsir_select shape
+    * (two (token, count) aggregates + a broadcast threshold) plus one
+    * semi-join on 8-byte ids.
+    */
+  def xLlmCorpusPrepDsir(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Selection.xDsirSelect(spark, dir)
+      .filter(col("selected") === 1L).select("doc_id")
+    prepRollup(trainingCorpus(spark, dir).join(sel, Seq("doc_id"), "left_semi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
-    "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _))
+    "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
+    "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
@@ -256,9 +276,26 @@ object CorpusPrep {
          |  WHERE ka.source <> 'src0'
          |    AND n_shared >= ${TextAnalysis.winnowShareThreshold})""".stripMargin
 
+  /** The DSIR-stage splice: the "q"-prefixed chain from the SAME
+    * generator the standalone x_dsir_select twin emits (names disjoint
+    * from this chain's `toks`/`pred`/`cont`), plus the selected-id set
+    * the final WHERE keeps — the membership predicate mirrors
+    * xDsirSelect's lexicographic (weight, id) cut verbatim.
+    */
+  private def dsirStageCtes: String =
+    ",\n" + Selection.dsirCtes("q") + ",\n" +
+      """qsel AS (
+        |  SELECT doc_id FROM qpd
+        |  WHERE dsir_weight > (SELECT cut_w FROM qcut)
+        |     OR (dsir_weight = (SELECT cut_w FROM qcut)
+        |         AND doc_id <= (SELECT cut_id FROM qcut)))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_llm_corpus_prep" -> llmCorpusPrepOracleSql(),
     "x_llm_corpus_prep_winnow" -> llmCorpusPrepOracleSql(
       extraCtes = winnowStageCtes,
-      extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)"))
+      extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)"),
+    "x_llm_corpus_prep_dsir" -> llmCorpusPrepOracleSql(
+      extraCtes = dsirStageCtes,
+      extraWhere = "\n  AND doc_id IN (SELECT doc_id FROM qsel)"))
 }

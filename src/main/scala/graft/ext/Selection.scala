@@ -170,35 +170,45 @@ object Selection {
   private val md5BucketSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
 
+  /** The DSIR CTE chain (counts → per-doc weight → Nth-(weight, id)
+    * cutoff) with `p`-prefixed CTE names — the winnowPairCtes idiom:
+    * ONE generator serves the standalone twin (p = "", emitting the
+    * historical text) and composed splices (a disjoint prefix), so the
+    * composed pipeline's selection stage can never drift from the gated
+    * standalone semantics.
+    */
+  private[ext] def dsirCtes(p: String): String =
+    s"""${p}toks AS (
+        |  SELECT doc_id, tok, $md5BucketSql < 20 AS tgt
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |${p}sfreq AS (SELECT tok, COUNT(*) AS ns FROM ${p}toks GROUP BY 1),
+        |${p}tfreq AS (SELECT tok, COUNT(*) AS nt FROM ${p}toks WHERE tgt GROUP BY 1),
+        |${p}stot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ns_tot,
+        |                CAST(COUNT(*) AS BIGINT) AS v FROM ${p}sfreq),
+        |${p}ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM ${p}tfreq),
+        |${p}pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    round(SUM(
+        |      ln((COALESCE(nt, 0) + 1) /
+        |         CAST((SELECT nt_tot FROM ${p}ttot) + (SELECT v FROM ${p}stot) AS DOUBLE))
+        |      - ln((ns + 1) /
+        |         CAST((SELECT ns_tot FROM ${p}stot) + (SELECT v FROM ${p}stot) AS DOUBLE))), 4)
+        |      AS dsir_weight
+        |  FROM ${p}toks JOIN ${p}sfreq USING (tok) LEFT JOIN ${p}tfreq USING (tok)
+        |  GROUP BY doc_id),
+        |${p}topn AS (
+        |  SELECT dsir_weight, doc_id FROM ${p}pd
+        |  ORDER BY dsir_weight DESC, doc_id LIMIT 100),
+        |${p}cut AS (
+        |  SELECT dsir_weight AS cut_w, doc_id AS cut_id FROM ${p}topn
+        |  ORDER BY dsir_weight, doc_id DESC LIMIT 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // DSIR twin: same counts, same per-token ln(rational) pair, same
     // Nth-(weight, id) cutoff via two ORDER BY ... LIMIT CTEs.
     "x_dsir_select" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, tok, $md5BucketSql < 20 AS tgt
-        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |        FROM documents) WHERE tok <> ''),
-        |sfreq AS (SELECT tok, COUNT(*) AS ns FROM toks GROUP BY 1),
-        |tfreq AS (SELECT tok, COUNT(*) AS nt FROM toks WHERE tgt GROUP BY 1),
-        |stot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ns_tot,
-        |                CAST(COUNT(*) AS BIGINT) AS v FROM sfreq),
-        |ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM tfreq),
-        |pd AS (
-        |  SELECT doc_id, COUNT(*) AS n_tokens,
-        |    round(SUM(
-        |      ln((COALESCE(nt, 0) + 1) /
-        |         CAST((SELECT nt_tot FROM ttot) + (SELECT v FROM stot) AS DOUBLE))
-        |      - ln((ns + 1) /
-        |         CAST((SELECT ns_tot FROM stot) + (SELECT v FROM stot) AS DOUBLE))), 4)
-        |      AS dsir_weight
-        |  FROM toks JOIN sfreq USING (tok) LEFT JOIN tfreq USING (tok)
-        |  GROUP BY doc_id),
-        |topn AS (
-        |  SELECT dsir_weight, doc_id FROM pd
-        |  ORDER BY dsir_weight DESC, doc_id LIMIT 100),
-        |cut AS (
-        |  SELECT dsir_weight AS cut_w, doc_id AS cut_id FROM topn
-        |  ORDER BY dsir_weight, doc_id DESC LIMIT 1)
+      s"""WITH ${dsirCtes("")}
         |SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens, pd.dsir_weight,
         |  CASE WHEN pd.dsir_weight > (SELECT cut_w FROM cut)
         |        OR (pd.dsir_weight = (SELECT cut_w FROM cut)
