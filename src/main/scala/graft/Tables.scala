@@ -11,13 +11,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects by default; read it as a Long of epoch-nanos (full precision —
-    * same ordering semantics as DuckDB's TIMESTAMP_NS).
+  /** events.ts arrives as epoch-nanos Long regardless of how the driver
+    * generated the parquet. Two generations exist: TIMESTAMP(NANOS) (read
+    * as Long via the nanosAsLong legacy conf — full precision) and
+    * TIMESTAMP(µs, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ; widened
+    * to nanos here). Downstream operators always see a Long of epoch-nanos
+    * and truncate to µs (`ts div 1000`) — the precision DuckDB's
+    * `epoch_us(CAST(ts AS TIMESTAMP))` twin computes on either encoding.
+    * The NTZ→epoch cast interprets the naive value in the session zone;
+    * every entry point pins spark.sql.session.timeZone=UTC, matching
+    * DuckDB's treat-naive-as-UTC epoch semantics.
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros, lit}
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
