@@ -27,10 +27,17 @@ object Tables {
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
         import org.apache.spark.sql.functions.{col, unix_micros, lit}
         df.withColumn("ts",
           unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case other =>
+        // A third driver encoding must fail loudly, not silently yield
+        // nulls or a wrong epoch scale through a blanket cast.
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other; expected " +
+            "LongType (nanosAsLong) or TIMESTAMP/TIMESTAMP_NTZ")
     }
   }
 

@@ -274,21 +274,24 @@ object TextAnalysis {
   def xTextLmHeldout(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("ws", split(lowerS(col("text")), " "))
-    // Persisted: consumed by the two train-side aggregates, the vocab
-    // scalar, AND the scoring join — unpersisted, Spark would re-run
-    // the tokenize+explode subtree once per consumer (~4 corpus passes;
-    // the ivfAssigned persist idiom).
     val pairs = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as w1, ws[i+1] as w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
         (md5Bucket(100, col("doc_id")) < 80).as("tr"))
-      .persist()
+    // Persisted: the trained LM itself — O(bigram vocab), the artifact a
+    // production run would broadcast — NOT the raw per-occurrence pair
+    // stream (O(corpus tokens), which could never be cached at 100 TB).
+    // Prefix counts and vocab size derive from it (n1 = Σ_w2 n2, v =
+    // |distinct w1| — same integers bitwise), so the corpus is scanned
+    // exactly twice (LM build + scoring join) and the only cached state
+    // is vocab-bounded. Freed by the per-query clearCache() in
+    // Verify/Bench; an interactive session should do the same.
     val bgc = pairs.filter(col("tr")).groupBy("w1", "w2")
       .agg(count(lit(1)).as("n2"))
-    val pfx = pairs.filter(col("tr")).groupBy("w1")
-      .agg(count(lit(1)).as("n1"))
+      .persist()
+    val pfx = bgc.groupBy("w1").agg(sum(col("n2")).as("n1"))
     val v = pfx.agg(count(lit(1)).as("v"))
     val scored = pairs
       .join(bgc, Seq("w1", "w2"), "left")
@@ -300,17 +303,14 @@ object TextAnalysis {
             (col("n1") + col("v")))).as("lp"),
         (col("n2").isNull || col("n1").isNull).cast("long").as("oov"))
     // NOT checkpointed-and-unpersisted here, deliberately: an eager
-    // localCheckpoint would let `pairs` be unpersisted at construction,
-    // but it (a) runs the whole scoring job as a construction-time side
+    // localCheckpoint would let `bgc` be unpersisted at construction,
+    // but it (a) runs the LM-training job as a construction-time side
     // effect and (b) truncates the returned plan to a checkpoint scan —
     // Bench's sweep records joinStrategies from that plan, and per
     // CLAUDE.md sweep regressions are gated on PLAN FLIPS, so hiding
     // the scoring joins would blind the regression gate (a lazy
     // checkpoint instead would defeat the persist: unpersisting at
-    // construction recomputes the subtree once per consumer). Residency
-    // is bounded where it matters: Verify and Bench clearCache() after
-    // every query; an interactive session holding many gated relations
-    // should do the same.
+    // construction recomputes the subtree once per consumer).
     val perDoc = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
         round(avg(col("lp")), 4).as("avg_logprob"))

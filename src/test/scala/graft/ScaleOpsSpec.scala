@@ -205,25 +205,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle for dim joins")
   }
 
-  test("plan sweep: no gated query plans a CartesianProduct") {
+  test("plan sweep: no gated query plans a CartesianProduct or object serde") {
     // Global guard over EVERY SparkEntry query: a CartesianProduct node
     // means a join lost both its condition and its broadcastable side —
     // at 100 TB that's an N² catastrophe, and it can sneak in silently
     // when a join key is mistyped (condition becomes trivially true/
     // false) or a broadcast hint is dropped. BroadcastNestedLoopJoin is
     // allowed: the deliberate tiny-side pattern (10 broadcast queries,
-    // 1-row scalars). NOTE: the final plans are inspected without
-    // executing them, but CONSTRUCTING the PQ/IVF/BPE DataFrames runs
-    // real Spark jobs (Lloyd/codebook driver collects, per-round BPE
-    // pair counts), so this sweep costs real work per gated query —
-    // budget accordingly when adding expensive gated queries.
+    // 1-row scalars). Object serde (Deserialize/SerializeFromObject
+    // around a Dataset.map) breaks WholeStageCodegen and row-encodes
+    // every value crossing it — the r8 winnow port removed the last one
+    // from a gated path, and this sweep locks that in. The multimodal
+    // decoders are the one DOCUMENTED exception: a format decoder is
+    // genuine per-partition imperative logic (no Expression fits), so
+    // their mapPartitions serde is the correct tool, not a regression.
+    // NOTE: the final plans are inspected without executing them, but
+    // CONSTRUCTING the PQ/IVF/BPE DataFrames runs real Spark jobs
+    // (Lloyd/codebook driver collects, per-round BPE pair counts), so
+    // this sweep costs real work per gated query — budget accordingly
+    // when adding expensive gated queries.
+    val serdeExempt = ext.Multimodal.queries.keySet
+    val serdeNodes = Seq("CartesianProduct", "DeserializeToObject",
+      "SerializeFromObject", "MapPartitions", "MapElements")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+        val bad = serdeNodes.filter(plan.contains)
+          .filterNot(n => n != "CartesianProduct" && serdeExempt(name))
+        if (bad.nonEmpty) Some(s"$name(${bad.mkString("+")})") else None
     }
     assert(offenders.isEmpty,
-      s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+      s"forbidden plan nodes in: ${offenders.mkString(", ")}")
   }
 
   test("plan shapes: the kroger fact build broadcasts both dims") {
