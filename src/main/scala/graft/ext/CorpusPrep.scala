@@ -75,7 +75,8 @@ object CorpusPrep {
     * star-contraction loop — the pipeline's most expensive stage.
     */
   def trainingCorpus(spark: SparkSession, dir: String,
-      precomputedLabels: Option[DataFrame] = None): DataFrame = {
+      precomputedLabels: Option[DataFrame] = None,
+      keepBest: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val labels = precomputedLabels.getOrElse {
       val pairs = Dedup.ngramJaccardPairs(spark, dir)
@@ -83,7 +84,10 @@ object CorpusPrep {
       Dedup.connectedComponents(pairs)._1
     }
     val splitBucket = TextAnalysis.md5Bucket(100)
-    Dedup.dedupCorpusNearDup(docs, labels)
+    val deduped =
+      if (keepBest) Dedup.dedupCorpusKeepBest(docs, labels)
+      else Dedup.dedupCorpusNearDup(docs, labels)
+    deduped
       .filter(col("source") =!= "src0")
       .join(predLang(spark, docs), Seq("doc_id"))
       .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
@@ -157,21 +161,42 @@ object CorpusPrep {
     prepRollup(trainingCorpus(spark, dir).join(sel, Seq("doc_id"), "left_semi"))
   }
 
+  /** The text prep pipeline with the near-dup retention policy swapped
+    * to quality-aware keep-best: each cluster retains its quality argmax
+    * (the gated x_dedup_keep_best verdicts, reused verbatim via
+    * Dedup.keepBestVerdicts — never a re-derivation) instead of its
+    * lowest id. POLICY: verdicts are the standalone operator's
+    * corpus-wide semantics, exactly as the lowest-id arm applies its
+    * corpus-wide labels — a cluster whose argmax happens to be an eval
+    * doc loses its training members to dedup either way (eval overlap
+    * is the decontamination stage's axis, not retention's). Cost vs the
+    * flagship: one per-doc quality join + a cluster-partitioned window
+    * over CLUSTERED docs only — the gated operator's own probed shape.
+    */
+  def xLlmCorpusPrepKeepBest(spark: SparkSession, dir: String): DataFrame =
+    prepRollup(trainingCorpus(spark, dir, keepBest = true))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
     "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
-    "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _))
+    "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _),
+    "x_llm_corpus_prep_keepbest" -> (xLlmCorpusPrepKeepBest _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
     * expressions from their TextAnalysis twins, and the split bucket —
     * one recursive WITH chain pinning the whole pipeline bitwise.
     * `extraCtes`/`extraWhere` splice an additional dedup stage into the
-    * chain (the winnow-composed twin below); empty defaults emit
-    * byte-identical SQL to the historical x_llm_corpus_prep twin.
+    * chain (the winnow-composed twin below); `neardupCtes`/
+    * `neardupLosers` swap the near-dup RETENTION policy (the keep-best
+    * twin splices the shared rank chain and drops rn <> 1 instead of
+    * doc_id <> cluster_id); empty defaults emit byte-identical SQL to
+    * the historical x_llm_corpus_prep twin.
     */
   private def llmCorpusPrepOracleSql(extraCtes: String = "",
-      extraWhere: String = ""): String =
+      extraWhere: String = "",
+      neardupCtes: String = "",
+      neardupLosers: String = "SELECT doc_id FROM lab WHERE doc_id <> cluster_id"): String =
     s"""WITH RECURSIVE gsrc AS (
         |  SELECT DISTINCT doc_id, source, gram FROM (
         |    SELECT doc_id, source,
@@ -200,14 +225,14 @@ object CorpusPrep {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
         |lab AS (
         |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
-        |  FROM reach GROUP BY a),
+        |  FROM reach GROUP BY a),$neardupCtes
         |exact AS (
         |  SELECT MIN(doc_id) AS doc_id FROM documents
         |  GROUP BY md5(lower(trim(text)))),
         |keep AS (
         |  SELECT d.doc_id, d.n_chars FROM documents d
         |  JOIN exact e ON d.doc_id = e.doc_id
-        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |  WHERE d.doc_id NOT IN ($neardupLosers)
         |    AND d.source <> 'src0'),
         |toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
@@ -297,5 +322,13 @@ object CorpusPrep {
       extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)"),
     "x_llm_corpus_prep_dsir" -> llmCorpusPrepOracleSql(
       extraCtes = dsirStageCtes,
-      extraWhere = "\n  AND doc_id IN (SELECT doc_id FROM qsel)"))
+      extraWhere = "\n  AND doc_id IN (SELECT doc_id FROM qsel)"),
+    // Keep-best retention twin: the "k"-prefixed rank chain from the
+    // SAME generator the standalone x_dedup_keep_best twin builds from
+    // (names disjoint from this chain's `qual`/`best`), reading this
+    // chain's own `lab`; the drop set becomes the non-argmax clustered
+    // docs.
+    "x_llm_corpus_prep_keepbest" -> llmCorpusPrepOracleSql(
+      neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
+      neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1"))
 }

@@ -257,17 +257,56 @@ object Dedup {
     val pairs = ngramJaccardPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
     val (labels, _) = connectedComponents(pairs)
-    val quality = TextAnalysis.qualityScores(Tables.documents(spark, dir))
+    keepBestVerdicts(Tables.documents(spark, dir), labels).orderBy("doc_id")
+  }
+
+  /** The keep-best verdict chain itself — per clustered doc, kept = 1
+    * iff it is its cluster's quality argmax. Factored so the composed
+    * pipeline (CorpusPrep's keep-best arm) runs EXACTLY the gated
+    * operator's ranking, not a re-derivation that could drift.
+    */
+  private[ext] def keepBestVerdicts(docs: DataFrame,
+      clusterLabels: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityScores(docs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(desc("quality_score"), col("doc_id"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    clusterLabels.select(col("doc_id"), col("label").as("cluster_id"))
       .join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
-      .orderBy("doc_id")
   }
+
+  /** dedupCorpusNearDup with the keep-best retention policy: clustered
+    * docs that are NOT their cluster's quality argmax are dropped (the
+    * x_dedup_keep_best verdicts, reused verbatim); exact dedup and the
+    * untouched-singleton streaming are identical to the lowest-id arm.
+    */
+  private[ext] def dedupCorpusKeepBest(docs: DataFrame,
+      clusterLabels: DataFrame): DataFrame = {
+    val losers = keepBestVerdicts(docs, clusterLabels)
+      .filter(col("kept") === 0L).select("doc_id")
+    dedupCorpus(docs).join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** The keep-best rank CTE pair (shared quality formula + per-cluster
+    * argmax over a `lab` CTE) with `p`-prefixed names — the dsirCtes
+    * idiom: ONE generator serves the standalone x_dedup_keep_best twin
+    * (p = "", byte-identical to the historical text) and the composed
+    * pipeline splice (a disjoint prefix), so the composed retention
+    * policy cannot drift from the gated standalone semantics.
+    */
+  private[ext] def keepBestRankCtes(p: String): String =
+    s"""${p}q AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.qualityScoreSql} AS quality_score
+       |  FROM documents),
+       |${p}ranked AS (
+       |  SELECT l.doc_id, l.cluster_id, ${p}q.quality_score,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY ${p}q.quality_score DESC, l.doc_id) AS rn
+       |  FROM lab l JOIN ${p}q USING (doc_id))""".stripMargin
 
   def xDedupCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir)
@@ -816,15 +855,7 @@ object Dedup {
         |lab AS (
         |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
         |  FROM reach GROUP BY a),
-        |q AS (
-        |  SELECT doc_id,
-        |    ${TextAnalysis.qualityScoreSql} AS quality_score
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT l.doc_id, l.cluster_id, q.quality_score,
-        |    row_number() OVER (PARTITION BY l.cluster_id
-        |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
-        |  FROM lab l JOIN q USING (doc_id))
+        |${keepBestRankCtes("")}
         |SELECT doc_id, cluster_id, quality_score,
         |  CASE WHEN rn = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
         |FROM ranked

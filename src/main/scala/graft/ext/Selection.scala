@@ -82,17 +82,23 @@ object Selection {
     val consts = sfreq.agg(sum(col("ns")).as("ns_tot"),
         count(lit(1)).as("v"))
       .crossJoin(tfreq.agg(coalesce(sum(col("nt")), lit(0L)).as("nt_tot")))
-    val perDoc = toks
+    // Pre-aggregated to (doc_id, tok, cnt) BEFORE the frequency join:
+    // the join shuffles one row per distinct (doc, token) instead of one
+    // per occurrence, shrinking both the shuffle and the skew
+    // multiplicity of head tokens ("the") — each term is cnt × the
+    // log-ratio, one IEEE multiply on both engines, same rounded sum.
+    val dtc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val perDoc = dtc
       .join(sfreq, Seq("tok"))
       .join(tfreq, Seq("tok"), "left")
       .crossJoin(broadcast(consts))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast("double") * (
           log((coalesce(col("nt"), lit(0L)) + lit(1L)) /
             (col("nt_tot") + col("v")).cast("double")) -
           log((col("ns") + lit(1L)) /
-            (col("ns_tot") + col("v")).cast("double"))), 4)
+            (col("ns_tot") + col("v")).cast("double")))), 4)
           .as("dsir_weight"))
     // Nth-(weight, id) cutoff: top-N by (weight DESC, id ASC), then the
     // LAST of those — both orders are TakeOrdered over per-doc rows.
@@ -121,9 +127,27 @@ object Selection {
     * deliberately kept (they carry the doc's length into the score like
     * the real multinomial model does).
     */
-  def xTextNbClass(spark: SparkSession, dir: String): DataFrame = {
+  def xTextNbClass(spark: SparkSession, dir: String): DataFrame =
+    nbClass(spark, dir, TextAnalysis.md5Bucket(100) < 80)
+
+  /** Frozen-classifier admission arm — the admission matrix's pattern
+    * (IVF/PQ/IVFADC/BPE/LSH/MinHash all have one): the class priors and
+    * (class, token) counts are trained ONCE on the ADMITTED half (lower
+    * doc ids, the BPE-admit split convention), frozen, and the new batch
+    * (the upper half) is scored under them — nothing admitted is ever
+    * re-counted, which would silently shift every score the moment a
+    * batch arrived. Same parameterized twin, trainWhere swapped.
+    */
+  def xTextNbAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    nbClass(spark, dir, col("doc_id") < split)
+  }
+
+  private def nbClass(spark: SparkSession, dir: String,
+      trainCond: Column): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .withColumn("tr", TextAnalysis.md5Bucket(100) < 80)
+      .withColumn("tr", trainCond)
     val toks = docs.select(col("doc_id"), col("source"), col("tr"),
         explode(split(lowerS(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -136,16 +160,21 @@ object Selection {
         .agg(count(lit(1)).as("tc")), Seq("cls"))
       .crossJoin(docs.filter(col("tr")).agg(count(lit(1)).as("nd_tot")))
       .crossJoin(trainToks.agg(countDistinct(col("tok")).as("v")))
-    // Per held-out token × class: the smoothed conditional ln term. The
-    // integer inputs (ctk, tc, v) reach every row intact; ln runs once
-    // per output row, never inside a partial aggregate.
+    // Per held-out (doc, token) × class: the smoothed conditional ln
+    // term, weighted by the token's in-doc count — pre-aggregated so the
+    // ctc join fans out one row per DISTINCT held token per class, not
+    // one per occurrence (the DSIR pre-agg shape). The integer inputs
+    // (cnt, ctk, tc, v) reach every row intact; ln runs once per output
+    // row, never inside a partial aggregate.
     val held = toks.filter(!col("tr"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     val perDocCls = held
       .crossJoin(broadcast(classes.select("cls", "tc", "v")))
       .join(ctc, Seq("cls", "tok"), "left")
       .groupBy("doc_id", "cls")
-      .agg(sum(log((coalesce(col("ctk"), lit(0L)) + lit(1L)) /
-        (col("tc") + col("v")).cast("double"))).as("s"))
+      .agg(sum(col("cnt").cast("double") *
+        log((coalesce(col("ctk"), lit(0L)) + lit(1L)) /
+          (col("tc") + col("v")).cast("double"))).as("s"))
     val scored = docs.filter(!col("tr"))
       .select(col("doc_id"), col("source").as("true_source"))
       .crossJoin(broadcast(classes))
@@ -165,7 +194,8 @@ object Selection {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dsir_select"   -> ((s: SparkSession, d: String) => xDsirSelect(s, d)),
-    "x_text_nb_class" -> (xTextNbClass _))
+    "x_text_nb_class" -> (xTextNbClass _),
+    "x_text_nb_admit" -> (xTextNbAdmit _))
 
   private val md5BucketSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
@@ -187,15 +217,16 @@ object Selection {
         |${p}stot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ns_tot,
         |                CAST(COUNT(*) AS BIGINT) AS v FROM ${p}sfreq),
         |${p}ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM ${p}tfreq),
+        |${p}dtc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM ${p}toks GROUP BY 1, 2),
         |${p}pd AS (
-        |  SELECT doc_id, COUNT(*) AS n_tokens,
-        |    round(SUM(
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |    round(SUM(cnt * (
         |      ln((COALESCE(nt, 0) + 1) /
         |         CAST((SELECT nt_tot FROM ${p}ttot) + (SELECT v FROM ${p}stot) AS DOUBLE))
         |      - ln((ns + 1) /
-        |         CAST((SELECT ns_tot FROM ${p}stot) + (SELECT v FROM ${p}stot) AS DOUBLE))), 4)
+        |         CAST((SELECT ns_tot FROM ${p}stot) + (SELECT v FROM ${p}stot) AS DOUBLE)))), 4)
         |      AS dsir_weight
-        |  FROM ${p}toks JOIN ${p}sfreq USING (tok) LEFT JOIN ${p}tfreq USING (tok)
+        |  FROM ${p}dtc JOIN ${p}sfreq USING (tok) LEFT JOIN ${p}tfreq USING (tok)
         |  GROUP BY doc_id),
         |${p}topn AS (
         |  SELECT dsir_weight, doc_id FROM ${p}pd
@@ -218,9 +249,22 @@ object Selection {
         |ORDER BY d.doc_id""".stripMargin,
     // NB twin: identical counts and smoothing; the argmax window orders
     // by the rounded score with the class tiebreak, like the Spark side.
-    "x_text_nb_class" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, source, text, $md5BucketSql < 80 AS tr FROM documents),
+    "x_text_nb_class" -> nbOracleSql(s"$md5BucketSql < 80"),
+    // Admission twin: the SAME generator with the train predicate
+    // swapped to the lower-id-half split — the frozen (class, token)
+    // table is exactly what the train-side CTEs compute, so the arm is
+    // hash-gated bitwise like every other admission arm.
+    "x_text_nb_admit" -> nbOracleSql(
+      "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)"))
+
+  /** The NB train/score chain parameterized by the train predicate —
+    * one generator serves the md5-split classifier twin (byte-identical
+    * to the historical text for the default split) and the frozen-count
+    * admission twin, so the two arms cannot drift.
+    */
+  private def nbOracleSql(trainExpr: String): String =
+    s"""WITH d AS (
+        |  SELECT doc_id, source, text, $trainExpr AS tr FROM documents),
         |toks AS (
         |  SELECT doc_id, source, tr, tok
         |  FROM (SELECT doc_id, source, tr,
@@ -235,13 +279,14 @@ object Selection {
         |    USING (cls)),
         |ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd_tot FROM d WHERE tr),
         |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks WHERE tr),
+        |hld AS (SELECT doc_id, tok, COUNT(*) AS cnt
+        |        FROM toks WHERE NOT tr GROUP BY 1, 2),
         |pdc AS (
-        |  SELECT t.doc_id, c.cls,
-        |    SUM(ln((COALESCE(k.ctk, 0) + 1) /
+        |  SELECT h.doc_id, c.cls,
+        |    SUM(h.cnt * ln((COALESCE(k.ctk, 0) + 1) /
         |        CAST(c.tc + (SELECT v FROM voc) AS DOUBLE))) AS s
-        |  FROM toks t CROSS JOIN clz c
-        |  LEFT JOIN ctc k ON k.cls = c.cls AND k.tok = t.tok
-        |  WHERE NOT t.tr
+        |  FROM hld h CROSS JOIN clz c
+        |  LEFT JOIN ctc k ON k.cls = c.cls AND k.tok = h.tok
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT d.doc_id, d.source AS true_source, c.cls,
@@ -257,5 +302,5 @@ object Selection {
         |  CASE WHEN cls = true_source THEN CAST(1 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS hit
         |FROM best WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin
 }

@@ -1080,7 +1080,7 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("attribution partitions every purchase across known channels") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables.events(spark, sf)
     val nPurch = ev.filter(col("event_type") === "purchase").count()
     val rows = ext.EventAnalytics.xAttribution(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurch,
@@ -1247,6 +1247,63 @@ class ExtensionsSpec extends AnyFunSuite {
       s"quality ordering broken: $out")
     assert(out(9000002L)._3 == 1L && out(9000001L)._3 == 0L,
       s"keep-best must retain the higher-quality higher-id doc: $out")
+  }
+
+  test("composed keep-best prep retains the quality argmax where lowest-id would not") {
+    import spark.implicits._
+    // Same planted-cluster construction as the standalone keep-best
+    // spec, but run through BOTH trainingCorpus retention arms: the
+    // lower id pads with en stopwords (quality ≈ 0.9259, pred_lang en),
+    // the higher id with es markers + non-stopwords (quality 1.0,
+    // pred_lang es) — both pass every prep filter, so the ONLY
+    // difference between the arms is which cluster member survives.
+    val body = (0 until 100).map(i => s"w${i}word").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("prepkeepbest").toString
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    base.unionByName(Seq(
+        (9000001L, body + " the of and a to the of and", "en", "srcx", 1L),
+        (9000002L, body + " victor uniform tango sierra " +
+          "el los las el los las el los", "en", "srcx", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = ext.Dedup.ngramJaccardPairs(spark, tmp)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val labels = ext.Dedup.connectedComponents(pairs)._1
+    def survivors(keepBest: Boolean): Set[Long] =
+      ext.CorpusPrep.trainingCorpus(spark, tmp, Some(labels),
+          keepBest = keepBest)
+        .filter(col("doc_id") >= 9000000L).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    val lowestId = survivors(keepBest = false)
+    val argmax = survivors(keepBest = true)
+    assert(lowestId == Set(9000001L),
+      s"lowest-id arm must retain the lower id only: $lowestId")
+    assert(argmax == Set(9000002L),
+      s"keep-best arm must retain the quality argmax only: $argmax")
+  }
+
+  test("NB admission scores exactly the unadmitted half under frozen train counts") {
+    import spark.implicits._
+    // Fully planted corpus: train half (ids < 2) defines two classes
+    // with disjoint vocabularies; the held half must be scored — and
+    // ONLY it — with each held doc predicted as the class whose frozen
+    // token counts it matches.
+    val tmp = java.nio.file.Files.createTempDirectory("nbadmit").toString
+    Seq(
+        (0L, "apple banana apple apple", "en", "srca", 1L),
+        (1L, "zebra yak zebra yak yak", "en", "srcb", 1L),
+        (2L, "apple apple banana", "en", "srca", 1L),
+        (3L, "zebra zebra yak", "en", "srcb", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ext.Selection.xTextNbAdmit(spark, tmp).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 3L),
+      "admission arm must score exactly the upper-id half")
+    val pred = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("pred_source")).toMap
+    assert(pred == Map(2L -> "srca", 3L -> "srcb"),
+      s"frozen-count scoring must recover the planted classes: $pred")
+    assert(rows.forall(_.getAs[Long]("hit") == 1L))
   }
 
   // md5 id bucket as the operators compute it (first 8 hex digits % 100)
