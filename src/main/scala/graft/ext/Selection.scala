@@ -117,6 +117,44 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** The FROZEN DSIR state a streaming gate ships to executors: every
+    * source-vocabulary token's log-ratio term (the same IEEE doubles
+    * the batch chain computes per joined row), the unseen-token default
+    * (the smoothed ratio at nt = ns = 0 — what add-1 reserves for
+    * tokens outside the frozen vocabulary), and the Nth-(weight, id)
+    * cutoff pair from the gated top-N cut. The collect is bounded by
+    * the source VOCABULARY (the artifact a production run would
+    * broadcast to ingest workers), never by the corpus.
+    */
+  def dsirFrozen(spark: SparkSession, dir: String, selectN: Int = 100)
+      : (Map[String, Double], Double, Double, Long) = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(docs)
+    val tgtToks = toks.filter(TextAnalysis.md5Bucket(100) < 20)
+    val sfreq = toks.groupBy("tok").agg(count(lit(1)).as("ns"))
+    val tfreq = tgtToks.groupBy("tok").agg(count(lit(1)).as("nt"))
+    val consts = sfreq.agg(sum(col("ns")).as("ns_tot"),
+        count(lit(1)).as("v"))
+      .crossJoin(tfreq.agg(coalesce(sum(col("nt")), lit(0L)).as("nt_tot")))
+    val ratios = sfreq.join(tfreq, Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("tok"),
+        (log((coalesce(col("nt"), lit(0L)) + lit(1L)) /
+          (col("nt_tot") + col("v")).cast("double")) -
+         log((col("ns") + lit(1L)) /
+          (col("ns_tot") + col("v")).cast("double"))).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val unseen = consts.select(
+        (log(lit(1L) / (col("nt_tot") + col("v")).cast("double")) -
+         log(lit(1L) / (col("ns_tot") + col("v")).cast("double"))).as("d"))
+      .head().getDouble(0)
+    val cut = xDsirSelect(spark, dir, selectN)
+      .filter(col("selected") === 1L)
+      .orderBy(col("dsir_weight"), desc("doc_id")).limit(1)
+      .select("dsir_weight", "doc_id").head()
+    (ratios, unseen, cut.getDouble(0), cut.getLong(1))
+  }
+
   /** Multinomial Naive-Bayes classifier over the `source` label: priors
     * and per-(class, token) counts from the train split (md5 bucket
     * < 80, the x_train_val_split convention), held-out docs scored as

@@ -294,6 +294,41 @@ object StreamOps {
       md5(concat_ws("|", col("toks"))).as("tok_hash"))
   }
 
+  /** Streaming DSIR selection gate — the selection family's online
+    * half, the assignVectors idiom for importance resampling: the
+    * per-token log-ratio table, the unseen-token default, and the
+    * Nth-(weight, id) cutoff are computed ONCE batch-side
+    * (Selection.dsirFrozen — the broadcastable artifact), frozen, and
+    * applied to each arriving document as a STATELESS narrow map — the
+    * token fold is one codegen'd `aggregate` over the doc's own tokens,
+    * so there is no state store, no watermark, and no shuffle; at
+    * cluster scale this is a pure per-executor pass over the ingest
+    * stream. Re-estimating the distributions inside the stream would
+    * move every previously admitted document's weight (the frozen-
+    * quantizer argument), so production DSIR gates version the ratio
+    * table instead of updating it. Tokenless docs report a null weight
+    * and are never selected, mirroring the batch left join; ties at the
+    * frozen cutoff resolve by the same lexicographic (weight, id) rule,
+    * so replaying the training corpus reproduces the batch cut exactly
+    * (spec-gated, split across micro-batches to prove statelessness).
+    */
+  def selectDocs(docs: Dataset[DocIn], ratios: Map[String, Double],
+      unseenRatio: Double, cutW: Double, cutId: Long): DataFrame = {
+    val toks = filter(
+      split(graft.functions.VectorFunctions.simpleLower(col("text")), " "),
+      t => t =!= "")
+    val rmap = typedlit(ratios)
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        when(size(toks) === 0, lit(null).cast("double"))
+          .otherwise(round(aggregate(toks, lit(0.0),
+            (acc, t) => acc + coalesce(element_at(rmap, t), lit(unseenRatio))), 4))
+          .as("dsir_weight"))
+      .withColumn("selected",
+        when(col("dsir_weight") > lit(cutW) ||
+          (col("dsir_weight") === lit(cutW) && col("doc_id") <= lit(cutId)),
+          lit(1L)).otherwise(lit(0L)))
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

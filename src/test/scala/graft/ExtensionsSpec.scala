@@ -1282,6 +1282,47 @@ class ExtensionsSpec extends AnyFunSuite {
       s"keep-best arm must retain the quality argmax only: $argmax")
   }
 
+  test("streaming DSIR gate reproduces the frozen batch cut across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Batch truth: the gated top-N cut. Frozen state: the per-token
+    // log-ratio table + the Nth-(weight, id) threshold. Replaying the
+    // SAME corpus through the stateless streaming gate must reproduce
+    // every (n_tokens, weight, selected) row — split mid-stream, so a
+    // result depending on micro-batch contents would diverge.
+    val batch = ext.Selection.xDsirSelect(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"),
+          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
+          r.getAs[Long]("selected")))).toMap
+    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps
+      .selectDocs(input.toDS(), ratios, unseen, cutW, cutId)
+      .writeStream.format("memory").queryName("dsir_gate_out")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, n_tokens, dsir_weight, selected FROM dsir_gate_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
+          r.getLong(3)))).toMap
+    query.stop()
+    assert(streamed == batch,
+      s"streaming gate diverged from the frozen batch cut " +
+        s"(stream=${streamed.size} rows, batch=${batch.size} rows)")
+    assert(streamed.values.count(_._3 == 1L) == 100,
+      "the frozen threshold must admit exactly the batch top-N on replay")
+  }
+
   test("NB admission scores exactly the unadmitted half under frozen train counts") {
     import spark.implicits._
     // Fully planted corpus: train half (ids < 2) defines two classes
