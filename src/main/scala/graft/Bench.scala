@@ -157,14 +157,24 @@ object Bench {
     // compute-bound (proportionally less noisy) and already gated on
     // plan flips, so tripling them would cost ~2 driver minutes for no
     // added signal. "--sweep-n 1" restores the historical single run.
+    // "--runs N" sets the per-query run count in ISOLATION mode (default
+    // 3 — best-of-3): "--runs 1" is the probe-session mode, where a
+    // single wall+CPU+plans sample on a multi-minute 100× query is the
+    // whole point and two more runs would triple a deliberate cost.
     val sweepN: Int = args.sliding(2).collectFirst {
       case Array("--sweep-n", n) => n.toInt
     }.getOrElse(3)
     require(sweepN >= 1, s"--sweep-n must be >= 1, got $sweepN")
+    val nRuns: Int = args.sliding(2).collectFirst {
+      case Array("--runs", n) => n.toInt
+    }.getOrElse(3)
+    require(nRuns >= 1, s"--runs must be >= 1, got $nRuns")
     val only: Set[String] = {
-      val qs = args.toVector
-      val i = qs.indexOf("--sweep-n")
-      (if (i >= 0) qs.patch(i, Nil, 2) else qs).toSet
+      val dropFlag = (qs: Vector[String], flag: String) => {
+        val i = qs.indexOf(flag)
+        if (i >= 0) qs.patch(i, Nil, 2) else qs
+      }
+      dropFlag(dropFlag(args.toVector, "--sweep-n"), "--runs").toSet
     }
     // Validate names BEFORE building the session: a mistyped query used
     // to pay session startup + two calibration passes before erroring.
@@ -206,7 +216,7 @@ object Bench {
       // best-of-3: absorbs one-off JIT/GC noise per query. The cache is
       // cleared before each timed run so intra-query persist() still works
       // but nothing is served warm from a previous run or query.
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to (if (only.nonEmpty) nRuns else 3)).map { _ =>
         spark.catalog.clearCache()
         val cpu0 = cpuNow()
         val t0 = System.nanoTime()

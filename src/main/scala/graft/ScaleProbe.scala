@@ -67,7 +67,14 @@ object ScaleProbe {
     "x_dedup_keep_best", "x_dsir_select", "x_text_nb_class", "x_knn_graph",
     // the DSIR-composed prep: the llm chain + the flat x_dsir_select
     // shape + one 8-byte semi-join
-    "x_llm_corpus_prep_dsir")
+    "x_llm_corpus_prep_dsir",
+    // round-9 additions, the identical-replica guards measured at 100×:
+    // exact vector collapse is ONE hash shuffle (flat under any
+    // replication); the clean LSH arm runs the banded join over exact
+    // keepers only (replication cost collapses with the duplicates);
+    // the k64 graph arm is the k ~ √N density knob on the within-cell
+    // pair join
+    "x_dedup_emb_exact", "x_dedup_emb_cosine_lsh_clean", "x_knn_graph_k64")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -91,7 +98,17 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // Build the Nx dir: replicated fact-side tables with shifted keys,
-    // dims/other tables reused from the base directory.
+    // dims/other tables reused from the base directory. Building the
+    // 100× dir costs ~10 min of the probe session, so a marker file
+    // records (base, replicas) and a re-probe against the same pair
+    // reuses the directory — probing new query subsets at the same
+    // scale pays the build once, not per sbt invocation.
+    val marker = new java.io.File(s"$work/_graft_probe_marker")
+    val markerWant = s"$base x$nReplicas"
+    val reuse = marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString.trim == markerWant finally src.close()
+    }
     def replicateBy(df: org.apache.spark.sql.DataFrame, key: String, shift: Long) =
       (0 until nReplicas).map(r =>
         df.withColumn(key, col(key) + lit(r * shift))).reduce(_ unionByName _)
@@ -100,25 +117,29 @@ object ScaleProbe {
     // shifts ever diverged, the exclusion would silently exclude nothing
     // and the recall gate would pass vacuously on duplicate self-hits.
     val idShift = 10000000L
-    replicateBy(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
-      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
-    replicateBy(Tables.documents(spark, base), "doc_id", idShift)
-      .write.mode("overwrite").parquet(s"$work/documents.parquet")
-    replicateBy(Tables.embeddings(spark, base), "vec_id", idShift)
-      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "events").foreach { t =>
-      val target = new java.io.File(s"$work/$t.parquet")
-      // A crashed prior run may have left a real directory here, which
-      // deleteIfExists can't remove — delete recursively.
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
-          f.listFiles().foreach(rm)
-        f.delete()
+    if (!reuse) {
+      replicateBy(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
+        .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+      replicateBy(Tables.documents(spark, base), "doc_id", idShift)
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      replicateBy(Tables.embeddings(spark, base), "vec_id", idShift)
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "events").foreach { t =>
+        val target = new java.io.File(s"$work/$t.parquet")
+        // A crashed prior run may have left a real directory here, which
+        // deleteIfExists can't remove — delete recursively.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+            f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (target.exists() || java.nio.file.Files.isSymbolicLink(target.toPath)) rm(target)
+        java.nio.file.Files.createSymbolicLink(target.toPath,
+          java.nio.file.Paths.get(s"$base/$t.parquet"))
       }
-      if (target.exists() || java.nio.file.Files.isSymbolicLink(target.toPath)) rm(target)
-      java.nio.file.Files.createSymbolicLink(target.toPath,
-        java.nio.file.Paths.get(s"$base/$t.parquet"))
+      val mw = new java.io.PrintWriter(marker)
+      try mw.print(markerWant) finally mw.close()
     }
 
     def time(dir: String, name: String): Double = {

@@ -643,6 +643,44 @@ object Dedup {
     * Similarity.xDedupEmbCosineLsh — signature-blocked candidates, same
     * verdicts, cross-label reach).
     */
+  /** Exact-duplicate verdicts over the EMBEDDING corpus — the vector
+    * counterpart of x_dedup_exact, and the mandatory UPSTREAM stage for
+    * every similarity-blocked dedup at scale: bit-identical vectors
+    * share every LSH signature and every quantizer cell, so geometric
+    * blocking concentrates them instead of separating them (the 100×
+    * identical-replication cliff measured in SCALE.md — pair joins go
+    * quadratic in the replica count). Collapsing exact duplicates is a
+    * HASH problem: one window keyed by the embedding itself (Spark
+    * hash-partitions the array; the float bytes came from the same
+    * parquet, so equality is bitwise on both engines — the same reason
+    * the int8/Lloyd arithmetic is portable). Each vector reports its
+    * group's min-id keeper; at 100 TB this is one shuffle of the
+    * vectors, the exact-text-dedup shape with a wider key.
+    */
+  def xDedupEmbExact(spark: SparkSession, dir: String): DataFrame =
+    withEmbKeeper(spark, dir)
+      .select(col("vec_id"), col("keeper_id"),
+        when(col("vec_id") =!= col("keeper_id"), lit(1L)).otherwise(lit(0L))
+          .as("is_dup"))
+      .orderBy("vec_id")
+
+  /** The keeper-only embedding relation (exact duplicates collapsed to
+    * their min-id representative) — what similarity-blocked dedup and
+    * index builds should consume. Shared by the gated
+    * x_dedup_emb_cosine_lsh_clean arm; one definition so the composed
+    * arm and the verdict operator can never disagree on who survives.
+    */
+  def embExactKeepers(spark: SparkSession, dir: String): DataFrame =
+    withEmbKeeper(spark, dir)
+      .filter(col("vec_id") === col("keeper_id")).drop("keeper_id")
+
+  private def withEmbKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .withColumn("keeper_id", min(col("vec_id")).over(w))
+  }
+
   def xDedupEmbCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
@@ -671,7 +709,8 @@ object Dedup {
     "x_dedup_minhash_fast"  -> (xDedupMinhashFast _),
     "x_dedup_simhash"       -> (xDedupSimhash _),
     "x_dedup_chunks"        -> (xDedupChunks _),
-    "x_dedup_emb_cosine"    -> (xDedupEmbCosine _))
+    "x_dedup_emb_cosine"    -> (xDedupEmbCosine _),
+    "x_dedup_emb_exact"     -> (xDedupEmbExact _))
 
   /** The DuckDB twin of xDedupMinhashLsh, generated from the SAME
     * permutation constants the Spark side uses — the gram Horner fold is
@@ -907,5 +946,17 @@ object Dedup {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.8
-        |ORDER BY a.label, id1, id2""".stripMargin)
+        |ORDER BY a.label, id1, id2""".stripMargin,
+    // Exact-dup twin: the same min-id window keyed by the embedding list
+    // itself — FLOAT[] equality is bitwise on both engines because both
+    // read the identical parquet bytes (no arithmetic ever runs).
+    "x_dedup_emb_exact" ->
+      """SELECT vec_id, keeper_id,
+        |  CAST(CASE WHEN vec_id <> keeper_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_dup
+        |FROM (
+        |  SELECT vec_id,
+        |    min(vec_id) OVER (PARTITION BY embedding) AS keeper_id
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin)
 }

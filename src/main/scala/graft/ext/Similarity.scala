@@ -410,6 +410,25 @@ object Similarity {
     lshVerifiedPairs(buckets, buckets, e)
   }
 
+  /** The banded dedup with exact-duplicate collapse composed UPSTREAM:
+    * the signature chain runs over Dedup.embExactKeepers (min-id
+    * representatives of bit-identical vectors) instead of the raw
+    * corpus. Identical vectors share every hyperplane sign, so no
+    * banding can separate them — an exact-replica cluster of size m
+    * packs m rows into each of its 12 buckets and the collision join
+    * pays m² per bucket (the measured 100×-replication cliff:
+    * SCALE.md). Hash-collapsing them FIRST bounds every bucket by
+    * DISTINCT-vector occupancy; near-dup semantics are unchanged
+    * because a dropped duplicate's verdicts are its keeper's verdicts
+    * with a different id. This ordering (exact before similarity) is
+    * the same staging x_llm_corpus_prep uses on text.
+    */
+  def xDedupEmbCosineLshClean(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
+    val buckets = lshInvertedList(e)
+    lshVerifiedPairs(buckets, buckets, e)
+  }
+
   /** The (vec_id, tbl, bucket) inverted-list relation behind the LSH
     * dedup family — every vector exploded to its 12 exact-signature
     * memberships (the SQL `corpus` CTE of lshCorpusCtes, Spark-side).
@@ -583,8 +602,8 @@ object Similarity {
     * idiom), so cross-engine ulp drift cannot flip a rank.
     */
   def xKnnGraph(spark: SparkSession, dir: String,
-      kNeighbors: Int = 5): DataFrame = {
-    val (assigned, _) = ivfAssigned(spark, dir, 16, 1)
+      kNeighbors: Int = 5, kCells: Int = 16, rounds: Int = 1): DataFrame = {
+    val (assigned, _) = ivfAssigned(spark, dir, kCells, rounds)
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = assigned.select(col("cell"), col("vec_id").as("id2"),
@@ -1106,7 +1125,20 @@ object Similarity {
     // with a non-default k.
     "x_dedup_semantic_k64r3" -> ((s: SparkSession, d: String) =>
       xDedupSemantic(s, d, 64, 3)),
-    "x_knn_graph" -> ((s: SparkSession, d: String) => xKnnGraph(s, d)))
+    "x_knn_graph" -> ((s: SparkSession, d: String) => xKnnGraph(s, d)),
+    // The graph's k ~ √N density arm (the x_dedup_semantic_k64 pattern):
+    // 4× the cells shrink every within-cell pair block ~4× — the knob
+    // the 100× probe measured as the first-line guard for cell crowding.
+    "x_knn_graph_k64" -> ((s: SparkSession, d: String) =>
+      xKnnGraph(s, d, 5, 64, 1)),
+    // Exact-duplicate collapse composed UPSTREAM of the banded near-dup
+    // join: identical vectors share every signature, so NO geometric
+    // blocking can separate them — dedup of bit-identical embeddings is
+    // a hash-shuffle problem, not a similarity problem, and running it
+    // first bounds every LSH bucket by the number of DISTINCT vectors
+    // (the 100×-replication cliff measured in SCALE.md). Pairs are the
+    // banded operator's verdicts restricted to exact-dup keepers.
+    "x_dedup_emb_cosine_lsh_clean" -> (xDedupEmbCosineLshClean _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -1126,7 +1158,11 @@ object Similarity {
     * hyperplanes embedded as literal DOUBLE[64] lists from the SAME
     * seed-42 matrices the codegen'd expression references.
     */
-  private def lshCorpusCtes: String = {
+  /** `src` swaps the relation the signature chain reads — the default
+    * emits byte-identical SQL to the historical twin; the clean arm
+    * passes its keeper CTE (exact duplicates collapsed upstream).
+    */
+  private def lshCorpusCtes(src: String = "embeddings"): String = {
     def planeList(p: Array[Double]) = p.mkString("[", ", ", "]")
     def sigT(t: Int): String =
       tablePlanes(t).foldLeft("0::BIGINT") { (acc, plane) =>
@@ -1138,7 +1174,7 @@ object Similarity {
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       |  FROM embeddings),
+       |  FROM $src),
        |sig AS (
        |  SELECT vec_id,
        |$sigCols
@@ -1151,7 +1187,7 @@ object Similarity {
   private def annLshOracleSql: String = {
     val maskRows = (0 until nTables).flatMap(t =>
       probeMasks.map(m => s"('s$t', $m)")).mkString(",\n    ")
-    s"""WITH $lshCorpusCtes,
+    s"""WITH ${lshCorpusCtes()},
        |masks(tbl, m) AS (VALUES
        |    $maskRows),
        |probes AS (
@@ -1327,8 +1363,9 @@ object Similarity {
     * threshold verdict. CTE names disjoint from the chain's (e, seeds,
     * d0, a0 …) per the composed-generator rule.
     */
-  private def knnGraphOracleSql(kNeighbors: Int = 5): String =
-    s"""${ivfAssignOracleCtes(16, 1)},
+  private def knnGraphOracleSql(kNeighbors: Int = 5, k: Int = 16,
+      rounds: Int = 1): String =
+    s"""${ivfAssignOracleCtes(k, rounds)},
        |gph AS (
        |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
        |  FROM a1 JOIN e USING (vec_id)),
@@ -1756,7 +1793,7 @@ object Similarity {
     // LSH-blocked cosine dedup twin: the shared signature/inverted-list
     // chain, any-table collision candidates, exact verdicts.
     "x_dedup_emb_cosine_lsh" ->
-      s"""WITH $lshCorpusCtes,
+      s"""WITH ${lshCorpusCtes()},
          |cd AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM corpus a JOIN corpus b
@@ -1774,7 +1811,7 @@ object Similarity {
     // new-id (upper-half) larger sides — the frozen-index probe replayed
     // deterministically (// is DuckDB floor-div, matching Spark's div).
     "x_dedup_emb_cosine_lsh_admit" ->
-      s"""WITH $lshCorpusCtes,
+      s"""WITH ${lshCorpusCtes()},
          |cd AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM corpus a JOIN corpus b
@@ -1793,6 +1830,31 @@ object Similarity {
     "x_dedup_semantic_k64" -> semanticOracleSql(64, 1),
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
     "x_knn_graph" -> knnGraphOracleSql(),
+    "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
+    // Clean-arm twin: the keeper window CTE (bit-identical FLOAT[]
+    // equality, the x_dedup_emb_exact twin's shape) feeds the SAME
+    // signature/collision/verdict chain via the parameterized source.
+    "x_dedup_emb_cosine_lsh_clean" ->
+      s"""WITH uq AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT vec_id, embedding,
+         |      min(vec_id) OVER (PARTITION BY embedding) AS keeper_id
+         |    FROM embeddings)
+         |  WHERE vec_id = keeper_id),
+         |${lshCorpusCtes("uq")},
+         |cd AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM corpus a JOIN corpus b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |cpairs AS (
+         |  SELECT cd.id1, cd.id2,
+         |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+         |  FROM cd
+         |  JOIN e x ON x.vec_id = cd.id1
+         |  JOIN e y ON y.vec_id = cd.id2)
+         |SELECT id1, id2, cosine FROM cpairs
+         |WHERE cosine >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -1220,6 +1220,73 @@ class ExtensionsSpec extends AnyFunSuite {
       s"admission arm missed planted new-batch pairs: $admit")
   }
 
+  test("exact vector dedup collapses planted replicas; clean LSH arm keeps near-dups") {
+    import spark.implicits._
+    // Plant two BIT-IDENTICAL replicas of vector 0 plus one scaled
+    // near-dup (different bytes, cosine exactly 1.0). Exact dedup must
+    // collapse only the identical pair to the min-id keeper (vec 0);
+    // the clean LSH arm must (a) never emit a pair touching a collapsed
+    // replica — identical vectors are the banded join's quadratic worst
+    // case and its reason to run downstream of the hash collapse — and
+    // (b) still find the genuine near-dup pair among keepers, proving
+    // the collapse removes replicas, not semantics.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9000011L, v.toArray, 7),
+      (9000012L, v.toArray, 7),
+      (9000013L, v.map(_ * 1.01f).toArray, 7))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("embexact").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val verdicts = ext.Dedup.xDedupEmbExact(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("is_dup")))).toMap
+    assert(verdicts(9000011L) == ((0L, 1L)), s"replica 11: ${verdicts(9000011L)}")
+    assert(verdicts(9000012L) == ((0L, 1L)), s"replica 12: ${verdicts(9000012L)}")
+    assert(verdicts(0L) == ((0L, 0L)), "keeper 0 flagged as dup")
+    assert(verdicts(9000013L) == ((9000013L, 0L)),
+      "scaled near-dup (distinct bytes) wrongly collapsed by exact dedup")
+    val keepers = ext.Dedup.embExactKeepers(spark, tmp)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!keepers(9000011L) && !keepers(9000012L))
+    assert(keepers(0L) && keepers(9000013L))
+    // Clean arm == the full banded arm restricted to keeper pairs: the
+    // collapse changes COST (bucket occupancy), never which distinct
+    // vectors count as near-dups.
+    val full = ext.Similarity.xDedupEmbCosineLsh(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val clean = ext.Similarity.xDedupEmbCosineLshClean(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(clean == full.filter { case (a, b) => keepers(a) && keepers(b) },
+      "clean arm is not the keeper restriction of the full arm")
+    assert(clean.contains((0L, 9000013L)), s"near-dup keeper pair lost: $clean")
+    assert(!clean.exists { case (a, b) =>
+      a == 9000011L || b == 9000011L || a == 9000012L || b == 9000012L },
+      s"collapsed replica reached the banded join: $clean")
+  }
+
+  test("knn graph k64 density arm keeps rank semantics with 4x the cells") {
+    val g = ext.Similarity.xKnnGraph(spark, sf, 5, 64, 1).collect()
+    assert(g.nonEmpty)
+    val byVec = g.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (id, rows) =>
+      val ranks = rows.map(_.getAs[Long]("nn_rank")).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
+        s"vec $id ranks not contiguous-from-1: ${ranks.mkString(",")}")
+      assert(rows.map(_.getAs[Long]("nn_id")).distinct.length == rows.length,
+        s"vec $id repeats a neighbor")
+      rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
+    }
+    // The density knob must take: strictly more, smaller cells mean the
+    // total candidate volume shrinks vs the k=16 default graph.
+    val g16 = ext.Similarity.xKnnGraph(spark, sf).collect()
+    assert(byVec.size >= g16.groupBy(_.getAs[Long]("vec_id")).size / 2,
+      "k64 arm silently dropped most vectors")
+  }
+
   test("keep-best dedup retains the higher-quality member, not the lower id") {
     import spark.implicits._
     // Two planted near-dups sharing a ~100-token unique body (rare

@@ -25,7 +25,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query runs and returns a non-degenerate result") {
     val empties = Seq("x_dedup_emb_cosine", "x_dedup_emb_cosine_lsh",
-      "x_dedup_emb_cosine_lsh_admit",
+      "x_dedup_emb_cosine_lsh_admit", "x_dedup_emb_cosine_lsh_clean",
       "x_dedup_simhash") // may legitimately have 0 pairs
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
