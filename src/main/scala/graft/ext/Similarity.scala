@@ -333,8 +333,9 @@ object Similarity {
 
   private def ivfAssigned(spark: SparkSession, dir: String,
       k: Int = 16, rounds: Int = 1,
-      hashSpread: Boolean = false): (DataFrame, Array[Array[Double]]) = {
-    val e = withVecNorm(Tables.embeddings(spark, dir))
+      hashSpread: Boolean = false,
+      srcOverride: Option[DataFrame] = None): (DataFrame, Array[Array[Double]]) = {
+    val e = withVecNorm(srcOverride.getOrElse(Tables.embeddings(spark, dir)))
     val cents = lloydCentroids(e, k, rounds, hashSpread)
     (e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist(),
@@ -602,8 +603,10 @@ object Similarity {
     * idiom), so cross-engine ulp drift cannot flip a rank.
     */
   def xKnnGraph(spark: SparkSession, dir: String,
-      kNeighbors: Int = 5, kCells: Int = 16, rounds: Int = 1): DataFrame = {
-    val (assigned, _) = ivfAssigned(spark, dir, kCells, rounds)
+      kNeighbors: Int = 5, kCells: Int = 16, rounds: Int = 1,
+      srcOverride: Option[DataFrame] = None): DataFrame = {
+    val (assigned, _) = ivfAssigned(spark, dir, kCells, rounds,
+      srcOverride = srcOverride)
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = assigned.select(col("cell"), col("vec_id").as("id2"),
@@ -1131,6 +1134,14 @@ object Similarity {
     // the 100× probe measured as the first-line guard for cell crowding.
     "x_knn_graph_k64" -> ((s: SparkSession, d: String) =>
       xKnnGraph(s, d, 5, 64, 1)),
+    // The graph over exact keepers — identical replicas are inseparable
+    // by ANY cell layout (they quantize together by construction), so a
+    // corpus with duplicates must collapse them BEFORE the graph build,
+    // exactly as the banded dedup's clean arm does. Quantizer trained on
+    // the keepers (the deduped corpus IS the production input). On a
+    // duplicate-free corpus this is bitwise-identical to x_knn_graph.
+    "x_knn_graph_clean" -> ((s: SparkSession, d: String) =>
+      xKnnGraph(s, d, srcOverride = Some(Dedup.embExactKeepers(s, d)))),
     // Exact-duplicate collapse composed UPSTREAM of the banded near-dup
     // join: identical vectors share every signature, so NO geometric
     // blocking can separate them — dedup of bit-identical embeddings is
@@ -1363,9 +1374,24 @@ object Similarity {
     * threshold verdict. CTE names disjoint from the chain's (e, seeds,
     * d0, a0 …) per the composed-generator rule.
     */
+  /** The min-id keeper CTE over bit-identical embeddings — the
+    * x_dedup_emb_exact twin's window reshaped as a prelude relation;
+    * shared by every clean-arm twin so the collapse can never drift
+    * between the verdict operator and its compositions.
+    */
+  private val embKeeperCte: String =
+    """uq AS (
+      |  SELECT vec_id, embedding FROM (
+      |    SELECT vec_id, embedding,
+      |      min(vec_id) OVER (PARTITION BY embedding) AS keeper_id
+      |    FROM embeddings)
+      |  WHERE vec_id = keeper_id)""".stripMargin
+
   private def knnGraphOracleSql(kNeighbors: Int = 5, k: Int = 16,
-      rounds: Int = 1): String =
-    s"""${ivfAssignOracleCtes(k, rounds)},
+      rounds: Int = 1, srcTable: String = "embeddings",
+      prelude: String = ""): String =
+    s"""${ivfAssignOracleCtes(k, rounds, srcTable = srcTable,
+         prelude = prelude)},
        |gph AS (
        |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
        |  FROM a1 JOIN e USING (vec_id)),
@@ -1831,16 +1857,15 @@ object Similarity {
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
     "x_knn_graph" -> knnGraphOracleSql(),
     "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
+    // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
+    // graph chain over `uq` — trained on keepers, like the Spark side.
+    "x_knn_graph_clean" -> knnGraphOracleSql(
+      srcTable = "uq", prelude = s"$embKeeperCte,\n"),
     // Clean-arm twin: the keeper window CTE (bit-identical FLOAT[]
     // equality, the x_dedup_emb_exact twin's shape) feeds the SAME
     // signature/collision/verdict chain via the parameterized source.
     "x_dedup_emb_cosine_lsh_clean" ->
-      s"""WITH uq AS (
-         |  SELECT vec_id, embedding FROM (
-         |    SELECT vec_id, embedding,
-         |      min(vec_id) OVER (PARTITION BY embedding) AS keeper_id
-         |    FROM embeddings)
-         |  WHERE vec_id = keeper_id),
+      s"""WITH $embKeeperCte,
          |${lshCorpusCtes("uq")},
          |cd AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2

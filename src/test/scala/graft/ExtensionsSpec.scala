@@ -1266,6 +1266,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!clean.exists { case (a, b) =>
       a == 9000011L || b == 9000011L || a == 9000012L || b == 9000012L },
       s"collapsed replica reached the banded join: $clean")
+    // The clean kNN graph: collapsed replicas never appear as a node or
+    // a neighbor; the surviving near-dup keeper still ranks next to its
+    // direction-mate (the graph is over the deduped corpus, semantics
+    // otherwise untouched).
+    val gClean = ext.Similarity.xKnnGraph(spark, tmp,
+      srcOverride = Some(ext.Dedup.embExactKeepers(spark, tmp))).collect()
+    val gIds = gClean.flatMap(r => Seq(r.getAs[Long]("vec_id"),
+      r.getAs[Long]("nn_id"))).toSet
+    assert(!gIds(9000011L) && !gIds(9000012L),
+      "collapsed replica survived into the clean knn graph")
+    assert(gIds(9000013L), "keeper near-dup missing from the clean graph")
+  }
+
+  test("clean knn graph is bitwise-identical to the base graph on a dup-free corpus") {
+    // The raw synthetic embeddings contain no bit-identical pair, so the
+    // keeper relation IS the corpus: same Lloyd input, same centroids,
+    // same cells, same ranks — byte-for-byte. This pins that the clean
+    // arm changes COST on duplicated corpora, never semantics on clean
+    // ones.
+    val base = ext.Similarity.xKnnGraph(spark, sf).collect().map(_.toString)
+    val clean = ext.Similarity.xKnnGraph(spark, sf,
+      srcOverride = Some(ext.Dedup.embExactKeepers(spark, sf)))
+      .collect().map(_.toString)
+    assert(base.sameElements(clean), "clean graph diverged on a dup-free corpus")
   }
 
   test("knn graph k64 density arm keeps rank semantics with 4x the cells") {
