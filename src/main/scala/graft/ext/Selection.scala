@@ -182,6 +182,59 @@ object Selection {
     nbClass(spark, dir, col("doc_id") < split)
   }
 
+  /** The FROZEN NB state a streaming classifier gate ships to executors
+    * — the dsirFrozen idiom for the admission classifier: per class, the
+    * ln prior, the unseen-token default ln(1/(T_class+V)) (what add-1
+    * reserves for tokens with no frozen count, including tokens outside
+    * the train vocabulary entirely — both reach the same smoothed term
+    * through the batch chain's left join), and the token → smoothed-ln
+    * conditional map. Every double is computed by the SAME Spark `log`
+    * expressions the batch chain evaluates per joined row, so the frozen
+    * terms are the batch terms, not a re-derivation. The collect is
+    * bounded by |classes| × train VOCABULARY (the artifact a production
+    * run broadcasts to ingest workers), never by the corpus.
+    */
+  def nbFrozen(spark: SparkSession, dir: String)
+      : Seq[(String, Double, Double, Map[String, Double])] = {
+    val split = Tables.documents(spark, dir)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tr", col("doc_id") < split)
+    val trainToks = docs.filter(col("tr"))
+      .select(col("source"), explode(split2(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val classes = docs.filter(col("tr"))
+      .groupBy(col("source").as("cls")).agg(count(lit(1)).as("ndc"))
+      .join(trainToks.groupBy(col("source").as("cls"))
+        .agg(count(lit(1)).as("tc")), Seq("cls"))
+      .crossJoin(docs.filter(col("tr")).agg(count(lit(1)).as("nd_tot")))
+      .crossJoin(trainToks.agg(countDistinct(col("tok")).as("v")))
+    val meta = classes.select(col("cls"),
+        log(col("ndc") / col("nd_tot").cast("double")).as("ln_prior"),
+        log(lit(1L) / (col("tc") + col("v")).cast("double")).as("dflt"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val terms = trainToks.groupBy(col("source").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("ctk"))
+      .join(broadcast(classes.select("cls", "tc", "v")), Seq("cls"))
+      .select(col("cls"), col("tok"),
+        log((col("ctk") + lit(1L)) / (col("tc") + col("v")).cast("double"))
+          .as("term"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cls, rows) =>
+        cls -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      }
+    meta.toSeq.sortBy(_._1).map { case (cls, (prior, dflt)) =>
+      (cls, prior, dflt, terms.getOrElse(cls, Map.empty))
+    }
+  }
+
+  /** Token-array split shared by nbFrozen and the streaming gate — the
+    * exact split the batch tokenizer applies before its explode.
+    */
+  private def split2(text: Column): Column = split(lowerS(text), " ")
+
   private def nbClass(spark: SparkSession, dir: String,
       trainCond: Column): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -329,6 +329,51 @@ object StreamOps {
           lit(1L)).otherwise(lit(0L)))
   }
 
+  case class LabeledDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+    source: String)
+
+  /** Streaming frozen-count NB classifier — the selection family's other
+    * online half, completing the admission matrix's streaming column
+    * (quantizer/BPE/DSIR gates all have one): the class priors, unseen-
+    * token defaults, and per-(class, token) smoothed-ln terms are
+    * trained ONCE batch-side (Selection.nbFrozen — the broadcastable
+    * artifact, |classes| × vocab entries), frozen, and each arriving
+    * document is scored against every class in a STATELESS narrow map —
+    * one codegen'd `aggregate` fold per class over the doc's own tokens,
+    * no state store, no watermark, no shuffle. Re-counting admitted docs
+    * inside the stream would shift every score the moment a batch
+    * arrived (the frozen-quantizer argument), so production classifier
+    * gates version the count table instead of updating it. The argmax
+    * folds over the per-class struct list with the batch tiebreak
+    * (rounded score DESC, class name ASC), so replaying the held-out
+    * half reproduces the batch admission rows exactly (spec-gated, split
+    * across micro-batches to prove statelessness).
+    */
+  def classifyDocs(docs: Dataset[LabeledDoc],
+      classes: Seq[(String, Double, Double, Map[String, Double])]): DataFrame = {
+    require(classes.nonEmpty, "frozen NB state must carry at least one class")
+    val toks = filter(
+      split(graft.functions.VectorFunctions.simpleLower(col("text")), " "),
+      t => t =!= "")
+    val scored = classes.map { case (cls, lnPrior, dflt, terms) =>
+      val tmap = typedlit(terms)
+      val s = round(lit(lnPrior) + aggregate(toks, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(tmap, t), lit(dflt))), 4)
+      // Negated leading field turns struct MIN into the batch argmax
+      // order (rounded score DESC, class ASC). A when-chain fold would
+      // embed the accumulator 3× per class — exponential expression
+      // size at 20 classes; array_min keeps each class's subtree once.
+      struct((-s).as("neg_score"), lit(cls).as("cls"), s.as("nb_score"))
+    }
+    val best = array_min(array(scored: _*))
+    docs.select(col("doc_id"), col("source").as("true_source"),
+        best.getField("cls").as("pred_source"),
+        best.getField("nb_score").as("nb_score"))
+      .withColumn("hit",
+        when(col("pred_source") === col("true_source"), lit(1L))
+          .otherwise(lit(0L)))
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -1438,6 +1438,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("hit") == 1L))
   }
 
+  test("streaming NB gate reproduces the frozen batch admission across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Batch truth: the frozen-count admission rows. Frozen state: the
+    // per-class priors/defaults/token-term maps. Replaying the held half
+    // through the stateless streaming gate must reproduce every
+    // (true_source, pred_source, nb_score, hit) row — split mid-stream,
+    // so a result depending on micro-batch contents would diverge.
+    val batch = ext.Selection.xTextNbAdmit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("true_source"), r.getAs[String]("pred_source"),
+          r.getAs[Double]("nb_score"), r.getAs[Long]("hit")))).toMap
+    val frozen = ext.Selection.nbFrozen(spark, sf)
+    val splitId = Tables.documents(spark, sf)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val held = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= splitId)
+      .select("doc_id", "text", "source").collect()
+      .map(r => streaming.StreamOps.LabeledDoc(r.getLong(0), t0,
+        r.getString(1), r.getString(2)))
+    val input = MemoryStream[streaming.StreamOps.LabeledDoc]
+    val query = streaming.StreamOps.classifyDocs(input.toDS(), frozen)
+      .writeStream.format("memory").queryName("nb_gate_out")
+      .outputMode("append").start()
+    val (b1, b2) = held.splitAt(held.length / 2)
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, true_source, pred_source, nb_score, hit FROM nb_gate_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
+    query.stop()
+    assert(streamed == batch,
+      s"streaming gate diverged from frozen batch admission " +
+        s"(stream=${streamed.size} rows, batch=${batch.size} rows)")
+    assert(streamed.nonEmpty && streamed.keySet.forall(_ >= splitId),
+      "the gate must score exactly the unadmitted half")
+  }
+
   // md5 id bucket as the operators compute it (first 8 hex digits % 100)
   // — lets planted-doc specs pick ids that land in a chosen split.
   private def md5Bucket100(id: Long): Long = {
