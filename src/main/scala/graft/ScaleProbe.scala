@@ -74,7 +74,11 @@ object ScaleProbe {
     // keepers only (replication cost collapses with the duplicates);
     // the k64 graph arm is the k ~ √N density knob on the within-cell
     // pair join
-    "x_dedup_emb_exact", "x_dedup_emb_cosine_lsh_clean", "x_knn_graph_k64")
+    "x_dedup_emb_exact", "x_dedup_emb_cosine_lsh_clean", "x_knn_graph_k64",
+    // the graph-consuming density cut: rides the probed graph chain,
+    // adds only per-vector integer aggregates + a 1-row broadcast — its
+    // replication cost IS the graph's (the row pins that)
+    "x_knn_density_select")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -626,6 +626,54 @@ object Similarity {
       .orderBy("vec_id", "nn_rank")
   }
 
+  /** Density-based diversity selection over the kNN graph — the
+    * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"
+    * position): every vector's density is the basis-point mean of its
+    * top-k neighbor cosines from the gated graph chain, and the
+    * `selectN` LEAST dense vectors are kept — the diversity cut that
+    * retains one representative of a crowded region and everything
+    * sparse. Exact integers end-to-end: each neighbor cosine (already
+    * rounded to 4 decimals) scales to an e4 long, sums as longs, and
+    * floor-divides by the neighbor count (both engines divide an exact
+    * multiple after the pmod subtraction, so trunc-div == floor-div ==
+    * exact) — the avgMoney6 idiom, no float aggregate anywhere. The cut
+    * is the DSIR broadcast Nth-(density, id) threshold, never a
+    * corpus-wide window. POLICY: an isolated vector (alone in its cell
+    * — no graph rows) has zero MEASURED redundancy, so it sorts before
+    * any measured density via a sentinel below the -10000 cosine floor
+    * and is selected first; its reported density stays NULL (the
+    * honesty the DSIR null-weight rows keep).
+    * Scale shape: the graph chain is the probed per-cell-linear pair
+    * join; everything after it is per-vector aggregates of 8-byte rows
+    * plus a 1-row broadcast.
+    */
+  def xKnnDensitySelect(spark: SparkSession, dir: String,
+      selectN: Int = 100, kNeighbors: Int = 5, kCells: Int = 16,
+      rounds: Int = 1): DataFrame = {
+    val nn = xKnnGraph(spark, dir, kNeighbors, kCells, rounds)
+      .select(col("vec_id"),
+        round(col("cos_sim") * lit(10000)).cast("long").as("c_e4"))
+    val dens = nn.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("c_e4")).as("s_e4"))
+      .select(col("vec_id"), col("n_neighbors"),
+        expr("(s_e4 - pmod(s_e4, n_neighbors)) div n_neighbors")
+          .as("density_e4"))
+    val allv = Tables.embeddings(spark, dir).select("vec_id")
+      .join(dens, Seq("vec_id"), "left")
+      .withColumn("sk", coalesce(col("density_e4"), lit(-10001L)))
+    val cut = allv.orderBy(col("sk"), col("vec_id")).limit(selectN)
+      .orderBy(desc("sk"), desc("vec_id")).limit(1)
+      .select(col("sk").as("cut_s"), col("vec_id").as("cut_id"))
+    allv.crossJoin(broadcast(cut))
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("density_e4"),
+        when(col("sk") < col("cut_s") ||
+          (col("sk") === col("cut_s") && col("vec_id") <= col("cut_id")),
+          lit(1L)).otherwise(lit(0L)).as("selected"))
+      .orderBy("vec_id")
+  }
+
   /** End-to-end VECTOR-corpus prep — the embedding-side counterpart of
     * x_llm_corpus_prep, composed from the shared operators exactly as a
     * production vector-store build runs them: (1) embedding-cosine
@@ -1142,6 +1190,12 @@ object Similarity {
     // duplicate-free corpus this is bitwise-identical to x_knn_graph.
     "x_knn_graph_clean" -> ((s: SparkSession, d: String) =>
       xKnnGraph(s, d, srcOverride = Some(Dedup.embExactKeepers(s, d)))),
+    // The graph-CONSUMING curation cut: basis-point neighborhood density
+    // from the gated graph chain, keep the selectN least dense (sparse
+    // regions + one representative of crowded ones) via the DSIR
+    // broadcast Nth-threshold — integer arithmetic end-to-end.
+    "x_knn_density_select" -> ((s: SparkSession, d: String) =>
+      xKnnDensitySelect(s, d)),
     // Exact-duplicate collapse composed UPSTREAM of the banded near-dup
     // join: identical vectors share every signature, so NO geometric
     // blocking can separate them — dedup of bit-identical embeddings is
@@ -1387,9 +1441,14 @@ object Similarity {
       |    FROM embeddings)
       |  WHERE vec_id = keeper_id)""".stripMargin
 
-  private def knnGraphOracleSql(kNeighbors: Int = 5, k: Int = 16,
-      rounds: Int = 1, srcTable: String = "embeddings",
-      prelude: String = ""): String =
+  /** The quantizer + within-cell pair + rank CTE chain behind the kNN
+    * graph family (ends at `rk`) — extracted so the graph twin and the
+    * graph-CONSUMING density-selection twin compose the same chain; the
+    * graph twin's emitted SQL stays byte-identical to the historical
+    * text (the generator-refactor rule).
+    */
+  private def knnGraphCtes(k: Int = 16, rounds: Int = 1,
+      srcTable: String = "embeddings", prelude: String = ""): String =
     s"""${ivfAssignOracleCtes(k, rounds, srcTable = srcTable,
          prelude = prelude)},
        |gph AS (
@@ -1403,10 +1462,53 @@ object Similarity {
        |  SELECT vec_id, nn_id, cos_sim,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_sim DESC, nn_id) AS nn_rank
-       |  FROM prs)
+       |  FROM prs)""".stripMargin
+
+  private def knnGraphOracleSql(kNeighbors: Int = 5, k: Int = 16,
+      rounds: Int = 1, srcTable: String = "embeddings",
+      prelude: String = ""): String =
+    s"""${knnGraphCtes(k, rounds, srcTable, prelude)}
        |SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, cos_sim
        |FROM rk WHERE nn_rank <= $kNeighbors
        |ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** The DuckDB twin of xKnnDensitySelect: the shared graph chain, the
+    * per-vector basis-point density (exact integers end-to-end: each
+    * neighbor cosine scaled to an e4 long, summed as longs, floor-div'd
+    * by the neighbor count — both engines divide an exact multiple, so
+    * trunc-div == floor-div == exact), and the DSIR-style Nth-(density,
+    * id) cutoff via two ORDER BY ... LIMIT CTEs. The isolated-vector
+    * sentinel (-10001, below the -10000 cosine floor) is embedded in
+    * both engines' membership predicate.
+    */
+  private def densitySelectOracleSql(selectN: Int = 100,
+      kNeighbors: Int = 5, k: Int = 16, rounds: Int = 1): String =
+    s"""${knnGraphCtes(k, rounds)},
+       |nn AS (
+       |  SELECT vec_id, CAST(round(cos_sim * 10000) AS BIGINT) AS c_e4
+       |  FROM rk WHERE nn_rank <= $kNeighbors),
+       |dens AS (
+       |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       |    (CAST(SUM(c_e4) AS BIGINT)
+       |      - ((CAST(SUM(c_e4) AS BIGINT) % COUNT(*)) + COUNT(*)) % COUNT(*))
+       |      // COUNT(*) AS density_e4
+       |  FROM nn GROUP BY 1),
+       |av AS (
+       |  SELECT e.vec_id, d.n_neighbors, d.density_e4,
+       |    COALESCE(d.density_e4, -10001) AS sk
+       |  FROM embeddings e LEFT JOIN dens d USING (vec_id)),
+       |dtopn AS (
+       |  SELECT sk, vec_id FROM av ORDER BY sk, vec_id LIMIT $selectN),
+       |dcut AS (
+       |  SELECT sk AS cut_s, vec_id AS cut_id FROM dtopn
+       |  ORDER BY sk DESC, vec_id DESC LIMIT 1)
+       |SELECT vec_id, COALESCE(n_neighbors, 0) AS n_neighbors, density_e4,
+       |  CASE WHEN sk < (SELECT cut_s FROM dcut)
+       |        OR (sk = (SELECT cut_s FROM dcut)
+       |            AND vec_id <= (SELECT cut_id FROM dcut))
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
+       |FROM av
+       |ORDER BY vec_id""".stripMargin
 
   /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
     * gate): the shared quantizer chain above at (k, rounds), then the
@@ -1857,6 +1959,7 @@ object Similarity {
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
     "x_knn_graph" -> knnGraphOracleSql(),
     "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
+    "x_knn_density_select" -> densitySelectOracleSql(),
     // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
     // graph chain over `uq` — trained on keepers, like the Spark side.
     "x_knn_graph_clean" -> knnGraphOracleSql(

@@ -1279,6 +1279,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gIds(9000013L), "keeper near-dup missing from the clean graph")
   }
 
+  test("density select keeps the sparse and drops the crowded, integer-exact") {
+    import spark.implicits._
+    // Plant 6 bit-identical copies of vector 0: all land in vec 0's
+    // cell (identical L2 distances), every mutual cosine rounds to
+    // 1.0000, so each copy's top-5 neighbors are the other copies and
+    // its basis-point density is exactly 10000 — the maximally crowded
+    // region the diversity cut must refuse, while exactly selectN of
+    // the sparser corpus is kept.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = (0 until 6).map(i => (9000021L + i, v.toArray, 7))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("dens").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val out = ext.Similarity.xKnnDensitySelect(spark, tmp).collect()
+    assert(out.length == base.count() + 6, "every vector must be judged")
+    assert(out.map(_.getAs[Long]("selected")).sum == 100L,
+      "exactly selectN vectors must be selected")
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    (0 until 6).map(i => 9000021L + i).foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Long]("n_neighbors") == 5L, s"copy $id neighbor count")
+      assert(r.getAs[Long]("density_e4") == 10000L, s"copy $id density")
+      assert(r.getAs[Long]("selected") == 0L, s"crowded copy $id selected")
+    }
+    assert(byId(0L).getAs[Long]("density_e4") == 10000L &&
+      byId(0L).getAs[Long]("selected") == 0L,
+      "the copied original must read as crowded too")
+    // POLICY pin: zero measured redundancy sorts first — any isolated
+    // vector (null density) must be selected (vacuous if none isolated).
+    def sk(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(r.fieldIndex("density_e4"))) -10001L
+      else r.getAs[Long]("density_e4")
+    out.filter(r => r.isNullAt(r.fieldIndex("density_e4"))).foreach(r =>
+      assert(r.getAs[Long]("selected") == 1L,
+        s"isolated vector ${r.getAs[Long]("vec_id")} not selected"))
+    // Cut consistency: every selected (density, id) precedes every
+    // unselected one lexicographically.
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val worstSel = out.filter(_.getAs[Long]("selected") == 1L)
+      .map(r => (sk(r), r.getAs[Long]("vec_id"))).max
+    assert(out.filter(_.getAs[Long]("selected") == 0L)
+      .map(r => (sk(r), r.getAs[Long]("vec_id")))
+      .forall(u => ord.compare(u, worstSel) > 0),
+      "an unselected vector precedes the worst selected one")
+  }
+
   test("clean knn graph is bitwise-identical to the base graph on a dup-free corpus") {
     // The raw synthetic embeddings contain no bit-identical pair, so the
     // keeper relation IS the corpus: same Lloyd input, same centroids,
