@@ -131,15 +131,21 @@ object CorpusPrep {
     * added stage is one fingerprint pass + a df-bounded self-join, the
     * already-probed x_text_winnow_pairs shape.
     */
-  def xLlmCorpusPrepWinnow(spark: SparkSession, dir: String): DataFrame = {
+  def xLlmCorpusPrepWinnow(spark: SparkSession, dir: String): DataFrame =
+    prepRollup(trainingCorpus(spark, dir)
+      .join(winnowSubLosers(spark, dir), Seq("doc_id"), "left_anti"))
+
+  /** The substring-dedup drop set the winnow-composed arms share: pairs
+    * from the gated x_text_winnow_pairs chain whose keeper (lower id)
+    * is a non-eval doc, per the eval-keeper no-drop policy above.
+    */
+  private def winnowSubLosers(spark: SparkSession, dir: String): DataFrame = {
     val nonEvalKeepers = Tables.documents(spark, dir)
       .filter(col("source") =!= "src0")
       .select(col("doc_id").as("doc_a"))
-    val subLosers = TextAnalysis.xTextWinnowPairs(spark, dir)
+    TextAnalysis.xTextWinnowPairs(spark, dir)
       .join(nonEvalKeepers, Seq("doc_a"))
       .select(col("doc_b").as("doc_id")).distinct()
-    prepRollup(trainingCorpus(spark, dir)
-      .join(subLosers, Seq("doc_id"), "left_anti"))
   }
 
   /** The text prep pipeline with the DSIR selection stage (Xie et al.
@@ -176,11 +182,36 @@ object CorpusPrep {
   def xLlmCorpusPrepKeepBest(spark: SparkSession, dir: String): DataFrame =
     prepRollup(trainingCorpus(spark, dir, keepBest = true))
 
+  /** The PRODUCTION pipeline — all three gated policy swaps composed at
+    * once: quality-aware keep-best retention for near-dup clusters,
+    * the Lee-et-al. substring-dedup pass, and the DSIR selection cut.
+    * POLICY: the three stages are INDEPENDENT corpus-wide verdicts by
+    * construction — keep-best reads the near-dup clusters, the winnow
+    * drop set reads the fingerprint pairs, the DSIR cut reads the raw
+    * pool — so composing them is a pure intersection (anti-join the
+    * substring losers, semi-join the selected ids, swap the retention
+    * argmax), with NO stage's verdict depending on another stage's
+    * drops. That ordering-independence is the argued design of each
+    * single-stage arm (the winnow anti-lesson, the DSIR raw-pool
+    * position), and it is what makes the full pipeline auditable: every
+    * drop traces to exactly one gated operator's verdict. Cost is the
+    * sum of the three probed stage shapes over the shared llm chain —
+    * each adds only 8-byte id joins to the flagship plan.
+    */
+  def xLlmCorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Selection.xDsirSelect(spark, dir)
+      .filter(col("selected") === 1L).select("doc_id")
+    prepRollup(trainingCorpus(spark, dir, keepBest = true)
+      .join(winnowSubLosers(spark, dir), Seq("doc_id"), "left_anti")
+      .join(sel, Seq("doc_id"), "left_semi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
     "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
     "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _),
-    "x_llm_corpus_prep_keepbest" -> (xLlmCorpusPrepKeepBest _))
+    "x_llm_corpus_prep_keepbest" -> (xLlmCorpusPrepKeepBest _),
+    "x_llm_corpus_prep_full" -> (xLlmCorpusPrepFull _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
@@ -329,6 +360,17 @@ object CorpusPrep {
     // chain's own `lab`; the drop set becomes the non-argmax clustered
     // docs.
     "x_llm_corpus_prep_keepbest" -> llmCorpusPrepOracleSql(
+      neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
+      neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1"),
+    // Full-pipeline twin: the keep-best retention splice AND both stage
+    // splices composed in one chain — the same three generated pieces
+    // the single-stage twins emit (prefixes w/q/k, names disjoint from
+    // the base chain and from each other), intersected in the final
+    // WHERE exactly as the Spark side anti/semi-joins.
+    "x_llm_corpus_prep_full" -> llmCorpusPrepOracleSql(
+      extraCtes = winnowStageCtes + dsirStageCtes,
+      extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)" +
+        "\n  AND doc_id IN (SELECT doc_id FROM qsel)",
       neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
       neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1"))
 }

@@ -626,6 +626,48 @@ object Similarity {
       .orderBy("vec_id", "nn_rank")
   }
 
+  /** Frozen-index kNN-graph admission — the graph family's entry in the
+    * train-once admission matrix (IVF/PQ/IVFADC/BPE/LSH-dedup/MinHash/NB
+    * all have one): the coarse quantizer is trained ONCE on the
+    * already-admitted lower-id half (the (max_id+1)/2 split every
+    * admission arm uses, a pure function of the corpus), its centroids
+    * FROZEN, and each NEW vector finds its top-k neighbors among the
+    * ADMITTED vectors sharing its frozen cell — one narrow assignment
+    * map plus a join against the persisted inverted list, O(batch ×
+    * cell occupancy) per ingest, never a corpus re-cluster or an
+    * all-pairs pass. This is how a growing 100 TB corpus keeps its kNN
+    * graph current: admitted edges are immutable (their cells never
+    * move under frozen centroids), new nodes attach in one pass.
+    * Ranking compares the ROUNDED cosine with the id tiebreak, exactly
+    * the batch graph's idiom, so the twin pins every rank bitwise.
+    */
+  def xKnnGraphAdmit(spark: SparkSession, dir: String,
+      kNeighbors: Int = 5): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val cents = lloydCentroids(e.filter(col("vec_id") < split), 16, 1)
+    val assigned = e.withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), cents))
+    val fresh = assigned.filter(col("vec_id") >= split)
+      .select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+    val admitted = assigned.filter(col("vec_id") < split)
+      .select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
+    fresh.join(admitted, Seq("cell"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+          / (col("n1") * col("n2")), 4))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= kNeighbors)
+      .select(col("id1").as("vec_id"),
+        col("nn_rank").cast("long").as("nn_rank"),
+        col("id2").as("nn_id"), col("cos_sim"))
+      .orderBy("vec_id", "nn_rank")
+  }
+
   /** Density-based diversity selection over the kNN graph — the
     * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"
     * position): every vector's density is the basis-point mean of its
@@ -1190,6 +1232,11 @@ object Similarity {
     // duplicate-free corpus this is bitwise-identical to x_knn_graph.
     "x_knn_graph_clean" -> ((s: SparkSession, d: String) =>
       xKnnGraph(s, d, srcOverride = Some(Dedup.embExactKeepers(s, d)))),
+    // The graph family's train-once admission arm: frozen-centroid cell
+    // assignment of the new half, neighbors among ADMITTED vectors only
+    // — one assignment map + an inverted-list join per ingest batch.
+    "x_knn_graph_admit" -> ((s: SparkSession, d: String) =>
+      xKnnGraphAdmit(s, d)),
     // The graph-CONSUMING curation cut: basis-point neighborhood density
     // from the gated graph chain, keep the selectN least dense (sparse
     // regions + one representative of crowded ones) via the DSIR
@@ -1471,6 +1518,33 @@ object Similarity {
        |SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, cos_sim
        |FROM rk WHERE nn_rank <= $kNeighbors
        |ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** The DuckDB twin of xKnnGraphAdmit: the quantizer chain trained on
+    * the lower-id half only (the ivfAdmitOracleSql trainWhere), the
+    * final frozen-centroid assignment covering everyone, and the pair
+    * join RESTRICTED to new × admitted sides before the same rounded
+    * rank head.
+    */
+  private def knnGraphAdmitOracleSql(kNeighbors: Int = 5): String = {
+    val half = "(SELECT (max(vec_id) + 1) // 2 FROM e)"
+    s"""${ivfAssignOracleCtes(16, 1, s"vec_id < $half")},
+       |gph AS (
+       |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
+       |  FROM a1 JOIN e USING (vec_id)),
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |  FROM gph a JOIN gph b ON a.cell = b.cell
+       |  WHERE a.vec_id >= $half AND b.vec_id < $half),
+       |rk AS (
+       |  SELECT vec_id, nn_id, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, nn_id) AS nn_rank
+       |  FROM prs)
+       |SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, cos_sim
+       |FROM rk WHERE nn_rank <= $kNeighbors
+       |ORDER BY vec_id, nn_rank""".stripMargin
+  }
 
   /** The DuckDB twin of xKnnDensitySelect: the shared graph chain, the
     * per-vector basis-point density (exact integers end-to-end: each
@@ -1959,6 +2033,7 @@ object Similarity {
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
     "x_knn_graph" -> knnGraphOracleSql(),
     "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
+    "x_knn_graph_admit" -> knnGraphAdmitOracleSql(),
     "x_knn_density_select" -> densitySelectOracleSql(),
     // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
     // graph chain over `uq` — trained on keepers, like the Spark side.

@@ -1422,6 +1422,41 @@ class ExtensionsSpec extends AnyFunSuite {
       s"keep-best arm must retain the quality argmax only: $argmax")
   }
 
+  test("knn-graph admission attaches new vectors to admitted neighbors only") {
+    val split = Tables.embeddings(spark, sf)
+      .agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val g = ext.Similarity.xKnnGraphAdmit(spark, sf).collect()
+    assert(g.nonEmpty, "admission graph emitted no edges")
+    g.foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= split,
+        s"admitted-side vector ${r.getAs[Long]("vec_id")} appeared as a query")
+      assert(r.getAs[Long]("nn_id") < split,
+        s"new vector ${r.getAs[Long]("nn_id")} appeared as a neighbor")
+    }
+    g.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, rows) =>
+      val ranks = rows.map(_.getAs[Long]("nn_rank")).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
+        s"vec $id ranks not contiguous-from-1: ${ranks.mkString(",")}")
+    }
+  }
+
+  test("full prep pipeline is a pure intersection on top of the keep-best arm") {
+    // The full arm adds only an anti-join (substring losers) and a
+    // semi-join (DSIR selected) to the keep-best per-doc corpus, so its
+    // rollup can never exceed keep-best's anywhere, and every (split,
+    // lang) group it reports must exist in the keep-best rollup.
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect().map(r => (r.getAs[String]("split"),
+        r.getAs[String]("pred_lang")) -> r.getAs[Long]("n_docs")).toMap
+    val kb = rows(ext.CorpusPrep.xLlmCorpusPrepKeepBest(spark, sf))
+    val full = rows(ext.CorpusPrep.xLlmCorpusPrepFull(spark, sf))
+    assert(full.nonEmpty, "full pipeline emitted no groups")
+    full.foreach { case (k, n) =>
+      assert(kb.contains(k), s"group $k absent from the keep-best rollup")
+      assert(n <= kb(k), s"group $k grew under pure filters: $n > ${kb(k)}")
+    }
+  }
+
   test("streaming DSIR gate reproduces the frozen batch cut across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
