@@ -587,6 +587,45 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Frozen-cell SemDeDup admission — the semantic-dedup family's entry
+    * in the train-once admission matrix (IVF/PQ/IVFADC/BPE/LSH-dedup/
+    * MinHash/NB/kNN-graph all have one): the coarse quantizer is trained
+    * ONCE on the already-admitted lower-id half (the (max_id+1)/2 split
+    * every admission arm uses), its centroids FROZEN, and each NEW
+    * vector gets its keep/drop verdict against its LOWER-id cell-mates —
+    * admitted vectors (the persisted inverted list) plus earlier-id
+    * batch members, exactly the batch operator's keep-lowest convention
+    * restricted to new ids. O(batch × cell occupancy) per ingest, never
+    * a corpus re-cluster: admitted verdicts are immutable because frozen
+    * centroids never move a vector's cell. Output: every NEW vector's
+    * (cell, kept), oracle-gated bitwise via the shared trainWhere
+    * quantizer chain.
+    */
+  def xDedupSemanticAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val cents = lloydCentroids(e.filter(col("vec_id") < split), 16, 1)
+    val assigned = e.withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), cents))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.filter(col("vec_id") >= split)
+      .select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    val losers = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 4) >= semThreshold)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    assigned.filter(col("vec_id") >= split)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Approximate kNN GRAPH over the whole corpus — every vector's top
     * `kNeighbors` neighbors WITHIN its coarse-quantizer cell, ranked by
     * the rounded exact cosine with the id tiebreak. This is the
@@ -643,17 +682,13 @@ object Similarity {
     */
   def xKnnGraphAdmit(spark: SparkSession, dir: String,
       kNeighbors: Int = 5): DataFrame = {
+    val (split, cents, admitted) = knnAdmitState(spark, dir)
     val e = withVecNorm(Tables.embeddings(spark, dir))
-    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
-    val cents = lloydCentroids(e.filter(col("vec_id") < split), 16, 1)
     val assigned = e.withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents))
     val fresh = assigned.filter(col("vec_id") >= split)
       .select(col("cell"), col("vec_id").as("id1"),
         col("v").as("v1"), col("nrm").as("n1"))
-    val admitted = assigned.filter(col("vec_id") < split)
-      .select(col("cell"), col("vec_id").as("id2"),
-        col("v").as("v2"), col("nrm").as("n2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
     fresh.join(admitted, Seq("cell"))
@@ -666,6 +701,26 @@ object Similarity {
         col("nn_rank").cast("long").as("nn_rank"),
         col("id2").as("nn_id"), col("cos_sim"))
       .orderBy("vec_id", "nn_rank")
+  }
+
+  /** The kNN-graph admission arm's FROZEN state, factored so the batch
+    * gate and the streaming attach consume the identical pieces: the
+    * (max_id+1)/2 split, the centroids trained once on the admitted
+    * half, and the admitted inverted list (cell, id2, v2, n2) — the
+    * persisted side a production ingest keeps, keyed by the cell layout
+    * the frozen centroids make immutable.
+    */
+  private[graft] def knnAdmitState(spark: SparkSession,
+      dir: String): (Long, Array[Array[Double]], DataFrame) = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    val cents = lloydCentroids(e.filter(col("vec_id") < split), 16, 1)
+    val admitted = e.filter(col("vec_id") < split)
+      .withColumn("cell",
+        VectorFunctions.nearestCentroid(col("embedding"), cents))
+      .select(col("cell"), col("vec_id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+    (split, cents, admitted)
   }
 
   /** Density-based diversity selection over the kNN graph — the
@@ -1218,6 +1273,11 @@ object Similarity {
     // with a non-default k.
     "x_dedup_semantic_k64r3" -> ((s: SparkSession, d: String) =>
       xDedupSemantic(s, d, 64, 3)),
+    // The semantic family's train-once admission arm: frozen-centroid
+    // cells, each NEW vector's keep/drop verdict against its lower-id
+    // cell-mates only — one assignment map + an inverted-list join per
+    // ingest batch, admitted verdicts immutable.
+    "x_dedup_semantic_admit" -> (xDedupSemanticAdmit _),
     "x_knn_graph" -> ((s: SparkSession, d: String) => xKnnGraph(s, d)),
     // The graph's k ~ √N density arm (the x_dedup_semantic_k64 pattern):
     // 4× the cells shrink every within-cell pair block ~4× — the knob
@@ -1467,6 +1527,31 @@ object Similarity {
        |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM sem s LEFT JOIN losers l USING (vec_id)
        |ORDER BY s.vec_id""".stripMargin
+
+  /** The DuckDB twin of xDedupSemanticAdmit: the quantizer chain
+    * trained on the lower-id half only (the ivfAdmitOracleSql
+    * trainWhere), the final frozen-centroid assignment covering
+    * everyone, the pair join RESTRICTED to new-id larger sides, and the
+    * keep/drop verdict emitted for the new half alone. CTE names (sad,
+    * slos) disjoint from the chain's per the composed-generator rule.
+    */
+  private def semanticAdmitOracleSql: String = {
+    val half = "(SELECT (max(vec_id) + 1) // 2 FROM e)"
+    s"""${ivfAssignOracleCtes(16, 1, s"vec_id < $half")},
+       |sad AS (
+       |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
+       |  FROM a1 JOIN e USING (vec_id)),
+       |slos AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sad a JOIN sad b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE b.vec_id >= $half
+       |    AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $semThreshold)
+       |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       |  CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM sad s LEFT JOIN slos l USING (vec_id)
+       |WHERE s.vec_id >= $half
+       |ORDER BY s.vec_id""".stripMargin
+  }
 
   /** The kNN-graph twin: the shared quantizer chain, vectors joined
     * back per cell, within-cell all-pairs cosine, per-vector rank ≤ k
@@ -2031,6 +2116,7 @@ object Similarity {
     "x_dedup_semantic" -> semanticOracleSql(),
     "x_dedup_semantic_k64" -> semanticOracleSql(64, 1),
     "x_dedup_semantic_k64r3" -> semanticOracleSql(64, 3),
+    "x_dedup_semantic_admit" -> semanticAdmitOracleSql,
     "x_knn_graph" -> knnGraphOracleSql(),
     "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
     "x_knn_graph_admit" -> knnGraphAdmitOracleSql(),

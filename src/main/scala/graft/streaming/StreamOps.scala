@@ -262,6 +262,51 @@ object StreamOps {
         .nearestCentroid(col("embedding"), centroids)
         .cast("long").as("cell"))
 
+  case class EdgeOut(vec_id: Long, nn_rank: Long, nn_id: Long,
+    cos_sim: Double)
+  case class GraphCand(vec_id: Long, nn_id: Long, cos_sim: Double)
+
+  /** Streaming kNN-graph attach — the RUNTIME half of xKnnGraphAdmit,
+    * the assignVectors idiom extended one stage: each arriving vector is
+    * (1) cell-assigned by the codegen'd nearest_centroid over the FROZEN
+    * batch-trained centroids (stateless narrow map), (2) joined
+    * stream-static against the persisted admitted inverted list on its
+    * cell — the production shape: the static side is the inverted-list
+    * table a 100 TB ingest keeps partitioned by cell, so each
+    * micro-batch pays one bounded equi-join, never a corpus scan — and
+    * (3) ranked to its top-k admitted neighbors by the SAME rounded-
+    * cosine/id order as the batch gate. The rank runs in a per-vector
+    * group that lives only inside the vector's own micro-batch (all of a
+    * vector's candidates join in the batch it arrives; state is never
+    * stored — the group function emits immediately), so the state store
+    * stays empty and attachment is O(batch × cell occupancy), the
+    * admission arm's cost, incrementally. Admitted edges are immutable
+    * under frozen centroids, which is why attach-once is sound. Batch
+    * parity is spec-gated: streamed edges == xKnnGraphAdmit's rows,
+    * split across micro-batches to prove batching cannot matter.
+    */
+  def attachGraph(vecs: Dataset[VecIn], centroids: Array[Array[Double]],
+      admitted: DataFrame, kNeighbors: Int = 5): Dataset[EdgeOut] = {
+    import vecs.sparkSession.implicits._
+    val vf = graft.functions.VectorFunctions
+    val cands = vecs.toDF()
+      .withColumn("cell", vf.nearestCentroid(col("embedding"), centroids))
+      .withColumn("n1", sqrt(vf.dotProduct(col("embedding"), col("embedding"))))
+      .join(admitted, Seq("cell"))
+      .select(col("vec_id"), col("id2").as("nn_id"),
+        round(vf.dotProduct(col("embedding"), col("v2"))
+          / (col("n1") * col("n2")), 4).as("cos_sim"))
+      .as[GraphCand]
+    cands.groupByKey(_.vec_id)
+      .flatMapGroupsWithState[Long, EdgeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vecId: Long, rows: Iterator[GraphCand], _: GroupState[Long]) =>
+          rows.toSeq.sortBy(c => (-c.cos_sim, c.nn_id))
+            .take(kNeighbors).zipWithIndex.map { case (c, i) =>
+              EdgeOut(vecId, i + 1L, c.nn_id, c.cos_sim) }.iterator
+      }
+  }
+
   /** Streaming frozen-merge BPE tokenizer — the RUNTIME half of
     * x_text_bpe_admit, the assignVectors idiom for text: the merge list
     * is trained once batch-side (TextAnalysis.admitMergeList — the

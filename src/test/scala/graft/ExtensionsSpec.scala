@@ -1220,6 +1220,35 @@ class ExtensionsSpec extends AnyFunSuite {
       s"admission arm missed planted new-batch pairs: $admit")
   }
 
+  test("semantic admission drops a planted admitted-copy, keeps a novel vector") {
+    import spark.implicits._
+    // Plant two NEW-half vectors on top of the corpus (max id 9000002
+    // puts the split at 4500002, so every original vector is admitted):
+    // a bit-identical copy of admitted vec 0 — same distances, same
+    // frozen cell, cosine 1.0 ⇒ must be dropped against its admitted
+    // original — and a constant direction no corpus vector approaches
+    // (|cos| to near-random cell-mates stays far below the 0.4 cut) ⇒
+    // must be kept. Verdicts cover exactly the new half.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9000001L, v.toArray, 5),
+      (9000002L, Array.fill(64)(0.1f), 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("semadmit").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val rows = ext.Similarity.xDedupSemanticAdmit(spark, tmp).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(9000001L, 9000002L),
+      "admission verdicts must cover exactly the new half")
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("kept")).toMap
+    assert(byId(9000001L) == 0L,
+      "bit-identical copy of an admitted vector must be dropped")
+    assert(byId(9000002L) == 1L,
+      "novel direction with no near cell-mate must be kept")
+  }
+
   test("exact vector dedup collapses planted replicas; clean LSH arm keeps near-dups") {
     import spark.implicits._
     // Plant two BIT-IDENTICAL replicas of vector 0 plus one scaled
@@ -1862,6 +1891,45 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Long]("cell")).toMap
     assert(streamed == batch,
       s"streaming admission diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
+  test("streaming kNN-graph attach matches the batch admission edges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the admission state (split, centroids, admitted inverted
+    // list — the SAME pieces the batch gate consumes via knnAdmitState),
+    // stream the new half through attachGraph split across TWO
+    // micro-batches, and require edge-for-edge equality with
+    // xKnnGraphAdmit: rank, neighbor, and rounded cosine all bitwise —
+    // micro-batch boundaries cannot matter because each vector's
+    // candidates join inside its own batch.
+    val (split, cents, admitted) =
+      ext.Similarity.knnAdmitState(spark, sf)
+    val upper = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= split)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val (b1, b2) = upper.splitAt(upper.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps
+      .attachGraph(input.toDS(), cents, admitted)
+      .writeStream.format("memory").queryName("graph_attach_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT vec_id, nn_rank, nn_id, cos_sim FROM graph_attach_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    query.stop()
+    val batch = ext.Similarity.xKnnGraphAdmit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cos_sim"))).toSet
+    assert(batch.nonEmpty, "batch admission graph emitted no edges")
+    assert(streamed == batch,
+      s"streaming attach diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
   test("ivfadc admission: every new vector coded against frozen state") {
