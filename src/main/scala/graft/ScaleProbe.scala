@@ -75,6 +75,17 @@ object ScaleProbe {
     // the k64 graph arm is the k ~ √N density knob on the within-cell
     // pair join
     "x_dedup_emb_exact", "x_dedup_emb_cosine_lsh_clean", "x_knn_graph_k64",
+    // the round-9 admission arms (frozen state trained on the lower-id
+    // half, new half judged against it): replication fills the admitted
+    // inverted lists N× AND the new side N×, so the cell/bucket joins
+    // face the same concentration the full arms do at half the corpus
+    // on each side — the O(batch × occupancy) claim under stress
+    "x_knn_graph_admit", "x_dedup_semantic_admit",
+    // the composed policy arms over the shared llm chain: keep-best
+    // adds the cluster-chain rank + a narrow quality join; the full
+    // production arm adds all three verdict stages (each an 8-byte id
+    // join) — their replication cost should be the base chain's
+    "x_llm_corpus_prep_keepbest", "x_llm_corpus_prep_full",
     // the graph-consuming density cut: rides the probed graph chain,
     // adds only per-vector integer aggregates + a 1-row broadcast — its
     // replication cost IS the graph's (the row pins that)
