@@ -871,6 +871,65 @@ object Similarity {
     capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
   }
 
+  /** The clean-prep survivor set: exact collapse FIRST (bit-identical
+    * vectors → min-id keepers, one flat hash shuffle — the 100×-measured
+    * guard), then the banded LSH near-dup verdicts OVER KEEPERS (the
+    * gated x_dedup_emb_cosine_lsh_clean chain — no label crutch, bucket
+    * occupancy bounded by distinct vectors), losers anti-joined away.
+    * Shared by both clean prep arms so the stage composition cannot
+    * drift from the verdict operators.
+    */
+  private def embPrepSurvivorsClean(spark: SparkSession,
+      dir: String): DataFrame = {
+    val losers = xDedupEmbCosineLshClean(spark, dir)
+      .select(col("id2").as("vec_id")).distinct()
+    Dedup.embExactKeepers(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** xEmbCorpusPrep with the dedup front-end swapped to the PRODUCTION
+    * staging the 100× replication probe adjudicated (SCALE.md's guards
+    * table): exact collapse, then banded near-dup removal over keepers
+    * — the composition measured FLAT (1.0×) on the corpus where the
+    * label-blocked front-end's pair join cliffs. Downstream (quantizer
+    * trained on survivors with hash-spread seeds, per-cell diversity
+    * cap, int8 quantization) is the shared capAndQuantize tail, so this
+    * arm and the base prep can only differ by the dedup staging.
+    */
+  def xEmbCorpusPrepClean(spark: SparkSession, dir: String): DataFrame = {
+    val surv = embPrepSurvivorsClean(spark, dir)
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    capAndQuantize(surv.select(col("vec_id"), col("embedding"),
+      VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
+  }
+
+  /** The PRODUCTION vector pipeline — every gated stage composed at its
+    * argued position, the vector-side twin of x_llm_corpus_prep_full:
+    * exact collapse (hash, flat) → banded LSH near-dup over keepers
+    * (the measured clean arm) → coarse quantizer trained once on the
+    * survivors → within-cell SemDeDup at the paper's position → per-cell
+    * diversity cap + int8 quantization. Each drop traces to exactly one
+    * gated operator's verdict; every stage's 100×-replication cost is
+    * individually measured (1.0×/1.0×/2.0×-shaped chains — SCALE.md).
+    */
+  def xEmbCorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
+    val surv = embPrepSurvivorsClean(spark, dir)
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val assigned = withVecNorm(surv).withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val semLosers = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 4) >= semThreshold)
+      .select(col("id2").as("vec_id")).distinct()
+    val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
+    capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * storage/bandwidth scale move for a 100 TB vector corpus (4× smaller
     * than float32, SIMD-friendly dot products downstream): code_i =
@@ -1259,6 +1318,14 @@ object Similarity {
     // like the standalone k64 arm) while the cap/int8 tail is k-invariant.
     "x_emb_corpus_prep_sem_k64" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepSem(s, d, 64)),
+    // The dedup front-end swapped to the 100x-adjudicated production
+    // staging: exact collapse, banded near-dup over keepers (SCALE.md's
+    // guards table), shared quantizer/cap/int8 tail.
+    "x_emb_corpus_prep_clean" -> (xEmbCorpusPrepClean _),
+    // The PRODUCTION vector pipeline: collapse -> banded clean dedup ->
+    // frozen survivor quantizer -> within-cell SemDeDup -> cap/int8 --
+    // the vector-side twin of x_llm_corpus_prep_full.
+    "x_emb_corpus_prep_full" -> (xEmbCorpusPrepFull _),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
@@ -1334,7 +1401,12 @@ object Similarity {
     * emits byte-identical SQL to the historical twin; the clean arm
     * passes its keeper CTE (exact duplicates collapsed upstream).
     */
-  private def lshCorpusCtes(src: String = "embeddings"): String = {
+  /** `prefix` renames the chain's CTEs (e → ${prefix}e …) so the chain
+    * can compose inside a WITH that already owns the default names (the
+    * quantizer chain's `e`); "" emits the historical names byte-for-byte.
+    */
+  private def lshCorpusCtes(src: String = "embeddings",
+      prefix: String = ""): String = {
     def planeList(p: Array[Double]) = p.mkString("[", ", ", "]")
     def sigT(t: Int): String =
       tablePlanes(t).foldLeft("0::BIGINT") { (acc, plane) =>
@@ -1343,16 +1415,16 @@ object Similarity {
     val sigCols = (0 until nTables)
       .map(t => s"    ${sigT(t)} AS s$t").mkString(",\n")
     val unpivotCols = (0 until nTables).map(t => s"s$t").mkString(", ")
-    s"""e AS (
+    s"""${prefix}e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM $src),
-       |sig AS (
+       |${prefix}sig AS (
        |  SELECT vec_id,
        |$sigCols
-       |  FROM e),
-       |corpus AS (
-       |  SELECT vec_id, tbl, bucket FROM sig
+       |  FROM ${prefix}e),
+       |${prefix}corpus AS (
+       |  SELECT vec_id, tbl, bucket FROM ${prefix}sig
        |  UNPIVOT (bucket FOR tbl IN ($unpivotCols)))""".stripMargin
   }
 
@@ -1715,8 +1787,29 @@ object Similarity {
     * the quantizer cell count exactly as the Spark side's density knob.
     */
   private def embCorpusPrepOracleSql(semantic: Boolean = false,
-      k: Int = 16): String = {
-    val prelude =
+      k: Int = 16, clean: Boolean = false): String = {
+    // clean swaps the label-blocked dedup front-end for the production
+    // staging (keeper collapse + the banded chain over `uq`, prefixed
+    // `x` so its `e` cannot collide with the quantizer chain's);
+    // defaults emit the historical prelude byte-for-byte.
+    val prelude = if (clean)
+      s"""$embKeeperCte,
+         |${lshCorpusCtes("uq", prefix = "x")},
+         |xcd AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM xcorpus a JOIN xcorpus b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |losers AS (
+         |  SELECT DISTINCT cd.id2 AS vec_id
+         |  FROM xcd cd
+         |  JOIN xe x ON x.vec_id = cd.id1
+         |  JOIN xe y ON y.vec_id = cd.id2
+         |  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.8),
+         |surv AS (
+         |  SELECT vec_id, embedding FROM uq
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
+         |""".stripMargin
+    else
       """ec AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |ecn AS (
@@ -2075,6 +2168,9 @@ object Similarity {
     "x_emb_corpus_prep_sem" -> embCorpusPrepOracleSql(semantic = true),
     "x_emb_corpus_prep_sem_k64" ->
       embCorpusPrepOracleSql(semantic = true, k = 64),
+    "x_emb_corpus_prep_clean" -> embCorpusPrepOracleSql(clean = true),
+    "x_emb_corpus_prep_full" ->
+      embCorpusPrepOracleSql(semantic = true, clean = true),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     // LSH-blocked cosine dedup twin: the shared signature/inverted-list

@@ -1783,6 +1783,61 @@ class ExtensionsSpec extends AnyFunSuite {
     perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
   }
 
+  test("clean vector prep: replicas collapsed, banded losers out, cells capped") {
+    import spark.implicits._
+    // Plant two bit-identical replicas of vec 0 plus one scaled near-dup
+    // (the exact-dedup fixture): the clean prep must never emit a
+    // collapsed replica (they fall to the keeper window before any
+    // similarity stage) nor a banded-chain loser; cells stay capped and
+    // codes bounded (the shared tail's invariants).
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9100001L, v.toArray, 3),
+      (9100002L, v.toArray, 4),
+      (9100003L, v.map(_ * 1.01f).toArray, 5))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("cleanprep").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val rows = ext.Similarity.xEmbCorpusPrepClean(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(!ids(9100001L) && !ids(9100002L),
+      "collapsed exact replica leaked into the clean prep")
+    val bandedLosers = ext.Similarity.xDedupEmbCosineLshClean(spark, tmp)
+      .collect().map(_.getAs[Long]("id2")).toSet
+    assert(bandedLosers(9100003L),
+      "fixture regression: the scaled near-dup must lose the banded stage")
+    assert(ids.intersect(bandedLosers).isEmpty,
+      "banded near-dup loser survived the clean prep")
+    val perCell = rows.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_code") >= -127 && r.getAs[Long]("max_code") <= 127)
+    }
+  }
+
+  test("full vector pipeline: semantic stage non-vacuous on top of the clean arm") {
+    // The full arm differs from the clean arm exactly by the within-cell
+    // SemDeDup stage (same survivor set, same quantizer seeds), so the
+    // kept-id sets must DIFFER at the gated threshold (the _sem spec's
+    // non-vacuity claim, here over the production front-end), and no
+    // banded loser may reappear through the semantic path.
+    val clean = ext.Similarity.xEmbCorpusPrepClean(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val full = ext.Similarity.xEmbCorpusPrepFull(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(full.nonEmpty)
+    assert(full != clean,
+      "semantic stage changed nothing over the clean front-end — vacuous")
+    val bandedLosers = ext.Similarity.xDedupEmbCosineLshClean(spark, sf)
+      .collect().map(_.getAs[Long]("id2")).toSet
+    assert(full.intersect(bandedLosers).isEmpty,
+      "banded near-dup loser survived the full vector pipeline")
+  }
+
   test("winnow-composed prep drops exactly the substring-dup survivors of the other stages") {
     // First-principles expectation: the winnow stage must remove exactly
     // (surviving corpus ∩ winnow losers) — documents whose contiguous
