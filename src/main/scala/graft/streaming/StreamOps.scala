@@ -307,6 +307,69 @@ object StreamOps {
       }
   }
 
+  case class SemVerdict(vec_id: Long, cell: Long, kept: Long)
+  case class CellVec(cell: Long, vec_id: Long, embedding: Array[Float])
+  case class SemCellState(members: List[(Long, Array[Float])])
+
+  /** Online SemDeDup — the EVOLVING-state member of the streaming
+    * family, and the only one whose replay reproduces a FULL batch
+    * operator rather than an admission arm: each cell's state is its
+    * complete seen-vector list (the growing inverted list a production
+    * ingest persists), and an arriving vector's keep/drop verdict is
+    * the batch rule verbatim — any lower-id cell-mate whose rounded
+    * cosine clears the threshold drops it. Replay contract: batches
+    * arrive in nondecreasing vec_id order (the admission convention —
+    * ids are assigned at ingest); WITHIN a batch the operator sorts by
+    * vec_id itself, so micro-batch boundaries cannot matter, and
+    * replaying the corpus reproduces every xDedupSemantic verdict
+    * bitwise (spec-gated). The per-cell work is the batch pair join's
+    * Σ cell² done incrementally — O(batch × cell occupancy) per ingest
+    * — and the state's growth is bounded by the same two guards the
+    * batch family carries: the exact collapse upstream (bit-identical
+    * vectors never reach the stream twice) and the k ~ √N cell-density
+    * knob. The Scala fold mirrors DotProduct's nullSafeEval (left fold
+    * of double products) and Spark's HALF_UP shortest-decimal round, so
+    * stream and batch arithmetic are the same IEEE steps.
+    */
+  def dedupSemanticOnline(vecs: Dataset[VecIn],
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.4): Dataset[SemVerdict] = {
+    import vecs.sparkSession.implicits._
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    vecs.select(
+        graft.functions.VectorFunctions
+          .nearestCentroid(col("embedding"), centroids)
+          .cast("long").as("cell"),
+        col("vec_id"), col("embedding"))
+      .as[CellVec]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[SemCellState, SemVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[CellVec], state: GroupState[SemCellState]) =>
+          var seen: Vector[(Long, Array[Float], Double)] =
+            (if (state.exists) state.get.members else Nil)
+              .map(m => (m._1, m._2, math.sqrt(dot(m._2, m._2)))).toVector
+          val out = rows.toSeq.sortBy(_.vec_id).map { r =>
+            val nrm = math.sqrt(dot(r.embedding, r.embedding))
+            val hit = seen.exists { case (id, v, n2) =>
+              id < r.vec_id && round4(dot(r.embedding, v) / (nrm * n2)) >= threshold
+            }
+            seen = seen :+ ((r.vec_id, r.embedding, nrm))
+            SemVerdict(r.vec_id, cell, if (hit) 0L else 1L)
+          }
+          state.update(SemCellState(seen.map(t => (t._1, t._2)).toList))
+          out.iterator
+      }
+  }
+
   /** Streaming frozen-merge BPE tokenizer — the RUNTIME half of
     * x_text_bpe_admit, the assignVectors idiom for text: the merge list
     * is trained once batch-side (TextAnalysis.admitMergeList — the

@@ -1987,6 +1987,41 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming attach diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
+  test("online SemDeDup replay reproduces every batch verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The evolving-state claim: replaying the WHOLE corpus through the
+    // online operator — batches split mid-corpus, in nondecreasing id
+    // order per the replay contract — must reproduce the batch
+    // xDedupSemantic verdict for EVERY vector (not just an admitted
+    // half): same cells, same keep/drop, bitwise. Centroids are the
+    // batch gate's own (full-corpus Lloyd), the artifact a production
+    // ingest would freeze.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = ext.Similarity.trainCoarseCentroids(e, 16, 1)
+    val all = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val (b1, b2) = all.splitAt(all.length / 3)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps
+      .dedupSemanticOnline(input.toDS(), cents)
+      .writeStream.format("memory").queryName("sem_online_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql("SELECT vec_id, cell, kept FROM sem_online_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    query.stop()
+    val batch = ext.Similarity.xDedupSemantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("kept"))).toSet
+    assert(batch.exists(_._3 == 0L), "vacuous fixture: batch dropped nothing")
+    assert(streamed == batch,
+      s"online replay diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
   test("ivfadc admission: every new vector coded against frozen state") {
     val rows = ext.Similarity.xAnnIvfAdcAdmit(spark, sf).collect()
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
