@@ -81,6 +81,10 @@ object ScaleProbe {
     // face the same concentration the full arms do at half the corpus
     // on each side — the O(batch × occupancy) claim under stress
     "x_knn_graph_admit", "x_dedup_semantic_admit",
+    // the vector cluster family: CC over the clean banded verdicts —
+    // replication collapses upstream (the clean-arm story), so the
+    // contraction sees keeper-scale edges
+    "x_dedup_emb_cluster", "x_dedup_emb_corpus_neardup",
     // the composed policy arms over the shared llm chain: keep-best
     // adds the cluster-chain rank + a narrow quality join; the full
     // production arm adds all three verdict stages (each an 8-byte id

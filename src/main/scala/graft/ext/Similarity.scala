@@ -430,6 +430,55 @@ object Similarity {
     lshVerifiedPairs(buckets, buckets, e)
   }
 
+  /** Near-dup vector CLUSTERS — the vector twin of x_dedup_cluster:
+    * connected components (the same large/small-star O(log d)
+    * contraction, eager per-round checkpoints) over the clean banded
+    * verdicts, labeled by each component's minimum vec_id. Pairwise
+    * keep-lowest drops a vector only when a DIRECT lower-id near-dup
+    * exists; clustering closes the chain transitively (a→b→c collapses
+    * to one keeper even when a↮c never paired) — the same reason the
+    * text side clusters before materializing its corpus. Runs over
+    * exact keepers by construction (the pair chain is the clean arm),
+    * so the replication cliff never reaches the contraction. Output:
+    * every CLUSTERED vector's (cluster_id, cluster_size); singletons
+    * stream through upstream untouched, exactly the text convention.
+    */
+  def xDedupEmbCluster(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    embClusterLabels(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("vec_id")
+  }
+
+  /** CC labels over the clean banded verdicts — shared by the cluster
+    * gate and the corpus artifact so membership cannot drift. */
+  private def embClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = xDedupEmbCosineLshClean(spark, dir)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    Dedup.connectedComponents(pairs)._1
+  }
+
+  /** The cleaned VECTOR corpus artifact — the embedding twin of
+    * x_dedup_corpus_neardup, and the relation every index build should
+    * consume: exact keepers (bit-identical replicas collapsed) minus
+    * every non-minimum member of each near-dup cluster. Unclustered
+    * keepers stream through untouched; the anti-join probes 8-byte ids
+    * against the slim loser relation, so at 100 TB the vectors cross no
+    * shuffle here (the collapse shuffles them once, upstream).
+    */
+  def xDedupEmbCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val losers = embClusterLabels(spark, dir)
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    Dedup.embExactKeepers(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** The (vec_id, tbl, bucket) inverted-list relation behind the LSH
     * dedup family — every vector exploded to its 12 exact-signature
     * memberships (the SQL `corpus` CTE of lshCorpusCtes, Spark-side).
@@ -1377,7 +1426,13 @@ object Similarity {
     // first bounds every LSH bucket by the number of DISTINCT vectors
     // (the 100×-replication cliff measured in SCALE.md). Pairs are the
     // banded operator's verdicts restricted to exact-dup keepers.
-    "x_dedup_emb_cosine_lsh_clean" -> (xDedupEmbCosineLshClean _))
+    "x_dedup_emb_cosine_lsh_clean" -> (xDedupEmbCosineLshClean _),
+    // The vector twin of x_dedup_cluster: transitive closure over the
+    // clean banded verdicts, min-id cluster labels + sizes.
+    "x_dedup_emb_cluster" -> (xDedupEmbCluster _),
+    // The cleaned vector corpus artifact: exact keepers minus cluster
+    // losers — the embedding twin of x_dedup_corpus_neardup.
+    "x_dedup_emb_corpus_neardup" -> (xDedupEmbCorpusNearDup _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -1397,6 +1452,26 @@ object Similarity {
     * hyperplanes embedded as literal DOUBLE[64] lists from the SAME
     * seed-42 matrices the codegen'd expression references.
     */
+  /** The clean banded-dedup CTE chain through `cpairs` (keeper
+    * collapse, signature chain over `uq`, candidate distinct, exact
+    * rounded cosine) — factored headerless so the pair twin and the
+    * vector-cluster twin compose the identical text (the generator-
+    * refactor rule: the pair twin's emitted SQL is byte-stable).
+    */
+  private lazy val lshCleanPairCtes: String =
+    s"""$embKeeperCte,
+       |${lshCorpusCtes("uq")},
+       |cd AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM corpus a JOIN corpus b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |cpairs AS (
+       |  SELECT cd.id1, cd.id2,
+       |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+       |  FROM cd
+       |  JOIN e x ON x.vec_id = cd.id1
+       |  JOIN e y ON y.vec_id = cd.id2)""".stripMargin
+
   /** `src` swaps the relation the signature chain reads — the default
     * emits byte-identical SQL to the historical twin; the clean arm
     * passes its keeper CTE (exact duplicates collapsed upstream).
@@ -2225,21 +2300,53 @@ object Similarity {
     // equality, the x_dedup_emb_exact twin's shape) feeds the SAME
     // signature/collision/verdict chain via the parameterized source.
     "x_dedup_emb_cosine_lsh_clean" ->
-      s"""WITH $embKeeperCte,
-         |${lshCorpusCtes("uq")},
-         |cd AS (
-         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM corpus a JOIN corpus b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |cpairs AS (
-         |  SELECT cd.id1, cd.id2,
-         |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
-         |  FROM cd
-         |  JOIN e x ON x.vec_id = cd.id1
-         |  JOIN e y ON y.vec_id = cd.id2)
+      s"""WITH $lshCleanPairCtes
          |SELECT id1, id2, cosine FROM cpairs
          |WHERE cosine >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+    // Vector cluster twin: the SAME clean pair chain (headerless val —
+    // the factored composition, emitted text unchanged), then the text
+    // cluster twin's transitive-closure reach/lab idiom over the banded
+    // verdict edges, names v-prefixed (the chain owns e/cd/cpairs).
+    "x_dedup_emb_cluster" ->
+      s"""WITH RECURSIVE $lshCleanPairCtes,
+         |vpairs AS (SELECT id1, id2 FROM cpairs WHERE cosine >= 0.8),
+         |vedges AS (
+         |  SELECT id1 AS a, id2 AS b FROM vpairs
+         |  UNION ALL SELECT id2, id1 FROM vpairs),
+         |vreach(a, b) AS (
+         |  SELECT a, b FROM vedges
+         |  UNION
+         |  SELECT r.a, e2.b FROM vreach r JOIN vedges e2 ON r.b = e2.a),
+         |vlab AS (
+         |  SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+         |  FROM vreach GROUP BY a)
+         |SELECT vec_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM vlab
+         |ORDER BY vec_id""".stripMargin,
+    // Corpus-artifact twin: the same closure chain, losers = non-min
+    // members, output = keepers (label joined from the raw relation)
+    // minus losers.
+    "x_dedup_emb_corpus_neardup" ->
+      s"""WITH RECURSIVE $lshCleanPairCtes,
+         |vpairs AS (SELECT id1, id2 FROM cpairs WHERE cosine >= 0.8),
+         |vedges AS (
+         |  SELECT id1 AS a, id2 AS b FROM vpairs
+         |  UNION ALL SELECT id2, id1 FROM vpairs),
+         |vreach(a, b) AS (
+         |  SELECT a, b FROM vedges
+         |  UNION
+         |  SELECT r.a, e2.b FROM vreach r JOIN vedges e2 ON r.b = e2.a),
+         |vlab AS (
+         |  SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+         |  FROM vreach GROUP BY a)
+         |SELECT m.vec_id, m.label
+         |FROM embeddings m
+         |WHERE m.vec_id IN (SELECT vec_id FROM uq)
+         |  AND m.vec_id NOT IN (
+         |    SELECT vec_id FROM vlab WHERE cluster_id <> vec_id)
+         |ORDER BY m.vec_id""".stripMargin,
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

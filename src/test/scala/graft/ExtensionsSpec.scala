@@ -1783,6 +1783,51 @@ class ExtensionsSpec extends AnyFunSuite {
     perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
   }
 
+  test("vector clustering closes planted near-dup chains to min-id components") {
+    import spark.implicits._
+    // Stock corpus first: no cosine clears the 0.8 bar, so the cluster
+    // operator must emit NOTHING (the oracle pins the empty result —
+    // the family's vacuous-gate convention).
+    assert(ext.Similarity.xDedupEmbCluster(spark, sf).collect().isEmpty,
+      "clusterless corpus must produce no clustered rows")
+    // Plant three scaled copies of vec 0 (distinct bytes, cosine exactly
+    // 1.0 pairwise and to vec 0): the component {0, p1, p2, p3} must
+    // label every member with the minimum id 0 and report size 4 —
+    // clustering, not just pairwise keep-lowest.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9200001L, v.map(_ * 1.01f).toArray, 3),
+      (9200002L, v.map(_ * 1.02f).toArray, 4),
+      (9200003L, v.map(_ * 1.03f).toArray, 5))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("embclust").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val rows = ext.Similarity.xDedupEmbCluster(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    val expected = Set(0L, 9200001L, 9200002L, 9200003L)
+    assert(rows.map(_._1).toSet == expected,
+      s"clustered membership wrong: ${rows.mkString(",")}")
+    rows.foreach { case (id, cid, sz) =>
+      assert(cid == 0L, s"vec $id labeled $cid, expected component min 0")
+      assert(sz == 4L, s"vec $id cluster_size $sz, expected 4")
+    }
+    // The corpus artifact on the same fixture: keeper 0 survives, the
+    // three cluster losers do not, everything unclustered streams
+    // through (size = keepers − losers).
+    val corpus = ext.Similarity.xDedupEmbCorpusNearDup(spark, tmp)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(corpus(0L), "cluster keeper 0 must survive the corpus artifact")
+    assert(Seq(9200001L, 9200002L, 9200003L).forall(!corpus(_)),
+      "cluster loser leaked into the cleaned vector corpus")
+    val nKeepers = ext.Dedup.embExactKeepers(spark, tmp).count()
+    assert(corpus.size == nKeepers - 3,
+      s"corpus size ${corpus.size} != keepers $nKeepers - 3 losers")
+  }
+
   test("clean vector prep: replicas collapsed, banded losers out, cells capped") {
     import spark.implicits._
     // Plant two bit-identical replicas of vec 0 plus one scaled near-dup
