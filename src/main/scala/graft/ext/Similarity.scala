@@ -461,6 +461,45 @@ object Similarity {
     Dedup.connectedComponents(pairs)._1
   }
 
+  /** Centroid-proximity retention over near-dup vector clusters — the
+    * SemDeDup paper's keep policy (retain the example closest to its
+    * cluster centroid) as a gated operator, and the vector counterpart
+    * of x_dedup_keep_best's quality argmax: per CC cluster (the same
+    * clean banded edges and star labels), each member's distance to the
+    * cluster's EXACT-INTEGER mean (the Lloyd-step 2⁻²⁴-grid
+    * quantization, so the centroid is a dyadic double both engines
+    * reproduce bitwise) ranks it; rank 1 (ties to the lower id) is
+    * kept. Distances are the fixed-order IEEE fold (aggregate(zip_with)
+    * == list_reduce(list_prepend)), the adcDistance portability idiom.
+    * Scale shape: per-dim sums shuffle (cluster_id, pos) longs; the
+    * argmax window partitions by cluster over CLUSTERED keepers only.
+    */
+  def xDedupEmbKeepCentral(spark: SparkSession, dir: String): DataFrame = {
+    val labels = embClusterLabels(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+    val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
+    val members = labels.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    val ctrs = members
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster_id", "pos")
+      .agg(sum(((col("x").cast("double") + lit(16d)) * lit(16777216d))
+        .cast("long")).as("sq"), count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("pos"),
+        (expr("sq div n").cast("double") / lit(16777216d) - lit(16d)).as("m"))
+      .groupBy("cluster_id")
+      .agg(expr("array_sort(collect_list(struct(pos, m)))").as("pm"))
+      .select(col("cluster_id"), expr("transform(pm, p -> p.m)").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("d"), col("vec_id"))
+    members.join(ctrs, Seq("cluster_id"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(v, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, x) -> a + x)"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("cluster_id"),
+        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** The cleaned VECTOR corpus artifact — the embedding twin of
     * x_dedup_corpus_neardup, and the relation every index build should
     * consume: exact keepers (bit-identical replicas collapsed) minus
@@ -1432,7 +1471,10 @@ object Similarity {
     "x_dedup_emb_cluster" -> (xDedupEmbCluster _),
     // The cleaned vector corpus artifact: exact keepers minus cluster
     // losers — the embedding twin of x_dedup_corpus_neardup.
-    "x_dedup_emb_corpus_neardup" -> (xDedupEmbCorpusNearDup _))
+    "x_dedup_emb_corpus_neardup" -> (xDedupEmbCorpusNearDup _),
+    // SemDeDup's keep policy: per cluster, retain the member closest to
+    // the exact-integer cluster centroid (ties to lower id).
+    "x_dedup_emb_keep_central" -> (xDedupEmbKeepCentral _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -2347,6 +2389,50 @@ object Similarity {
          |  AND m.vec_id NOT IN (
          |    SELECT vec_id FROM vlab WHERE cluster_id <> vec_id)
          |ORDER BY m.vec_id""".stripMargin,
+    // Keep-central twin: the shared closure chain + the Lloyd-step
+    // exact-integer cluster mean (trunc to the 2^-24 grid, sum longs,
+    // floor-div, back to dyadic doubles) + the fixed-order distance
+    // fold and the (d, vec_id) rank.
+    "x_dedup_emb_keep_central" ->
+      s"""WITH RECURSIVE $lshCleanPairCtes,
+         |vpairs AS (SELECT id1, id2 FROM cpairs WHERE cosine >= 0.8),
+         |vedges AS (
+         |  SELECT id1 AS a, id2 AS b FROM vpairs
+         |  UNION ALL SELECT id2, id1 FROM vpairs),
+         |vreach(a, b) AS (
+         |  SELECT a, b FROM vedges
+         |  UNION
+         |  SELECT r.a, e2.b FROM vreach r JOIN vedges e2 ON r.b = e2.a),
+         |vlab AS (
+         |  SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+         |  FROM vreach GROUP BY a),
+         |cmean AS (
+         |  SELECT l.cluster_id, g.i,
+         |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM vlab l JOIN e ON e.vec_id = l.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY l.cluster_id, g.i),
+         |cctr AS (
+         |  SELECT cluster_id,
+         |    list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+         |  FROM cmean GROUP BY cluster_id),
+         |cdist AS (
+         |  SELECT l.vec_id, l.cluster_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, 64),
+         |        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
+         |      (a, x) -> a + x) AS d
+         |  FROM vlab l JOIN e ON e.vec_id = l.vec_id
+         |  JOIN cctr s ON s.cluster_id = l.cluster_id),
+         |crk AS (
+         |  SELECT vec_id, cluster_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY d, vec_id) AS rn
+         |  FROM cdist)
+         |SELECT vec_id, cluster_id,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM crk ORDER BY vec_id""".stripMargin,
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -1826,6 +1826,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val nKeepers = ext.Dedup.embExactKeepers(spark, tmp).count()
     assert(corpus.size == nKeepers - 3,
       s"corpus size ${corpus.size} != keepers $nKeepers - 3 losers")
+    // Keep-central on the same fixture: the scaled chain {1.0, 1.01,
+    // 1.02, 1.03}·v has its exact-integer centroid near 1.015·v, so the
+    // retained member must be one of the two middle scalings — never
+    // the extremes — and exactly one member is kept.
+    val central = ext.Similarity.xDedupEmbKeepCentral(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept")))
+    assert(central.map(_._1).toSet == expected,
+      "keep-central must judge every clustered member")
+    val keptIds = central.filter(_._2 == 1L).map(_._1)
+    assert(keptIds.length == 1, s"one keeper per cluster, got $keptIds")
+    assert(Set(9200001L, 9200002L)(keptIds.head),
+      s"centroid-closest must be a middle scaling, got ${keptIds.head}")
   }
 
   test("clean vector prep: replicas collapsed, banded losers out, cells capped") {
