@@ -26,7 +26,11 @@ class QueriesSpec extends AnyFunSuite {
   test("every query runs and returns a non-degenerate result") {
     val empties = Seq("x_dedup_emb_cosine", "x_dedup_emb_cosine_lsh",
       "x_dedup_emb_cosine_lsh_admit", "x_dedup_emb_cosine_lsh_clean",
-      "x_dedup_simhash") // may legitimately have 0 pairs
+      "x_dedup_simhash", // may legitimately have 0 pairs
+      // the cluster family rides those pair verdicts: clusterless stock
+      // corpus → 0 clustered rows / 0 retention verdicts (the planted
+      // ExtensionsSpec fixture pins the non-empty semantics)
+      "x_dedup_emb_cluster", "x_dedup_emb_keep_central")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.count()
