@@ -85,7 +85,7 @@ object ScaleProbe {
     // replication collapses upstream (the clean-arm story), so the
     // contraction sees keeper-scale edges
     "x_dedup_emb_cluster", "x_dedup_emb_corpus_neardup",
-    "x_dedup_emb_keep_central",
+    "x_dedup_emb_keep_central", "x_dedup_emb_corpus_central",
     // the composed policy arms over the shared llm chain: keep-best
     // adds the cluster-chain rank + a narrow quality join; the full
     // production arm adds all three verdict stages (each an 8-byte id

@@ -500,6 +500,24 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The cleaned vector corpus under the PRODUCTION retention policy —
+    * keep-central instead of keep-lowest-id: exact keepers minus every
+    * cluster member the centroid-proximity rule rejects. The vector
+    * counterpart of x_llm_corpus_prep_keepbest's retention swap, and
+    * the corpus SemDeDup actually ships (the paper keeps
+    * centroid-closest examples, not minimum ids). Differs from
+    * x_dedup_emb_corpus_neardup exactly when a cluster's central member
+    * is not its minimum id — the planted spec pins that disagreement.
+    */
+  def xDedupEmbCorpusCentral(spark: SparkSession, dir: String): DataFrame = {
+    val losers = xDedupEmbKeepCentral(spark, dir)
+      .filter(col("kept") === 0L).select("vec_id")
+    Dedup.embExactKeepers(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** The cleaned VECTOR corpus artifact — the embedding twin of
     * x_dedup_corpus_neardup, and the relation every index build should
     * consume: exact keepers (bit-identical replicas collapsed) minus
@@ -1474,7 +1492,10 @@ object Similarity {
     "x_dedup_emb_corpus_neardup" -> (xDedupEmbCorpusNearDup _),
     // SemDeDup's keep policy: per cluster, retain the member closest to
     // the exact-integer cluster centroid (ties to lower id).
-    "x_dedup_emb_keep_central" -> (xDedupEmbKeepCentral _))
+    "x_dedup_emb_keep_central" -> (xDedupEmbKeepCentral _),
+    // The corpus artifact under the production retention: keepers minus
+    // the keep-central rejects (vs _neardup's min-id retention).
+    "x_dedup_emb_corpus_central" -> (xDedupEmbCorpusCentral _))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
@@ -2433,6 +2454,50 @@ object Similarity {
          |SELECT vec_id, cluster_id,
          |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM crk ORDER BY vec_id""".stripMargin,
+    // Corpus-under-keep-central twin: the same closure + centroid
+    // chain, losers = rn <> 1 members, output = keepers minus losers.
+    "x_dedup_emb_corpus_central" ->
+      s"""WITH RECURSIVE $lshCleanPairCtes,
+         |vpairs AS (SELECT id1, id2 FROM cpairs WHERE cosine >= 0.8),
+         |vedges AS (
+         |  SELECT id1 AS a, id2 AS b FROM vpairs
+         |  UNION ALL SELECT id2, id1 FROM vpairs),
+         |vreach(a, b) AS (
+         |  SELECT a, b FROM vedges
+         |  UNION
+         |  SELECT r.a, e2.b FROM vreach r JOIN vedges e2 ON r.b = e2.a),
+         |vlab AS (
+         |  SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+         |  FROM vreach GROUP BY a),
+         |cmean AS (
+         |  SELECT l.cluster_id, g.i,
+         |    CAST(sum(trunc((e.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM vlab l JOIN e ON e.vec_id = l.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY l.cluster_id, g.i),
+         |cctr AS (
+         |  SELECT cluster_id,
+         |    list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+         |  FROM cmean GROUP BY cluster_id),
+         |cdist AS (
+         |  SELECT l.vec_id, l.cluster_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, 64),
+         |        i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))),
+         |      (a, x) -> a + x) AS d
+         |  FROM vlab l JOIN e ON e.vec_id = l.vec_id
+         |  JOIN cctr s ON s.cluster_id = l.cluster_id),
+         |crk AS (
+         |  SELECT vec_id, cluster_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY d, vec_id) AS rn
+         |  FROM cdist)
+         |SELECT m.vec_id, m.label
+         |FROM embeddings m
+         |WHERE m.vec_id IN (SELECT vec_id FROM uq)
+         |  AND m.vec_id NOT IN (SELECT vec_id FROM crk WHERE rn <> 1)
+         |ORDER BY m.vec_id""".stripMargin,
     "x_emb_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -1838,6 +1838,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(keptIds.length == 1, s"one keeper per cluster, got $keptIds")
     assert(Set(9200001L, 9200002L)(keptIds.head),
       s"centroid-closest must be a middle scaling, got ${keptIds.head}")
+    // The two corpus artifacts must DISAGREE on this cluster — min-id
+    // retains vec 0, keep-central retains the middle scaling — the
+    // planted-disagreement idiom that proves the retention swap is
+    // live, not cosmetic (the keep-best-vs-lowest-id precedent).
+    val centralCorpus = ext.Similarity.xDedupEmbCorpusCentral(spark, tmp)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!centralCorpus(0L),
+      "min-id member survived the keep-central corpus despite losing the rank")
+    assert(centralCorpus(keptIds.head),
+      "the centroid-closest member must survive its corpus artifact")
+    assert(centralCorpus.size == corpus.size,
+      "both retention policies keep exactly one member per cluster")
   }
 
   test("clean vector prep: replicas collapsed, banded losers out, cells capped") {
