@@ -91,6 +91,7 @@ object ScaleProbe {
     // production arm adds all three verdict stages (each an 8-byte id
     // join) — their replication cost should be the base chain's
     "x_llm_corpus_prep_keepbest", "x_llm_corpus_prep_full",
+    "x_emb_corpus_prep_central",
     // the graph-consuming density cut: rides the probed graph chain,
     // adds only per-vector integer aggregates + a 1-row broadcast — its
     // replication cost IS the graph's (the row pins that)

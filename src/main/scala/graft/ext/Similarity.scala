@@ -977,6 +977,25 @@ object Similarity {
     capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
   }
 
+  /** The vector prep under the PRODUCTION retention policy — the
+    * x_llm_corpus_prep_keepbest of the vector side: exact collapse,
+    * transitive clustering of the banded verdicts, keep-central
+    * retention (only centroid-closest members survive their cluster),
+    * then the shared quantizer/cap/int8 tail over the survivors. The
+    * planted spec pins the policy being LIVE inside the composition:
+    * the clean prep keeps a cluster's minimum id, this arm keeps its
+    * central member instead.
+    */
+  def xEmbCorpusPrepCentral(spark: SparkSession, dir: String): DataFrame = {
+    val losers = xDedupEmbKeepCentral(spark, dir)
+      .filter(col("kept") === 0L).select("vec_id")
+    val surv = Dedup.embExactKeepers(spark, dir)
+      .join(losers, Seq("vec_id"), "left_anti")
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    capAndQuantize(surv.select(col("vec_id"), col("embedding"),
+      VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
+  }
+
   /** The clean-prep survivor set: exact collapse FIRST (bit-identical
     * vectors → min-id keepers, one flat hash shuffle — the 100×-measured
     * guard), then the banded LSH near-dup verdicts OVER KEEPERS (the
@@ -1432,6 +1451,9 @@ object Similarity {
     // frozen survivor quantizer -> within-cell SemDeDup -> cap/int8 --
     // the vector-side twin of x_llm_corpus_prep_full.
     "x_emb_corpus_prep_full" -> (xEmbCorpusPrepFull _),
+    // The retention-policy swap inside the prep: cluster + keep-central
+    // survivors feed the quantizer (the keepbest-composition idiom).
+    "x_emb_corpus_prep_central" -> (xEmbCorpusPrepCentral _),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
@@ -1626,7 +1648,8 @@ object Similarity {
     */
   private def ivfAssignOracleCtes(k: Int = 16, rounds: Int = 1,
       trainWhere: String = "TRUE", hashSpread: Boolean = false,
-      srcTable: String = "embeddings", prelude: String = ""): String = {
+      srcTable: String = "embeddings", prelude: String = "",
+      recursive: Boolean = false): String = {
     // The hashSpread seed CTE ranks over the FULL `e` relation while the
     // Spark trainer seeds from its train subset — composing it with a
     // train filter would silently desync the twin, so fail loudly.
@@ -1653,8 +1676,11 @@ object Similarity {
            |    FROM e)
            |  WHERE rn <= $k)""".stripMargin
       else s"seeds AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < $k)"
+    // `recursive` prefixes WITH RECURSIVE for preludes that carry a
+    // recursive CTE (the closure chains); default emission unchanged.
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
     val header =
-      s"""WITH ${prelude}e AS (
+      s"""$withKw ${prelude}e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |  FROM $srcTable),
@@ -1925,12 +1951,71 @@ object Similarity {
     * the quantizer cell count exactly as the Spark side's density knob.
     */
   private def embCorpusPrepOracleSql(semantic: Boolean = false,
-      k: Int = 16, clean: Boolean = false): String = {
+      k: Int = 16, clean: Boolean = false,
+      central: Boolean = false): String = {
+    require(!(clean && central), "central implies the keeper collapse")
     // clean swaps the label-blocked dedup front-end for the production
     // staging (keeper collapse + the banded chain over `uq`, prefixed
     // `x` so its `e` cannot collide with the quantizer chain's);
     // defaults emit the historical prelude byte-for-byte.
-    val prelude = if (clean)
+    // central swaps the dedup front-end for the full production
+    // retention: collapse -> banded closure -> keep-central; surv =
+    // keepers minus the rank<>1 rejects. Chain text is the keep-central
+    // twin's with the x-prefixed signature CTEs (the quantizer header
+    // owns `e`) and `ke` member aliases (the fold lambda owns `x`).
+    val centralPrelude =
+      s"""$embKeeperCte,
+         |${lshCorpusCtes("uq", prefix = "x")},
+         |xcd AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM xcorpus a JOIN xcorpus b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |vpairs AS (
+         |  SELECT cd.id1, cd.id2
+         |  FROM xcd cd
+         |  JOIN xe p ON p.vec_id = cd.id1
+         |  JOIN xe q ON q.vec_id = cd.id2
+         |  WHERE round(list_dot_product(p.v, q.v) / (p.nrm * q.nrm), 4) >= 0.8),
+         |vedges AS (
+         |  SELECT id1 AS a, id2 AS b FROM vpairs
+         |  UNION ALL SELECT id2, id1 FROM vpairs),
+         |vreach(a, b) AS (
+         |  SELECT a, b FROM vedges
+         |  UNION
+         |  SELECT r.a, e2.b FROM vreach r JOIN vedges e2 ON r.b = e2.a),
+         |vlab AS (
+         |  SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+         |  FROM vreach GROUP BY a),
+         |cmean AS (
+         |  SELECT l.cluster_id, g.i,
+         |    CAST(sum(trunc((ke.v[g.i] + 16) * 16777216)::BIGINT) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM vlab l JOIN xe ke ON ke.vec_id = l.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY l.cluster_id, g.i),
+         |cctr AS (
+         |  SELECT cluster_id,
+         |    list(CAST(sq // n AS BIGINT) / 16777216.0 - 16 ORDER BY i) AS c
+         |  FROM cmean GROUP BY cluster_id),
+         |cdist AS (
+         |  SELECT l.vec_id, l.cluster_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, 64),
+         |        i -> (ke.v[i] - s.c[i]) * (ke.v[i] - s.c[i]))),
+         |      (a, x) -> a + x) AS d
+         |  FROM vlab l JOIN xe ke ON ke.vec_id = l.vec_id
+         |  JOIN cctr s ON s.cluster_id = l.cluster_id),
+         |crk AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY d, vec_id) AS rn
+         |  FROM cdist),
+         |surv AS (
+         |  SELECT vec_id, embedding FROM uq
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM crk WHERE rn <> 1)),
+         |""".stripMargin
+    val prelude = if (central) centralPrelude
+    else if (clean)
       s"""$embKeeperCte,
          |${lshCorpusCtes("uq", prefix = "x")},
          |xcd AS (
@@ -1974,7 +2059,7 @@ object Similarity {
       "a1 WHERE vec_id NOT IN (SELECT vec_id FROM semlosers)"
     else "a1"
     s"""${ivfAssignOracleCtes(k, 1, "TRUE", hashSpread = true,
-        srcTable = "surv", prelude = prelude)},
+        srcTable = "surv", prelude = prelude, recursive = central)},
        |${semCtes}bkt AS (
        |  SELECT vec_id, cell,
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
@@ -2307,6 +2392,7 @@ object Similarity {
     "x_emb_corpus_prep_sem_k64" ->
       embCorpusPrepOracleSql(semantic = true, k = 64),
     "x_emb_corpus_prep_clean" -> embCorpusPrepOracleSql(clean = true),
+    "x_emb_corpus_prep_central" -> embCorpusPrepOracleSql(central = true),
     "x_emb_corpus_prep_full" ->
       embCorpusPrepOracleSql(semantic = true, clean = true),
     // SemDeDup twin: shared quantizer chain, vectors joined back to

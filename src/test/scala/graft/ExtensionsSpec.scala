@@ -1888,6 +1888,43 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("central-retention prep disagrees with the clean prep on the planted cluster") {
+    import spark.implicits._
+    // Same fixture as the cluster spec: vec 0 plus three scaled copies.
+    // The clean prep's pairwise keep-lowest retains vec 0; the central
+    // prep must retain the centroid-closest middle scaling INSTEAD —
+    // the retention swap live inside the composition, the
+    // x_llm_corpus_prep_keepbest disagreement idiom on vectors.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9300001L, v.map(_ * 1.01f).toArray, 3),
+      (9300002L, v.map(_ * 1.02f).toArray, 4),
+      (9300003L, v.map(_ * 1.03f).toArray, 5))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("centralprep").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val clean = ext.Similarity.xEmbCorpusPrepClean(spark, tmp).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val central = ext.Similarity.xEmbCorpusPrepCentral(spark, tmp).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(central.nonEmpty)
+    val cluster = Set(0L, 9300001L, 9300002L, 9300003L)
+    // keep-lowest survivor of the cluster is vec 0 (whether it clears
+    // the diversity cap is its cell's business — the policy claim is
+    // about which member ENTERS the cap stage, so compare the
+    // cluster-member sets each prep lets through).
+    assert((central & cluster).subsetOf(Set(9300001L, 9300002L)),
+      s"central prep let a non-central cluster member through: ${central & cluster}")
+    assert(!(clean & cluster).exists(id => id != 0L),
+      s"clean prep must keep only the minimum id of the cluster: ${clean & cluster}")
+    val perCell = ext.Similarity.xEmbCorpusPrepCentral(spark, tmp).collect()
+      .groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
+  }
+
   test("full vector pipeline: semantic stage non-vacuous on top of the clean arm") {
     // The full arm differs from the clean arm exactly by the within-cell
     // SemDeDup stage (same survivor set, same quantizer seeds), so the
