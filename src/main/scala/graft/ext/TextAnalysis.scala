@@ -78,7 +78,7 @@ object TextAnalysis {
     * holds as documented. A deployment that must preserve a persisted
     * split pins the old 4-digit fold instead of upgrading it.
     */
-  private[ext] def md5Bucket(mod: Int,
+  private[graft] def md5Bucket(mod: Int,
       id: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
     pmod(
       conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
@@ -646,11 +646,7 @@ object TextAnalysis {
     */
   def xCorpusSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val minN = counts.agg(min(col("n_docs")).as("n_min"))
-    // per-language rates: #langs rows — a genuinely bounded broadcast
-    val rates = counts.crossJoin(broadcast(minN))
-      .select(col("lang"), sqrt(col("n_min") / col("n_docs")).as("keep_rate"))
+    val rates = sampleRates(docs)
     val bucket = md5Bucket(10000)
     docs.join(broadcast(rates), Seq("lang"))
       .groupBy(col("lang"))
@@ -658,6 +654,19 @@ object TextAnalysis {
         count(when(bucket < col("keep_rate") * 10000, lit(1))).as("n_kept"),
         max(col("keep_rate")).as("keep_rate"))
       .orderBy("lang")
+  }
+
+  /** The per-language temperature keep rates (alpha = 0.5:
+    * sqrt(n_min/n_lang)) — #langs rows, a genuinely bounded broadcast.
+    * Factored so the batch sampler and the streaming gate's frozen-rate
+    * artifact are the SAME Spark expressions (identical doubles, so the
+    * stream replays the batch membership bitwise).
+    */
+  private[graft] def sampleRates(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    counts.crossJoin(broadcast(minN))
+      .select(col("lang"), sqrt(col("n_min") / col("n_docs")).as("keep_rate"))
   }
 
   /** Gopher/C4-style hard-rule quality gate (the rule-bundle complement

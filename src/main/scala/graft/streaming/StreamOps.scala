@@ -307,6 +307,35 @@ object StreamOps {
       }
   }
 
+  case class LangDoc(doc_id: Long, lang: String)
+
+  /** Streaming temperature-sampling gate — the online half of
+    * x_corpus_sample, the selectDocs idiom for language rebalancing:
+    * the per-language alpha=0.5 keep rates are computed ONCE batch-side
+    * (TextAnalysis.sampleRates — the #langs-row artifact a production
+    * gate broadcasts and versions), FROZEN, and each arriving doc's
+    * membership is the batch rule verbatim — md5 id bucket below
+    * rate x 10000 — as a STATELESS narrow map: no state store, no
+    * watermark, no shuffle. Growth-stable by the same argument as the
+    * split/sample family: membership depends only on (doc_id, frozen
+    * rate), so admitted verdicts never change as the corpus grows;
+    * re-estimating rates in-stream would flip earlier verdicts (the
+    * frozen-quantizer argument), so production versions the rate table
+    * instead. A doc whose language is absent from the frozen table is
+    * never kept (null comparison -> 0), the conservative default until
+    * the next batch re-estimate ships. Batch parity is spec-gated:
+    * per-language kept counts replayed through the stream equal
+    * xCorpusSample's rollup, split across micro-batches.
+    */
+  def sampleDocs(docs: Dataset[LangDoc],
+      rates: Map[String, Double]): DataFrame = {
+    val rmap = typedlit(rates)
+    docs.select(col("doc_id"), col("lang"),
+      when(graft.ext.TextAnalysis.md5Bucket(10000, col("doc_id"))
+          < element_at(rmap, col("lang")) * 10000, lit(1L))
+        .otherwise(lit(0L)).as("kept"))
+  }
+
   case class SemVerdict(vec_id: Long, cell: Long, kept: Long)
   case class CellVec(cell: Long, vec_id: Long, embedding: Array[Float])
   case class SemCellState(members: List[(Long, Array[Float])])

@@ -2093,6 +2093,40 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming attach diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
+  test("streaming sampling gate reproduces the batch temperature rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the per-language rates batch-side (the SAME sampleRates
+    // expressions xCorpusSample runs — identical doubles), stream every
+    // document through the stateless gate split across two
+    // micro-batches, and require the per-language kept counts to equal
+    // the batch rollup exactly.
+    val docs = Tables.documents(spark, sf)
+    val rates = ext.TextAnalysis.sampleRates(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val all = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => streaming.StreamOps.LangDoc(r.getLong(0), r.getString(1)))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[streaming.StreamOps.LangDoc]
+    val query = streaming.StreamOps.sampleDocs(input.toDS(), rates)
+      .writeStream.format("memory").queryName("sample_gate_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept " +
+        "FROM sample_gate_out GROUP BY lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    query.stop()
+    val batch = ext.TextAnalysis.xCorpusSample(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(batch.values.exists { case (n, k) => k < n },
+      "vacuous fixture: no language is down-sampled")
+    assert(streamed == batch,
+      s"streaming gate diverged from the batch rollup ($streamed vs $batch)")
+  }
+
   test("online SemDeDup replay reproduces every batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
