@@ -336,6 +336,44 @@ object StreamOps {
         .otherwise(lit(0L)).as("kept"))
   }
 
+  case class ExactVerdict(vec_id: Long, keeper_id: Long, is_dup: Long)
+
+  /** Online exact vector dedup — the ingest half of the collapse-first
+    * guard (SCALE.md's 100× lesson: bit-identical replicas defeat every
+    * similarity blocking, so they must die at the door): state is one
+    * keeper id per DISTINCT embedding (the persisted hash set a
+    * production ingest keeps — 8 bytes per distinct vector, not the
+    * vector), and each arrival's verdict is the batch rule verbatim:
+    * keeper = the minimum id of its bit-identical group, is_dup for
+    * everyone else. Grouping keys on the embedding VALUE (bit equality,
+    * exactly the batch window's partition key — the floats came from
+    * the same parquet, so equality is bitwise). Replay contract:
+    * batches in nondecreasing vec_id order (ids assigned at ingest);
+    * within a batch the operator sorts, so the first arrival of a group
+    * IS its minimum and admitted keepers never flip. Replaying the
+    * corpus reproduces every xDedupEmbExact verdict (spec-gated on
+    * planted replicas). Downstream similarity stages (banded dedup,
+    * clustering, the kNN graph) then see keepers only — the composed
+    * clean arms' staging, online.
+    */
+  def dedupVectorsExactOnline(
+      vecs: Dataset[VecIn]): Dataset[ExactVerdict] = {
+    import vecs.sparkSession.implicits._
+    vecs.groupByKey(_.embedding.toSeq)
+      .flatMapGroupsWithState[Long, ExactVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Seq[Float], rows: Iterator[VecIn], state: GroupState[Long]) =>
+          var keeper = if (state.exists) state.get else Long.MaxValue
+          val out = rows.toSeq.sortBy(_.vec_id).map { r =>
+            if (r.vec_id < keeper) keeper = r.vec_id
+            ExactVerdict(r.vec_id, keeper,
+              if (r.vec_id == keeper) 0L else 1L)
+          }
+          state.update(keeper)
+          out.iterator
+      }
+  }
+
   case class SemVerdict(vec_id: Long, cell: Long, kept: Long)
   case class CellVec(cell: Long, vec_id: Long, embedding: Array[Float])
   case class SemCellState(members: List[(Long, Array[Float])])

@@ -2127,6 +2127,46 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming gate diverged from the batch rollup ($streamed vs $batch)")
   }
 
+  test("online exact vector dedup replay reproduces the batch collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Plant two bit-identical replicas of vec 0 at high ids (the
+    // exact-dedup fixture — the stock corpus has no exact dups), stream
+    // the corpus in id order split across two batches, and require
+    // verdict-for-verdict equality with xDedupEmbExact: same keepers,
+    // same is_dup flags, replicas collapsed to the min id seen first.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq((9400001L, v.toArray, 3), (9400002L, v.toArray, 4))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("exactonline").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val all = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.dedupVectorsExactOnline(input.toDS())
+      .writeStream.format("memory").queryName("exact_online_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT vec_id, keeper_id, is_dup FROM exact_online_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    query.stop()
+    val batch = ext.Dedup.xDedupEmbExact(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("is_dup"))).toSet
+    assert(batch.exists(_._3 == 1L), "vacuous fixture: no replica collapsed")
+    assert(streamed == batch,
+      s"online collapse diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
   test("online SemDeDup replay reproduces every batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
