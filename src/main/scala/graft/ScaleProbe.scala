@@ -95,7 +95,12 @@ object ScaleProbe {
     // the graph-consuming density cut: rides the probed graph chain,
     // adds only per-vector integer aggregates + a 1-row broadcast — its
     // replication cost IS the graph's (the row pins that)
-    "x_knn_density_select")
+    "x_knn_density_select",
+    // graph centrality: rides the probed graph chain; each PageRank
+    // round is one shuffle-on-dst long-sum over the edge list (out-
+    // degree ≤ 5 bounds fan-out), so its replication cost should be
+    // the graph build's plus a flat per-round tax
+    "x_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

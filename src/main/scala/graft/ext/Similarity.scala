@@ -877,6 +877,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Graph-centrality scoring over the gated kNN graph — the PageRank
+    * position in graph-based curation (a node other documents keep
+    * selecting as their nearest neighbor is a prototype of its region;
+    * centrality feeds the keep-representatives / sample-by-importance
+    * cuts the same way density feeds the diversity cut). Fixed-round
+    * power iteration in EXACT INTEGER arithmetic so both engines agree
+    * bitwise (float partial-sum order is not portable — the avgMoney6
+    * idiom for graphs): scores live as e9 longs, each round every node
+    * sends `score div out_deg` (positive ⇒ trunc == floor == DuckDB //)
+    * along its out-edges, and receives `base + (85 * Σ incoming) div
+    * 100` — damping 0.85, base 0.15e9, the standard update with the
+    * dangling mass dropped (documented variant; isolated nodes hold
+    * exactly the base). Scale shape: out-degree ≤ kNeighbors bounds
+    * every row's fan-out; each round is one shuffle-on-dst sum over the
+    * edge list (the Pregel layout) — never materializes anything wider
+    * than (node, score). Overflow headroom: Σ incoming ≤ in_deg × 1e9
+    * and in-degree is bounded by cell occupancy (the same k ~ √N knob
+    * as the graph itself), so 85 × Σ stays far inside a long at any
+    * corpus the cell guard admits. The edge list is localCheckpoint'd
+    * once (the BPE-loop idiom) so `prRounds` passes don't replay the
+    * quantizer pair join.
+    */
+  def xGraphPagerank(spark: SparkSession, dir: String,
+      prRounds: Int = 3, kNeighbors: Int = 5, kCells: Int = 16,
+      rounds: Int = 1): DataFrame = {
+    val edges = xKnnGraph(spark, dir, kNeighbors, kCells, rounds)
+      .select(col("vec_id").as("src"), col("nn_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    val nodes = Tables.embeddings(spark, dir).select("vec_id")
+    var score = nodes.withColumn("score_e9", lit(1000000000L))
+    for (_ <- 1 to prRounds) {
+      val contrib = edgesDeg
+        .join(score.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst").as("vec_id"), expr("score_e9 div deg").as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("in_e9"))
+      score = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("cast(150000000 + (85 * coalesce(in_e9, cast(0 as bigint)))" +
+            " div 100 as bigint)").as("score_e9"))
+    }
+    score.orderBy("vec_id")
+  }
+
   /** End-to-end VECTOR-corpus prep — the embedding-side counterpart of
     * x_llm_corpus_prep, composed from the shared operators exactly as a
     * production vector-store build runs them: (1) embedding-cosine
@@ -1498,6 +1542,11 @@ object Similarity {
     // broadcast Nth-threshold — integer arithmetic end-to-end.
     "x_knn_density_select" -> ((s: SparkSession, d: String) =>
       xKnnDensitySelect(s, d)),
+    // Graph centrality over the same chain: fixed-round integer
+    // PageRank (e9 longs, damping 0.85, dangling mass dropped) — the
+    // prototypicality signal graph curation ranks regions by.
+    "x_graph_pagerank" -> ((s: SparkSession, d: String) =>
+      xGraphPagerank(s, d)),
     // Exact-duplicate collapse composed UPSTREAM of the banded near-dup
     // join: identical vectors share every signature, so NO geometric
     // blocking can separate them — dedup of bit-identical embeddings is
@@ -1904,6 +1953,43 @@ object Similarity {
        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
        |FROM av
        |ORDER BY vec_id""".stripMargin
+
+  /** The DuckDB twin of xGraphPagerank: the shared graph chain, the
+    * edge list + out-degrees MATERIALIZED (each round references them —
+    * plain CTEs would re-inline the whole quantizer pair join per
+    * round, the iterative-oracle blowup), then `prRounds` generated
+    * update CTEs in the same e9-long arithmetic: `score // deg` along
+    * edges (both engines floor positive longs), SUM cast from HUGEINT
+    * back to BIGINT, `base + (85 * in) // 100`. Each pr CTE is
+    * referenced exactly once by its successor, so the chain itself
+    * stays plain (linear inlining, no blowup).
+    */
+  private def pagerankOracleSql(prRounds: Int = 3, kNeighbors: Int = 5,
+      k: Int = 16, rounds: Int = 1): String = {
+    val prCtes = (1 to prRounds).map { r =>
+      val prev = if (r == 1) "pr0" else s"pr${r - 1}"
+      s"""pr$r AS (
+         |  SELECT n.vec_id,
+         |    CAST(150000000 + (85 * COALESCE(c.in_e9, 0)) // 100 AS BIGINT)
+         |      AS score_e9
+         |  FROM embeddings n LEFT JOIN (
+         |    SELECT eg.dst AS vec_id,
+         |      CAST(SUM(p.score_e9 // eg.deg) AS BIGINT) AS in_e9
+         |    FROM edg eg JOIN $prev p ON p.vec_id = eg.src
+         |    GROUP BY 1) c USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""${knnGraphCtes(k, rounds)},
+       |edg AS MATERIALIZED (
+       |  SELECT vec_id AS src, nn_id AS dst,
+       |    CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg
+       |  FROM rk WHERE nn_rank <= $kNeighbors),
+       |pr0 AS (
+       |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score_e9
+       |  FROM embeddings),
+       |$prCtes
+       |SELECT vec_id, score_e9 FROM pr$prRounds
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
     * gate): the shared quantizer chain above at (k, rounds), then the
@@ -2441,6 +2527,7 @@ object Similarity {
     "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
     "x_knn_graph_admit" -> knnGraphAdmitOracleSql(),
     "x_knn_density_select" -> densitySelectOracleSql(),
+    "x_graph_pagerank" -> pagerankOracleSql(),
     // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
     // graph chain over `uq` — trained on keepers, like the Spark side.
     "x_knn_graph_clean" -> knnGraphOracleSql(

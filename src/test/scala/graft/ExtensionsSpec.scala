@@ -1696,6 +1696,49 @@ class ExtensionsSpec extends AnyFunSuite {
       s"planted twin not mutual: ${top1.get(9000002L)}")
   }
 
+  test("pagerank: planted clique concentrates mass, zero-in-degree nodes hold the base") {
+    import spark.implicits._
+    // Plant six scaled copies of vector 0's direction: identical
+    // direction ⇒ same quantizer cell, rounded cosine 1.0 to each
+    // other beats every stock neighbor (corpus cosines top out ~0.47),
+    // so the seven co-directional vectors (vec 0 + six plants) form a
+    // closed top-5 clique that keeps re-sending its full mass to
+    // itself. Deterministic consequences of the integer update rule:
+    // (a) one score per vector; (b) any node with NO in-edges in the
+    // gated graph holds exactly the 0.15e9 base after every round —
+    // including the largest-id plant, which the cos-then-id tiebreak
+    // structurally shadows out of every clique member's top-5; (c) the
+    // six smaller-id clique members each keep score >= the initial 1e9
+    // (five in-links of score div 5, contributors never dip below 1e9
+    // by the same induction) — the prototypicality signal the operator
+    // exists to measure, >6x any zero-in-degree node.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val clique = (1 to 6).map(i =>
+      (9000000L + i, v.map(_ * (1.0f + 0.01f * i)).toArray, 7))
+    val tmp = java.nio.file.Files.createTempDirectory("pagerank").toString
+    base.unionByName(clique.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val scores = ext.Similarity.xGraphPagerank(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score_e9")).toMap
+    val n = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+    assert(scores.size == n, s"expected $n scores, got ${scores.size}")
+    val linked = ext.Similarity.xKnnGraph(spark, tmp)
+      .select("nn_id").distinct().collect().map(_.getLong(0)).toSet
+    val noIn = scores.keySet -- linked
+    assert(noIn.nonEmpty, "corpus unexpectedly has no zero-in-degree node")
+    assert(noIn.forall(id => scores(id) == 150000000L),
+      s"zero-in-degree nodes off the base: ${noIn.filter(scores(_) != 150000000L)}")
+    val members = Seq(0L) ++ (1 to 5).map(9000000L + _)
+    members.foreach { id =>
+      assert(scores(id) >= 1000000000L,
+        s"clique member $id lost mass: ${scores(id)}")
+    }
+    assert(!linked.contains(9000006L) && scores(9000006L) == 150000000L,
+      "largest-id plant should be tiebreak-shadowed to the base score")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
