@@ -100,7 +100,11 @@ object ScaleProbe {
     // round is one shuffle-on-dst long-sum over the edge list (out-
     // degree ≤ 5 bounds fan-out), so its replication cost should be
     // the graph build's plus a flat per-round tax
-    "x_graph_pagerank")
+    "x_graph_pagerank",
+    // the collapse-first centrality arm: keeper graph + keeper nodes —
+    // replication cost collapses with the duplicates AND the replica
+    // vote-stuffing distortion never enters the scores
+    "x_graph_pagerank_clean")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

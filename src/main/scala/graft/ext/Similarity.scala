@@ -901,12 +901,14 @@ object Similarity {
     */
   def xGraphPagerank(spark: SparkSession, dir: String,
       prRounds: Int = 3, kNeighbors: Int = 5, kCells: Int = 16,
-      rounds: Int = 1): DataFrame = {
-    val edges = xKnnGraph(spark, dir, kNeighbors, kCells, rounds)
+      rounds: Int = 1, srcOverride: Option[DataFrame] = None): DataFrame = {
+    val edges = xKnnGraph(spark, dir, kNeighbors, kCells, rounds,
+      srcOverride = srcOverride)
       .select(col("vec_id").as("src"), col("nn_id").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    val nodes = Tables.embeddings(spark, dir).select("vec_id")
+    val nodes = srcOverride.getOrElse(Tables.embeddings(spark, dir))
+      .select("vec_id")
     var score = nodes.withColumn("score_e9", lit(1000000000L))
     for (_ <- 1 to prRounds) {
       val contrib = edgesDeg
@@ -919,6 +921,30 @@ object Similarity {
             " div 100 as bigint)").as("score_e9"))
     }
     score.orderBy("vec_id")
+  }
+
+  /** Centrality-based prototype selection — the pagerank-CONSUMING cut
+    * (the mirror of xKnnDensitySelect: density keeps the SPARSE for
+    * diversity; centrality keeps the MOST-voted-for as prototypes —
+    * the two retention policies a curation pipeline mixes). Keeps the
+    * `selectN` highest (score_e9 DESC, vec_id ASC) via the DSIR-style
+    * broadcast Nth-threshold — a 1-row broadcast, never a corpus-wide
+    * window — over the clean (collapse-first) pagerank arm, since a
+    * prototype vote must count distinct voters.
+    */
+  def xGraphPagerankSelect(spark: SparkSession, dir: String,
+      selectN: Int = 100): DataFrame = {
+    val pr = xGraphPagerank(spark, dir,
+      srcOverride = Some(Dedup.embExactKeepers(spark, dir)))
+    val cut = pr.orderBy(desc("score_e9"), col("vec_id")).limit(selectN)
+      .orderBy(col("score_e9"), desc("vec_id")).limit(1)
+      .select(col("score_e9").as("cut_s"), col("vec_id").as("cut_id"))
+    pr.crossJoin(broadcast(cut))
+      .select(col("vec_id"), col("score_e9"),
+        when(col("score_e9") > col("cut_s") ||
+          (col("score_e9") === col("cut_s") && col("vec_id") <= col("cut_id")),
+          lit(1L)).otherwise(lit(0L)).as("selected"))
+      .orderBy("vec_id")
   }
 
   /** End-to-end VECTOR-corpus prep — the embedding-side counterpart of
@@ -1547,6 +1573,17 @@ object Similarity {
     // prototypicality signal graph curation ranks regions by.
     "x_graph_pagerank" -> ((s: SparkSession, d: String) =>
       xGraphPagerank(s, d)),
+    // The collapse-first arm (the CLAUDE.md guard): centrality over the
+    // keeper graph — identical replicas would otherwise both crowd the
+    // cells (the graph build's measured 100× cliff) AND distort the
+    // scores themselves (each replica set re-votes its region N×).
+    "x_graph_pagerank_clean" -> ((s: SparkSession, d: String) =>
+      xGraphPagerank(s, d, srcOverride = Some(Dedup.embExactKeepers(s, d)))),
+    // The centrality-CONSUMING cut: keep the selectN most-voted-for
+    // prototypes via the broadcast Nth-threshold over clean scores —
+    // the mirror of x_knn_density_select's diversity policy.
+    "x_graph_pagerank_select" -> ((s: SparkSession, d: String) =>
+      xGraphPagerankSelect(s, d)),
     // Exact-duplicate collapse composed UPSTREAM of the banded near-dup
     // join: identical vectors share every signature, so NO geometric
     // blocking can separate them — dedup of bit-identical embeddings is
@@ -1964,32 +2001,61 @@ object Similarity {
     * referenced exactly once by its successor, so the chain itself
     * stays plain (linear inlining, no blowup).
     */
-  private def pagerankOracleSql(prRounds: Int = 3, kNeighbors: Int = 5,
-      k: Int = 16, rounds: Int = 1): String = {
+  private def pagerankCtes(prRounds: Int = 3, kNeighbors: Int = 5,
+      k: Int = 16, rounds: Int = 1, srcTable: String = "embeddings",
+      prelude: String = ""): String = {
     val prCtes = (1 to prRounds).map { r =>
       val prev = if (r == 1) "pr0" else s"pr${r - 1}"
       s"""pr$r AS (
          |  SELECT n.vec_id,
          |    CAST(150000000 + (85 * COALESCE(c.in_e9, 0)) // 100 AS BIGINT)
          |      AS score_e9
-         |  FROM embeddings n LEFT JOIN (
+         |  FROM $srcTable n LEFT JOIN (
          |    SELECT eg.dst AS vec_id,
          |      CAST(SUM(p.score_e9 // eg.deg) AS BIGINT) AS in_e9
          |    FROM edg eg JOIN $prev p ON p.vec_id = eg.src
          |    GROUP BY 1) c USING (vec_id))""".stripMargin
     }.mkString(",\n")
-    s"""${knnGraphCtes(k, rounds)},
+    s"""${knnGraphCtes(k, rounds, srcTable, prelude)},
        |edg AS MATERIALIZED (
        |  SELECT vec_id AS src, nn_id AS dst,
        |    CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg
        |  FROM rk WHERE nn_rank <= $kNeighbors),
        |pr0 AS (
        |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score_e9
-       |  FROM embeddings),
-       |$prCtes
+       |  FROM $srcTable),
+       |$prCtes""".stripMargin
+  }
+
+  private def pagerankOracleSql(prRounds: Int = 3, kNeighbors: Int = 5,
+      k: Int = 16, rounds: Int = 1, srcTable: String = "embeddings",
+      prelude: String = ""): String =
+    s"""${pagerankCtes(prRounds, kNeighbors, k, rounds, srcTable, prelude)}
        |SELECT vec_id, score_e9 FROM pr$prRounds
        |ORDER BY vec_id""".stripMargin
-  }
+
+  /** The DuckDB twin of xGraphPagerankSelect: the clean pagerank chain
+    * + the density-select cut idiom flipped to keep the HIGHEST
+    * (score DESC, id ASC) — two ORDER BY ... LIMIT CTEs stand in for
+    * the broadcast Nth-threshold.
+    */
+  private def pagerankSelectOracleSql(selectN: Int = 100,
+      prRounds: Int = 3): String =
+    s"""${pagerankCtes(prRounds, srcTable = "uq",
+         prelude = s"$embKeeperCte,\n")},
+       |ptopn AS (
+       |  SELECT score_e9, vec_id FROM pr$prRounds
+       |  ORDER BY score_e9 DESC, vec_id LIMIT $selectN),
+       |pcut AS (
+       |  SELECT score_e9 AS cut_s, vec_id AS cut_id FROM ptopn
+       |  ORDER BY score_e9, vec_id DESC LIMIT 1)
+       |SELECT vec_id, score_e9,
+       |  CASE WHEN score_e9 > (SELECT cut_s FROM pcut)
+       |        OR (score_e9 = (SELECT cut_s FROM pcut)
+       |            AND vec_id <= (SELECT cut_id FROM pcut))
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
+       |FROM pr$prRounds
+       |ORDER BY vec_id""".stripMargin
 
   /** The DuckDB twin of xAnnIvf (and of the multi-round x_ann_ivf_k8r2
     * gate): the shared quantizer chain above at (k, rounds), then the
@@ -2528,6 +2594,9 @@ object Similarity {
     "x_knn_graph_admit" -> knnGraphAdmitOracleSql(),
     "x_knn_density_select" -> densitySelectOracleSql(),
     "x_graph_pagerank" -> pagerankOracleSql(),
+    "x_graph_pagerank_clean" -> pagerankOracleSql(
+      srcTable = "uq", prelude = s"$embKeeperCte,\n"),
+    "x_graph_pagerank_select" -> pagerankSelectOracleSql(),
     // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
     // graph chain over `uq` — trained on keepers, like the Spark side.
     "x_knn_graph_clean" -> knnGraphOracleSql(

@@ -1739,6 +1739,57 @@ class ExtensionsSpec extends AnyFunSuite {
       "largest-id plant should be tiebreak-shadowed to the base score")
   }
 
+  test("clean pagerank: identical on a dup-free corpus, collapses replica vote-stuffing") {
+    import spark.implicits._
+    // (a) The raw corpus has no bit-identical pair, so keeper pagerank
+    // == base pagerank byte-for-byte (the clean-graph pin: cost changes
+    // on duplicated corpora, semantics never change on clean ones).
+    val base = ext.Similarity.xGraphPagerank(spark, sf).collect().map(_.toString)
+    val clean = ext.Similarity.xGraphPagerank(spark, sf,
+      srcOverride = Some(ext.Dedup.embExactKeepers(spark, sf)))
+      .collect().map(_.toString)
+    assert(base.sameElements(clean), "clean pagerank diverged on a dup-free corpus")
+    // (b) Plant three bit-identical replicas of vector 0: the clean arm
+    // scores only the min-id keeper — replicas never enter the graph,
+    // so a replica set cannot re-vote its region's centrality N×.
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = raw.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq((9000001L, v.toArray, 5), (9000002L, v.toArray, 5))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("prclean").toString
+    raw.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val ids = ext.Similarity.xGraphPagerank(spark, tmp,
+      srcOverride = Some(ext.Dedup.embExactKeepers(spark, tmp)))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(0L) && !ids.contains(9000001L) && !ids.contains(9000002L),
+      "replicas must collapse to the keeper before centrality")
+    assert(ids.size == raw.count(), "keeper set size must be the distinct corpus")
+  }
+
+  test("pagerank select keeps exactly N, ordered by (score desc, id) at the boundary") {
+    val rows = ext.Similarity.xGraphPagerankSelect(spark, sf).collect()
+    val sel = rows.filter(_.getAs[Long]("selected") == 1L)
+    val unsel = rows.filter(_.getAs[Long]("selected") == 0L)
+    assert(sel.length == 100, s"expected exactly 100 selected, got ${sel.length}")
+    // Total order (score DESC, vec_id ASC): the worst selected row must
+    // still beat the best unselected row.
+    def key(r: org.apache.spark.sql.Row) =
+      (-r.getAs[Long]("score_e9"), r.getAs[Long]("vec_id"))
+    val worstSel = sel.map(key).max
+    val bestUnsel = unsel.map(key).min
+    assert(implicitly[Ordering[(Long, Long)]].lt(worstSel, bestUnsel),
+      s"selection boundary violates the (score desc, id) order: $worstSel !< $bestUnsel")
+    // Scores are the CLEAN arm's scores verbatim (prototype votes count
+    // distinct voters — the collapse-first policy).
+    val clean = ext.Similarity.xGraphPagerank(spark, sf,
+      srcOverride = Some(ext.Dedup.embExactKeepers(spark, sf)))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score_e9")).toMap
+    assert(rows.forall(r => clean(r.getAs[Long]("vec_id")) == r.getAs[Long]("score_e9")),
+      "select arm drifted from the clean pagerank scores")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
