@@ -104,7 +104,10 @@ object ScaleProbe {
     // the collapse-first centrality arm: keeper graph + keeper nodes —
     // replication cost collapses with the duplicates AND the replica
     // vote-stuffing distortion never enters the scores
-    "x_graph_pagerank_clean")
+    "x_graph_pagerank_clean",
+    // the similarity-weighted arm rides the same clean chain; the
+    // weighted contribution is a per-edge projection, no extra shuffle
+    "x_graph_pagerank_w")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -901,19 +901,37 @@ object Similarity {
     */
   def xGraphPagerank(spark: SparkSession, dir: String,
       prRounds: Int = 3, kNeighbors: Int = 5, kCells: Int = 16,
-      rounds: Int = 1, srcOverride: Option[DataFrame] = None): DataFrame = {
-    val edges = xKnnGraph(spark, dir, kNeighbors, kCells, rounds,
+      rounds: Int = 1, srcOverride: Option[DataFrame] = None,
+      weighted: Boolean = false): DataFrame = {
+    val g = xKnnGraph(spark, dir, kNeighbors, kCells, rounds,
       srcOverride = srcOverride)
-      .select(col("vec_id").as("src"), col("nn_id").as("dst"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Weighted variant: a voter splits its mass PROPORTIONALLY to edge
+    // similarity instead of equally — w = c_e4 + 10001 (the density
+    // select's e4 scaling shifted above the -10000 cosine floor so
+    // every weight is positive mass). floor(score·w / Σw) is computed
+    // by the exact overflow-safe decomposition q·w + (r·w) div Σw
+    // (score = q·Σw + r): every intermediate stays ≤ score/Σw·w ~
+    // score-scale, never score×w-scale — hub chains can grow score
+    // toward in_deg^rounds·1e9, and the naive product would overflow
+    // a long exactly on the corpora centrality matters for.
+    val edges =
+      if (weighted) g.select(col("vec_id").as("src"), col("nn_id").as("dst"),
+        (round(col("cos_sim") * lit(10000)).cast("long") + lit(10001L)).as("w"))
+      else g.select(col("vec_id").as("src"), col("nn_id").as("dst"))
+    val deg =
+      if (weighted) edges.groupBy("src").agg(sum(col("w")).as("sw"))
+      else edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
     val nodes = srcOverride.getOrElse(Tables.embeddings(spark, dir))
       .select("vec_id")
+    val contribExpr =
+      if (weighted) "(score_e9 div sw) * w + ((score_e9 % sw) * w) div sw"
+      else "score_e9 div deg"
     var score = nodes.withColumn("score_e9", lit(1000000000L))
     for (_ <- 1 to prRounds) {
       val contrib = edgesDeg
         .join(score.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .select(col("dst").as("vec_id"), expr("score_e9 div deg").as("c"))
+        .select(col("dst").as("vec_id"), expr(contribExpr).as("c"))
         .groupBy("vec_id").agg(sum(col("c")).as("in_e9"))
       score = nodes.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
@@ -1584,6 +1602,14 @@ object Similarity {
     // the mirror of x_knn_density_select's diversity policy.
     "x_graph_pagerank_select" -> ((s: SparkSession, d: String) =>
       xGraphPagerankSelect(s, d)),
+    // Similarity-weighted centrality: a voter splits its mass in
+    // proportion to edge cosine (w = c_e4 + 10001) instead of equally
+    // — near-identical neighbors out-vote marginal ones. Clean-based
+    // (the collapse-first invariant), exact integers via the
+    // overflow-safe q·w + (r·w) div Σw decomposition.
+    "x_graph_pagerank_w" -> ((s: SparkSession, d: String) =>
+      xGraphPagerank(s, d, srcOverride = Some(Dedup.embExactKeepers(s, d)),
+        weighted = true)),
     // Exact-duplicate collapse composed UPSTREAM of the banded near-dup
     // join: identical vectors share every signature, so NO geometric
     // blocking can separate them — dedup of bit-identical embeddings is
@@ -2003,7 +2029,19 @@ object Similarity {
     */
   private def pagerankCtes(prRounds: Int = 3, kNeighbors: Int = 5,
       k: Int = 16, rounds: Int = 1, srcTable: String = "embeddings",
-      prelude: String = ""): String = {
+      prelude: String = "", weighted: Boolean = false): String = {
+    // Weighted twin: the same q·w + (r·w) // Σw overflow-safe
+    // decomposition the Spark side computes, term for term.
+    val contribSql =
+      if (weighted)
+        "(p.score_e9 // eg.sw) * eg.w + ((p.score_e9 % eg.sw) * eg.w) // eg.sw"
+      else "p.score_e9 // eg.deg"
+    val edgCols =
+      if (weighted)
+        """CAST(round(cos_sim * 10000) AS BIGINT) + 10001 AS w,
+          |    CAST(SUM(CAST(round(cos_sim * 10000) AS BIGINT) + 10001)
+          |      OVER (PARTITION BY vec_id) AS BIGINT) AS sw""".stripMargin
+      else "CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg"
     val prCtes = (1 to prRounds).map { r =>
       val prev = if (r == 1) "pr0" else s"pr${r - 1}"
       s"""pr$r AS (
@@ -2012,14 +2050,14 @@ object Similarity {
          |      AS score_e9
          |  FROM $srcTable n LEFT JOIN (
          |    SELECT eg.dst AS vec_id,
-         |      CAST(SUM(p.score_e9 // eg.deg) AS BIGINT) AS in_e9
+         |      CAST(SUM($contribSql) AS BIGINT) AS in_e9
          |    FROM edg eg JOIN $prev p ON p.vec_id = eg.src
          |    GROUP BY 1) c USING (vec_id))""".stripMargin
     }.mkString(",\n")
     s"""${knnGraphCtes(k, rounds, srcTable, prelude)},
        |edg AS MATERIALIZED (
        |  SELECT vec_id AS src, nn_id AS dst,
-       |    CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg
+       |    $edgCols
        |  FROM rk WHERE nn_rank <= $kNeighbors),
        |pr0 AS (
        |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score_e9
@@ -2029,8 +2067,9 @@ object Similarity {
 
   private def pagerankOracleSql(prRounds: Int = 3, kNeighbors: Int = 5,
       k: Int = 16, rounds: Int = 1, srcTable: String = "embeddings",
-      prelude: String = ""): String =
-    s"""${pagerankCtes(prRounds, kNeighbors, k, rounds, srcTable, prelude)}
+      prelude: String = "", weighted: Boolean = false): String =
+    s"""${pagerankCtes(prRounds, kNeighbors, k, rounds, srcTable, prelude,
+         weighted)}
        |SELECT vec_id, score_e9 FROM pr$prRounds
        |ORDER BY vec_id""".stripMargin
 
@@ -2597,6 +2636,8 @@ object Similarity {
     "x_graph_pagerank_clean" -> pagerankOracleSql(
       srcTable = "uq", prelude = s"$embKeeperCte,\n"),
     "x_graph_pagerank_select" -> pagerankSelectOracleSql(),
+    "x_graph_pagerank_w" -> pagerankOracleSql(
+      srcTable = "uq", prelude = s"$embKeeperCte,\n", weighted = true),
     // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
     // graph chain over `uq` — trained on keepers, like the Spark side.
     "x_knn_graph_clean" -> knnGraphOracleSql(

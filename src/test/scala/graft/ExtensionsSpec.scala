@@ -1790,6 +1790,60 @@ class ExtensionsSpec extends AnyFunSuite {
       "select arm drifted from the clean pagerank scores")
   }
 
+  test("weighted pagerank: uniform weights degenerate to equal split, varied weights diverge") {
+    import spark.implicits._
+    // Isolated synthetic corpus: a 7-member co-directional clique
+    // (scaled copies — bit-distinct, all mutual rounded cos 1.0) plus
+    // 15 sign-pattern directions far from it and from each other. The
+    // clique shares one quantizer cell; every clique edge carries the
+    // SAME weight (w = 20001), so the proportional split equals the
+    // equal split EXACTLY (floor(s·20001/100005) = floor(s/5) — the
+    // degeneracy that pins the weighted arithmetic against the
+    // unweighted arm's). The far vectors contribute no clique edges,
+    // so clique scores must agree across arms to the last unit.
+    // Ids 0..22 dense (the quantizer seeds from vec_id < 16, so the
+    // first 16 ids must exist). The 16 far vectors OWN the seed ids:
+    // if clique members seeded, each would sit alone in its own cell
+    // (scaled copies have distinct norms, so each is its own nearest
+    // seed) and no clique edge would exist. As non-seeds they all
+    // assign to one shared nearest-centroid cell — the planted-spec
+    // layout every vector spec here relies on.
+    val rng = new scala.util.Random(7)
+    val far = (0 to 15).map(j =>
+      (j.toLong, Array.fill(64)((if (rng.nextBoolean()) 1f else -1f) *
+        (0.5f + rng.nextFloat())), 1))
+    val clique = (16 to 22).map(i =>
+      (i.toLong, Array.fill(64)(0.25f * (1.0f + 0.01f * (i - 15))), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("prw").toString
+    (clique ++ far).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def scores(weighted: Boolean, dir: String) =
+      ext.Similarity.xGraphPagerank(spark, dir,
+        srcOverride = Some(ext.Dedup.embExactKeepers(spark, dir)),
+        weighted = weighted).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score_e9")).toMap
+    val uw = scores(weighted = false, tmp)
+    val w = scores(weighted = true, tmp)
+    (16 to 22).foreach { i =>
+      assert(uw(i.toLong) == w(i.toLong),
+        s"uniform-weight clique member $i diverged: ${uw(i.toLong)} vs ${w(i.toLong)}")
+    }
+    // Six of the seven receive the full 5-in-link mass (the largest id
+    // is tiebreak-shadowed, the base pagerank spec's structural claim).
+    assert((16 to 22).count(i => w(i.toLong) >= 1000000000L) >= 6,
+      s"clique lost mass under uniform weights: ${(16 to 22).map(i => w(i.toLong))}")
+    // On the stock corpus (varied cosines) the proportional split must
+    // actually bite: at least one node's score differs between arms —
+    // while zero-in-degree nodes hold the base in BOTH.
+    val suw = scores(weighted = false, sf)
+    val sw = scores(weighted = true, sf)
+    assert(suw.exists { case (id, s) => sw(id) != s },
+      "weighted arm never diverged from unweighted on varied cosines")
+    val baseOnly = suw.filter(_._2 == 150000000L).keySet
+    assert(baseOnly.forall(id => sw(id) == 150000000L),
+      "a zero-in-degree node gained mass under weighting")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
