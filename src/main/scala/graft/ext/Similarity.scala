@@ -430,6 +430,35 @@ object Similarity {
     lshVerifiedPairs(buckets, buckets, e)
   }
 
+  /** EMBEDDING-space eval decontamination — the vector counterpart of
+    * x_text_contamination / x_split_leakage: after the deterministic
+    * md5-bucket eval holdout (bucket < 10 of 100 on the keeper id —
+    * the train/val/split convention), flag every TRAIN keeper that is
+    * a near-duplicate (the clean banded chain's rounded cosine ≥ 0.8
+    * verdict) of an EVAL keeper. N-gram decontamination catches
+    * copied TEXT; this catches semantically-identical leakage that
+    * survives paraphrase — the benchmark-leak class gram overlap
+    * structurally misses. Output: (train_id, eval_id, cosine) per
+    * leaking pair, either orientation normalized. Scale shape: the
+    * already-probed clean banded chain + two narrow id-keyed split
+    * joins — membership is a pure function of the id, so no new
+    * shuffle wider than the verdict pairs themselves.
+    */
+  def xEmbContamination(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = xDedupEmbCosineLshClean(spark, dir)
+    val ev = Dedup.embExactKeepers(spark, dir).select(col("vec_id"),
+      (TextAnalysis.md5Bucket(100, col("vec_id")) < 10).as("is_eval"))
+    pairs
+      .join(ev.select(col("vec_id").as("id1"), col("is_eval").as("e1")), Seq("id1"))
+      .join(ev.select(col("vec_id").as("id2"), col("is_eval").as("e2")), Seq("id2"))
+      .filter(col("e1") =!= col("e2"))
+      .select(
+        when(col("e1"), col("id2")).otherwise(col("id1")).as("train_id"),
+        when(col("e1"), col("id1")).otherwise(col("id2")).as("eval_id"),
+        col("cosine"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Near-dup vector CLUSTERS — the vector twin of x_dedup_cluster:
     * connected components (the same large/small-star O(log d)
     * contraction, eager per-round checkpoints) over the clean banded
@@ -1618,6 +1647,10 @@ object Similarity {
     // (the 100×-replication cliff measured in SCALE.md). Pairs are the
     // banded operator's verdicts restricted to exact-dup keepers.
     "x_dedup_emb_cosine_lsh_clean" -> (xDedupEmbCosineLshClean _),
+    // Embedding-space eval decontamination: train keepers too close
+    // (clean banded verdict >= 0.8) to an md5-holdout eval keeper —
+    // the semantic-leak class n-gram decontamination misses.
+    "x_emb_contamination" -> (xEmbContamination _),
     // The vector twin of x_dedup_cluster: transitive closure over the
     // clean banded verdicts, min-id cluster labels + sizes.
     "x_dedup_emb_cluster" -> (xDedupEmbCluster _),
@@ -2650,6 +2683,26 @@ object Similarity {
          |SELECT id1, id2, cosine FROM cpairs
          |WHERE cosine >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+    // Decontamination twin: the same clean pair chain + the md5-bucket
+    // holdout predicate (the documented % idiom — the bucket value is
+    // nonnegative, so DuckDB % == Spark pmod) on both pair sides.
+    "x_emb_contamination" ->
+      s"""WITH $lshCleanPairCtes,
+         |vsp AS (
+         |  SELECT vec_id,
+         |    (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 100) < 10 AS is_eval
+         |  FROM uq),
+         |flt AS (
+         |  SELECT p.id1, p.id2, p.cosine, a.is_eval AS e1
+         |  FROM cpairs p
+         |  JOIN vsp a ON a.vec_id = p.id1
+         |  JOIN vsp b ON b.vec_id = p.id2
+         |  WHERE p.cosine >= 0.8 AND a.is_eval <> b.is_eval)
+         |SELECT CASE WHEN e1 THEN id2 ELSE id1 END AS train_id,
+         |  CASE WHEN e1 THEN id1 ELSE id2 END AS eval_id, cosine
+         |FROM flt
+         |ORDER BY train_id, eval_id""".stripMargin,
     // Vector cluster twin: the SAME clean pair chain (headerless val —
     // the factored composition, emitted text unchanged), then the text
     // cluster twin's transitive-closure reach/lab idiom over the banded

@@ -1844,6 +1844,48 @@ class ExtensionsSpec extends AnyFunSuite {
       "a zero-in-degree node gained mass under weighting")
   }
 
+  test("embedding decontamination flags only cross-split near-dup pairs") {
+    import spark.implicits._
+    // Pick planted ids with KNOWN md5-holdout membership (bucket < 10
+    // of 100 = eval) instead of hardcoding — the bucket is a pure
+    // function of the id, so the test derives it the same way the
+    // operator does. One eval + two train members of a co-directional
+    // near-dup set: both cross-split pairs must be flagged with the
+    // eval id on the eval side, and NO within-split pair may appear.
+    val buckets = (9000001L to 9000200L).toDF("vec_id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalId = buckets.toSeq.sortBy(_._1).find(_._2 < 10).get._1
+    val trainIds = buckets.toSeq.sortBy(_._1).filter(_._2 >= 10).take(2).map(_._1)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (evalId, v.map(_ * 1.01f).toArray, 5),
+      (trainIds(0), v.map(_ * 1.02f).toArray, 5),
+      (trainIds(1), v.map(_ * 1.03f).toArray, 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("embcontam").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val out = ext.Similarity.xEmbContamination(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
+    def bucket(id: Long) = buckets.getOrElse(id,
+      // ids outside the probed range (e.g. vec 0 pairing in): recompute
+      Seq(id).toDF("vec_id")
+        .select(ext.TextAnalysis.md5Bucket(100, col("vec_id"))).head.getLong(0))
+    assert(out.nonEmpty, "planted cross-split near-dups not flagged")
+    out.foreach { case (t, e) =>
+      assert(bucket(e) < 10, s"eval side $e is not in the holdout")
+      assert(bucket(t) >= 10, s"train side $t is in the holdout")
+    }
+    assert(out.contains((trainIds(0), evalId)) && out.contains((trainIds(1), evalId)),
+      s"expected both planted cross pairs, got $out")
+    assert(!out.exists { case (t, e) => t == trainIds(0) && e == trainIds(1) } &&
+      !out.exists { case (t, e) => t == trainIds(1) && e == trainIds(0) },
+      "within-train pair leaked into the decontamination verdicts")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

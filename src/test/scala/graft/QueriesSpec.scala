@@ -30,7 +30,10 @@ class QueriesSpec extends AnyFunSuite {
       // the cluster family rides those pair verdicts: clusterless stock
       // corpus → 0 clustered rows / 0 retention verdicts (the planted
       // ExtensionsSpec fixture pins the non-empty semantics)
-      "x_dedup_emb_cluster", "x_dedup_emb_keep_central")
+      "x_dedup_emb_cluster", "x_dedup_emb_keep_central",
+      // rides the same stock-empty pair verdicts (planted spec pins
+      // the cross-split flag semantics)
+      "x_emb_contamination")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.count()
