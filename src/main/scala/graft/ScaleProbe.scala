@@ -107,7 +107,10 @@ object ScaleProbe {
     "x_graph_pagerank_clean",
     // the similarity-weighted arm rides the same clean chain; the
     // weighted contribution is a per-edge projection, no extra shuffle
-    "x_graph_pagerank_w")
+    "x_graph_pagerank_w",
+    // the decontaminated prep: clean staging + two id-keyed holdout
+    // anti-joins — its replication cost should be the clean prep's
+    "x_emb_corpus_prep_decon")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1172,6 +1172,32 @@ object Similarity {
     capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
   }
 
+  /** The DECONTAMINATED production vector pipeline — the clean prep
+    * with the text flagship's two holdout stages composed at their
+    * argued positions: (1) exact collapse + banded near-dup removal
+    * (the measured clean staging); (2) eval EXCLUSION — the md5-holdout
+    * bucket (the split convention) never enters a training corpus;
+    * (3) LEAK removal — train keepers the x_emb_contamination gate
+    * flags against an eval keeper are dropped (the paraphrase-leak
+    * class n-gram decontamination misses); (4) quantizer trained on
+    * what remains, per-cell cap, int8 codes. Policy note: dedup
+    * verdicts are computed on the FULL keeper set before exclusion
+    * (dropping eval first would resurrect train near-dups whose only
+    * lower-id partner was an eval vector — the same
+    * selection-before-cleaning ordering argument the text pipeline
+    * pins); the exclusion and leak anti-joins are id-only.
+    */
+  def xEmbCorpusPrepDecon(spark: SparkSession, dir: String): DataFrame = {
+    val leak = xEmbContamination(spark, dir)
+      .select(col("train_id").as("vec_id")).distinct()
+    val surv = embPrepSurvivorsClean(spark, dir)
+      .filter(TextAnalysis.md5Bucket(100, col("vec_id")) >= 10)
+      .join(leak, Seq("vec_id"), "left_anti")
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    capAndQuantize(surv.select(col("vec_id"), col("embedding"),
+      VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * storage/bandwidth scale move for a 100 TB vector corpus (4× smaller
     * than float32, SIMD-friendly dot products downstream): code_i =
@@ -1568,6 +1594,9 @@ object Similarity {
     // frozen survivor quantizer -> within-cell SemDeDup -> cap/int8 --
     // the vector-side twin of x_llm_corpus_prep_full.
     "x_emb_corpus_prep_full" -> (xEmbCorpusPrepFull _),
+    // The decontaminated prep: clean staging + eval-holdout exclusion
+    // + contamination-leak removal before the quantizer/cap/int8 tail.
+    "x_emb_corpus_prep_decon" -> (xEmbCorpusPrepDecon _),
     // The retention-policy swap inside the prep: cluster + keep-central
     // survivors feed the quantizer (the keepbest-composition idiom).
     "x_emb_corpus_prep_central" -> (xEmbCorpusPrepCentral _),
@@ -2176,8 +2205,10 @@ object Similarity {
     */
   private def embCorpusPrepOracleSql(semantic: Boolean = false,
       k: Int = 16, clean: Boolean = false,
-      central: Boolean = false): String = {
+      central: Boolean = false, decon: Boolean = false): String = {
     require(!(clean && central), "central implies the keeper collapse")
+    require(!decon || clean,
+      "decontamination composes over the clean (keeper + banded) staging")
     // clean swaps the label-blocked dedup front-end for the production
     // staging (keeper collapse + the banded chain over `uq`, prefixed
     // `x` so its `e` cannot collide with the quantizer chain's);
@@ -2238,6 +2269,34 @@ object Similarity {
          |  SELECT vec_id, embedding FROM uq
          |  WHERE vec_id NOT IN (SELECT vec_id FROM crk WHERE rn <> 1)),
          |""".stripMargin
+    // decon extends the clean staging with the text flagship's two
+    // holdout stages at their argued positions: eval EXCLUSION (the
+    // md5-holdout bucket never enters a training corpus) then LEAK
+    // removal (train keepers the contamination gate flags against an
+    // eval keeper — the x_emb_contamination verdicts, recomputed from
+    // the same xcd/xe chain so the splice cannot drift).
+    val deconCtes = if (!decon) "" else
+      s"""vsp AS (
+         |  SELECT vec_id,
+         |    (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 100) < 10 AS is_eval
+         |  FROM uq),
+         |leak AS (
+         |  SELECT DISTINCT CASE WHEN sa.is_eval THEN cd.id2 ELSE cd.id1 END
+         |    AS vec_id
+         |  FROM xcd cd
+         |  JOIN xe x ON x.vec_id = cd.id1
+         |  JOIN xe y ON y.vec_id = cd.id2
+         |  JOIN vsp sa ON sa.vec_id = cd.id1
+         |  JOIN vsp sb ON sb.vec_id = cd.id2
+         |  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.8
+         |    AND sa.is_eval <> sb.is_eval),
+         |""".stripMargin
+    val deconSurvWhere = if (!decon) "" else
+      s"""
+         |    AND NOT (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 100) < 10
+         |    AND vec_id NOT IN (SELECT vec_id FROM leak)""".stripMargin
     val prelude = if (central) centralPrelude
     else if (clean)
       s"""$embKeeperCte,
@@ -2252,9 +2311,9 @@ object Similarity {
          |  JOIN xe x ON x.vec_id = cd.id1
          |  JOIN xe y ON y.vec_id = cd.id2
          |  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.8),
-         |surv AS (
+         |${deconCtes}surv AS (
          |  SELECT vec_id, embedding FROM uq
-         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)$deconSurvWhere),
          |""".stripMargin
     else
       """ec AS (
@@ -2619,6 +2678,8 @@ object Similarity {
     "x_emb_corpus_prep_central" -> embCorpusPrepOracleSql(central = true),
     "x_emb_corpus_prep_full" ->
       embCorpusPrepOracleSql(semantic = true, clean = true),
+    "x_emb_corpus_prep_decon" ->
+      embCorpusPrepOracleSql(clean = true, decon = true),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     // LSH-blocked cosine dedup twin: the shared signature/inverted-list

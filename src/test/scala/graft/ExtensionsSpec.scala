@@ -1886,6 +1886,52 @@ class ExtensionsSpec extends AnyFunSuite {
       "within-train pair leaked into the decontamination verdicts")
   }
 
+  test("decontaminated prep drops the eval holdout and the leaking train keeper") {
+    import spark.implicits._
+    // Plant a near-dup pair on a NOVEL direction (no corpus vector
+    // approaches it) straddling the split, with the TRAIN id LOWER so
+    // banded dedup alone would KEEP it (the higher-id eval partner is
+    // the dedup loser) — only the leak stage can drop it. The clean
+    // arm must keep that train keeper; the decon arm must drop it AND
+    // every eval-bucket id.
+    val buckets = (9000001L to 9000200L).toDF("vec_id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.toSeq.sortBy(_._1).find(_._2 >= 10).get._1
+    val evalId = buckets.toSeq.sortBy(_._1)
+      .find(kv => kv._2 < 10 && kv._1 > trainId).get._1
+    val dirB = Array.fill(64)(0.1f)
+    val planted = Seq(
+      (trainId, dirB.map(_ * 1.02f), 5),
+      (evalId, dirB.map(_ * 1.01f), 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("decon").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").unionByName(planted)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // The dedup stage must NOT be what drops the train keeper: its only
+    // near-dup partner is the HIGHER-id eval plant, so the banded
+    // verdicts never list it as a loser (id2) — only the leak stage can
+    // remove it. (The composed clean OUTPUT may still cut it at the
+    // per-cell cap, so the no-drop claim anchors on the verdict
+    // operator, not the capped artifact.)
+    val losers = ext.Similarity.xDedupEmbCosineLshClean(spark, tmp).collect()
+      .map(_.getAs[Long]("id2")).toSet
+    assert(!losers.contains(trainId),
+      "dedup dropped the lower-id train plant; the leak claim would be vacuous")
+    assert(losers.contains(evalId),
+      "the higher-id eval plant should be the dedup loser of the planted pair")
+    val decon = ext.Similarity.xEmbCorpusPrepDecon(spark, tmp).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(!decon.contains(trainId),
+      "decon arm must drop the leaking train keeper")
+    assert(decon.nonEmpty, "decon prep produced an empty corpus")
+    val deconBuckets = decon.toSeq.toDF("vec_id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
+      .collect()
+    assert(deconBuckets.forall(_.getLong(1) >= 10),
+      "an eval-holdout id survived into the decontaminated corpus")
+  }
+
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
