@@ -648,6 +648,56 @@ object Similarity {
         .as("bucket"))
   }
 
+  /** Frozen EVAL-side screening index for the streaming contamination
+    * gate — the banded inverted list RESTRICTED to the md5-holdout eval
+    * keepers, in the stream flat-bucket convention (t·2¹⁰ + sig, the
+    * streamBandHits key), carrying the (v, nrm) join-back columns. This
+    * is the static side a production ingest keeps partitioned by
+    * bucket: eval benchmarks change rarely, so the index is rebuilt on
+    * benchmark updates and FROZEN between them (the admission-matrix
+    * argument — re-signing in-stream would flip earlier verdicts).
+    */
+  private[graft] def contaminationEvalIndex(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ev = withVecNorm(Dedup.embExactKeepers(spark, dir))
+      .filter(TextAnalysis.md5Bucket(100, col("vec_id")) < 10)
+    val sig = (0 until nTables).foldLeft(ev)((df, t) =>
+      df.withColumn(s"s$t", bucketExpr(t)))
+    sig.select(col("vec_id").as("eval_id"), col("v").as("v2"),
+      col("nrm").as("n2"),
+      explode(array((0 until nTables).map(t =>
+        (lit(t.toLong * (1L << planesPerTable)) + col(s"s$t")).as("b")): _*))
+        .as("bucket"))
+  }
+
+  /** Stream-side candidate computation for the contamination screen:
+    * arriving TRAIN vectors (the eval holdout never ingests into a
+    * training corpus — same md5 predicate as the batch gate) are signed
+    * by the SAME 12 codegen'd hyperplane expressions, joined
+    * stream-static against the frozen eval index on the flat bucket,
+    * and verified by the exact rounded cosine ≥ 0.8 — the batch
+    * operator's verdict, per arriving pair. Pairs colliding in several
+    * tables dedup in-batch downstream (StreamOps.screenVectors).
+    */
+  private[graft] def streamScreenCands(vecs: DataFrame,
+      evalIndex: DataFrame): DataFrame = {
+    val train = vecs
+      .filter(TextAnalysis.md5Bucket(100, col("vec_id")) >= 10)
+      .withColumn("n1", sqrt(VectorFunctions.dotProduct(
+        col("embedding"), col("embedding"))))
+    val sig = (0 until nTables).foldLeft(train)((df, t) =>
+      df.withColumn(s"s$t", bucketExpr(t)))
+    sig.select(col("vec_id"), col("n1"), col("embedding"),
+      explode(array((0 until nTables).map(t =>
+        (lit(t.toLong * (1L << planesPerTable)) + col(s"s$t")).as("b")): _*))
+        .as("bucket"))
+      .join(evalIndex, Seq("bucket"))
+      .select(col("vec_id"), col("eval_id"),
+        round(VectorFunctions.dotProduct(col("embedding"), col("v2"))
+          / (col("n1") * col("n2")), 4).as("cosine"))
+      .filter(col("cosine") >= lit(0.8))
+  }
+
   /** Cluster-balanced diversity sampling (the SemDeDup-ish corpus
     * subsampling step): keep up to `perCell` vectors per IVF cell,
     * chosen by the growth-stable md5 id bucket — a deterministic

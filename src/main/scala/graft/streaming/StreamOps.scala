@@ -307,6 +307,38 @@ object StreamOps {
       }
   }
 
+  case class ScreenOut(vec_id: Long, eval_id: Long, cosine: Double)
+
+  /** Streaming contamination screen — the online half of
+    * x_emb_contamination, the production shape for "reject leaking
+    * examples at ingest": the EVAL holdout's banded inverted list is
+    * built ONCE batch-side (Similarity.contaminationEvalIndex — frozen
+    * between benchmark updates, the admission-matrix argument) and each
+    * arriving TRAIN vector is signed by the same 12 codegen'd
+    * hyperplane expressions, joined stream-static on the flat bucket,
+    * and verified by the exact rounded cosine ≥ 0.8 — the batch gate's
+    * verdict per arriving pair. A pair colliding in several tables
+    * dedups INSIDE the vector's own micro-batch (the attachGraph
+    * idiom: the static side is complete, so all of a pair's collisions
+    * join in the batch the vector arrives — the group emits once and
+    * stores no state). Runs downstream of the exact-collapse online
+    * gate in a production topology (dedupVectorsExactOnline), mirroring
+    * the batch clean staging. Batch parity is spec-gated: streamed
+    * flags == x_emb_contamination's pairs, split across micro-batches.
+    */
+  def screenVectors(vecs: Dataset[VecIn],
+      evalIndex: DataFrame): Dataset[ScreenOut] = {
+    import vecs.sparkSession.implicits._
+    graft.ext.Similarity.streamScreenCands(vecs.toDF(), evalIndex)
+      .as[ScreenOut]
+      .groupByKey(c => (c.vec_id, c.eval_id))
+      .flatMapGroupsWithState[Long, ScreenOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long), rows: Iterator[ScreenOut], _: GroupState[Long]) =>
+          rows.take(1)
+      }
+  }
+
   case class LangDoc(doc_id: Long, lang: String)
 
   /** Streaming temperature-sampling gate — the online half of

@@ -2329,6 +2329,56 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming attach diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
+  test("streaming contamination screen matches the batch gate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Plant cross-split near-dups (the decontamination layout: one eval
+    // + two train members on vector 0's direction), freeze the eval
+    // index batch-side, stream EVERY keeper through the screen split
+    // across two micro-batches, and require flag-for-flag equality with
+    // x_emb_contamination: pair AND rounded cosine bitwise.
+    val buckets = (9000001L to 9000200L).toDF("vec_id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalId = buckets.toSeq.sortBy(_._1).find(_._2 < 10).get._1
+    val trainIds = buckets.toSeq.sortBy(_._1).filter(_._2 >= 10).take(2).map(_._1)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (evalId, v.map(_ * 1.01f).toArray, 5),
+      (trainIds(0), v.map(_ * 1.02f).toArray, 5),
+      (trainIds(1), v.map(_ * 1.03f).toArray, 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("screenstream").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val evalIndex = ext.Similarity.contaminationEvalIndex(spark, tmp)
+    val keepers = ext.Dedup.embExactKeepers(spark, tmp)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val (b1, b2) = keepers.splitAt(keepers.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.screenVectors(input.toDS(), evalIndex)
+      .writeStream.format("memory").queryName("screen_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql("SELECT vec_id, eval_id, cosine FROM screen_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    query.stop()
+    val batch = ext.Similarity.xEmbContamination(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(batch.nonEmpty, "batch gate flagged nothing on the planted corpus")
+    assert(batch.exists(t => t._1 == trainIds(0) && t._2 == evalId),
+      "planted cross pair missing from the batch gate")
+    assert(streamed == batch,
+      s"streaming screen diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
   test("streaming sampling gate reproduces the batch temperature rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
