@@ -1710,6 +1710,12 @@ object Similarity {
     // the mirror of x_knn_density_select's diversity policy.
     "x_graph_pagerank_select" -> ((s: SparkSession, d: String) =>
       xGraphPagerankSelect(s, d)),
+    // The depth arm (the bpe_r12 / ivf_k8r2 idiom): 6 power-iteration
+    // rounds pin the generated round chain well past the default 3 —
+    // the twin's linear pr-CTE inlining and the loop's integer update
+    // proven at double depth, where a subtle drift would compound.
+    "x_graph_pagerank_r6" -> ((s: SparkSession, d: String) =>
+      xGraphPagerank(s, d, prRounds = 6)),
     // Similarity-weighted centrality: a voter splits its mass in
     // proportion to edge cosine (w = c_e4 + 10001) instead of equally
     // — near-identical neighbors out-vote marginal ones. Clean-based
@@ -2782,6 +2788,7 @@ object Similarity {
     "x_graph_pagerank_select" -> pagerankSelectOracleSql(),
     "x_graph_pagerank_w" -> pagerankOracleSql(
       srcTable = "uq", prelude = s"$embKeeperCte,\n", weighted = true),
+    "x_graph_pagerank_r6" -> pagerankOracleSql(prRounds = 6),
     // Clean-arm twin: keeper collapse as prelude, the SAME quantizer +
     // graph chain over `uq` — trained on keepers, like the Spark side.
     "x_knn_graph_clean" -> knnGraphOracleSql(
