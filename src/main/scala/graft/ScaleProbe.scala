@@ -99,7 +99,10 @@ object ScaleProbe {
     // graph centrality: rides the probed graph chain; each PageRank
     // round is one shuffle-on-dst long-sum over the edge list (out-
     // degree ≤ 5 bounds fan-out), so its replication cost should be
-    // the graph build's plus a flat per-round tax
+    // the graph build's plus a flat per-round tax. 10×-ONLY by design:
+    // the base arm inherits the graph BUILD's measured 100× identical-
+    // replication cliff (SCALE.md: 392.6× — the default no-subset run
+    // is the 10× mode; a 100× probe should name the _clean arm instead)
     "x_graph_pagerank",
     // the collapse-first centrality arm: keeper graph + keeper nodes —
     // replication cost collapses with the duplicates AND the replica

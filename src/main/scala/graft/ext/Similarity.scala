@@ -932,14 +932,7 @@ object Similarity {
   def xKnnDensitySelect(spark: SparkSession, dir: String,
       selectN: Int = 100, kNeighbors: Int = 5, kCells: Int = 16,
       rounds: Int = 1): DataFrame = {
-    val nn = xKnnGraph(spark, dir, kNeighbors, kCells, rounds)
-      .select(col("vec_id"),
-        round(col("cos_sim") * lit(10000)).cast("long").as("c_e4"))
-    val dens = nn.groupBy("vec_id")
-      .agg(count(lit(1)).as("n_neighbors"), sum(col("c_e4")).as("s_e4"))
-      .select(col("vec_id"), col("n_neighbors"),
-        expr("(s_e4 - pmod(s_e4, n_neighbors)) div n_neighbors")
-          .as("density_e4"))
+    val dens = knnDensity(xKnnGraph(spark, dir, kNeighbors, kCells, rounds))
     val allv = Tables.embeddings(spark, dir).select("vec_id")
       .join(dens, Seq("vec_id"), "left")
       .withColumn("sk", coalesce(col("density_e4"), lit(-10001L)))
@@ -955,6 +948,25 @@ object Similarity {
           lit(1L)).otherwise(lit(0L)).as("selected"))
       .orderBy("vec_id")
   }
+
+  /** Basis-point neighborhood density from a (vec_id, cos_sim) top-k
+    * edge relation — each neighbor cosine (already rounded to 4
+    * decimals) scales to an e4 long, sums as longs, floor-divides by
+    * the neighbor count (the avgMoney6 idiom; pmod makes trunc-div ==
+    * floor-div on negative sums). ONE implementation shared by the
+    * standalone density-select gate and the curated prep's cap stage —
+    * the oracle side likewise shares one generated CTE pair — so the
+    * density a composition retains by can never drift from the verdict
+    * the standalone gate pins.
+    */
+  private def knnDensity(nn: DataFrame): DataFrame =
+    nn.select(col("vec_id"),
+        round(col("cos_sim") * lit(10000)).cast("long").as("c_e4"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("c_e4")).as("s_e4"))
+      .select(col("vec_id"), col("n_neighbors"),
+        expr("(s_e4 - pmod(s_e4, n_neighbors)) div n_neighbors")
+          .as("density_e4"))
 
   /** Graph-centrality scoring over the gated kNN graph — the PageRank
     * position in graph-based curation (a node other documents keep
@@ -1083,10 +1095,20 @@ object Similarity {
   private def capAndQuantize(assigned: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
-    assigned
+    int8CapTail(assigned
       .select(col("vec_id"), col("embedding"), col("cell"),
         TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w)))
+  }
+
+  /** The cap + int8 half of the prep tail over a pre-RANKED (vec_id,
+    * embedding, cell, rank) relation — factored so the md5-ordered cap
+    * (capAndQuantize) and the density-ordered cap (the curated prep)
+    * share the quantization/summary text verbatim; only the window's
+    * ORDER BY differs between the two retention policies.
+    */
+  private def int8CapTail(ranked: DataFrame): DataFrame =
+    ranked
       .filter(col("rank") <= 8)
       .select(col("cell").cast("long").as("cell"),
         col("rank").cast("long").as("rank"), col("vec_id"),
@@ -1097,7 +1119,6 @@ object Similarity {
         array_min(col("codes")).as("min_code"),
         array_max(col("codes")).as("max_code"))
       .orderBy("cell", "rank")
-  }
 
   /** xEmbCorpusPrep with the SemDeDup stage composed in at the paper's
     * position (Abbas et al. 2023 run semantic dedup on the k-means
@@ -1246,6 +1267,63 @@ object Similarity {
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
     capAndQuantize(surv.select(col("vec_id"), col("embedding"),
       VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
+  }
+
+  /** The CURATION-AWARE production vector prep — the graph-consuming
+    * cuts composed into the pipeline at the cap position: every other
+    * prep arm retains per-cell survivors in md5-bucket order
+    * (arbitrary-but-deterministic); this arm retains them by the
+    * x_knn_density_select DIVERSITY policy — the cell's LEAST-dense
+    * members survive the cap (the D4/SemDeDup "prune dense regions"
+    * position), so a crowded sub-region contributes one representative
+    * where the md5 cap could keep eight near-neighbors. Stages: clean
+    * staging (exact collapse + banded near-dup over keepers, the
+    * measured 100× guard) → ONE hash-spread quantizer trained on the
+    * survivors whose cells serve BOTH the kNN graph and the cap layout
+    * (the xEmbCorpusPrepSem one-Lloyd-pass shape — no second training
+    * pass at 100 TB) → within-cell top-k graph → exact basis-point
+    * densities (knnDensity, shared with the standalone gate) → per-cell
+    * cap of 8 in (density ASC, vec_id) order, isolated members first
+    * via the -10001 sentinel (zero measured redundancy — the
+    * density-select policy verbatim) → int8 codes (shared tail).
+    * The composed twin splices the SAME generated chains: clean
+    * prelude, hash-spread quantizer, graph CTEs, density CTE pair —
+    * so the cut cannot drift from its standalone gate. The planted
+    * spec pins a cell where the density cap and the md5 cap disagree.
+    * Scale shape: the graph stage is the probed per-cell-linear pair
+    * join over KEEPERS (the clean staging bounds cell occupancy by
+    * distinct vectors); density adds per-vector integer aggregates of
+    * 8-byte rows; the cap is the same one window every prep arm pays.
+    */
+  def xEmbCorpusPrepCurated(spark: SparkSession, dir: String,
+      kNeighbors: Int = 5): DataFrame = {
+    val surv = embPrepSurvivorsClean(spark, dir)
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    // Referenced three times (both pair sides + the cap base) — the
+    // xEmbCorpusPrepSem persistence rationale.
+    val assigned = withVecNorm(surv).withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
+    val nn = a.join(b, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+          / (col("n1") * col("n2")), 4))
+      .withColumn("nn_rank", row_number().over(wg))
+      .filter(col("nn_rank") <= kNeighbors)
+      .select(col("id1").as("vec_id"), col("cos_sim"))
+    val dens = knnDensity(nn).select("vec_id", "density_e4")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("sk"), col("vec_id"))
+    int8CapTail(assigned
+      .join(dens, Seq("vec_id"), "left")
+      .withColumn("sk", coalesce(col("density_e4"), lit(-10001L)))
+      .withColumn("rank", row_number().over(wc)))
   }
 
   /** Int8 scalar quantization of the embedding column — the standard
@@ -1650,6 +1728,12 @@ object Similarity {
     // The retention-policy swap inside the prep: cluster + keep-central
     // survivors feed the quantizer (the keepbest-composition idiom).
     "x_emb_corpus_prep_central" -> (xEmbCorpusPrepCentral _),
+    // The curation-aware prep: the density-select DIVERSITY policy at
+    // the cap position — per-cell survivors retained least-dense-first
+    // (one kNN-graph + density pass over the clean staging's quantizer
+    // cells) instead of md5-bucket order.
+    "x_emb_corpus_prep_curated" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepCurated(s, d)),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
@@ -2046,9 +2130,10 @@ object Similarity {
     * text (the generator-refactor rule).
     */
   private def knnGraphCtes(k: Int = 16, rounds: Int = 1,
-      srcTable: String = "embeddings", prelude: String = ""): String =
-    s"""${ivfAssignOracleCtes(k, rounds, srcTable = srcTable,
-         prelude = prelude)},
+      srcTable: String = "embeddings", prelude: String = "",
+      hashSpread: Boolean = false): String =
+    s"""${ivfAssignOracleCtes(k, rounds, hashSpread = hashSpread,
+         srcTable = srcTable, prelude = prelude)},
        |gph AS (
        |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
        |  FROM a1 JOIN e USING (vec_id)),
@@ -2106,10 +2191,12 @@ object Similarity {
     * sentinel (-10001, below the -10000 cosine floor) is embedded in
     * both engines' membership predicate.
     */
-  private def densitySelectOracleSql(selectN: Int = 100,
-      kNeighbors: Int = 5, k: Int = 16, rounds: Int = 1): String =
-    s"""${knnGraphCtes(k, rounds)},
-       |nn AS (
+  /** The (nn, dens) CTE pair computing exact basis-point densities from
+    * the graph chain's `rk` — the twin of knnDensity, factored so the
+    * density-select twin and the curated prep twin share the text.
+    */
+  private def densityCtes(kNeighbors: Int = 5): String =
+    s"""nn AS (
        |  SELECT vec_id, CAST(round(cos_sim * 10000) AS BIGINT) AS c_e4
        |  FROM rk WHERE nn_rank <= $kNeighbors),
        |dens AS (
@@ -2117,7 +2204,12 @@ object Similarity {
        |    (CAST(SUM(c_e4) AS BIGINT)
        |      - ((CAST(SUM(c_e4) AS BIGINT) % COUNT(*)) + COUNT(*)) % COUNT(*))
        |      // COUNT(*) AS density_e4
-       |  FROM nn GROUP BY 1),
+       |  FROM nn GROUP BY 1)""".stripMargin
+
+  private def densitySelectOracleSql(selectN: Int = 100,
+      kNeighbors: Int = 5, k: Int = 16, rounds: Int = 1): String =
+    s"""${knnGraphCtes(k, rounds)},
+       |${densityCtes(kNeighbors)},
        |av AS (
        |  SELECT e.vec_id, d.n_neighbors, d.density_e4,
        |    COALESCE(d.density_e4, -10001) AS sk
@@ -2134,6 +2226,38 @@ object Similarity {
        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
        |FROM av
        |ORDER BY vec_id""".stripMargin
+
+  /** The composed twin of xEmbCorpusPrepCurated: the clean survivor
+    * prelude (shared with the clean/full/decon prep twins), the
+    * hash-spread quantizer + graph chain over `surv` (shared with the
+    * kNN-graph family), the density CTE pair (shared with the
+    * density-select twin), then the per-cell cap re-ordered by
+    * (sentinel-coalesced density, vec_id) and the same qz/int8 tail
+    * text as every other prep twin — each spliced piece is the one its
+    * standalone gate pins, so the curated cut cannot drift.
+    */
+  private def embCorpusPrepCuratedOracleSql(kNeighbors: Int = 5): String =
+    s"""${knnGraphCtes(16, 1, "surv", embCleanSurvPrelude(),
+         hashSpread = true)},
+       |${densityCtes(kNeighbors)},
+       |bkt AS (
+       |  SELECT a1.vec_id, a1.cell, COALESCE(d.density_e4, -10001) AS sk
+       |  FROM a1 LEFT JOIN dens d USING (vec_id)),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell ORDER BY sk, vec_id) AS rank
+       |  FROM bkt),
+       |kept AS (SELECT cell, rank, vec_id FROM ranked WHERE rank <= 8),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      v -> CAST(greatest(least(floor(v * 127 + 0.5), 127), -127) AS BIGINT)) AS codes
+       |  FROM surv)
+       |SELECT CAST(k.cell AS BIGINT) AS cell, k.rank, k.vec_id,
+       |  CAST(list_sum(q.codes) AS BIGINT) AS sum_codes,
+       |  list_min(q.codes) AS min_code, list_max(q.codes) AS max_code
+       |FROM kept k JOIN qz q ON q.vec_id = k.vec_id
+       |ORDER BY cell, k.rank""".stripMargin
 
   /** The DuckDB twin of xGraphPagerank: the shared graph chain, the
     * edge list + out-degrees MATERIALIZED (each round references them —
@@ -2259,6 +2383,31 @@ object Similarity {
     * SQL to the historical x_emb_corpus_prep twin. `k` parameterizes
     * the quantizer cell count exactly as the Spark side's density knob.
     */
+  /** The clean-staging survivor prelude (keeper collapse, x-prefixed
+    * signature chain over `uq`, banded losers, `surv`) — the twin of
+    * embPrepSurvivorsClean, factored so the clean/full/decon prep
+    * twins and the curated prep twin splice the identical text; the
+    * decon hooks default empty (byte-identical emission).
+    */
+  private def embCleanSurvPrelude(deconCtes: String = "",
+      deconSurvWhere: String = ""): String =
+    s"""$embKeeperCte,
+       |${lshCorpusCtes("uq", prefix = "x")},
+       |xcd AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM xcorpus a JOIN xcorpus b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |losers AS (
+       |  SELECT DISTINCT cd.id2 AS vec_id
+       |  FROM xcd cd
+       |  JOIN xe x ON x.vec_id = cd.id1
+       |  JOIN xe y ON y.vec_id = cd.id2
+       |  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.8),
+       |${deconCtes}surv AS (
+       |  SELECT vec_id, embedding FROM uq
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)$deconSurvWhere),
+       |""".stripMargin
+
   private def embCorpusPrepOracleSql(semantic: Boolean = false,
       k: Int = 16, clean: Boolean = false,
       central: Boolean = false, decon: Boolean = false): String = {
@@ -2354,23 +2503,7 @@ object Similarity {
          |      % 100) < 10
          |    AND vec_id NOT IN (SELECT vec_id FROM leak)""".stripMargin
     val prelude = if (central) centralPrelude
-    else if (clean)
-      s"""$embKeeperCte,
-         |${lshCorpusCtes("uq", prefix = "x")},
-         |xcd AS (
-         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM xcorpus a JOIN xcorpus b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |losers AS (
-         |  SELECT DISTINCT cd.id2 AS vec_id
-         |  FROM xcd cd
-         |  JOIN xe x ON x.vec_id = cd.id1
-         |  JOIN xe y ON y.vec_id = cd.id2
-         |  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.8),
-         |${deconCtes}surv AS (
-         |  SELECT vec_id, embedding FROM uq
-         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)$deconSurvWhere),
-         |""".stripMargin
+    else if (clean) embCleanSurvPrelude(deconCtes, deconSurvWhere)
     else
       """ec AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2736,6 +2869,7 @@ object Similarity {
       embCorpusPrepOracleSql(semantic = true, clean = true),
     "x_emb_corpus_prep_decon" ->
       embCorpusPrepOracleSql(clean = true, decon = true),
+    "x_emb_corpus_prep_curated" -> embCorpusPrepCuratedOracleSql(),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     // LSH-blocked cosine dedup twin: the shared signature/inverted-list

@@ -320,11 +320,18 @@ object StreamOps {
     * verdict per arriving pair. A pair colliding in several tables
     * dedups INSIDE the vector's own micro-batch (the attachGraph
     * idiom: the static side is complete, so all of a pair's collisions
-    * join in the batch the vector arrives — the group emits once and
-    * stores no state). Runs downstream of the exact-collapse online
+    * join in the batch the vector arrives). A flagged pair also SETS its
+    * group state (one Long per emitted pair), so a vector re-ingested in
+    * a later micro-batch — a replayed source, an at-least-once upstream
+    * — cannot double-flag: idempotence is the operator's own, not a
+    * once-per-id precondition on the topology. State is bounded by the
+    * number of FLAGGED pairs (contamination hits, the small relation by
+    * construction — leak screening exists because leaks are rare), not
+    * by the stream. Runs downstream of the exact-collapse online
     * gate in a production topology (dedupVectorsExactOnline), mirroring
     * the batch clean staging. Batch parity is spec-gated: streamed
-    * flags == x_emb_contamination's pairs, split across micro-batches.
+    * flags == x_emb_contamination's pairs, split across micro-batches,
+    * with a replayed batch emitting nothing new.
     */
   def screenVectors(vecs: Dataset[VecIn],
       evalIndex: DataFrame): Dataset[ScreenOut] = {
@@ -334,8 +341,9 @@ object StreamOps {
       .groupByKey(c => (c.vec_id, c.eval_id))
       .flatMapGroupsWithState[Long, ScreenOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Long, Long), rows: Iterator[ScreenOut], _: GroupState[Long]) =>
-          rows.take(1)
+        (_: (Long, Long), rows: Iterator[ScreenOut], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(1L); rows.take(1) }
       }
   }
 
@@ -372,29 +380,36 @@ object StreamOps {
 
   /** Online exact vector dedup — the ingest half of the collapse-first
     * guard (SCALE.md's 100× lesson: bit-identical replicas defeat every
-    * similarity blocking, so they must die at the door): state is one
-    * keeper id per DISTINCT embedding (the persisted hash set a
-    * production ingest keeps — 8 bytes per distinct vector, not the
-    * vector), and each arrival's verdict is the batch rule verbatim:
-    * keeper = the minimum id of its bit-identical group, is_dup for
-    * everyone else. Grouping keys on the embedding VALUE (bit equality,
-    * exactly the batch window's partition key — the floats came from
-    * the same parquet, so equality is bitwise). Replay contract:
-    * batches in nondecreasing vec_id order (ids assigned at ingest);
-    * within a batch the operator sorts, so the first arrival of a group
-    * IS its minimum and admitted keepers never flip. Replaying the
-    * corpus reproduces every xDedupEmbExact verdict (spec-gated on
-    * planted replicas). Downstream similarity stages (banded dedup,
-    * clustering, the kNN graph) then see keepers only — the composed
-    * clean arms' staging, online.
+    * similarity blocking, so they must die at the door): each arrival's
+    * verdict is the batch rule verbatim — keeper = the minimum id of
+    * its bit-identical group, is_dup for everyone else. The state-store
+    * KEY is a 128-bit md5 of the embedding's float bits (embContentKey
+    * below), the VALUE the 8-byte keeper id, so state is a FIXED
+    * 16+8 bytes per distinct vector regardless of dims — the persisted
+    * content-hash set a production ingest keeps, never the vectors
+    * themselves (keying the group on the raw embedding would store
+    * ~4·dims bytes per distinct vector as the state key). Bit-equality
+    * semantics are preserved: the digest folds the exact float bits
+    * (±0.0 normalized, NaNs canonicalized — the same
+    * NormalizeFloatingNumbers treatment Spark applies to the batch
+    * window's partition key), and a 128-bit digest collision between
+    * two DISTINCT corpus vectors (~2⁻⁶⁴ odds at billions of rows) is
+    * the standard content-address tradeoff every dedup store makes.
+    * Replay contract: batches in nondecreasing vec_id order (ids
+    * assigned at ingest); within a batch the operator sorts, so the
+    * first arrival of a group IS its minimum and admitted keepers never
+    * flip. Replaying the corpus reproduces every xDedupEmbExact verdict
+    * (spec-gated on planted replicas). Downstream similarity stages
+    * (banded dedup, clustering, the kNN graph) then see keepers only —
+    * the composed clean arms' staging, online.
     */
   def dedupVectorsExactOnline(
       vecs: Dataset[VecIn]): Dataset[ExactVerdict] = {
     import vecs.sparkSession.implicits._
-    vecs.groupByKey(_.embedding.toSeq)
+    vecs.groupByKey(v => embContentKey(v.embedding))
       .flatMapGroupsWithState[Long, ExactVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Seq[Float], rows: Iterator[VecIn], state: GroupState[Long]) =>
+        (_: (Long, Long), rows: Iterator[VecIn], state: GroupState[Long]) =>
           var keeper = if (state.exists) state.get else Long.MaxValue
           val out = rows.toSeq.sortBy(_.vec_id).map { r =>
             if (r.vec_id < keeper) keeper = r.vec_id
@@ -404,6 +419,23 @@ object StreamOps {
           state.update(keeper)
           out.iterator
       }
+  }
+
+  /** 128-bit content key of an embedding: md5 over the concatenated
+    * float bits, ±0.0 collapsed to +0.0 and every NaN to the canonical
+    * bit pattern (floatToIntBits) — exactly the float normalization
+    * Spark's NormalizeFloatingNumbers applies to the batch operator's
+    * window partition key, so stream and batch group the same vectors
+    * together. Returned as two longs (a fixed-width state-store key).
+    */
+  private[graft] def embContentKey(e: Array[Float]): (Long, Long) = {
+    val bb = java.nio.ByteBuffer.allocate(e.length * 4)
+    e.foreach { f =>
+      bb.putInt(java.lang.Float.floatToIntBits(if (f == 0f) 0f else f))
+    }
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+    val w = java.nio.ByteBuffer.wrap(d)
+    (w.getLong, w.getLong)
   }
 
   case class SemVerdict(vec_id: Long, cell: Long, kept: Long)

@@ -1308,6 +1308,63 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gIds(9000013L), "keeper near-dup missing from the clean graph")
   }
 
+  test("curated prep caps by density where the md5 cap would keep the crowded") {
+    import spark.implicits._
+    // A fully synthetic corpus engineered so the curated prep's density
+    // cap and the clean prep's md5 cap DISAGREE inside one cell —
+    // pinning that the diversity policy is LIVE inside the composition,
+    // not an md5 cap wearing a new name. Construction: ids are assigned
+    // by md5-bucket rank (computed first), so the 16 lowest-bucket ids
+    // become the hash-spread seeds (each filler its own cell); one
+    // filler F* carries the clique's base direction e1, so ten clique
+    // members — two "dense" D's (pairwise-closest, cos .7074/.7212,
+    // all BELOW the 0.8 dedup threshold so the clean staging keeps
+    // everyone) and eight "sparse" S's (cos .5-.51) — all land strictly
+    // in F*'s cell (positive dot with F* only; planted ABOVE the seed
+    // ids per the planted-vector rule). Densities (e4, top-5): S 5454 <
+    // D 5917 < F* 7127. The D ids own the LOWEST clique buckets, so the
+    // md5 cap keeps F*, D1, D2 + 5 S's while the density cap keeps
+    // exactly the 8 S's — opposite verdicts on three vectors.
+    val buckets = (0L until 100L).toDF("id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(10000, col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, b) => (b, id) }.map(_._1)
+    val fillers = buckets.take(16)
+    val fStar = fillers.head
+    val dIds = buckets.slice(16, 18)
+    val sIds = buckets.takeRight(8)
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val rows =
+      Seq((fStar, vec(0 -> 2f))) ++
+      fillers.tail.zipWithIndex.map { case (id, k) => (id, vec((20 + k) -> 2f)) } ++
+      dIds.zipWithIndex.map { case (id, j) =>
+        (id, vec(0 -> 1f, 9 -> 0.6f, (10 + j) -> 0.75f)) } ++
+      sIds.zipWithIndex.map { case (id, i) => (id, vec(0 -> 1f, (1 + i) -> 1f)) }
+    val tmp = java.nio.file.Files.createTempDirectory("curated").toString
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val curated = ext.Similarity.xEmbCorpusPrepCurated(spark, tmp).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val clean = SparkEntry.queries("x_emb_corpus_prep_clean")(spark, tmp)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // every singleton filler survives both caps
+    assert(fillers.tail.forall(id => curated(id) && clean(id)))
+    // the md5 cap keeps the dense trio (lowest buckets in the cell)...
+    assert(clean(fStar) && dIds.forall(clean),
+      s"fixture broke: md5 cap dropped a low-bucket dense member")
+    assert(sIds.count(clean) == 5, "md5 cap must squeeze out 3 sparse members")
+    // ...the density cap keeps exactly the 8 sparse members instead
+    assert(sIds.forall(curated),
+      s"density cap dropped a sparse member: ${sIds.filterNot(curated)}")
+    assert(!curated(fStar) && dIds.forall(id => !curated(id)),
+      "density cap kept a crowded member the diversity policy must prune")
+    assert(curated != clean, "the two retention policies must disagree")
+  }
+
   test("density select keeps the sparse and drops the crowded, integer-exact") {
     import spark.implicits._
     // Plant 6 bit-identical copies of vector 0: all land in vec 0's
@@ -2368,6 +2425,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val streamed = spark.sql("SELECT vec_id, eval_id, cosine FROM screen_out")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nFlags = spark.sql("SELECT count(*) FROM screen_out").head.getLong(0)
+    // IDEMPOTENCE under re-ingestion (an at-least-once upstream replays
+    // a batch): the flagged pairs' group state blocks a second emission
+    // — zero new rows, not duplicate ScreenOut flags.
+    input.addData(b1.toSeq); query.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM screen_out").head.getLong(0)
+      == nFlags, "replayed batch double-flagged a contaminated pair")
     query.stop()
     val batch = ext.Similarity.xEmbContamination(spark, tmp).collect()
       .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
@@ -2451,6 +2515,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(batch.exists(_._3 == 1L), "vacuous fixture: no replica collapsed")
     assert(streamed == batch,
       s"online collapse diverged from batch (sizes ${streamed.size}/${batch.size})")
+    // The state-store key is the fixed-width 128-bit content hash, not
+    // the embedding: replicas share it, distinct vectors don't, and
+    // ±0.0 normalizes exactly like the batch window's partition key.
+    val k0 = streaming.StreamOps.embContentKey(v.toArray)
+    assert(streaming.StreamOps.embContentKey(v.toArray) == k0)
+    assert(streaming.StreamOps.embContentKey(v.map(_ * 1.01f).toArray) != k0)
+    assert(streaming.StreamOps.embContentKey(Array(0.0f, 1f)) ==
+      streaming.StreamOps.embContentKey(Array(-0.0f, 1f)),
+      "-0.0 must key with +0.0 (NormalizeFloatingNumbers parity)")
   }
 
   test("online SemDeDup replay reproduces every batch verdict") {
