@@ -717,11 +717,18 @@ object TextAnalysis {
     * 100 TB the per-language cumsum is the only wide operation and its
     * input is (id, lang, count) rows — text never shuffles.
     */
-  def xCorpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def xCorpusMix(spark: SparkSession, dir: String): DataFrame =
+    mixFill(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        md5Bucket(10000).as("bucket"))
+        md5Bucket(10000).as("bucket")))
+
+  /** The quota + cumsum fill over a (doc_id, lang, n_tokens, bucket)
+    * relation — ONE implementation behind the whitespace-budget and
+    * BPE-budget mix gates (the oracle side likewise shares one tail),
+    * so the two can only ever differ by how n_tokens is counted.
+    */
+  private def mixFill(toks: DataFrame): DataFrame = {
     val quota = toks.groupBy("lang").agg(sum("n_tokens").as("lt"))
       .agg(min("lt").as("quota"))
     val w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
@@ -736,6 +743,36 @@ object TextAnalysis {
           .as("tokens_kept"),
         max(col("quota")).as("quota"))
       .orderBy("lang")
+  }
+
+  /** Corpus mixing under the PRODUCTION token unit: quotas and the
+    * cumsum fill computed over frozen-merge BPE token counts instead of
+    * whitespace counts — a training-data budget is denominated in
+    * TOKENIZER tokens, and merge-heavy text (boilerplate, repetitive
+    * logs) costs proportionally less of its language's budget than its
+    * whitespace count suggests, so the two units genuinely pick
+    * different documents (the planted spec pins a disagreement). The
+    * tokenizer is the admission arm's frozen merge list (trained once
+    * on the lower-id half — admitMergeList, the shared x_text_bpe_admit
+    * path) replayed over EVERY document in training order: the
+    * production shape, where the budget gate runs downstream of a
+    * shipped tokenizer artifact, never retraining it. Scale shape: the
+    * K-deep merge replay is a narrow map (the bpe-admit story); the
+    * fill is the same (id, lang, count)-row cumsum as x_corpus_mix —
+    * text never shuffles. The twin reuses the bpe recode CTE chain and
+    * the shared mix tail verbatim.
+    */
+  def xCorpusMixBpe(spark: SparkSession, dir: String): DataFrame = {
+    val (_, merges) = admitMergeList(spark, dir)
+    var docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(lowerS(col("text")), " ").as("toks"))
+    merges.foreach { case (a, b) =>
+      docs = docs.withColumn("toks", bpeMergeExpr(a, b))
+    }
+    mixFill(docs.select(col("doc_id"), col("lang"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      md5Bucket(10000).as("bucket")))
   }
 
   /** Benchmark decontamination: per-document overlap of its distinct word
@@ -923,6 +960,10 @@ object TextAnalysis {
     "x_split_leakage"    -> (xSplitLeakage _),
     "x_text_c4_rules"    -> (xTextC4Rules _),
     "x_corpus_mix"       -> (xCorpusMix _),
+    // The BPE-token-budget mix: the frozen-merge admission tokenizer's
+    // counts feed the same quota/cumsum fill (production budgets are
+    // tokenizer tokens, not whitespace tokens).
+    "x_corpus_mix_bpe"   -> (xCorpusMixBpe _),
     "x_text_bpe"         -> (xTextBpe _),
     "x_text_bpe_r6"      -> ((s: SparkSession, d: String) => textBpe(s, d, 6)),
     // Depth 12 spans SIX checkpoint windows at the c=2 cadence — the
@@ -1451,24 +1492,44 @@ object TextAnalysis {
     // same integer window cumsum; DuckDB SUM(BIGINT) is HUGEINT, so every
     // sum is cast back to BIGINT (the CLAUDE.md invariant).
     "x_corpus_mix" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
         |  FROM documents),
-        |q AS (SELECT CAST(MIN(lt) AS BIGINT) AS quota FROM (
-        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS lt FROM t GROUP BY lang)),
-        |c AS (
-        |  SELECT lang, n_tokens,
-        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |  FROM t)
-        |SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
-        |  COUNT(CASE WHEN cum <= quota THEN 1 END) AS n_kept,
-        |  CAST(SUM(CASE WHEN cum <= quota THEN n_tokens ELSE 0 END) AS BIGINT)
-        |    AS tokens_kept,
-        |  MAX(quota) AS quota
-        |FROM c, q
-        |GROUP BY lang
-        |ORDER BY lang""".stripMargin)
+        |$mixFillSql""".stripMargin,
+    // BPE-budget mix twin: the admission arm's recode chain (pair counts
+    // trained on the lower-id half, every doc replayed — the frozen-merge
+    // application) feeds the SAME shared mix tail; only `t`'s token
+    // count differs from the whitespace twin.
+    "x_corpus_mix_bpe" ->
+      s"""${bpeOracleChain(bpeRounds,
+           trainWhere = "doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)")},
+        |t AS (
+        |  SELECT d.doc_id, d.lang, CAST(len(dk.toks) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents d JOIN d$bpeRounds dk ON d.doc_id = dk.doc_id),
+        |$mixFillSql""".stripMargin)
+
+  /** The quota/cumsum/rollup SQL tail over a `t(doc_id, lang, n_tokens,
+    * bucket)` CTE — the twin of mixFill, shared by the whitespace- and
+    * BPE-budget mix twins so the two gates can only differ by how `t`
+    * counts tokens.
+    */
+  private def mixFillSql: String =
+    """q AS (SELECT CAST(MIN(lt) AS BIGINT) AS quota FROM (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS lt FROM t GROUP BY lang)),
+      |c AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+      |  COUNT(CASE WHEN cum <= quota THEN 1 END) AS n_kept,
+      |  CAST(SUM(CASE WHEN cum <= quota THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept,
+      |  MAX(quota) AS quota
+      |FROM c, q
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

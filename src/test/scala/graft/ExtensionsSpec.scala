@@ -2610,6 +2610,41 @@ class ExtensionsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("BPE-budget mix picks different docs than the whitespace budget") {
+    import spark.implicits._
+    // Two languages engineered so the budget UNIT decides the mixture:
+    // 'aa' docs are 10 globally-unique tokens each (BPE-incompressible);
+    // 'bb' docs are 12 repetitions of one token, which the 3 frozen
+    // merges learned on the lower-id half collapse to 2 tokens. Under
+    // WHITESPACE counts aa (40) defines the quota and bb (48) is
+    // squeezed; under BPE counts bb collapses to 8, flips into the
+    // quota-defining language, keeps everything, and aa no longer fits
+    // a single doc — the two gates pick different documents from the
+    // same corpus, which is why production budgets must be denominated
+    // in tokenizer tokens.
+    val docs = (0L until 8L).map { id =>
+      if (id % 2 == 1) (id, "bb", Seq.fill(12)("p").mkString(" "))
+      else (id, "aa", (0 until 10).map(t => s"u${id}x$t").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mixbpe").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ws = ext.TextAnalysis.xCorpusMix(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bpe = ext.TextAnalysis.xCorpusMixBpe(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ws("aa").getAs[Long]("quota") == 40L &&
+      ws("aa").getAs[Long]("n_kept") == 4L,
+      "whitespace budget: aa defines the quota and keeps everything")
+    assert(ws("bb").getAs[Long]("n_kept") < 4L,
+      "whitespace budget must squeeze the repetitive language")
+    assert(bpe("bb").getAs[Long]("lang_tokens") == 8L,
+      s"frozen merges must collapse bb to 2 tokens/doc, got ${bpe("bb")}")
+    assert(bpe("bb").getAs[Long]("n_kept") == 4L,
+      "BPE budget: bb defines the quota and keeps everything")
+    assert(bpe("aa").getAs[Long]("n_kept") < ws("aa").getAs[Long]("n_kept"),
+      "the budget unit must change which documents fit")
+  }
+
   test("corpus mix: equal token quota, smallest language keeps everything") {
     val rows = ext.TextAnalysis.xCorpusMix(spark, sf).collect()
     assert(rows.length >= 2)
