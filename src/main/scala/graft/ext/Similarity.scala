@@ -1664,16 +1664,36 @@ object Similarity {
     * trainWhere) and encodes the complement.
     */
   def xAnnPqAdmit(spark: SparkSession, dir: String): DataFrame = {
-    val e = withVecNorm(Tables.embeddings(spark, dir))
-    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
-    val cbs = pqCodebooks(e.filter(col("vec_id") < split))
-    val codeCols = (0 until pqM).map(s => VectorFunctions.nearestCentroid(
-      expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s))
-      .cast("long").as(s"c$s"))
-    e.filter(col("vec_id") >= split)
-      .select(col("vec_id") +: codeCols: _*)
+    val (split, cbs) = pqAdmitState(spark, dir)
+    pqEncode(withVecNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") >= split), cbs)
       .orderBy("vec_id")
   }
+
+  /** The PQ admission arm's FROZEN state — the (max_id+1)/2 split and
+    * the m codebooks trained once on the admitted half — factored (the
+    * knnAdmitState idiom) so the batch gate and the streaming encoder
+    * (StreamOps.encodeVectors, the runtime half) consume the identical
+    * artifact; a split or training edit here cannot desync them.
+    */
+  private[graft] def pqAdmitState(spark: SparkSession,
+      dir: String): (Long, Array[Array[Array[Double]]]) = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val split = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    (split, pqCodebooks(e.filter(col("vec_id") < split)))
+  }
+
+  /** The shared frozen-codebook encode pass: m codegen'd
+    * nearest_centroid columns over embedding subspaces — one narrow
+    * map, O(rows·m·k·sub), no shuffle. ONE implementation behind the
+    * batch admission gate and the streaming encoder.
+    */
+  private[graft] def pqEncode(df: DataFrame,
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col("vec_id") +: (0 until pqM).map(s =>
+      VectorFunctions.nearestCentroid(
+        expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s))
+        .cast("long").as(s"c$s")): _*)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),

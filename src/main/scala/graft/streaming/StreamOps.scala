@@ -262,6 +262,26 @@ object StreamOps {
         .nearestCentroid(col("embedding"), centroids)
         .cast("long").as("cell"))
 
+  /** Streaming PQ encode — the COMPRESSION family's streaming half,
+    * completing the admission matrix's streaming column (IVF-assign,
+    * BPE, DSIR, NB, kNN-attach all have one): the m subspace codebooks
+    * are trained ONCE batch-side (Similarity.pqAdmitState — the
+    * x_ann_pq_admit artifact a production ingest freezes and versions)
+    * and each arriving vector is encoded to its m codes by the SAME
+    * shared codegen'd nearest_centroid pass the batch gate runs
+    * (Similarity.pqEncode — one implementation, so stream and batch
+    * cannot desync) as a STATELESS narrow map: no state store, no
+    * watermark, no shuffle, O(batch·m·k·sub) per ingest. Re-training
+    * codebooks in-stream would silently re-code every admitted vector,
+    * invalidating persisted ADC structures — the frozen-quantizer
+    * argument, which is the whole design of the admission family.
+    * Batch parity is spec-gated code-for-code across micro-batch
+    * splits (the assignVectors idiom).
+    */
+  def encodeVectors(vecs: Dataset[VecIn],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    graft.ext.Similarity.pqEncode(vecs.toDF(), codebooks)
+
   case class EdgeOut(vec_id: Long, nn_rank: Long, nn_id: Long,
     cos_sim: Double)
   case class GraphCand(vec_id: Long, nn_id: Long, cos_sim: Double)

@@ -2347,6 +2347,40 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming admission diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
+  test("streaming PQ encode matches the batch admission codes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the m codebooks on the lower-id half (the batch admit
+    // artifact, via the SAME pqAdmitState the gate consumes), stream
+    // the upper half through the stateless encode split across TWO
+    // micro-batches, and require code-for-code equality with
+    // xAnnPqAdmit — batching cannot matter because the map is
+    // stateless, and the shared pqEncode pass makes drift structural
+    // rather than possible.
+    val (split, cbs) = ext.Similarity.pqAdmitState(spark, sf)
+    val upper = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= split)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val (b1, b2) = upper.splitAt(upper.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.encodeVectors(input.toDS(), cbs)
+      .writeStream.format("memory").queryName("pq_encode_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val cols = "vec_id, " + (0 until 8).map(s => s"c$s").mkString(", ")
+    val streamed = spark.sql(s"SELECT $cols FROM pq_encode_out")
+      .collect().map(r => (0 to 8).map(r.getLong).toVector).toSet
+    query.stop()
+    val batch = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
+      .map(r => (0 to 8).map(r.getLong).toVector).toSet
+    assert(batch.nonEmpty, "batch admission coded nothing")
+    assert(streamed == batch,
+      s"streaming encode diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
   test("streaming kNN-graph attach matches the batch admission edges") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
