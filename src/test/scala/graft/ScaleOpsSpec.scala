@@ -288,6 +288,100 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == fromRollup)
   }
 
+  test("collapse-first sweep: every similarity-blocked gated query is clean-composed or a declared dirty baseline") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    // The CLAUDE.md composition invariant as a failing test: identical-
+    // replica concentration defeats every similarity blocking (SCALE.md
+    // measured the base kNN graph at 392.6x under 100x replication), so
+    // every similarity-blocked gated query must either consume
+    // Dedup.embExactKeepers upstream (replica ids can then never appear
+    // in its output) or be EXPLICITLY declared a dirty baseline here.
+    // A new embedding-family gated query lands in the strict set by
+    // default: if it reads the raw relation, the planted replicas leak
+    // into its output and this sweep fails until the author either
+    // composes it over keepers or declares it below with a reason.
+    val registry = ext.Similarity.queries.keySet ++
+      ext.Dedup.queries.keySet.filter(_.startsWith("x_dedup_emb"))
+    val collapseStage = Set("x_dedup_emb_exact")
+    val dirtyBaselines: Map[String, String] = Map(
+      // verdict operators over the raw relation — the measured cliff
+      // rows their _clean / admission-guard twins exist to retire
+      "x_dedup_emb_cosine" -> "label-blocked exact pair baseline",
+      "x_dedup_emb_cosine_lsh" -> "banded baseline (199.8x at 100x replication)",
+      "x_dedup_emb_cosine_lsh_admit" -> "admission over the raw banded index",
+      "x_dedup_semantic" -> "within-cell baseline (replicas share a cell)",
+      "x_dedup_semantic_k64" -> "density-knob arm of the same baseline",
+      "x_dedup_semantic_k64r3" -> "multi-round arm of the same baseline",
+      "x_dedup_semantic_admit" -> "admission over raw cells",
+      "x_knn_graph" -> "graph-build baseline (392.6x at 100x replication)",
+      "x_knn_graph_k64" -> "density-knob arm of the same baseline",
+      "x_knn_graph_admit" -> "admission over the raw inverted list",
+      "x_knn_density_select" -> "rides the base graph chain by definition",
+      "x_graph_pagerank" -> "centrality over the base graph (10x-only probe arm)",
+      "x_graph_pagerank_r6" -> "depth arm of the same base chain",
+      // label-blocked front-end prep baselines (the pre-r9 composition,
+      // kept gated as the head-to-head rows)
+      "x_emb_corpus_prep" -> "label-blocked dedup front-end baseline",
+      "x_emb_corpus_prep_sem" -> "same front-end + SemDeDup stage",
+      "x_emb_corpus_prep_sem_k64" -> "density-knob arm of the same",
+      // search/utility queries answer over the corpus AS GIVEN — dedup
+      // is upstream staging, not part of a query's contract
+      "x_knn_bruteforce" -> "exact search over the given corpus",
+      "x_ann_lsh" -> "ANN search", "x_ann_ivf" -> "ANN search",
+      "x_ann_ivf_k8r2" -> "ANN search", "x_ann_ivf_seedh" -> "ANN search",
+      "x_ann_ivf_admit" -> "ANN index admission",
+      "x_ann_pq" -> "ANN search", "x_ann_pq_r2" -> "ANN search",
+      "x_ann_pq_seedh" -> "ANN search", "x_ann_pq_admit" -> "PQ admission",
+      "x_ann_ivfpq" -> "ANN search", "x_ann_ivfadc" -> "ANN search",
+      "x_ann_ivfadc_admit" -> "IVFADC admission",
+      "x_diversity_sample" -> "md5 cap utility, no pair join",
+      "x_emb_quantize" -> "narrow per-row map, no pair join")
+    val cleanComposed = registry -- collapseStage -- dirtyBaselines.keySet
+    assert(dirtyBaselines.keySet.subsetOf(registry),
+      s"declared dirty baselines not in the registry: ${dirtyBaselines.keySet -- registry}")
+    // Plant 5 bit-identical replicas of vector 0 at high ids.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val replicaIds = (1 to 5).map(i => 9500000L + i)
+    val planted = replicaIds.map(id => (id, v.toArray, 7))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("collapse_sweep").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val rep = replicaIds.toSet
+    // Strict half: no replica id may appear in ANY long column of a
+    // clean-composed query's output — the exact collapse upstream is
+    // the only way to guarantee that.
+    cleanComposed.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, tmp)
+      val longIdx = df.schema.fields.zipWithIndex
+        .collect { case (f, i) if f.dataType == LongType => i }
+      val leaked = df.collect().filter(r =>
+        longIdx.exists(i => !r.isNullAt(i) && rep(r.getLong(i))))
+      assert(leaked.isEmpty,
+        s"$name is not collapse-first: replica ids reached its output " +
+          s"(${leaked.take(2).mkString("; ")}) — compose it over " +
+          "Dedup.embExactKeepers or declare it a dirty baseline")
+      spark.catalog.clearCache()
+    }
+    // The collapse stage itself: replicas present, but ONLY as is_dup=1
+    // verdicts pointing at the stock keeper.
+    val verdicts = ext.Dedup.xDedupEmbExact(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("is_dup")))).toMap
+    replicaIds.foreach(id => assert(verdicts(id) == ((0L, 1L)),
+      s"collapse verdict wrong for replica $id: ${verdicts(id)}"))
+    // And the dirty list is not decorative: a declared baseline really
+    // does leak replicas on this corpus (why the classification exists).
+    val g = SparkEntry.queries("x_knn_graph")(spark, tmp).collect()
+    assert(g.exists(r => rep(r.getAs[Long]("vec_id")) ||
+      rep(r.getAs[Long]("nn_id"))),
+      "fixture broke: the base graph no longer sees planted replicas")
+    spark.catalog.clearCache()
+  }
+
   test("approx stats stay within documented error bounds") {
     val rows = ext.Approx.xApproxStats(spark, sf).collect()
     assert(rows.nonEmpty)
