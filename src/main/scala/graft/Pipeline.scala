@@ -69,6 +69,38 @@ object Pipeline {
     path
   }
 
+  /** Materialize the VECTOR side of the full-refresh DAG — the
+    * clean_documents idiom for embeddings, so the dbt-style rebuild
+    * covers both corpora end-to-end:
+    *  - `clean_vectors/label=<l>/`: the keep-central cleaned corpus (the
+    *    gated x_dedup_emb_corpus_central retention — exact keepers
+    *    minus centroid-proximity rejects) joined back to its
+    *    embeddings, partitioned by label so label-scoped index builds
+    *    prune whole directories (the split=train layout's argument; at
+    *    100 TB the writer adds a second high-cardinality repartition
+    *    column, e.g. the IVF cell, to fan each label across files).
+    *  - `vector_scores/selected=<0|1>/`: the clean-graph PageRank scores
+    *    with the gated prototype cut (x_graph_pagerank_select),
+    *    partitioned by the selection verdict — the common consumer
+    *    reads only selected prototypes, which prunes to one directory.
+    * Both artifacts are id-joined rebuilds of gated operators, so the
+    * Pipeline spec asserts rebuild parity row-for-row.
+    */
+  def materializeVectorCorpus(spark: SparkSession, sfDir: String,
+      outDir: String): (String, String) = {
+    val corpusPath = s"$outDir/clean_vectors"
+    ext.Similarity.xDedupEmbCorpusCentral(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+        Seq("vec_id"))
+      .repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(corpusPath)
+    val scoresPath = s"$outDir/vector_scores"
+    ext.Similarity.xGraphPagerankSelect(spark, sfDir)
+      .repartition(col("selected"))
+      .write.mode("overwrite").partitionBy("selected").parquet(scoresPath)
+    (corpusPath, scoresPath)
+  }
+
   /** Operational incremental near-dup admission: the MinHash signature
     * table parquet at `sigStatePath` is the persisted dedup STATE (64
     * longs per admitted doc). `admitBatch` signs only the new batch,
@@ -238,6 +270,9 @@ object Pipeline {
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k: $v rows") }
     val tc = materializeTrainingCorpus(spark, sfDir, outDir, labels)
     println(s"training_corpus: ${spark.read.parquet(tc).count()} rows (split-partitioned)")
+    val (cv, vs) = materializeVectorCorpus(spark, sfDir, outDir)
+    println(s"clean_vectors: ${spark.read.parquet(cv).count()} rows (label-partitioned)")
+    println(s"vector_scores: ${spark.read.parquet(vs).count()} rows (selection-partitioned)")
     spark.stop()
   }
 }

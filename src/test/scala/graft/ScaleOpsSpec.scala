@@ -288,6 +288,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == fromRollup)
   }
 
+  test("vector corpus materializes partitioned and agrees with the gated operators") {
+    val out = java.nio.file.Files.createTempDirectory("graft_veccorpus").toString
+    val (cv, vs) = Pipeline.materializeVectorCorpus(spark, sf, out)
+    // Rebuild parity: the partitioned artifact is exactly the gated
+    // keep-central corpus (ids + labels), every row carrying its
+    // embedding back from the source relation.
+    val art = spark.read.parquet(cv)
+    val gated = ext.Similarity.xDedupEmbCorpusCentral(spark, sf)
+    assert(art.count() == gated.count())
+    assert(art.select("vec_id").exceptAll(gated.select("vec_id")).count() == 0)
+    assert(art.filter(col("embedding").isNull).count() == 0,
+      "corpus artifact must carry the vectors")
+    val labelDirs = new java.io.File(cv).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("label="))
+    assert(labelDirs > 1, s"expected label partitions, got $labelDirs")
+    // Scores artifact == the gated prototype cut, and the common read
+    // (selected prototypes only) prunes to a single partition.
+    // (partition columns read back as ints via directory-name inference)
+    val scores = spark.read.parquet(vs)
+      .select(col("vec_id"), col("score_e9"), col("selected").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gatedScores = ext.Similarity.xGraphPagerankSelect(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_e9"),
+        r.getAs[Long]("selected"))).toSet
+    assert(scores == gatedScores, "scores artifact diverged from the gated cut")
+    val sel = spark.read.parquet(vs).filter(col("selected") === 1)
+    val scan = sel.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      "selected-only read must touch exactly one partition")
+  }
+
   test("collapse-first sweep: every similarity-blocked gated query is clean-composed or a declared dirty baseline") {
     import spark.implicits._
     import org.apache.spark.sql.types.LongType
