@@ -1009,12 +1009,26 @@ object Similarity {
       if (weighted) g.select(col("vec_id").as("src"), col("nn_id").as("dst"),
         (round(col("cos_sim") * lit(10000)).cast("long") + lit(10001L)).as("w"))
       else g.select(col("vec_id").as("src"), col("nn_id").as("dst"))
+    val nodes = srcOverride.getOrElse(Tables.embeddings(spark, dir))
+      .select("vec_id")
+    pagerankLoop(edges, nodes, prRounds, weighted)
+  }
+
+  /** THE power-iteration loop — one implementation behind every vector
+    * pagerank arm AND the text document-graph arm (the bpeTrain
+    * single-loop rule: three oracle-pinned surfaces desync silently if
+    * a copy drifts). `edges` is (src, dst[, w]) over `nodes`-keyed ids
+    * (column `vec_id`); out-degrees/weight-sums are joined once and the
+    * edge list localCheckpoint'd so `prRounds` passes don't replay the
+    * upstream chain. All the scale/overflow arguments in
+    * xGraphPagerank's scaladoc apply verbatim.
+    */
+  private[ext] def pagerankLoop(edges: DataFrame, nodes: DataFrame,
+      prRounds: Int, weighted: Boolean): DataFrame = {
     val deg =
       if (weighted) edges.groupBy("src").agg(sum(col("w")).as("sw"))
       else edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    val nodes = srcOverride.getOrElse(Tables.embeddings(spark, dir))
-      .select("vec_id")
     val contribExpr =
       if (weighted) "(score_e9 div sw) * w + ((score_e9 % sw) * w) div sw"
       else "score_e9 div deg"
@@ -2289,21 +2303,21 @@ object Similarity {
     * referenced exactly once by its successor, so the chain itself
     * stays plain (linear inlining, no blowup).
     */
-  private def pagerankCtes(prRounds: Int = 3, kNeighbors: Int = 5,
-      k: Int = 16, rounds: Int = 1, srcTable: String = "embeddings",
-      prelude: String = "", weighted: Boolean = false): String = {
+  /** The pr0 + per-round update CTE chain over an `edg` relation
+    * ((src, dst, deg) or (src, dst, w, sw)) and a `srcTable` node
+    * relation keyed `vec_id` — factored (the srcTable-splice idiom) so
+    * the vector pagerank twins and the TEXT document-graph twin
+    * (TextAnalysis, winnow pair edges) replay the identical integer
+    * update chain; vector-arm emission is byte-unchanged.
+    */
+  private[ext] def pagerankRoundCtes(prRounds: Int, srcTable: String,
+      weighted: Boolean): String = {
     // Weighted twin: the same q·w + (r·w) // Σw overflow-safe
     // decomposition the Spark side computes, term for term.
     val contribSql =
       if (weighted)
         "(p.score_e9 // eg.sw) * eg.w + ((p.score_e9 % eg.sw) * eg.w) // eg.sw"
       else "p.score_e9 // eg.deg"
-    val edgCols =
-      if (weighted)
-        """CAST(round(cos_sim * 10000) AS BIGINT) + 10001 AS w,
-          |    CAST(SUM(CAST(round(cos_sim * 10000) AS BIGINT) + 10001)
-          |      OVER (PARTITION BY vec_id) AS BIGINT) AS sw""".stripMargin
-      else "CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg"
     val prCtes = (1 to prRounds).map { r =>
       val prev = if (r == 1) "pr0" else s"pr${r - 1}"
       s"""pr$r AS (
@@ -2316,15 +2330,27 @@ object Similarity {
          |    FROM edg eg JOIN $prev p ON p.vec_id = eg.src
          |    GROUP BY 1) c USING (vec_id))""".stripMargin
     }.mkString(",\n")
+    s"""pr0 AS (
+       |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score_e9
+       |  FROM $srcTable),
+       |$prCtes""".stripMargin
+  }
+
+  private def pagerankCtes(prRounds: Int = 3, kNeighbors: Int = 5,
+      k: Int = 16, rounds: Int = 1, srcTable: String = "embeddings",
+      prelude: String = "", weighted: Boolean = false): String = {
+    val edgCols =
+      if (weighted)
+        """CAST(round(cos_sim * 10000) AS BIGINT) + 10001 AS w,
+          |    CAST(SUM(CAST(round(cos_sim * 10000) AS BIGINT) + 10001)
+          |      OVER (PARTITION BY vec_id) AS BIGINT) AS sw""".stripMargin
+      else "CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg"
     s"""${knnGraphCtes(k, rounds, srcTable, prelude)},
        |edg AS MATERIALIZED (
        |  SELECT vec_id AS src, nn_id AS dst,
        |    $edgCols
        |  FROM rk WHERE nn_rank <= $kNeighbors),
-       |pr0 AS (
-       |  SELECT vec_id, CAST(1000000000 AS BIGINT) AS score_e9
-       |  FROM $srcTable),
-       |$prCtes""".stripMargin
+       |${pagerankRoundCtes(prRounds, srcTable, weighted)}""".stripMargin
   }
 
   private def pagerankOracleSql(prRounds: Int = 3, kNeighbors: Int = 5,

@@ -938,9 +938,42 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** TEXT-side document-graph centrality — the text twin of
+    * x_graph_pagerank: integer PageRank over the winnow near-dup pair
+    * graph (each x_text_winnow_pairs verdict is an undirected edge, so
+    * every pair votes both ways), scored by the ONE shared
+    * power-iteration loop (Similarity.pagerankLoop — e9 longs, damping
+    * 0.85, dangling mass dropped, the single-loop rule). A document
+    * many near-dup verdicts point at is a boilerplate/template hub —
+    * the centrality signal text curation ranks removal candidates by,
+    * exactly what prototype selection does on the vector side.
+    * Scale shape: the edge relation is the df∈[2,50]-bounded winnow
+    * pair join (probed at 10×; identical-replica concentration on the
+    * TEXT side is bounded by the same df cutoff — boilerplate prints
+    * cross it and fall out, the ngram-jaccard story), then each round
+    * is one shuffle-on-dst long-sum over (src, dst) pairs. The twin
+    * splices the winnow pair CTEs with the shared generated round
+    * chain (pagerankRoundCtes) — both halves pinned by their
+    * standalone gates.
+    */
+  def xTextGraphPagerank(spark: SparkSession, dir: String,
+      prRounds: Int = 3): DataFrame = {
+    val pairs = xTextWinnowPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("vec_id"))
+    Similarity.pagerankLoop(edges, nodes, prRounds, weighted = false)
+      .select(col("vec_id").as("doc_id"), col("score_e9"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_winnow"      -> (xTextWinnow _),
     "x_text_winnow_pairs" -> (xTextWinnowPairs _),
+    // Document-graph centrality over the winnow near-dup pair graph —
+    // the text twin of x_graph_pagerank, one shared integer loop.
+    "x_text_graph_pagerank" -> ((s: SparkSession, d: String) =>
+      xTextGraphPagerank(s, d)),
     "x_text_langid"      -> (xTextLangId _),
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
@@ -1197,6 +1230,27 @@ object TextAnalysis {
         |SELECT doc_a, doc_b, n_shared FROM prs
         |WHERE n_shared >= $winnowShareThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Text pagerank twin: the winnow pair chain (the x_text_winnow_pairs
+    // gate's own CTEs), symmetrized to directed edges, MATERIALIZED per
+    // the iterative-oracle rule (every round references edg), then the
+    // SHARED generated round chain over doc-id nodes.
+    "x_text_graph_pagerank" ->
+      s"""WITH $winnowFpCtesBody,
+        |${winnowPairCtes("")},
+        |tnodes AS (SELECT doc_id AS vec_id FROM documents),
+        |tedges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  WHERE n_shared >= $winnowShareThreshold
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM prs
+        |  WHERE n_shared >= $winnowShareThreshold),
+        |edg AS MATERIALIZED (
+        |  SELECT src, dst,
+        |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM tedges),
+        |${Similarity.pagerankRoundCtes(3, "tnodes", weighted = false)}
+        |SELECT vec_id AS doc_id, score_e9 FROM pr3
+        |ORDER BY doc_id""".stripMargin,
     "x_text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),

@@ -760,6 +760,23 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("text pagerank: pair members score above base, isolated docs hold it") {
+    val pairs = ext.TextAnalysis.xTextWinnowPairs(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.nonEmpty, "vacuous fixture: no winnow pairs at sf0.001")
+    val scores = ext.TextAnalysis.xTextGraphPagerank(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e9")).toMap
+    assert(scores.size == Tables.documents(spark, sf).count(),
+      "every document must be scored")
+    // every near-dup pair votes both ways, so each member has incoming
+    // mass and scores strictly above the damped base; docs outside the
+    // pair graph hold exactly the base (dangling mass dropped).
+    pairs.foreach(id => assert(scores(id) > 150000000L,
+      s"pair member $id stuck at base score"))
+    (scores.keySet -- pairs).foreach(id => assert(scores(id) == 150000000L,
+      s"isolated doc $id moved off the base score"))
+  }
+
   test("winnow pairs flag planted substring-duplicates, not unrelated docs") {
     import spark.implicits._
     // long enough that its ~2/(w+1) winnow density clears the >= 8
