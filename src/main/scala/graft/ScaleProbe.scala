@@ -113,7 +113,17 @@ object ScaleProbe {
     "x_graph_pagerank_w",
     // the decontaminated prep: clean staging + two id-keyed holdout
     // anti-joins — its replication cost should be the clean prep's
-    "x_emb_corpus_prep_decon")
+    "x_emb_corpus_prep_decon",
+    // round-10 additions: the curated prep rides the clean staging
+    // (replication collapses at the keeper shuffle) + one within-cell
+    // graph pass + integer density aggregates; the BPE-budget mix is
+    // the bpe-admit shape (train-side pair counts ×N, a narrow replay,
+    // then a (id, lang, count)-row cumsum); the text pagerank's edge
+    // relation is the df∈[2,50]-bounded winnow pair join (replicated
+    // fingerprints cross the cutoff and fall out — the ngram-jaccard
+    // story) + one shuffle-on-dst long-sum per round
+    "x_emb_corpus_prep_curated", "x_corpus_mix_bpe",
+    "x_text_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
