@@ -122,8 +122,8 @@ object ScaleProbe {
     // relation is the df∈[2,50]-bounded winnow pair join (replicated
     // fingerprints cross the cutoff and fall out — the ngram-jaccard
     // story) + one shuffle-on-dst long-sum per round
-    "x_emb_corpus_prep_curated", "x_corpus_mix_bpe",
-    "x_text_graph_pagerank")
+    "x_emb_corpus_prep_curated", "x_emb_corpus_prep_proto",
+    "x_corpus_mix_bpe", "x_text_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1340,6 +1340,51 @@ object Similarity {
       .withColumn("rank", row_number().over(wc)))
   }
 
+  /** The PROTOTYPE-retention production vector prep — the centrality
+    * cut composed at the cap position, the mirror arm of
+    * xEmbCorpusPrepCurated (density keeps the SPARSE for diversity;
+    * centrality keeps the MOST-VOTED-FOR as prototypes — the two
+    * retention policies graph curation mixes, now both consumed by
+    * compositions): clean staging → one hash-spread quantizer serving
+    * both the within-cell kNN graph and the cap layout → integer
+    * PageRank over the graph's edges (the ONE shared pagerankLoop —
+    * e9 longs, 3 rounds, exact div semantics) → per-cell cap of 8 in
+    * (score_e9 DESC, vec_id) order → int8 codes (shared tail). The
+    * twin splices the same generated chains plus the shared round-CTE
+    * generator, so neither the graph nor the scores can drift from
+    * their standalone gates. Scale shape: the curated arm's plus one
+    * shuffle-on-dst long-sum per round over the localCheckpoint'd
+    * edge list (the Pregel tax, measured flat on the clean arms).
+    */
+  def xEmbCorpusPrepProto(spark: SparkSession, dir: String,
+      kNeighbors: Int = 5): DataFrame = {
+    val surv = embPrepSurvivorsClean(spark, dir)
+    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val assigned = withVecNorm(surv).withColumn("cell",
+      VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dotProduct(col("v1"), col("v2"))
+          / (col("n1") * col("n2")), 4))
+      .withColumn("nn_rank", row_number().over(wg))
+      .filter(col("nn_rank") <= kNeighbors)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val scores = pagerankLoop(edges, assigned.select("vec_id"), 3,
+      weighted = false)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(desc("score_e9"), col("vec_id"))
+    int8CapTail(assigned
+      .join(scores, Seq("vec_id"))
+      .withColumn("rank", row_number().over(wc)))
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * storage/bandwidth scale move for a 100 TB vector corpus (4× smaller
     * than float32, SIMD-friendly dot products downstream): code_i =
@@ -1768,6 +1813,11 @@ object Similarity {
     // cells) instead of md5-bucket order.
     "x_emb_corpus_prep_curated" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepCurated(s, d)),
+    // The prototype-retention prep: the centrality cut at the cap
+    // position (per-cell survivors retained most-voted-for-first via
+    // the shared integer pagerank loop) — the curated arm's mirror.
+    "x_emb_corpus_prep_proto" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepProto(s, d)),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
@@ -2280,6 +2330,41 @@ object Similarity {
        |ranked AS (
        |  SELECT cell, vec_id,
        |    row_number() OVER (PARTITION BY cell ORDER BY sk, vec_id) AS rank
+       |  FROM bkt),
+       |kept AS (SELECT cell, rank, vec_id FROM ranked WHERE rank <= 8),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      v -> CAST(greatest(least(floor(v * 127 + 0.5), 127), -127) AS BIGINT)) AS codes
+       |  FROM surv)
+       |SELECT CAST(k.cell AS BIGINT) AS cell, k.rank, k.vec_id,
+       |  CAST(list_sum(q.codes) AS BIGINT) AS sum_codes,
+       |  list_min(q.codes) AS min_code, list_max(q.codes) AS max_code
+       |FROM kept k JOIN qz q ON q.vec_id = k.vec_id
+       |ORDER BY cell, k.rank""".stripMargin
+
+  /** The composed twin of xEmbCorpusPrepProto: the curated twin's
+    * clean-prelude + hash-spread quantizer + graph chain, the edge CTE
+    * (MATERIALIZED per the iterative-oracle rule) + the SHARED
+    * generated pagerank round chain over `surv`, then the per-cell cap
+    * re-ordered by (score_e9 DESC, vec_id) and the common qz/int8
+    * tail.
+    */
+  private def embCorpusPrepProtoOracleSql(kNeighbors: Int = 5): String =
+    s"""${knnGraphCtes(16, 1, "surv", embCleanSurvPrelude(),
+         hashSpread = true)},
+       |edg AS MATERIALIZED (
+       |  SELECT vec_id AS src, nn_id AS dst,
+       |    CAST(COUNT(*) OVER (PARTITION BY vec_id) AS BIGINT) AS deg
+       |  FROM rk WHERE nn_rank <= $kNeighbors),
+       |${pagerankRoundCtes(3, "surv", weighted = false)},
+       |bkt AS (
+       |  SELECT a1.vec_id, a1.cell, p.score_e9
+       |  FROM a1 JOIN pr3 p USING (vec_id)),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY score_e9 DESC, vec_id) AS rank
        |  FROM bkt),
        |kept AS (SELECT cell, rank, vec_id FROM ranked WHERE rank <= 8),
        |qz AS (
@@ -2916,6 +3001,7 @@ object Similarity {
     "x_emb_corpus_prep_decon" ->
       embCorpusPrepOracleSql(clean = true, decon = true),
     "x_emb_corpus_prep_curated" -> embCorpusPrepCuratedOracleSql(),
+    "x_emb_corpus_prep_proto" -> embCorpusPrepProtoOracleSql(),
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     // LSH-blocked cosine dedup twin: the shared signature/inverted-list

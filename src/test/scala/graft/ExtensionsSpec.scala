@@ -1382,6 +1382,60 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(curated != clean, "the two retention policies must disagree")
   }
 
+  test("proto prep caps by centrality — the mirror of the curated density cap") {
+    import spark.implicits._
+    // One synthetic cell where the two graph-curation retention
+    // policies give OPPOSITE verdicts: 6 mutually-close hubs (pairwise
+    // cos 0.75 — everyone's top-5 votes land on hubs, so hubs carry
+    // all the centrality), 5 sparse satellites (mutual cos 0.5, cos to
+    // hubs ~0.6124 — they vote but receive nothing, scores stay at the
+    // damped base), and a bridge vector F* carrying the cell's base
+    // direction (cos to hubs 0.72 < banded 0.8 threshold, so the clean
+    // staging keeps everyone). Ids assigned by md5-bucket rank so the
+    // 16 lowest-bucket fillers are the hash-spread seeds and the
+    // 12-member clique lands in F*'s cell. Expected caps of 8:
+    // centrality keeps ALL 6 hubs (+2 base-score members); density
+    // keeps ALL 5 satellites (densities: S 6124 < F* 7200 < H 7500)
+    // and at most 2 hubs — prototypes vs diversity, live and opposed.
+    val buckets = (0L until 100L).toDF("id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(10000, col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, b) => (b, id) }.map(_._1)
+    val fillers = buckets.take(16)
+    val fStar = fillers.head
+    val hubIds = buckets.slice(16, 22)
+    val satIds = buckets.takeRight(5)
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val rows =
+      Seq((fStar, vec(0 -> 1.6627f, 38 -> 1.1115f))) ++
+      fillers.tail.zipWithIndex.map { case (id, k) => (id, vec((20 + k) -> 2f)) } ++
+      hubIds.zipWithIndex.map { case (id, j) =>
+        (id, vec(0 -> 1.5f, (40 + j) -> 0.8660254f)) } ++
+      satIds.zipWithIndex.map { case (id, i) => (id, vec(0 -> 1f, (50 + i) -> 1f)) }
+    val tmp = java.nio.file.Files.createTempDirectory("protoprep").toString
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val proto = ext.Similarity.xEmbCorpusPrepProto(spark, tmp).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val curated = ext.Similarity.xEmbCorpusPrepCurated(spark, tmp).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(hubIds.forall(proto),
+      s"centrality cap dropped a hub: ${hubIds.filterNot(proto)}")
+    assert(satIds.count(proto) <= 2,
+      "centrality cap must prune the voteless satellites")
+    assert(satIds.forall(curated),
+      s"density cap dropped a sparse satellite: ${satIds.filterNot(curated)}")
+    assert(hubIds.count(curated) <= 2,
+      "density cap must prune the crowded hub region")
+    assert(proto != curated, "the two retention policies must disagree")
+    // both caps keep singleton fillers (isolated cells are rank 1)
+    assert(fillers.tail.forall(id => proto(id) && curated(id)))
+  }
+
   test("density select keeps the sparse and drops the crowded, integer-exact") {
     import spark.implicits._
     // Plant 6 bit-identical copies of vector 0: all land in vec 0's
