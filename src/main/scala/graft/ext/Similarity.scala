@@ -929,11 +929,17 @@ object Similarity {
     * join; everything after it is per-vector aggregates of 8-byte rows
     * plus a 1-row broadcast.
     */
+  /** `srcOverride` swaps the judged relation (the xKnnGraph idiom) —
+    * the _clean arm passes the exact keepers, making the density cut's
+    * graph stage collapse-first like every other production consumer.
+    */
   def xKnnDensitySelect(spark: SparkSession, dir: String,
       selectN: Int = 100, kNeighbors: Int = 5, kCells: Int = 16,
-      rounds: Int = 1): DataFrame = {
-    val dens = knnDensity(xKnnGraph(spark, dir, kNeighbors, kCells, rounds))
-    val allv = Tables.embeddings(spark, dir).select("vec_id")
+      rounds: Int = 1, srcOverride: Option[DataFrame] = None): DataFrame = {
+    val dens = knnDensity(xKnnGraph(spark, dir, kNeighbors, kCells, rounds,
+      srcOverride = srcOverride))
+    val allv = srcOverride.getOrElse(Tables.embeddings(spark, dir))
+      .select("vec_id")
       .join(dens, Seq("vec_id"), "left")
       .withColumn("sk", coalesce(col("density_e4"), lit(-10001L)))
     val cut = allv.orderBy(col("sk"), col("vec_id")).limit(selectN)
@@ -1862,6 +1868,12 @@ object Similarity {
     // broadcast Nth-threshold — integer arithmetic end-to-end.
     "x_knn_density_select" -> ((s: SparkSession, d: String) =>
       xKnnDensitySelect(s, d)),
+    // The collapse-first density cut: the same diversity policy over
+    // the keeper graph (the pagerank_clean idiom) — replicas can
+    // neither crowd the cells nor inflate their region's density.
+    "x_knn_density_select_clean" -> ((s: SparkSession, d: String) =>
+      xKnnDensitySelect(s, d,
+        srcOverride = Some(Dedup.embExactKeepers(s, d)))),
     // Graph centrality over the same chain: fixed-round integer
     // PageRank (e9 longs, damping 0.85, dangling mass dropped) — the
     // prototypicality signal graph curation ranks regions by.
@@ -2291,13 +2303,14 @@ object Similarity {
        |  FROM nn GROUP BY 1)""".stripMargin
 
   private def densitySelectOracleSql(selectN: Int = 100,
-      kNeighbors: Int = 5, k: Int = 16, rounds: Int = 1): String =
-    s"""${knnGraphCtes(k, rounds)},
+      kNeighbors: Int = 5, k: Int = 16, rounds: Int = 1,
+      srcTable: String = "embeddings", prelude: String = ""): String =
+    s"""${knnGraphCtes(k, rounds, srcTable, prelude)},
        |${densityCtes(kNeighbors)},
        |av AS (
        |  SELECT e.vec_id, d.n_neighbors, d.density_e4,
        |    COALESCE(d.density_e4, -10001) AS sk
-       |  FROM embeddings e LEFT JOIN dens d USING (vec_id)),
+       |  FROM $srcTable e LEFT JOIN dens d USING (vec_id)),
        |dtopn AS (
        |  SELECT sk, vec_id FROM av ORDER BY sk, vec_id LIMIT $selectN),
        |dcut AS (
@@ -3048,6 +3061,8 @@ object Similarity {
     "x_knn_graph_k64" -> knnGraphOracleSql(5, 64, 1),
     "x_knn_graph_admit" -> knnGraphAdmitOracleSql(),
     "x_knn_density_select" -> densitySelectOracleSql(),
+    "x_knn_density_select_clean" -> densitySelectOracleSql(
+      srcTable = "uq", prelude = s"$embKeeperCte,\n"),
     "x_graph_pagerank" -> pagerankOracleSql(),
     "x_graph_pagerank_clean" -> pagerankOracleSql(
       srcTable = "uq", prelude = s"$embKeeperCte,\n"),
