@@ -718,10 +718,40 @@ object TextAnalysis {
     * input is (id, lang, count) rows — text never shuffles.
     */
   def xCorpusMix(spark: SparkSession, dir: String): DataFrame =
-    mixFill(Tables.documents(spark, dir)
+    mixFill(wsMixToks(spark, dir))
+
+  /** The whitespace-unit (doc_id, lang, n_tokens, bucket) mix input —
+    * factored so the gated rollup and the streaming gate's frozen-cut
+    * artifact read the identical relation. */
+  private[graft] def wsMixToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        md5Bucket(10000).as("bucket")))
+        md5Bucket(10000).as("bucket"))
+
+  /** The per-language mix-cut artifact for the STREAMING budget gate:
+    * the LAST (bucket, doc_id) admitted under the cumsum-≤-quota fill
+    * — because the fill order IS (bucket, doc_id) and the cumsum is
+    * monotone along it, "cum ≤ quota" is exactly "(bucket, doc_id) ≤
+    * cut" — a #langs-row broadcastable threshold table (the
+    * sampleRates idiom: same Spark expressions as the batch rollup, so
+    * the stream replays the batch membership bitwise). A language that
+    * keeps nothing (first doc already over quota) emits no row — the
+    * stream's conservative keep-nothing default.
+    */
+  private[graft] def mixCuts(toks: DataFrame): DataFrame = {
+    val quota = toks.groupBy("lang").agg(sum("n_tokens").as("lt"))
+      .agg(min("lt").as("quota"))
+    val w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("cum") <= col("quota"))
+      .groupBy("lang")
+      .agg(max(struct(col("bucket"), col("doc_id"))).as("cut"))
+      .select(col("lang"), col("cut.bucket").as("cut_bucket"),
+        col("cut.doc_id").as("cut_id"))
+  }
 
   /** The quota + cumsum fill over a (doc_id, lang, n_tokens, bucket)
     * relation — ONE implementation behind the whitespace-budget and

@@ -396,6 +396,37 @@ object StreamOps {
         .otherwise(lit(0L)).as("kept"))
   }
 
+  /** Streaming token-budget mix gate — the online half of x_corpus_mix
+    * (and, fed BPE-unit cuts, of x_corpus_mix_bpe): the per-language
+    * quota fill reduces to a per-language (bucket, doc_id) THRESHOLD
+    * (TextAnalysis.mixCuts — the fill order is (bucket, doc_id) and
+    * the token cumsum is monotone along it, so "cum ≤ quota" is
+    * exactly "(bucket, doc_id) ≤ cut"), computed ONCE batch-side as a
+    * #langs-row artifact, FROZEN, and applied to each arriving doc as
+    * a STATELESS narrow map — no state store, no watermark, no
+    * shuffle. Like every budget artifact (and unlike the split/sample
+    * gates) the cut is a function of the corpus SNAPSHOT — growing the
+    * corpus moves the quota — so production versions the cut table per
+    * mixture build instead of re-deriving it in-stream (the
+    * frozen-quantizer argument: re-deriving would flip already-shipped
+    * membership). A doc whose language has no cut row (absent, or the
+    * language kept nothing) is never kept — the conservative default.
+    * Batch parity is spec-gated: per-language kept counts replayed
+    * through the stream equal the batch rollup's n_kept, split across
+    * micro-batches.
+    */
+  def mixDocs(docs: Dataset[LangDoc],
+      cuts: Map[String, (Long, Long)]): DataFrame = {
+    val bmap = typedlit(cuts.map { case (l, c) => l -> c._1 })
+    val imap = typedlit(cuts.map { case (l, c) => l -> c._2 })
+    val b = graft.ext.TextAnalysis.md5Bucket(10000, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+      when(b < element_at(bmap, col("lang")) ||
+        (b === element_at(bmap, col("lang")) &&
+          col("doc_id") <= element_at(imap, col("lang"))),
+        lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   case class ExactVerdict(vec_id: Long, keeper_id: Long, is_dup: Long)
 
   /** Online exact vector dedup — the ingest half of the collapse-first

@@ -2582,6 +2582,42 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming gate diverged from the batch rollup ($streamed vs $batch)")
   }
 
+  test("streaming mix gate reproduces the batch token-budget rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the per-language (bucket, doc_id) fill cuts batch-side
+    // (mixCuts over the SAME token relation the gated rollup reads),
+    // stream every document through the stateless gate split across
+    // two micro-batches, and require the per-language kept counts to
+    // equal the batch quota rollup exactly — the cumsum-≤-quota fill
+    // and the threshold membership are the same set by monotonicity.
+    val cuts = ext.TextAnalysis.mixCuts(ext.TextAnalysis.wsMixToks(spark, sf))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val all = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect()
+      .map(r => streaming.StreamOps.LangDoc(r.getLong(0), r.getString(1)))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[streaming.StreamOps.LangDoc]
+    val query = streaming.StreamOps.mixDocs(input.toDS(), cuts)
+      .writeStream.format("memory").queryName("mix_gate_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept " +
+        "FROM mix_gate_out GROUP BY lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    query.stop()
+    val batch = ext.TextAnalysis.xCorpusMix(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(batch.values.exists { case (n, k) => k < n },
+      "vacuous fixture: no language is budget-squeezed")
+    assert(streamed == batch,
+      s"streaming mix gate diverged from the batch rollup ($streamed vs $batch)")
+  }
+
   test("online exact vector dedup replay reproduces the batch collapse") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
