@@ -792,7 +792,15 @@ object TextAnalysis {
     * text never shuffles. The twin reuses the bpe recode CTE chain and
     * the shared mix tail verbatim.
     */
-  def xCorpusMixBpe(spark: SparkSession, dir: String): DataFrame = {
+  def xCorpusMixBpe(spark: SparkSession, dir: String): DataFrame =
+    mixFill(bpeMixToks(spark, dir))
+
+  /** The BPE-unit (doc_id, lang, n_tokens, bucket) mix input — the
+    * frozen admission merge list replayed over every document; shared
+    * by the gated rollup and the streaming gate's BPE-unit cut
+    * artifact (the wsMixToks twin).
+    */
+  private[graft] def bpeMixToks(spark: SparkSession, dir: String): DataFrame = {
     val (_, merges) = admitMergeList(spark, dir)
     var docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -800,9 +808,9 @@ object TextAnalysis {
     merges.foreach { case (a, b) =>
       docs = docs.withColumn("toks", bpeMergeExpr(a, b))
     }
-    mixFill(docs.select(col("doc_id"), col("lang"),
+    docs.select(col("doc_id"), col("lang"),
       size(col("toks")).cast("long").as("n_tokens"),
-      md5Bucket(10000).as("bucket")))
+      md5Bucket(10000).as("bucket"))
   }
 
   /** Benchmark decontamination: per-document overlap of its distinct word

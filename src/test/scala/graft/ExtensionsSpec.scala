@@ -2616,6 +2616,29 @@ class ExtensionsSpec extends AnyFunSuite {
       "vacuous fixture: no language is budget-squeezed")
     assert(streamed == batch,
       s"streaming mix gate diverged from the batch rollup ($streamed vs $batch)")
+    // The gate is budget-UNIT-agnostic: fed BPE-unit cuts (the frozen
+    // admission tokenizer's counts), the same stateless map reproduces
+    // the BPE-budget rollup instead.
+    val bpeCuts = ext.TextAnalysis
+      .mixCuts(ext.TextAnalysis.bpeMixToks(spark, sf))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val input2 = MemoryStream[streaming.StreamOps.LangDoc]
+    val query2 = streaming.StreamOps.mixDocs(input2.toDS(), bpeCuts)
+      .writeStream.format("memory").queryName("mix_gate_bpe_out")
+      .outputMode("append").start()
+    input2.addData(b1.toSeq); query2.processAllAvailable()
+    input2.addData(b2.toSeq); query2.processAllAvailable()
+    val streamedBpe = spark.sql(
+      "SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept " +
+        "FROM mix_gate_bpe_out GROUP BY lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    query2.stop()
+    val batchBpe = ext.TextAnalysis.xCorpusMixBpe(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(streamedBpe == batchBpe,
+      s"BPE-unit mix gate diverged ($streamedBpe vs $batchBpe)")
   }
 
   test("online exact vector dedup replay reproduces the batch collapse") {
