@@ -1005,6 +1005,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The centrality-CONSUMING cut on the TEXT side — the mirror
+    * reading of the vector prototype cut: on text, a high-centrality
+    * node is a BOILERPLATE hub (many near-dup verdicts point at it —
+    * templates, license headers, scraped chrome), so the selectN
+    * most-voted-for documents are REMOVAL candidates, not prototypes.
+    * Same broadcast Nth-(score DESC, id) threshold as
+    * xGraphPagerankSelect — a 1-row broadcast, never a corpus window.
+    * Ties at the damped base resolve deterministically by id, exactly
+    * the vector arm's cut semantics.
+    */
+  def xTextGraphPagerankSelect(spark: SparkSession, dir: String,
+      selectN: Int = 25): DataFrame = {
+    val pr = xTextGraphPagerank(spark, dir)
+    val cut = pr.orderBy(desc("score_e9"), col("doc_id")).limit(selectN)
+      .orderBy(col("score_e9"), desc("doc_id")).limit(1)
+      .select(col("score_e9").as("cut_s"), col("doc_id").as("cut_id"))
+    pr.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("score_e9"),
+        when(col("score_e9") > col("cut_s") ||
+          (col("score_e9") === col("cut_s") && col("doc_id") <= col("cut_id")),
+          lit(1L)).otherwise(lit(0L)).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_winnow"      -> (xTextWinnow _),
     "x_text_winnow_pairs" -> (xTextWinnowPairs _),
@@ -1012,6 +1036,10 @@ object TextAnalysis {
     // the text twin of x_graph_pagerank, one shared integer loop.
     "x_text_graph_pagerank" -> ((s: SparkSession, d: String) =>
       xTextGraphPagerank(s, d)),
+    // The boilerplate cut: the selectN most central docs flagged as
+    // removal candidates (text inverts the retention reading).
+    "x_text_graph_pagerank_select" -> ((s: SparkSession, d: String) =>
+      xTextGraphPagerankSelect(s, d)),
     "x_text_langid"      -> (xTextLangId _),
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
@@ -1273,21 +1301,25 @@ object TextAnalysis {
     // the iterative-oracle rule (every round references edg), then the
     // SHARED generated round chain over doc-id nodes.
     "x_text_graph_pagerank" ->
-      s"""WITH $winnowFpCtesBody,
-        |${winnowPairCtes("")},
-        |tnodes AS (SELECT doc_id AS vec_id FROM documents),
-        |tedges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM prs
-        |  WHERE n_shared >= $winnowShareThreshold
-        |  UNION ALL
-        |  SELECT doc_b AS src, doc_a AS dst FROM prs
-        |  WHERE n_shared >= $winnowShareThreshold),
-        |edg AS MATERIALIZED (
-        |  SELECT src, dst,
-        |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-        |  FROM tedges),
-        |${Similarity.pagerankRoundCtes(3, "tnodes", weighted = false)}
+      s"""$textPagerankOracleCtes
         |SELECT vec_id AS doc_id, score_e9 FROM pr3
+        |ORDER BY doc_id""".stripMargin,
+    // The boilerplate cut twin: the shared text chain + the
+    // pagerankSelect two-LIMIT-CTE cut idiom.
+    "x_text_graph_pagerank_select" ->
+      s"""$textPagerankOracleCtes,
+        |ptopn AS (
+        |  SELECT score_e9, vec_id FROM pr3
+        |  ORDER BY score_e9 DESC, vec_id LIMIT 25),
+        |pcut AS (
+        |  SELECT score_e9 AS cut_s, vec_id AS cut_id FROM ptopn
+        |  ORDER BY score_e9, vec_id DESC LIMIT 1)
+        |SELECT vec_id AS doc_id, score_e9,
+        |  CASE WHEN score_e9 > (SELECT cut_s FROM pcut)
+        |        OR (score_e9 = (SELECT cut_s FROM pcut)
+        |            AND vec_id <= (SELECT cut_id FROM pcut))
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
+        |FROM pr3
         |ORDER BY doc_id""".stripMargin,
     "x_text_langid" ->
       """WITH toks AS (
@@ -1601,6 +1633,27 @@ object TextAnalysis {
         |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
         |  FROM documents d JOIN d$bpeRounds dk ON d.doc_id = dk.doc_id),
         |$mixFillSql""".stripMargin)
+
+  /** The shared text-pagerank WITH-chain (winnow pair CTEs →
+    * symmetrized MATERIALIZED edges → the generated integer round
+    * chain, through pr3) — one text for the score twin and the
+    * boilerplate-cut twin.
+    */
+  private def textPagerankOracleCtes: String =
+    s"""WITH $winnowFpCtesBody,
+       |${winnowPairCtes("")},
+       |tnodes AS (SELECT doc_id AS vec_id FROM documents),
+       |tedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  WHERE n_shared >= $winnowShareThreshold
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM prs
+       |  WHERE n_shared >= $winnowShareThreshold),
+       |edg AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM tedges),
+       |${Similarity.pagerankRoundCtes(3, "tnodes", weighted = false)}""".stripMargin
 
   /** The quota/cumsum/rollup SQL tail over a `t(doc_id, lang, n_tokens,
     * bucket)` CTE — the twin of mixFill, shared by the whitespace- and

@@ -775,6 +775,17 @@ class ExtensionsSpec extends AnyFunSuite {
       s"pair member $id stuck at base score"))
     (scores.keySet -- pairs).foreach(id => assert(scores(id) == 150000000L,
       s"isolated doc $id moved off the base score"))
+    // The boilerplate cut flags EXACTLY the top-selectN by the
+    // (score DESC, doc_id) order — the broadcast threshold is a real
+    // Nth cut, deterministic through the base-score tie mass.
+    val sel = ext.TextAnalysis.xTextGraphPagerankSelect(spark, sf).collect()
+    assert(sel.map(_.getAs[Long]("selected")).sum == 25L,
+      "exactly selectN docs must be flagged")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (-r.getAs[Long]("score_e9"), r.getAs[Long]("doc_id"))
+    val flagged = sel.filter(_.getAs[Long]("selected") == 1L).map(key).sorted
+    val expected = sel.map(key).sorted.take(25).toSeq
+    assert(flagged.toSeq == expected, "flagged set is not the top-N cut")
   }
 
   test("winnow pairs flag planted substring-duplicates, not unrelated docs") {
