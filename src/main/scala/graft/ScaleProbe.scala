@@ -123,7 +123,8 @@ object ScaleProbe {
     // fingerprints cross the cutoff and fall out — the ngram-jaccard
     // story) + one shuffle-on-dst long-sum per round
     "x_emb_corpus_prep_curated", "x_emb_corpus_prep_proto",
-    "x_corpus_mix_bpe", "x_text_graph_pagerank")
+    "x_corpus_mix_bpe", "x_text_graph_pagerank",
+    "x_knn_density_select_clean", "x_text_graph_pagerank_select")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

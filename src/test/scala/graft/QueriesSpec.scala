@@ -48,7 +48,10 @@ class QueriesSpec extends AnyFunSuite {
     // floating aggregates) and require identical collected results.
     val sample = Seq("a4_percentile_rollup", "w3_upsert_dedup",
       "x_knn_bruteforce", "x_dedup_ngram_jaccard", "x_text_tfidf",
-      "x_sessionize", "x_dedup_emb_cosine")
+      "x_sessionize", "x_dedup_emb_cosine",
+      // r10 window orders: the density-ordered cap (ties through the
+      // sentinel + vec_id) and the centrality cut over base-score ties
+      "x_emb_corpus_prep_curated", "x_text_graph_pagerank_select")
     sample.foreach { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect().map(_.toString).toSeq
