@@ -124,7 +124,8 @@ object ScaleProbe {
     // story) + one shuffle-on-dst long-sum per round
     "x_emb_corpus_prep_curated", "x_emb_corpus_prep_proto",
     "x_corpus_mix_bpe", "x_text_graph_pagerank",
-    "x_knn_density_select_clean", "x_text_graph_pagerank_select")
+    "x_knn_density_select_clean", "x_text_graph_pagerank_select",
+    "x_text_boilerplate_screen")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

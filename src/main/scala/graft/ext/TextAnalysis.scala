@@ -1029,6 +1029,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The frozen BOILERPLATE-HUB fingerprint index — the artifact the
+    * ingest screen joins against: the selectN most-central documents'
+    * distinct winnow fingerprints as (hub_id, fp) rows. Bounded by
+    * selectN × fingerprints-per-doc (broadcastable), versioned per
+    * corpus build like every screening index (the
+    * contaminationEvalIndex idiom). Shared by the batch gate and the
+    * streaming screen so the two consume the identical index.
+    */
+  private[graft] def boilerplateHubIndex(spark: SparkSession, dir: String,
+      selectN: Int = 25): DataFrame = {
+    val hubs = xTextGraphPagerankSelect(spark, dir, selectN)
+      .filter(col("selected") === 1L).select(col("doc_id"))
+    Tables.documents(spark, dir).join(hubs, Seq("doc_id"))
+      .select(col("doc_id").as("hub_id"),
+        explode(array_distinct(
+          graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+          .as("fp"))
+  }
+
+  /** Boilerplate screening — the text side's "reject at ingest" gate
+    * (the x_emb_contamination position, aimed at templates instead of
+    * eval leaks): every NON-hub document sharing ≥ winnowShareThreshold
+    * distinct winnow fingerprints with a flagged centrality hub is
+    * reported as (doc_id, hub_id, n_shared). Deliberately NO df cutoff
+    * on the hub side — boilerplate fingerprints are high-df by nature,
+    * which is exactly why the df∈[2,50]-bounded pair join cannot flag
+    * them; a small explicit hub index sidesteps the cutoff without
+    * unbounding anything (the join's small side is selectN docs' prints,
+    * broadcast). Scale shape: one broadcast join over the corpus
+    * fingerprint stream + a (doc, hub) count — text never shuffles.
+    */
+  def xTextBoilerplateScreen(spark: SparkSession, dir: String,
+      selectN: Int = 25): DataFrame = {
+    val hubFps = boilerplateHubIndex(spark, dir, selectN)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+        .as("fp"))
+      .join(hubFps.select(col("hub_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .join(broadcast(hubFps), Seq("fp"))
+      .groupBy("doc_id", "hub_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowShareThreshold)
+      .orderBy("doc_id", "hub_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_winnow"      -> (xTextWinnow _),
     "x_text_winnow_pairs" -> (xTextWinnowPairs _),
@@ -1040,6 +1087,12 @@ object TextAnalysis {
     // removal candidates (text inverts the retention reading).
     "x_text_graph_pagerank_select" -> ((s: SparkSession, d: String) =>
       xTextGraphPagerankSelect(s, d)),
+    // The boilerplate SCREEN: non-hub docs sharing >= 8 distinct
+    // winnow fingerprints with a flagged hub (no df cutoff — the hub
+    // index is small and explicit, catching exactly the high-df
+    // boilerplate prints the pair join's cutoff must exclude).
+    "x_text_boilerplate_screen" -> ((s: SparkSession, d: String) =>
+      xTextBoilerplateScreen(s, d)),
     "x_text_langid"      -> (xTextLangId _),
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
@@ -1321,6 +1374,35 @@ object TextAnalysis {
         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
         |FROM pr3
         |ORDER BY doc_id""".stripMargin,
+    // The boilerplate-screen twin: the shared chain + cut, the flagged
+    // hubs' distinct fingerprints (reusing the pair chain's `fps`), and
+    // the non-hub x hub shared-count join at the shared threshold.
+    "x_text_boilerplate_screen" ->
+      s"""$textPagerankOracleCtes,
+        |ptopn AS (
+        |  SELECT score_e9, vec_id FROM pr3
+        |  ORDER BY score_e9 DESC, vec_id LIMIT 25),
+        |pcut AS (
+        |  SELECT score_e9 AS cut_s, vec_id AS cut_id FROM ptopn
+        |  ORDER BY score_e9, vec_id DESC LIMIT 1),
+        |hubs AS (
+        |  SELECT vec_id AS hub_id FROM pr3
+        |  WHERE score_e9 > (SELECT cut_s FROM pcut)
+        |     OR (score_e9 = (SELECT cut_s FROM pcut)
+        |         AND vec_id <= (SELECT cut_id FROM pcut))),
+        |hf AS (
+        |  SELECT h.hub_id, f.mn FROM hubs h
+        |  JOIN fps f ON f.doc_id = h.hub_id),
+        |nonhub AS (
+        |  SELECT * FROM fps
+        |  WHERE doc_id NOT IN (SELECT hub_id FROM hubs)),
+        |scr AS (
+        |  SELECT nonhub.doc_id, hf.hub_id, count(*) AS n_shared
+        |  FROM nonhub JOIN hf ON nonhub.mn = hf.mn
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, hub_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM scr WHERE n_shared >= $winnowShareThreshold
+        |ORDER BY doc_id, hub_id""".stripMargin,
     "x_text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),

@@ -367,6 +367,48 @@ object StreamOps {
       }
   }
 
+  case class DocScreenOut(doc_id: Long, hub_id: Long, n_shared: Long)
+
+  /** Streaming boilerplate screen — the TEXT side's "reject at ingest"
+    * gate, the screenVectors idiom aimed at templates: the flagged
+    * centrality hubs' fingerprint index is built ONCE batch-side
+    * (TextAnalysis.boilerplateHubIndex — selectN docs' distinct winnow
+    * prints, frozen and versioned per corpus build), each arriving doc
+    * is fingerprinted by the same codegen'd winnow expression, joined
+    * stream-static on the print, and flagged per (doc, hub) when the
+    * shared count clears the batch threshold. All of a doc's prints
+    * explode inside its own micro-batch, so the count is complete when
+    * the group fires (the attachGraph argument); the flagged pairs set
+    * group state, so a re-ingested doc cannot double-flag (the
+    * screenVectors idempotence contract). Batch parity is spec-gated:
+    * streamed flags == x_text_boilerplate_screen's rows, split across
+    * micro-batches, replays emitting nothing new.
+    */
+  def screenDocsBoilerplate(docs: Dataset[DocIn], hubFps: DataFrame,
+      shareThreshold: Int = 8): Dataset[DocScreenOut] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+        .as("fp"))
+      .join(hubFps, Seq("fp"))
+      .select(col("doc_id"), col("hub_id"))
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, DocScreenOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: (Long, Long), rows: Iterator[(Long, Long)],
+         state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val n = rows.size.toLong
+            if (n >= shareThreshold) {
+              state.update(1L)
+              Iterator.single(DocScreenOut(k._1, k._2, n))
+            } else Iterator.empty
+          }
+      }
+  }
+
   case class LangDoc(doc_id: Long, lang: String)
 
   /** Streaming temperature-sampling gate — the online half of

@@ -2593,6 +2593,110 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streaming gate diverged from the batch rollup ($streamed vs $batch)")
   }
 
+  test("streaming boilerplate screen matches the batch gate and is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the hub fingerprint index batch-side (the SAME
+    // boilerplateHubIndex the gated query consumes), stream every
+    // NON-hub document split across two micro-batches, and require
+    // flag-for-flag equality with x_text_boilerplate_screen — then
+    // replay a batch and require zero new flags (the flagged-pair
+    // group state).
+    val hubFps = ext.TextAnalysis.boilerplateHubIndex(spark, sf)
+      .localCheckpoint()
+    val hubIds = hubFps.select("hub_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(r => !hubIds(r.getLong(0)))
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps
+      .screenDocsBoilerplate(input.toDS(), hubFps)
+      .writeStream.format("memory").queryName("bp_screen_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, hub_id, n_shared FROM bp_screen_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = ext.TextAnalysis.xTextBoilerplateScreen(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hub_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(batch.nonEmpty, "vacuous fixture: batch gate flagged nothing")
+    assert(streamed == batch,
+      s"streaming screen diverged from batch (sizes ${streamed.size}/${batch.size})")
+    val nFlags = spark.sql("SELECT count(*) FROM bp_screen_out").head.getLong(0)
+    input.addData(b1.toSeq); query.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM bp_screen_out").head.getLong(0)
+      == nFlags, "replayed batch double-flagged a boilerplate pair")
+    query.stop()
+  }
+
+  test("frozen boilerplate screen catches a template flood the df-cutoff pair join goes blind to") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The screen's reason to exist: the pair join's df∈[2,50] cutoff —
+    // the guard that keeps the self-join bounded — goes BLIND the
+    // moment a template's document frequency crosses 50, which is
+    // precisely when boilerplate matters most. A hub index FROZEN from
+    // a clean snapshot keeps rejecting at ingest regardless of the
+    // flood's df. Snapshot: 20 fully-unique fillers + a 10-doc
+    // template clique (each 'unique header i' + the same 250-char
+    // template; in-degree 9 each, so all ten rank above the base ties
+    // and are flagged hubs).
+    // Non-repetitive on purpose: a periodic template winnows to a
+    // handful of distinct prints (the window minima repeat with the
+    // period) and pairs never reach the 8-shared threshold.
+    val template =
+      "terms of service agreement covering liability indemnification " +
+      "warranty disclaimers governing law jurisdiction arbitration notices " +
+      "amendments severability waiver assignment entire agreement counterparts " +
+      "electronic signatures effective date all rights reserved worldwide"
+    val fillers = (0L until 20L).map(i =>
+      (i, (0 until 30).map(j => s"u${i}x$j").mkString(" ")))
+    val clique = (100L until 110L).map(i => (i, s"unique header $i " + template))
+    val tmpA = java.nio.file.Files.createTempDirectory("bpsnap").toString
+    (fillers ++ clique).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val hubFps = ext.TextAnalysis.boilerplateHubIndex(spark, tmpA)
+      .localCheckpoint()
+    val hubIds = hubFps.select("hub_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val cliqueIds = clique.map(_._1).toSet
+    assert(cliqueIds.subsetOf(hubIds),
+      s"template docs not flagged as hubs: ${cliqueIds -- hubIds}")
+    // The flood: 60 new pages carrying the template. On the FLOODED
+    // corpus the template prints' df is 70 > 50 — the pair join (and
+    // therefore the centrality chain built on it) sees nothing
+    // touching the flood.
+    val flood = (1000L until 1060L).map(i => (i, s"new page $i " + template))
+    val tmpB = java.nio.file.Files.createTempDirectory("bpflood").toString
+    (fillers ++ clique ++ flood).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    val pairMembers = ext.TextAnalysis.xTextWinnowPairs(spark, tmpB).collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val floodIds = flood.map(_._1).toSet
+    assert((pairMembers & floodIds).isEmpty,
+      "fixture broke: the df cutoff unexpectedly passed the template flood")
+    // The frozen screen still rejects every flood doc at ingest.
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps
+      .screenDocsBoilerplate(input.toDS(), hubFps)
+      .writeStream.format("memory").queryName("bp_flood_out")
+      .outputMode("append").start()
+    input.addData(flood.map { case (id, t) =>
+      streaming.StreamOps.DocIn(id, new java.sql.Timestamp(0L), t) })
+    query.processAllAvailable()
+    val flagged = spark.sql("SELECT DISTINCT doc_id FROM bp_flood_out")
+      .collect().map(_.getLong(0)).toSet
+    query.stop()
+    assert(floodIds.subsetOf(flagged),
+      s"flood docs escaped the frozen screen: ${floodIds -- flagged}")
+  }
+
   test("streaming mix gate reproduces the batch token-budget rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
