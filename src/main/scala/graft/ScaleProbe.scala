@@ -125,7 +125,7 @@ object ScaleProbe {
     "x_emb_corpus_prep_curated", "x_emb_corpus_prep_proto",
     "x_corpus_mix_bpe", "x_text_graph_pagerank",
     "x_knn_density_select_clean", "x_text_graph_pagerank_select",
-    "x_text_boilerplate_screen")
+    "x_text_boilerplate_screen", "x_text_winnow_admit")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1076,6 +1076,62 @@ object TextAnalysis {
       .orderBy("doc_id", "hub_id")
   }
 
+  /** Incremental winnow-dedup admission — the substring-dup family's
+    * entry in the train-once admission matrix (MinHash signatures, IVF
+    * cells, PQ codes, BPE merges, kNN edges all have one): the
+    * admitted lower-id half's distinct fingerprints are the FROZEN
+    * state (the persisted (fp, doc_id) index a production ingest
+    * keeps), and each NEW document pairs against admitted documents
+    * sharing ≥ winnowShareThreshold prints. The df guard shifts
+    * meaning under admission: the upper bound (admitted df ≤ 50, the
+    * blowup guard) survives, but the lower bound does NOT — a print
+    * with admitted df = 1 is exactly one the arriving document makes a
+    * pair with (the batch [2, 50] lower bound exists only because both
+    * sides of its self-join come from the same population). O(batch ×
+    * bounded fan-out) per ingest; admitted pairs immutable. The
+    * STREAMING half is screenDocsBoilerplate verbatim — the admitted
+    * fingerprint state IS a hub index with every admitted doc a hub
+    * (one operator, two surfaces; parity spec-gated).
+    */
+  def xTextWinnowAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val fps = docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+        .as("fp"))
+    val okFp = fps.filter(col("doc_id") < half)
+      .groupBy("fp").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= 50).select("fp")
+    val admitted = fps.filter(col("doc_id") < half)
+      .join(okFp, Seq("fp"))
+      .select(col("fp"), col("doc_id").as("doc_adm"))
+    fps.filter(col("doc_id") >= half)
+      .join(admitted, Seq("fp"))
+      .groupBy(col("doc_id").as("doc_new"), col("doc_adm"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowShareThreshold)
+      .orderBy("doc_new", "doc_adm")
+  }
+
+  /** The admitted-half fingerprint state as a screen index (fp,
+    * hub_id) — what screenDocsBoilerplate joins at ingest; factored so
+    * the batch admission gate and its streaming surface consume the
+    * identical frozen relation.
+    */
+  private[graft] def winnowAdmitState(spark: SparkSession,
+      dir: String): (Long, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val fps = docs.filter(col("doc_id") < half)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+        .as("fp"))
+    val okFp = fps.groupBy("fp").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= 50).select("fp")
+    (half, fps.join(okFp, Seq("fp"))
+      .select(col("fp"), col("doc_id").as("hub_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_winnow"      -> (xTextWinnow _),
     "x_text_winnow_pairs" -> (xTextWinnowPairs _),
@@ -1093,6 +1149,11 @@ object TextAnalysis {
     // boilerplate prints the pair join's cutoff must exclude).
     "x_text_boilerplate_screen" -> ((s: SparkSession, d: String) =>
       xTextBoilerplateScreen(s, d)),
+    // Winnow-dedup admission: new docs paired against the frozen
+    // admitted fingerprint state (df <= 50 on the admitted side; the
+    // batch lower bound is inapplicable — the arriving doc is the
+    // second occurrence).
+    "x_text_winnow_admit" -> (xTextWinnowAdmit _),
     "x_text_langid"      -> (xTextLangId _),
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
@@ -1349,6 +1410,28 @@ object TextAnalysis {
         |SELECT doc_a, doc_b, n_shared FROM prs
         |WHERE n_shared >= $winnowShareThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Winnow admission twin: the shared fingerprint chain, the
+    // admitted half's df state (upper bound only — see the operator's
+    // scaladoc), new-vs-admitted pair counts at the shared threshold.
+    "x_text_winnow_admit" ->
+      s"""WITH $winnowFpCtesBody,
+        |fps AS (SELECT DISTINCT doc_id, mn FROM fpall),
+        |half AS (SELECT (max(doc_id) + 1) // 2 AS h FROM documents),
+        |adf AS (
+        |  SELECT mn, count(*) AS d FROM fps
+        |  WHERE doc_id < (SELECT h FROM half) GROUP BY mn),
+        |akeep AS (
+        |  SELECT f.doc_id, f.mn FROM fps f JOIN adf USING (mn)
+        |  WHERE adf.d <= 50 AND f.doc_id < (SELECT h FROM half)),
+        |prs2 AS (
+        |  SELECT n.doc_id AS doc_new, a.doc_id AS doc_adm,
+        |    count(*) AS n_shared
+        |  FROM fps n JOIN akeep a ON n.mn = a.mn
+        |  WHERE n.doc_id >= (SELECT h FROM half)
+        |  GROUP BY 1, 2)
+        |SELECT doc_new, doc_adm, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM prs2 WHERE n_shared >= $winnowShareThreshold
+        |ORDER BY doc_new, doc_adm""".stripMargin,
     // Text pagerank twin: the winnow pair chain (the x_text_winnow_pairs
     // gate's own CTEs), symmetrized to directed edges, MATERIALIZED per
     // the iterative-oracle rule (every round references edg), then the

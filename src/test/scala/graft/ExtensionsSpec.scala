@@ -2635,6 +2635,72 @@ class ExtensionsSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("winnow admission: streaming surface matches the batch gate; df bound live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Parity half: the admitted fingerprint state (winnowAdmitState —
+    // the SAME frozen relation the batch gate derives) streamed against
+    // the new half through screenDocsBoilerplate (the admitted state IS
+    // a hub index with every admitted doc a hub) must reproduce every
+    // xTextWinnowAdmit row, split across micro-batches.
+    val (half, state) = ext.TextAnalysis.winnowAdmitState(spark, sf)
+    val idx = state.localCheckpoint()
+    val newDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1)))
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps
+      .screenDocsBoilerplate(input.toDS(), idx)
+      .writeStream.format("memory").queryName("winnow_admit_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, hub_id, n_shared FROM winnow_admit_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    query.stop()
+    val batch = ext.TextAnalysis.xTextWinnowAdmit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_adm"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(batch.nonEmpty, "vacuous fixture: admission flagged nothing")
+    assert(streamed == batch,
+      s"streaming admission diverged from batch (${streamed.size}/${batch.size})")
+
+    // Planted df-bound half: template A saturates the admitted df
+    // (60 > 50 — its prints leave the frozen state, so a new A-doc is
+    // NOT flagged), template B has admitted df 1 (the batch pair
+    // join's lower bound would DROP it; admission must flag it — the
+    // arriving doc is the second occurrence).
+    val tplA = "privacy policy describing collection usage retention " +
+      "disclosure of personal information cookies analytics providers " +
+      "third parties safeguards retention periods access correction rights"
+    val tplB = "shipping returns policy items must be unopened within " +
+      "thirty days original packaging refund issued to original payment " +
+      "method exclusions apply for perishable customized clearance items"
+    val rows =
+      (0L until 60L).map(i => (i, s"page $i " + tplA)) ++
+      (60L until 70L).map(i =>
+        (i, (0 until 30).map(j => s"w${i}x$j").mkString(" "))) ++
+      Seq((70L, "store footer " + tplB),
+        (150L, "another footer " + tplB),
+        (151L, "yet another page " + tplA))
+    val tmp = java.nio.file.Files.createTempDirectory("winadmit").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // half = (151+1)/2 = 76: admitted = the A flood, fillers, and the
+    // single B original; new = the B near-dup (150) and an A page (151)
+    val flags = ext.TextAnalysis.xTextWinnowAdmit(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_adm"))).toSet
+    assert(flags.contains((150L, 70L)),
+      s"admitted-df-1 template B pair missed (the batch lower bound " +
+        s"must NOT apply to admission): $flags")
+    assert(!flags.exists(_._1 == 151L),
+      s"saturated-df template A flagged a new doc despite the bound: $flags")
+  }
+
   test("frozen boilerplate screen catches a template flood the df-cutoff pair join goes blind to") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
