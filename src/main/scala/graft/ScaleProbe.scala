@@ -125,9 +125,142 @@ object ScaleProbe {
     "x_emb_corpus_prep_curated", "x_emb_corpus_prep_proto",
     "x_corpus_mix_bpe", "x_text_graph_pagerank",
     "x_knn_density_select_clean", "x_text_graph_pagerank_select",
-    "x_text_boilerplate_screen", "x_text_winnow_admit")
+    "x_text_boilerplate_screen", "x_text_winnow_admit",
+    // round-11 additions: keep-best admission rides the admitted-half
+    // cluster chain + the frozen-index attach join (each new gram
+    // joins ≤ 50 admitted docs — the winnow-admit fan-out bound); the
+    // screen-composed prep adds the text-pagerank chain + two 8-byte
+    // id anti-joins to the FULL prep's probed shape
+    "x_dedup_keep_best_admit", "x_llm_corpus_prep_screen")
+
+  // ONE shift constant for docs/embeddings: probeRecall5's same-base
+  // exclusion maps replica ids back with pmod(id, idShift) — if the
+  // shifts ever diverged, the exclusion would silently exclude nothing
+  // and the recall gate would pass vacuously on duplicate self-hits.
+  val idShift = 10000000L
+
+  /** Build the Nx dir: replicated fact-side tables with shifted keys,
+    * dims/other tables reused from the base directory. Building the
+    * 100× dir costs ~10 min of the probe session, so a marker file
+    * records (base, replicas) and a re-probe against the same pair
+    * reuses the directory — probing new query subsets at the same
+    * scale pays the build once, not per sbt invocation.
+    */
+  private def buildReplicaDir(spark: SparkSession, base: String,
+      work: String, nReplicas: Int): Unit = {
+    val marker = new java.io.File(s"$work/_graft_probe_marker")
+    val markerWant = s"$base x$nReplicas"
+    val reuse = marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString.trim == markerWant finally src.close()
+    }
+    if (reuse) return
+    new java.io.File(work).mkdirs()
+    def replicateBy(df: org.apache.spark.sql.DataFrame, key: String, shift: Long) =
+      (0 until nReplicas).map(r =>
+        df.withColumn(key, col(key) + lit(r * shift))).reduce(_ unionByName _)
+    replicateBy(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    replicateBy(Tables.documents(spark, base), "doc_id", idShift)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    replicateBy(Tables.embeddings(spark, base), "vec_id", idShift)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events").foreach { t =>
+      val target = new java.io.File(s"$work/$t.parquet")
+      // A crashed prior run may have left a real directory here, which
+      // deleteIfExists can't remove — delete recursively.
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (target.exists() || java.nio.file.Files.isSymbolicLink(target.toPath)) rm(target)
+      java.nio.file.Files.createSymbolicLink(target.toPath,
+        java.nio.file.Paths.get(s"$base/$t.parquet"))
+    }
+    val mw = new java.io.PrintWriter(marker)
+    try mw.print(markerWant) finally mw.close()
+  }
+
+  /** The deployed-shape probe (see main): times the artifact builds
+    * once (production ships them per corpus build), then the
+    * REPLAY-ONLY operator shapes at 1× and N×, then the full Pipeline
+    * DAG rebuild + dashboard chart evaluation — the dbt-style
+    * full-refresh story at scale. Prints one JSON line.
+    */
+  private def deployedMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val nReplicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildReplicaDir(spark, base, work, nReplicas)
+    def timed[T](f: => T): (T, Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // Artifact builds (once per corpus build in production, frozen +
+    // versioned; timed for the record, NOT part of the ingest cost).
+    val (merges, tTrain) = timed(
+      ext.TextAnalysis.admitMergeList(spark, base)._2)
+    val (hubFps, tHub) = timed {
+      val h = ext.TextAnalysis.boilerplateHubIndex(spark, base)
+        .localCheckpoint()
+      h.count()
+      h
+    }
+    // Deployed replay shapes at 1× and N×.
+    val (_, mix1) = timed(
+      ext.TextAnalysis.corpusMixBpeFrozen(spark, base, merges).count())
+    val (_, mixN) = timed(
+      ext.TextAnalysis.corpusMixBpeFrozen(spark, work, merges).count())
+    val (_, scr1) = timed(ext.TextAnalysis.boilerplateScreen(
+      Tables.documents(spark, base), hubFps).count())
+    val (_, scrN) = timed(ext.TextAnalysis.boilerplateScreen(
+      Tables.documents(spark, work), hubFps).count())
+    // Full DAG rebuild (relational marts + clean corpora + training
+    // corpus + vector artifacts) and the five dashboard chart plans.
+    def dag(dir: String, out: String): Double = {
+      val (_, t) = timed {
+        val labels = Some(Pipeline.nearDupLabels(spark, dir))
+        Pipeline.run(spark, dir, out, labels)
+        Pipeline.materializeTrainingCorpus(spark, dir, out, labels)
+        Pipeline.materializeVectorCorpus(spark, dir, out)
+        Dashboard.charts(spark, dir, out).toSeq.sortBy(_._1)
+          .foreach(_._2.count())
+      }
+      t
+    }
+    val dag1 = dag(base, "/tmp/graft_dag_x1")
+    val dagN = dag(work, s"/tmp/graft_dag_x$nReplicas")
+    println(
+      f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
+      f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
+      f""""dag_rebuild":{"x1":$dag1%.2f,"x$nReplicas%d":$dagN%.2f,"ratio":${dagN / dag1}%.1f}},""" +
+      f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas}""")
+    spark.stop()
+  }
 
   def main(args: Array[String]): Unit = {
+    // "deployed" mode: measure the DEPLOYED shapes of the artifact-
+    // backed operators (frozen BPE merge list → replay-only mix;
+    // frozen hub index → screen ingest) plus the full Pipeline DAG
+    // rebuild — the shapes a production system actually pays per
+    // ingest/refresh, vs the gated queries' train-composed audit
+    // shapes. Usage: runMain graft.ScaleProbe deployed [base] [work]
+    // [replicas]
+    if (args.headOption.contains("deployed")) return deployedMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 10
@@ -148,50 +281,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Build the Nx dir: replicated fact-side tables with shifted keys,
-    // dims/other tables reused from the base directory. Building the
-    // 100× dir costs ~10 min of the probe session, so a marker file
-    // records (base, replicas) and a re-probe against the same pair
-    // reuses the directory — probing new query subsets at the same
-    // scale pays the build once, not per sbt invocation.
-    val marker = new java.io.File(s"$work/_graft_probe_marker")
-    val markerWant = s"$base x$nReplicas"
-    val reuse = marker.exists() && {
-      val src = scala.io.Source.fromFile(marker)
-      try src.mkString.trim == markerWant finally src.close()
-    }
-    def replicateBy(df: org.apache.spark.sql.DataFrame, key: String, shift: Long) =
-      (0 until nReplicas).map(r =>
-        df.withColumn(key, col(key) + lit(r * shift))).reduce(_ unionByName _)
-    // ONE shift constant for docs/embeddings: probeRecall5's same-base
-    // exclusion maps replica ids back with pmod(id, idShift) — if the
-    // shifts ever diverged, the exclusion would silently exclude nothing
-    // and the recall gate would pass vacuously on duplicate self-hits.
-    val idShift = 10000000L
-    if (!reuse) {
-      replicateBy(Tables.lineitem(spark, base), "l_orderkey", 100000000L)
-        .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
-      replicateBy(Tables.documents(spark, base), "doc_id", idShift)
-        .write.mode("overwrite").parquet(s"$work/documents.parquet")
-      replicateBy(Tables.embeddings(spark, base), "vec_id", idShift)
-        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "events").foreach { t =>
-        val target = new java.io.File(s"$work/$t.parquet")
-        // A crashed prior run may have left a real directory here, which
-        // deleteIfExists can't remove — delete recursively.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
-            f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (target.exists() || java.nio.file.Files.isSymbolicLink(target.toPath)) rm(target)
-        java.nio.file.Files.createSymbolicLink(target.toPath,
-          java.nio.file.Paths.get(s"$base/$t.parquet"))
-      }
-      val mw = new java.io.PrintWriter(marker)
-      try mw.print(markerWant) finally mw.close()
-    }
+    buildReplicaDir(spark, base, work, nReplicas)
 
     def time(dir: String, name: String): Double = {
       // dedup/ANN queries persist signature subtrees — drop them so no

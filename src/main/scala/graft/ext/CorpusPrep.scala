@@ -198,12 +198,70 @@ object CorpusPrep {
     * sum of the three probed stage shapes over the shared llm chain —
     * each adds only 8-byte id joins to the flagship plan.
     */
-  def xLlmCorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
+  def xLlmCorpusPrepFull(spark: SparkSession, dir: String): DataFrame =
+    prepRollup(fullCorpus(spark, dir))
+
+  /** The FULL arm's per-document survivor relation (the rollup above is
+    * the gate; this is what the screen arm composes over and what the
+    * planted disagreement specs inspect doc-by-doc).
+    */
+  private[graft] def fullCorpus(spark: SparkSession, dir: String): DataFrame = {
     val sel = Selection.xDsirSelect(spark, dir)
       .filter(col("selected") === 1L).select("doc_id")
-    prepRollup(trainingCorpus(spark, dir, keepBest = true)
+    trainingCorpus(spark, dir, keepBest = true)
       .join(winnowSubLosers(spark, dir), Seq("doc_id"), "left_anti")
-      .join(sel, Seq("doc_id"), "left_semi"))
+      .join(sel, Seq("doc_id"), "left_semi")
+  }
+
+  /** The production pipeline with the BOILERPLATE SCREEN composed at
+    * the winnow position — the FULL arm plus the one drop class its
+    * three stages are structurally blind to: template floods. The
+    * winnow stage's pair join carries the df ∈ [2, 50] cutoff (the
+    * blowup guard), so a fingerprint shared by hundreds of template
+    * copies falls OUT of the pair join and the flood survives FULL;
+    * the screen's frozen hub index (the selectN most-central docs'
+    * prints, deliberately df-uncut — TextAnalysis.xTextBoilerplateScreen's
+    * design) catches exactly that class. POLICY: flagged hubs AND
+    * their screened satellites are dropped — a hub IS the template
+    * (the inverted centrality reading), and a satellite sharing ≥ the
+    * winnow threshold of prints with it is the same boilerplate
+    * reprinted. Verdicts stay corpus-wide and independent (the FULL
+    * arm's auditability argument); the stage adds one fingerprint
+    * pass + a broadcast-sized hub join + two 8-byte id anti-joins to
+    * the flagship plan.
+    */
+  def xLlmCorpusPrepScreen(spark: SparkSession, dir: String): DataFrame =
+    prepRollup(screenedCorpus(spark, dir))
+
+  /** The screen arm's per-document survivor relation: FULL minus the
+    * hub/satellite drop set.
+    */
+  private[graft] def screenedCorpus(spark: SparkSession,
+      dir: String): DataFrame =
+    fullCorpus(spark, dir)
+      .join(screenLosers(spark, dir), Seq("doc_id"), "left_anti")
+
+  /** The screen-stage drop set: flagged centrality hubs plus every
+    * satellite the screen flags against them. Hubs are the gated
+    * selectN cut RESTRICTED to real centrality (score above the
+    * damped dangling base, Similarity.pagerankBaseE9): the cut always
+    * returns N rows, padding with base-score ties when fewer than N
+    * documents have any incoming vote, and a padding "hub" is an
+    * arbitrary low-id doc — flaggable, but never a DROP. The index
+    * and the screen body are the gated operators' own code
+    * (hubFingerprints / boilerplateScreen — one implementation, the
+    * bpeTrain single-loop rule).
+    */
+  private def screenLosers(spark: SparkSession, dir: String): DataFrame = {
+    val hubs = TextAnalysis.xTextGraphPagerankSelect(spark, dir)
+      .filter(col("selected") === 1L &&
+        col("score_e9") > Similarity.pagerankBaseE9)
+      .select("doc_id")
+    val docs = graft.Tables.documents(spark, dir)
+    val hubFps = TextAnalysis.hubFingerprints(docs, hubs)
+    hubs.unionByName(
+        TextAnalysis.boilerplateScreen(docs, hubFps).select("doc_id"))
+      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,7 +269,8 @@ object CorpusPrep {
     "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
     "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _),
     "x_llm_corpus_prep_keepbest" -> (xLlmCorpusPrepKeepBest _),
-    "x_llm_corpus_prep_full" -> (xLlmCorpusPrepFull _))
+    "x_llm_corpus_prep_full" -> (xLlmCorpusPrepFull _),
+    "x_llm_corpus_prep_screen" -> (xLlmCorpusPrepScreen _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
@@ -346,6 +405,55 @@ object CorpusPrep {
         |     OR (dsir_weight = (SELECT cut_w FROM qcut)
         |         AND doc_id <= (SELECT cut_id FROM qcut)))""".stripMargin
 
+  /** The screen-stage splice: the text-pagerank chain over the winnow
+    * stage's OWN pair CTEs (wprs/wfps — the splice reuses them, so the
+    * screen always rides next to the winnow stage), the shared
+    * generated integer round chain (Similarity.pagerankRoundCtes — the
+    * same generator the standalone x_text_graph_pagerank twin splices),
+    * the boilerplate cut, the hub fingerprint index, the screen join,
+    * and the hub ∪ satellites drop set the final WHERE excludes.
+    */
+  private def screenStageCtes: String =
+    ",\n" + s"""tnodes AS (SELECT doc_id AS vec_id FROM documents),
+       |tedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM wprs
+       |  WHERE n_shared >= ${TextAnalysis.winnowShareThreshold}
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM wprs
+       |  WHERE n_shared >= ${TextAnalysis.winnowShareThreshold}),
+       |edg AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM tedges),
+       |${Similarity.pagerankRoundCtes(3, "tnodes", weighted = false)},
+       |ptopn AS (
+       |  SELECT score_e9, vec_id FROM pr3
+       |  ORDER BY score_e9 DESC, vec_id LIMIT 25),
+       |pcut AS (
+       |  SELECT score_e9 AS cut_s, vec_id AS cut_id FROM ptopn
+       |  ORDER BY score_e9, vec_id DESC LIMIT 1),
+       |hubs AS (
+       |  SELECT vec_id AS hub_id FROM pr3
+       |  WHERE (score_e9 > (SELECT cut_s FROM pcut)
+       |     OR (score_e9 = (SELECT cut_s FROM pcut)
+       |         AND vec_id <= (SELECT cut_id FROM pcut)))
+       |    AND score_e9 > ${Similarity.pagerankBaseE9}),
+       |hf AS (
+       |  SELECT h.hub_id, f.mn FROM hubs h
+       |  JOIN wfps f ON f.doc_id = h.hub_id),
+       |nonhub AS (
+       |  SELECT * FROM wfps
+       |  WHERE doc_id NOT IN (SELECT hub_id FROM hubs)),
+       |scrn AS (
+       |  SELECT nonhub.doc_id, hf.hub_id, count(*) AS n_shared
+       |  FROM nonhub JOIN hf ON nonhub.mn = hf.mn
+       |  GROUP BY 1, 2),
+       |sdrop AS (
+       |  SELECT hub_id AS doc_id FROM hubs
+       |  UNION
+       |  SELECT doc_id FROM scrn
+       |  WHERE n_shared >= ${TextAnalysis.winnowShareThreshold})""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_llm_corpus_prep" -> llmCorpusPrepOracleSql(),
     "x_llm_corpus_prep_winnow" -> llmCorpusPrepOracleSql(
@@ -371,6 +479,17 @@ object CorpusPrep {
       extraCtes = winnowStageCtes + dsirStageCtes,
       extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)" +
         "\n  AND doc_id IN (SELECT doc_id FROM qsel)",
+      neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
+      neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1"),
+    // Screen-composed twin: the FULL chain plus the screen splice
+    // (which rides the winnow stage's wprs/wfps CTEs) and its drop set
+    // in the final WHERE — mirroring the Spark side's one extra
+    // anti-join exactly.
+    "x_llm_corpus_prep_screen" -> llmCorpusPrepOracleSql(
+      extraCtes = winnowStageCtes + dsirStageCtes + screenStageCtes,
+      extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)" +
+        "\n  AND doc_id IN (SELECT doc_id FROM qsel)" +
+        "\n  AND doc_id NOT IN (SELECT doc_id FROM sdrop)",
       neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
       neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1"))
 }

@@ -81,12 +81,20 @@ object Dedup {
     * jaccard) with the document-frequency cutoff bounding the self-join —
     * the shared engine behind the top-k query and the clustering operator.
     */
-  private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, dir))
+
+  /** The same scored-pair chain over an arbitrary document relation —
+    * factored so the keep-best ADMISSION arm can run the identical
+    * clustering chain over the admitted half only (frozen-state
+    * training population), not a re-derivation.
+    */
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
     // The (doc_id, gram) relation feeds four consumers (df cutoff, both
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
     // shingle table partitioned by gram hash.
-    val grams = wordGrams(Tables.documents(spark, dir)).persist()
+    val grams = wordGrams(docs).persist()
     // df cutoff via partial-aggregated groupBy + join — NOT a count window
     // over gram, which would funnel every row of a hot shingle into one
     // task before the filter could drop it (the exact straggler the cutoff
@@ -307,6 +315,75 @@ object Dedup {
        |    row_number() OVER (PARTITION BY l.cluster_id
        |      ORDER BY ${p}q.quality_score DESC, l.doc_id) AS rn
        |  FROM lab l JOIN ${p}q USING (doc_id))""".stripMargin
+
+  /** Frozen keep-best ADMISSION — the quality-argmax retention policy's
+    * entry in the train-once admission matrix (MinHash/IVF/PQ/BPE/NB/
+    * winnow all have one): the admitted lower-id half is clustered and
+    * ranked ONCE by the batch keep-best chain (ngram-Jaccard ≥ 0.5
+    * pairs among admitted docs, star-contraction components widened to
+    * singletons, quality argmax per cluster — all the gated operators'
+    * own code), and that state FREEZES: the admitted rare-gram index
+    * (df ≤ 50 among admitted — upper bound only; the batch [2, 50]
+    * lower bound is inapplicable because the arriving doc is the pair's
+    * second occurrence, the winnow-admit argument), per-admitted-doc
+    * sizes, cluster labels, and each cluster's keeper. A NEW document
+    * (upper half) attaches to the cluster of any admitted doc whose
+    * frozen-index Jaccard clears the batch 0.5 threshold (several →
+    * the minimum label, deterministic), and an attached doc is NEVER
+    * kept — the frozen keeper cannot be displaced even by a higher
+    * arriving quality score (re-ranking would silently un-admit a doc
+    * the pipeline already shipped — the frozen-quantizer argument).
+    * Unattached docs pass (kept = 1, their own id as cluster).
+    * Scale shape: O(batch × bounded fan-out) per ingest — each new
+    * gram joins ≤ 50 admitted docs; only (id, gram-hash) longs shuffle.
+    */
+  def xDedupKeepBestAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val adm = docs.filter(col("doc_id") < half)
+    // Frozen cluster labels over the admitted half, widened to
+    // singletons: every admitted doc owns a cluster (itself by default)
+    // so an attachment to an unclustered admitted doc still meets a
+    // frozen keeper.
+    val pairs = ngramJaccardPairsOf(adm)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val (cc, _) = connectedComponents(pairs)
+    val labels = adm.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    val keepers = keepBestVerdicts(docs, labels)
+      .filter(col("kept") === 1L)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("quality_score").as("keeper_quality"))
+    // The frozen gram index + sizes (what a production ingest persists).
+    val admGrams = wordGrams(adm)
+    val admIdx = admGrams.join(
+      admGrams.groupBy("gram").agg(count(lit(1)).as("d"))
+        .filter(col("d") <= 50).select("gram"),
+      Seq("gram"))
+      .select(col("gram"), col("doc_id").as("doc_adm"))
+    val admSz = admIdx.groupBy("doc_adm").agg(count(lit(1)).as("asz"))
+    val newGrams = wordGrams(docs.filter(col("doc_id") >= half))
+    val newSz = newGrams.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+    val att = newGrams.join(admIdx, Seq("gram"))
+      .groupBy(col("doc_id"), col("doc_adm"))
+      .agg(count(lit(1)).as("ig"))
+      .join(admSz, Seq("doc_adm"))
+      .join(newSz, Seq("doc_id"))
+      .filter(col("ig") / (col("nsz") + col("asz") - col("ig")) >= 0.5)
+      .join(labels.withColumnRenamed("doc_id", "doc_adm"), Seq("doc_adm"))
+      .groupBy("doc_id").agg(min(col("label")).as("cluster_att"))
+    docs.filter(col("doc_id") >= half).select("doc_id")
+      .join(att, Seq("doc_id"), "left")
+      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
+      .join(keepers, col("cluster_att") === col("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_att"), col("doc_id")).as("cluster_id"),
+        col("quality_score"),
+        col("keeper_id"), col("keeper_quality"),
+        when(col("cluster_att").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("doc_id")
+  }
 
   def xDedupCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir)
@@ -703,6 +780,7 @@ object Dedup {
     "x_dedup_ngram_jaccard" -> (xDedupNgramJaccard _),
     "x_dedup_cluster"       -> (xDedupCluster _),
     "x_dedup_keep_best"     -> (xDedupKeepBest _),
+    "x_dedup_keep_best_admit" -> (xDedupKeepBestAdmit _),
     "x_dedup_corpus_neardup" -> (xDedupCorpusNearDup _),
     "x_dedup_minhash_lsh"   -> (xDedupMinhashLsh _),
     "x_dedup_minhash_admit" -> (xDedupMinhashAdmit _),
@@ -899,6 +977,81 @@ object Dedup {
         |  CASE WHEN rn = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
         |FROM ranked
         |ORDER BY doc_id""".stripMargin,
+    // Keep-best ADMISSION twin: the cluster chain restricted to the
+    // admitted half (lower-id split, the minhash-admit convention),
+    // labels widened to singletons, the SHARED rank chain
+    // (keepBestRankCtes — so the frozen keepers are the gated argmax),
+    // then the frozen-index attach: new-doc grams vs admitted rare
+    // grams at the batch 0.5 Jaccard threshold (admitted-side df ≤ 50
+    // only — the winnow-admit lower-bound argument).
+    "x_dedup_keep_best_admit" ->
+      s"""WITH RECURSIVE g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))),
+        |ag AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)),
+        |rare AS (
+        |  SELECT ag.doc_id, ag.gram FROM ag
+        |  JOIN (SELECT gram FROM ag GROUP BY 1 HAVING COUNT(*) <= 50) f USING (gram)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter_grams
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz sa ON d1 = sa.doc_id JOIN sz sb ON d2 = sb.doc_id
+        |  WHERE inter_grams / (sa.sz + sb.sz - inter_grams) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (
+        |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc USING (doc_id)
+        |  WHERE d.doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)),
+        |${keepBestRankCtes("")},
+        |keepx AS (
+        |  SELECT cluster_id, doc_id AS keeper_id,
+        |    quality_score AS keeper_quality
+        |  FROM ranked WHERE rn = 1),
+        |ng AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)),
+        |nsz AS (SELECT doc_id, COUNT(*) AS nsz FROM ng GROUP BY 1),
+        |ainter AS (
+        |  SELECT n.doc_id, r.doc_id AS doc_adm, COUNT(*) AS ig
+        |  FROM ng n JOIN rare r ON n.gram = r.gram
+        |  GROUP BY 1, 2),
+        |att AS (
+        |  SELECT ai.doc_id, MIN(l.cluster_id) AS cluster_att
+        |  FROM ainter ai
+        |  JOIN sz ON ai.doc_adm = sz.doc_id
+        |  JOIN nsz ON ai.doc_id = nsz.doc_id
+        |  JOIN lab l ON ai.doc_adm = l.doc_id
+        |  WHERE ig / (nsz.nsz + sz.sz - ig) >= 0.5
+        |  GROUP BY 1)
+        |SELECT n.doc_id,
+        |  COALESCE(att.cluster_att, n.doc_id) AS cluster_id,
+        |  q.quality_score,
+        |  keepx.keeper_id, keepx.keeper_quality,
+        |  CAST(CASE WHEN att.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents n
+        |JOIN q ON n.doc_id = q.doc_id
+        |LEFT JOIN att ON n.doc_id = att.doc_id
+        |LEFT JOIN keepx ON att.cluster_att = keepx.cluster_id
+        |WHERE n.doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)
+        |ORDER BY n.doc_id""".stripMargin,
     "x_dedup_corpus_neardup" ->
       """WITH RECURSIVE g AS (
         |  SELECT DISTINCT doc_id, gram FROM (

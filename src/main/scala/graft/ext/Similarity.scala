@@ -1029,6 +1029,15 @@ object Similarity {
     * upstream chain. All the scale/overflow arguments in
     * xGraphPagerank's scaladoc apply verbatim.
     */
+  /** The damped dangling base (0.15·e9): a node with zero in-edges
+    * holds exactly this score after any round, so REAL centrality —
+    * at least one incoming vote — sits strictly above it. Consumers
+    * that turn a selectN centrality cut into DROPS (the composed
+    * boilerplate screen) gate on this floor so the cut's padding
+    * (base-score ties filling out the N) never becomes a removal.
+    */
+  private[graft] val pagerankBaseE9 = 150000000L
+
   private[ext] def pagerankLoop(edges: DataFrame, nodes: DataFrame,
       prRounds: Int, weighted: Boolean): DataFrame = {
     val deg =
@@ -1317,26 +1326,8 @@ object Similarity {
     */
   def xEmbCorpusPrepCurated(spark: SparkSession, dir: String,
       kNeighbors: Int = 5): DataFrame = {
-    val surv = embPrepSurvivorsClean(spark, dir)
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
-    // Referenced three times (both pair sides + the cap base) — the
-    // xEmbCorpusPrepSem persistence rationale.
-    val assigned = withVecNorm(surv).withColumn("cell",
-      VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
-    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
-      col("v").as("v1"), col("nrm").as("n1"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
-      col("v").as("v2"), col("nrm").as("n2"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
-    val nn = a.join(b, Seq("cell"))
-      .filter(col("id1") =!= col("id2"))
-      .withColumn("cos_sim",
-        round(VectorFunctions.dotProduct(col("v1"), col("v2"))
-          / (col("n1") * col("n2")), 4))
-      .withColumn("nn_rank", row_number().over(wg))
-      .filter(col("nn_rank") <= kNeighbors)
-      .select(col("id1").as("vec_id"), col("cos_sim"))
+    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors)
+    val nn = topk.select(col("id1").as("vec_id"), col("cos_sim"))
     val dens = knnDensity(nn).select("vec_id", "density_e4")
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("sk"), col("vec_id"))
@@ -1364,6 +1355,31 @@ object Similarity {
     */
   def xEmbCorpusPrepProto(spark: SparkSession, dir: String,
       kNeighbors: Int = 5): DataFrame = {
+    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors)
+    val edges = topk.select(col("id1").as("src"), col("id2").as("dst"))
+    val scores = pagerankLoop(edges, assigned.select("vec_id"), 3,
+      weighted = false)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(desc("score_e9"), col("vec_id"))
+    int8CapTail(assigned
+      .join(scores, Seq("vec_id"))
+      .withColumn("rank", row_number().over(wc)))
+  }
+
+  /** The shared survivors → (assigned, within-cell top-k edges) block
+    * behind the curated and proto preps (previously a near-copy in
+    * each, itself the xKnnGraph pair-join shape): clean survivors →
+    * ONE hash-spread quantizer → persisted cell assignment → per-cell
+    * pair join ranked to each vector's top `kNeighbors` by the gated
+    * (cos_sim DESC, id) order. `assigned` is persisted because the
+    * returned plans reference it three times (both pair sides + the
+    * caller's cap base) and the gated query is LAZY — it cannot be
+    * unpersisted before the caller's action (the xEmbCorpusPrepSem
+    * persistence rationale); the Verify/Bench runners clearCache()
+    * after every query, which bounds residency to one query's blocks.
+    */
+  private def prepCellTopK(spark: SparkSession, dir: String,
+      kNeighbors: Int): (DataFrame, DataFrame) = {
     val surv = embPrepSurvivorsClean(spark, dir)
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
     val assigned = withVecNorm(surv).withColumn("cell",
@@ -1374,21 +1390,15 @@ object Similarity {
       col("v").as("v2"), col("nrm").as("n2"))
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id1")).orderBy(desc("cos_sim"), col("id2"))
-    val edges = a.join(b, Seq("cell"))
+    val topk = a.join(b, Seq("cell"))
       .filter(col("id1") =!= col("id2"))
       .withColumn("cos_sim",
         round(VectorFunctions.dotProduct(col("v1"), col("v2"))
           / (col("n1") * col("n2")), 4))
       .withColumn("nn_rank", row_number().over(wg))
       .filter(col("nn_rank") <= kNeighbors)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    val scores = pagerankLoop(edges, assigned.select("vec_id"), 3,
-      weighted = false)
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell")).orderBy(desc("score_e9"), col("vec_id"))
-    int8CapTail(assigned
-      .join(scores, Seq("vec_id"))
-      .withColumn("rank", row_number().over(wc)))
+      .select(col("id1"), col("id2"), col("cos_sim"))
+    (assigned, topk)
   }
 
   /** Int8 scalar quantization of the embedding column — the standard

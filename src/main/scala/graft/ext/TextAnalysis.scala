@@ -739,18 +739,28 @@ object TextAnalysis {
     * keeps nothing (first doc already over quota) emits no row — the
     * stream's conservative keep-nothing default.
     */
-  private[graft] def mixCuts(toks: DataFrame): DataFrame = {
+  private[graft] def mixCuts(toks: DataFrame): DataFrame =
+    mixCum(toks)
+      .filter(col("cum") <= col("quota"))
+      .groupBy("lang")
+      .agg(max(struct(col("bucket"), col("doc_id"))).as("cut"))
+      .select(col("lang"), col("cut.bucket").as("cut_bucket"),
+        col("cut.doc_id").as("cut_id"))
+
+  /** The cum-annotated, quota-joined relation BOTH mixFill and mixCuts
+    * consume — one implementation of the quota aggregate and the
+    * (bucket, doc_id) cumsum window, because the streaming gate's
+    * parity rests on the documented "cum ≤ quota iff (bucket, doc_id)
+    * ≤ cut" equivalence: if the fill's window and the cut's window
+    * could drift apart, that equivalence would silently break.
+    */
+  private def mixCum(toks: DataFrame): DataFrame = {
     val quota = toks.groupBy("lang").agg(sum("n_tokens").as("lt"))
       .agg(min("lt").as("quota"))
     val w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.withColumn("cum", sum(col("n_tokens")).over(w))
       .crossJoin(broadcast(quota))
-      .filter(col("cum") <= col("quota"))
-      .groupBy("lang")
-      .agg(max(struct(col("bucket"), col("doc_id"))).as("cut"))
-      .select(col("lang"), col("cut.bucket").as("cut_bucket"),
-        col("cut.doc_id").as("cut_id"))
   }
 
   /** The quota + cumsum fill over a (doc_id, lang, n_tokens, bucket)
@@ -758,13 +768,8 @@ object TextAnalysis {
     * BPE-budget mix gates (the oracle side likewise shares one tail),
     * so the two can only ever differ by how n_tokens is counted.
     */
-  private def mixFill(toks: DataFrame): DataFrame = {
-    val quota = toks.groupBy("lang").agg(sum("n_tokens").as("lt"))
-      .agg(min("lt").as("quota"))
-    val w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.withColumn("cum", sum(col("n_tokens")).over(w))
-      .crossJoin(broadcast(quota))
+  private def mixFill(toks: DataFrame): DataFrame =
+    mixCum(toks)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("lang_tokens"),
@@ -773,7 +778,6 @@ object TextAnalysis {
           .as("tokens_kept"),
         max(col("quota")).as("quota"))
       .orderBy("lang")
-  }
 
   /** Corpus mixing under the PRODUCTION token unit: quotas and the
     * cumsum fill computed over frozen-merge BPE token counts instead of
@@ -800,8 +804,17 @@ object TextAnalysis {
     * by the gated rollup and the streaming gate's BPE-unit cut
     * artifact (the wsMixToks twin).
     */
-  private[graft] def bpeMixToks(spark: SparkSession, dir: String): DataFrame = {
-    val (_, merges) = admitMergeList(spark, dir)
+  private[graft] def bpeMixToks(spark: SparkSession, dir: String): DataFrame =
+    bpeMixToksFrozen(spark, dir, admitMergeList(spark, dir)._2)
+
+  /** The replay-only half of the BPE-unit mix input — the DEPLOYED
+    * shape, where the merge list is an already-shipped artifact and
+    * the ingest pays only the K-deep narrow merge replay + counts
+    * (what the 100× deployed probe measures; the gated arm above
+    * composes the trainer in for its oracle story).
+    */
+  private[graft] def bpeMixToksFrozen(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     var docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         split(lowerS(col("text")), " ").as("toks"))
@@ -812,6 +825,14 @@ object TextAnalysis {
       size(col("toks")).cast("long").as("n_tokens"),
       md5Bucket(10000).as("bucket"))
   }
+
+  /** The BPE-budget mix under a SHIPPED merge list — the production
+    * gate the deployed-shape probe times (frozen artifact in, quota
+    * fill out; no trainer in the plan).
+    */
+  private[graft] def corpusMixBpeFrozen(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame =
+    mixFill(bpeMixToksFrozen(spark, dir, merges))
 
   /** Benchmark decontamination: per-document overlap of its distinct word
     * 3-grams with an evaluation set's gram vocabulary (here: docs from
@@ -1041,12 +1062,21 @@ object TextAnalysis {
       selectN: Int = 25): DataFrame = {
     val hubs = xTextGraphPagerankSelect(spark, dir, selectN)
       .filter(col("selected") === 1L).select(col("doc_id"))
-    Tables.documents(spark, dir).join(hubs, Seq("doc_id"))
+    hubFingerprints(Tables.documents(spark, dir), hubs)
+  }
+
+  /** The (hub_id, fp) index over an EXPLICIT hub id relation — shared
+    * by the frozen streaming index above and the composed prep's
+    * real-hub-restricted drop set (CorpusPrep.screenLosers), so every
+    * consumer extracts hub prints identically.
+    */
+  private[graft] def hubFingerprints(docs: DataFrame,
+      hubs: DataFrame): DataFrame =
+    docs.join(hubs, Seq("doc_id"))
       .select(col("doc_id").as("hub_id"),
         explode(array_distinct(
           graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
           .as("fp"))
-  }
 
   /** Boilerplate screening — the text side's "reject at ingest" gate
     * (the x_emb_contamination position, aimed at templates instead of
@@ -1061,9 +1091,19 @@ object TextAnalysis {
     * fingerprint stream + a (doc, hub) count — text never shuffles.
     */
   def xTextBoilerplateScreen(spark: SparkSession, dir: String,
-      selectN: Int = 25): DataFrame = {
-    val hubFps = boilerplateHubIndex(spark, dir, selectN)
-    Tables.documents(spark, dir)
+      selectN: Int = 25): DataFrame =
+    boilerplateScreen(Tables.documents(spark, dir),
+      boilerplateHubIndex(spark, dir, selectN))
+      .orderBy("doc_id", "hub_id")
+
+  /** The screen body over an explicit hub index — ONE implementation
+    * behind the standalone gate and the composed prep stage (the
+    * bpeTrain single-loop rule), so the composition cannot drift from
+    * the gated semantics.
+    */
+  private[graft] def boilerplateScreen(docs: DataFrame,
+      hubFps: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
         .as("fp"))
@@ -1073,8 +1113,6 @@ object TextAnalysis {
       .groupBy("doc_id", "hub_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= winnowShareThreshold)
-      .orderBy("doc_id", "hub_id")
-  }
 
   /** Incremental winnow-dedup admission — the substring-dup family's
     * entry in the train-once admission matrix (MinHash signatures, IVF
@@ -1203,7 +1241,7 @@ object TextAnalysis {
     * composed llm-prep twin (three sites that silently desync if the
     * threshold is re-derived at any of them).
     */
-  private[ext] val winnowShareThreshold = 8
+  private[graft] val winnowShareThreshold = 8
 
   /** Headerless CTE body (no leading "WITH ") so composed twins can
     * splice it mid-chain without string surgery; the standalone twins

@@ -382,14 +382,26 @@ object StreamOps {
     * group state, so a re-ingested doc cannot double-flag (the
     * screenVectors idempotence contract). Batch parity is spec-gated:
     * streamed flags == x_text_boilerplate_screen's rows, split across
-    * micro-batches, replays emitting nothing new.
+    * micro-batches, replays emitting nothing new. Hub docs themselves
+    * are excluded INSIDE the operator (the batch gate left_anti-joins
+    * hub ids; a hub — or an admitted doc on the winnow-admission
+    * surface — fed back through the stream would otherwise self-flag
+    * with rows the batch gate never emits): arriving doc_ids anti-join
+    * the index's distinct hub_id set, cheap because the index is
+    * broadcast-sized by construction. The threshold default is THE
+    * one TextAnalysis constant (winnowShareThreshold's own contract),
+    * so the streaming screen cannot silently desync from the batch
+    * gate if the constant ever moves.
     */
   def screenDocsBoilerplate(docs: Dataset[DocIn], hubFps: DataFrame,
-      shareThreshold: Int = 8): Dataset[DocScreenOut] = {
+      shareThreshold: Int = graft.ext.TextAnalysis.winnowShareThreshold)
+      : Dataset[DocScreenOut] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
         .as("fp"))
+      .join(hubFps.select(col("hub_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
       .join(hubFps, Seq("fp"))
       .select(col("doc_id"), col("hub_id"))
       .as[(Long, Long)]
@@ -704,6 +716,180 @@ object StreamOps {
       .withColumn("hit",
         when(col("pred_source") === col("true_source"), lit(1L))
           .otherwise(lit(0L)))
+  }
+
+  case class SessAttrState(start: Long, last: Long, n: Int,
+    touchType: String, touchTs: Long, touchEvent: Long,
+    hasSess: Boolean, hasTouch: Boolean)
+  case class SessAttrOut(kind: String, user_id: Long,
+    purchase_id: Long, channel: String, value_e4: Long,
+    n_events: Int, duration_minutes: Double, session_start_us: Long)
+
+  /** Sessionization → attribution in ONE topology — the production
+    * composition (attribution consumes sessions): a single
+    * groupByKey(user_id) pass holds BOTH the open-session struct and
+    * the last-touch struct in one state value, so the composed
+    * pipeline pays one shuffle and one state store where running the
+    * two gated operators side by side would pay two of each — and the
+    * attribution rows carry their SESSION context (the purchase's
+    * live session start), which two disjoint operators could only
+    * reconstruct with a downstream join. Output is a tagged union:
+    * kind = 'session' rows are closed sessions (sessionize's exact
+    * semantics — same µs gap arithmetic, same out-of-order handling),
+    * kind = 'attr' rows are purchases credited by the last preceding
+    * in-horizon touch (attribute's exact semantics — same causality
+    * guard, same (ts, touch-first, event_id) batch order, same
+    * trunc(value·10⁴) fixed point). Per-key timeout is the MINIMUM of
+    * the two live deadlines (session gap, touch horizon); a firing
+    * clears exactly the parts whose deadline the watermark passed and
+    * re-arms for the survivor, so neither half can evict the other
+    * early. State is one flat struct per active user — the sum of the
+    * two operators' states, nothing more. Batch parity is spec-gated
+    * against BOTH batch operators across micro-batch splits.
+    */
+  def sessionAttribute(events: Dataset[Event]): Dataset[SessAttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAttrState, SessAttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessAttr)
+  }
+
+  private def sessDeadlineMs(s: SessAttrState): Long =
+    s.last / 1000L + gapUs / 1000L + 1L
+  private def touchDeadlineMs(s: SessAttrState): Long =
+    s.touchTs / 1000L + attrHorizonUs / 1000L + 1L
+
+  private[streaming] def updateSessAttr(userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessAttrState]): Iterator[SessAttrOut] = {
+    val out = scala.collection.mutable.Buffer[SessAttrOut]()
+    def closed(start: Long, last: Long, n: Int): SessAttrOut =
+      SessAttrOut("session", userId, -1L, "", 0L, n,
+        (last - start) / 60000000.0, start)
+    def rearm(s: SessAttrState): Unit =
+      if (!s.hasSess && !s.hasTouch) state.remove()
+      else {
+        state.update(s)
+        val dls = (if (s.hasSess) Seq(sessDeadlineMs(s)) else Nil) ++
+          (if (s.hasTouch) Seq(touchDeadlineMs(s)) else Nil)
+        state.setTimeoutTimestamp(
+          math.max(dls.min, state.getCurrentWatermarkMs + 1))
+      }
+    if (state.hasTimedOut) {
+      val wm = state.getCurrentWatermarkMs
+      var s = state.get
+      if (s.hasSess && sessDeadlineMs(s) <= wm) {
+        out += closed(s.start, s.last, s.n)
+        s = s.copy(hasSess = false)
+      }
+      if (s.hasTouch && touchDeadlineMs(s) <= wm)
+        s = s.copy(hasTouch = false)
+      rearm(s)
+    } else {
+      var s = state.getOption.getOrElse(SessAttrState(0L, 0L, 0,
+        "", 0L, 0L, hasSess = false, hasTouch = false))
+      // The attribution batch order (ts, touch-before-purchase,
+      // event_id): session outcomes are order-independent at equal µs
+      // (the min/max widening), so one sort serves both halves.
+      events.toSeq
+        .sortBy(e => (tsMicros(e.ts),
+          if (e.event_type == "purchase") 1 else 0, e.event_id))
+        .foreach { e =>
+          val t = tsMicros(e.ts)
+          // Session half — updateSessions' cases verbatim.
+          if (!s.hasSess)
+            s = s.copy(start = t, last = t, n = 1, hasSess = true)
+          else if (t >= s.start - gapUs && t - s.last <= gapUs)
+            s = s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1)
+          else if (t > s.last + gapUs) {
+            out += closed(s.start, s.last, s.n)
+            s = s.copy(start = t, last = t, n = 1)
+          } else
+            out += closed(t, t, 1)
+          // Attribution half — updateAttribution's cases verbatim.
+          if (e.event_type == "purchase") {
+            val channel =
+              if (s.hasTouch && s.touchTs <= t && t - s.touchTs <= attrHorizonUs)
+                s.touchType
+              else "direct"
+            out += SessAttrOut("attr", userId, e.event_id, channel,
+              (e.value * 10000d).toLong, 0, 0.0, s.start)
+          } else if (e.event_type == "click" || e.event_type == "view" ||
+              e.event_type == "signup") {
+            if (!s.hasTouch || s.touchTs < t ||
+                (s.touchTs == t && s.touchEvent < e.event_id))
+              s = s.copy(touchType = e.event_type, touchTs = t,
+                touchEvent = e.event_id, hasTouch = true)
+          }
+        }
+      rearm(s)
+    }
+    out.iterator
+  }
+
+  case class DqRow(row_id: Long, key: Option[Long])
+  case class DqState(keeper: Long, maxSeen: Long)
+  case class DqVerdict(row_id: Long, key: Option[Long], check: String,
+    keeper_id: Long)
+
+  /** Streaming data-quality gate — the reference's dbt unique/not_null
+    * schema-test battery (Quality.dqChecks / x_kroger_schema_tests) at
+    * INGEST time, the contamination-screen idiom: clean keyed rows pass
+    * through tagged 'ok'; a null-key row surfaces a 'not_null'
+    * violation; a row whose key is already owned surfaces a 'unique'
+    * violation carrying the keeper's row id. State per occupied key is
+    * one fixed (keeper, maxSeen) pair — the persisted key set any
+    * ingest-time uniqueness check must keep (the dedupVectorsExactOnline
+    * content-set argument); null-key rows key their state by their own
+    * row id, so not-null violations are exactly-once too. Replay
+    * contract: batches in nondecreasing row_id order (ids assigned at
+    * ingest, the admission convention); a replayed row (row_id ≤ the
+    * key's maxSeen) emits NOTHING — verdicts are idempotent under
+    * at-least-once upstreams, so a violation surfaces exactly once and
+    * a clean row passes exactly once. Batch parity is spec-gated: the
+    * distinct violated keys equal Quality.uniqueViolations' count and
+    * the not_null rows equal notNullViolations' on the same data,
+    * split across micro-batches with a replayed batch emitting
+    * nothing.
+    */
+  def dqGate(rows: Dataset[DqRow]): Dataset[DqVerdict] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(r => (r.key.isEmpty, r.key.getOrElse(r.row_id)))
+      .flatMapGroupsWithState[DqState, DqVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateDq)
+  }
+
+  private[streaming] def updateDq(gk: (Boolean, Long),
+      rows: Iterator[DqRow],
+      state: GroupState[DqState]): Iterator[DqVerdict] = {
+    val sorted = rows.toSeq.sortBy(_.row_id)
+    if (gk._1) {
+      // Null-key group (keyed by the row's own id): one not_null
+      // violation, ever.
+      if (state.exists) Iterator.empty
+      else {
+        state.update(DqState(-1L, gk._2))
+        Iterator.single(DqVerdict(gk._2, None, "not_null", -1L))
+      }
+    } else {
+      var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+      var maxSeen = state.getOption.map(_.maxSeen).getOrElse(Long.MinValue)
+      val out = sorted.flatMap { r =>
+        if (r.row_id <= maxSeen) None
+        else {
+          maxSeen = r.row_id
+          if (keeper < 0) {
+            keeper = r.row_id
+            Some(DqVerdict(r.row_id, r.key, "ok", r.row_id))
+          } else Some(DqVerdict(r.row_id, r.key, "unique", keeper))
+        }
+      }
+      state.update(DqState(keeper, maxSeen))
+      out.iterator
+    }
   }
 
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {

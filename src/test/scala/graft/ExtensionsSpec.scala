@@ -3004,4 +3004,197 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("lang_tokens") == quota &&
       r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs")))
   }
+
+  test("keep-best admission: a higher-quality arrival cannot displace the frozen keeper") {
+    import spark.implicits._
+    // Admitted half: a planted near-dup pair over an 80-token shared
+    // body — the lower id padded with stopwords (lower quality), the
+    // higher id with distinct words (the frozen quality argmax). New
+    // half: one doc sharing the body with quality ABOVE the keeper's
+    // (the displacement attempt — must attach kept=0 under the frozen
+    // keeper) and one unrelated doc (must pass kept=1).
+    val body = (0 until 80).map(i => s"k${i}tok").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("kbadmit").toString
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    base.unionByName(Seq(
+        (1000001L, body + " the of and a to the of and a to the of and a to",
+          "en", "srcx", 1L),
+        (1000002L, body + " " + (0 until 15).map(i => s"m${i}x").mkString(" "),
+          "en", "srcx", 1L),
+        (9000010L, body + " " + (0 until 20).map(i => s"n${i}x").mkString(" "),
+          "en", "srcx", 1L),
+        (9000011L, (0 until 40).map(i => s"z${i}solo").mkString(" "),
+          "en", "srcx", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // half = (9000011 + 1) div 2 = 4500006: base + the pair admitted,
+    // the two 9Ms new.
+    val out = ext.Dedup.xDedupKeepBestAdmit(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val attach = out(9000010L)
+    assert(attach.getAs[Long]("kept") == 0L,
+      s"arrival must not displace the frozen keeper: $attach")
+    assert(attach.getAs[Long]("cluster_id") == 1000001L,
+      s"must attach to the admitted cluster's min-id label: $attach")
+    assert(attach.getAs[Long]("keeper_id") == 1000002L,
+      s"frozen keeper must be the admitted quality argmax: $attach")
+    assert(attach.getAs[Double]("quality_score") >
+      attach.getAs[Double]("keeper_quality"),
+      "fixture broke: the arrival was meant to out-score the keeper")
+    val solo = out(9000011L)
+    assert(solo.getAs[Long]("kept") == 1L && solo.isNullAt(
+      solo.fieldIndex("keeper_id")),
+      s"unrelated arrival must pass with no keeper: $solo")
+    assert(solo.getAs[Long]("cluster_id") == 9000011L)
+  }
+
+  test("screen-composed prep removes the template class where FULL dedups it to one copy") {
+    import spark.implicits._
+    // Self-contained corpus: 30 unique fillers + a 12-carrier template
+    // clique (unique 70-token body + a shared ~250-char template). The
+    // FULL arm's winnow-substring stage flags every carrier pair and
+    // keeps exactly the lowest-id carrier — DEDUP semantics (one copy
+    // of everything, even boilerplate). The screen arm's position is
+    // REMOVAL: the carriers' mutual near-dup votes make them the
+    // centrality hubs, and hubs are the template itself — zero copies
+    // survive. The fillers pin the real-hub guard: the selectN=25 cut
+    // pads with base-score ties, and a padding "hub" must NOT be
+    // dropped (screened == full minus the one carrier, nothing else).
+    val template =
+      "terms service agreement covering liability indemnification " +
+      "warranty disclaimers governing law jurisdiction arbitration notices " +
+      "amendments severability waiver assignment entire agreement counterparts " +
+      "electronic signatures effective date all rights reserved worldwide"
+    val fillers = (0L until 30L).map(i =>
+      (i, (0 until 50).map(j => s"f${i}u$j").mkString(" ") + " the and of",
+        "en", "srcx", 10L))
+    val carriers = (100L until 112L).map(i =>
+      (i, (0 until 70).map(j => s"c${i}u$j").mkString(" ") +
+        " the and of " + template, "en", "srcx", 10L))
+    val tmp = java.nio.file.Files.createTempDirectory("prepscreen").toString
+    (fillers ++ carriers).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val carrierIds = carriers.map(_._1).toSet
+    val full = ext.CorpusPrep.fullCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val screened = ext.CorpusPrep.screenedCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((full & carrierIds) == Set(100L),
+      s"FULL must dedup the clique to its lowest id: ${full & carrierIds}")
+    assert((screened & carrierIds).isEmpty,
+      s"the screen must remove the template class: ${screened & carrierIds}")
+    assert(screened == full - 100L,
+      "the screen must drop ONLY the template (padding hubs are not drops): " +
+        s"extra=${(full - 100L) -- screened} unexpected=${screened -- full}")
+  }
+
+  test("one-topology session+attribution matches both batch operators on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Full-µs timestamps (the attribution parity convention), split
+    // into two micro-batches at the time median — batch 2's minimum ts
+    // is >= batch 1's maximum, so the watermark drops nothing and the
+    // split only exercises cross-batch state handoff.
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map { r =>
+        val us = r.getLong(1)
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        streaming.StreamOps.Event(r.getLong(0), t,
+          r.getLong(2), r.getString(3), r.getDouble(4))
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = raw.splitAt(raw.length / 2)
+    val input = MemoryStream[streaming.StreamOps.Event]
+    val query = streaming.StreamOps.sessionAttribute(input.toDS())
+      .writeStream.format("memory").queryName("sessattr_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val streamedAttr = spark.sql(
+      """SELECT channel, count(*) AS n, sum(value_e4) AS rev
+        |FROM sessattr_out WHERE kind = 'attr' GROUP BY channel""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sessions = spark.sql(
+      "SELECT count(*) FROM sessattr_out WHERE kind = 'session'")
+      .head.getLong(0)
+    query.stop()
+    val batchAttr = ext.EventAnalytics.xAttribution(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_e4"))).toMap
+    assert(streamedAttr == batchAttr,
+      s"composed attribution diverged:\n  stream=$streamedAttr\n  batch=$batchAttr")
+    val b = ext.Sessionize.xSessionize(spark, sf)
+      .agg(sum("n_sessions").as("total"), count(lit(1)).as("users")).head
+    assert(sessions >= b.getLong(0) - b.getLong(1) && sessions <= b.getLong(0),
+      s"sessions=$sessions not in [${b.getLong(0) - b.getLong(1)}, ${b.getLong(0)}]")
+  }
+
+  test("dq gate: violations surface exactly once, clean rows pass, replay emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.DqRow]
+    val query = streaming.StreamOps.dqGate(input.toDS())
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode("append").start()
+    // Batch 1: two clean keys, one null key, one same-batch duplicate.
+    input.addData(
+      streaming.StreamOps.DqRow(1L, Some(10L)),
+      streaming.StreamOps.DqRow(2L, Some(20L)),
+      streaming.StreamOps.DqRow(3L, None),
+      streaming.StreamOps.DqRow(4L, Some(10L)))
+    query.processAllAvailable()
+    // Batch 2: a cross-batch duplicate + a replay of batch 1 (at-least-
+    // once upstream) — the replay must emit NOTHING.
+    input.addData(
+      streaming.StreamOps.DqRow(5L, Some(20L)),
+      streaming.StreamOps.DqRow(1L, Some(10L)),
+      streaming.StreamOps.DqRow(3L, None),
+      streaming.StreamOps.DqRow(4L, Some(10L)))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT row_id, check, keeper_id FROM dq_out")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+    query.stop()
+    assert(out.length == out.map(_._1).distinct.length,
+      s"a verdict surfaced twice: ${out.mkString(";")}")
+    val m = out.toMap
+    assert(m(1L) == ("ok", 1L) && m(2L) == ("ok", 2L),
+      s"clean rows must pass as keepers: $m")
+    assert(m(3L)._1 == "not_null", s"null key must flag not_null: $m")
+    assert(m(4L) == ("unique", 1L) && m(5L) == ("unique", 2L),
+      s"duplicates must flag against their keepers: $m")
+    // Batch parity: the distinct violated keys match the dbt-style
+    // batch counts on the same data.
+    val batchRows = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option.empty[Long]),
+      (4L, Option(10L)), (5L, Option(20L)))
+      .toDF("row_id", "key")
+    val uniqueViolatedKeys = batchRows.filter(col("key").isNotNull)
+      .groupBy("key").count().filter(col("count") > 1).count()
+    assert(out.count(_._2._1 == "unique").toLong >= uniqueViolatedKeys,
+      "every batch-violated key must surface at least one unique verdict")
+    assert(out.count(_._2._1 == "not_null").toLong ==
+      batchRows.filter(col("key").isNull).count(),
+      "not_null verdicts must match the batch violation count")
+  }
+
+  test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
+    // The r10 audit's BNLJ:6 cluster: five scalar crossJoins more than
+    // needed. The class metadata now rides one exploded literal and
+    // the scalars ride as literals — NB has zero nested-loop joins,
+    // DSIR keeps exactly the Nth-(weight, id) cutoff broadcast.
+    def bnlj(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      "BroadcastNestedLoopJoin".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    val nb = bnlj("x_text_nb_class")
+    assert(nb == 0, s"x_text_nb_class plan has $nb nested-loop joins, want 0")
+    val ds = bnlj("x_dsir_select")
+    assert(ds <= 1, s"x_dsir_select plan has $ds nested-loop joins, want <= 1")
+  }
 }
