@@ -220,7 +220,13 @@ object ScaleProbe {
       h.count()
       h
     }
-    // Deployed replay shapes at 1× and N×.
+    // Deployed replay shapes at 1× and N×. One untimed warmup pass so
+    // the 1× sample doesn't carry the codegen/JIT cold start (the
+    // first 10× deployed run read FASTER than 1× for exactly that
+    // reason).
+    ext.TextAnalysis.corpusMixBpeFrozen(spark, base, merges).count()
+    ext.TextAnalysis.boilerplateScreen(
+      Tables.documents(spark, base), hubFps).count()
     val (_, mix1) = timed(
       ext.TextAnalysis.corpusMixBpeFrozen(spark, base, merges).count())
     val (_, mixN) = timed(

@@ -40,6 +40,25 @@ object Dedup {
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .otherwise(array().cast(ArrayType(StringType)))).as("gram_str"))
 
+  /** The gram-array column for a single document row — the SAME
+    * lowercase word-3-gram construction as wordGramStrings but kept
+    * in-row (array_distinct of hashed grams, no explode/distinct
+    * shuffle), for STREAMING consumers where a stateful distinct is
+    * unavailable: array_distinct(transform) is a narrow map. The hash
+    * sits outside a lambda on the batch path for codegen (see
+    * wordGrams); here the per-doc array is bounded by doc length and
+    * the in-lambda interpreted hash is the price of staying narrow.
+    */
+  private[graft] def wordGramArray: Column = {
+    val ws = split(lowerS(col("text")), " ")
+    array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3), i =>
+          xxhash64(concat_ws(" ", element_at(ws, i + 1),
+            element_at(ws, i + 2), element_at(ws, i + 3)))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
   /** Distinct lowercase word 3-grams per document. The distinct (and every
     * downstream shuffle) runs over the 8-byte xxhash64 of the gram, never
     * the gram string (collision odds at this vocabulary ~1e-11).
@@ -339,6 +358,42 @@ object Dedup {
     */
   def xDedupKeepBestAdmit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val (half, idx, keepers) = keepBestAdmitState(spark, dir)
+    val newGrams = wordGrams(docs.filter(col("doc_id") >= half))
+    val newSz = newGrams.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+    val att = newGrams.join(idx, Seq("gram"))
+      .groupBy(col("doc_id"), col("doc_adm"))
+      .agg(count(lit(1)).as("ig"), first(col("asz")).as("asz"),
+        first(col("label")).as("label"))
+      .join(newSz, Seq("doc_id"))
+      .filter(col("ig") / (col("nsz") + col("asz") - col("ig")) >= 0.5)
+      .groupBy("doc_id").agg(min(col("label")).as("cluster_att"))
+    docs.filter(col("doc_id") >= half).select("doc_id")
+      .join(att, Seq("doc_id"), "left")
+      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
+      .join(keepers, col("cluster_att") === col("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_att"), col("doc_id")).as("cluster_id"),
+        col("quality_score"),
+        col("keeper_id"), col("keeper_quality"),
+        when(col("cluster_att").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The FROZEN keep-best admission state — what a production ingest
+    * persists and versions per corpus build (the winnowAdmitState /
+    * pqAdmitState idiom), shared by the batch gate above and the
+    * streaming surface (StreamOps.admitDocsKeepBest) so the two read
+    * the identical relations: (half,
+    * index (gram, doc_adm, asz, label) — the admitted rare grams
+    * (df ≤ 50 admitted-side) with each admitted doc's rare-gram size
+    * and frozen cluster label pre-joined,
+    * keepers (cluster_id, keeper_id, keeper_quality) — each frozen
+    * cluster's quality argmax).
+    */
+  private[graft] def keepBestAdmitState(spark: SparkSession,
+      dir: String): (Long, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
     val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
     val adm = docs.filter(col("doc_id") < half)
     // Frozen cluster labels over the admitted half, widened to
@@ -355,7 +410,6 @@ object Dedup {
       .filter(col("kept") === 1L)
       .select(col("cluster_id"), col("doc_id").as("keeper_id"),
         col("quality_score").as("keeper_quality"))
-    // The frozen gram index + sizes (what a production ingest persists).
     val admGrams = wordGrams(adm)
     val admIdx = admGrams.join(
       admGrams.groupBy("gram").agg(count(lit(1)).as("d"))
@@ -363,26 +417,10 @@ object Dedup {
       Seq("gram"))
       .select(col("gram"), col("doc_id").as("doc_adm"))
     val admSz = admIdx.groupBy("doc_adm").agg(count(lit(1)).as("asz"))
-    val newGrams = wordGrams(docs.filter(col("doc_id") >= half))
-    val newSz = newGrams.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
-    val att = newGrams.join(admIdx, Seq("gram"))
-      .groupBy(col("doc_id"), col("doc_adm"))
-      .agg(count(lit(1)).as("ig"))
-      .join(admSz, Seq("doc_adm"))
-      .join(newSz, Seq("doc_id"))
-      .filter(col("ig") / (col("nsz") + col("asz") - col("ig")) >= 0.5)
+    val idx = admIdx.join(admSz, Seq("doc_adm"))
       .join(labels.withColumnRenamed("doc_id", "doc_adm"), Seq("doc_adm"))
-      .groupBy("doc_id").agg(min(col("label")).as("cluster_att"))
-    docs.filter(col("doc_id") >= half).select("doc_id")
-      .join(att, Seq("doc_id"), "left")
-      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
-      .join(keepers, col("cluster_att") === col("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_att"), col("doc_id")).as("cluster_id"),
-        col("quality_score"),
-        col("keeper_id"), col("keeper_quality"),
-        when(col("cluster_att").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
-      .orderBy("doc_id")
+      .select(col("gram"), col("doc_adm"), col("asz"), col("label"))
+    (half, idx, keepers)
   }
 
   def xDedupCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -48,9 +48,23 @@ object TextAnalysis {
       * (lit(1.0) - col("n_stop") / size(col("tk"))), 4)
 
   /** (doc_id, quality_score) for composition. */
-  private[ext] def qualityScores(docs: DataFrame): DataFrame =
+  private[graft] def qualityScores(docs: DataFrame): DataFrame =
     withQualityInputs(docs)
       .select(col("doc_id"), qualityScoreCol.as("quality_score"))
+
+  /** qualityScoreCol as ONE standalone column over `text` — for
+    * streaming consumers that can't stage the tk/n_stop helper
+    * columns first. Identical expression inputs (the same split and
+    * stopword filter), so the rounded doubles match the batch chain
+    * bitwise.
+    */
+  private[graft] def qualityScoreColumn: org.apache.spark.sql.Column = {
+    val tk = split(col("text"), " ")
+    round(least(lit(1.0), size(tk) / 100.0)
+      * (lit(1.0) -
+        expr(s"size(filter(split(text, ' '), x -> x IN $stopwordList))")
+          / size(tk)), 4)
+  }
 
   /** qualityScoreCol's DuckDB text (the x_text_quality twin's formula)
     * for NEW composed twins — the pre-r8 twins that embed the same text

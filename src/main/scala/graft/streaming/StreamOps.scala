@@ -830,6 +830,85 @@ object StreamOps {
     out.iterator
   }
 
+  case class KbCand(doc_id: Long, quality_score: Double, nsz: Long,
+    gram: Option[Long], doc_adm: Option[Long], asz: Option[Long],
+    label: Option[Long])
+  case class KbAttach(doc_id: Long, cluster_id: Long,
+    quality_score: Double, kept: Long)
+
+  /** Streaming keep-best admission — the quality-argmax retention
+    * policy's ingest gate, completing the admission matrix's streaming
+    * column for the text retention family (every vector retention
+    * policy already has one): the frozen state is
+    * Dedup.keepBestAdmitState's relations verbatim (the admitted
+    * rare-gram index with sizes + frozen cluster labels, and the
+    * frozen keepers) — one state builder, two surfaces, so batch and
+    * stream cannot desync. Each arriving doc's distinct grams
+    * (wordGramArray — the batch gram construction kept in-row, no
+    * stateful distinct) left-join the index stream-static; all of a
+    * doc's candidate rows land in its own micro-batch (the static
+    * side is complete — the attachGraph argument), so the per-doc
+    * group computes each admitted candidate's intersection, applies
+    * the batch 0.5 Jaccard rule with the SAME double arithmetic, and
+    * attaches to the minimum frozen label — or passes (kept = 1)
+    * when nothing clears the bar. The frozen keeper joins back
+    * stream-static after the group, and an attached arrival is NEVER
+    * kept — the frozen keeper cannot be displaced (the batch gate's
+    * contract). Flagged group state is one Long per seen doc, so a
+    * replayed doc emits nothing (the screenVectors idempotence
+    * contract). O(batch × bounded fan-out) per ingest: each gram
+    * joins ≤ 50 admitted docs by the frozen df bound. Batch parity is
+    * spec-gated row-for-row against xDedupKeepBestAdmit across
+    * micro-batch splits with a replayed batch emitting nothing.
+    */
+  def admitDocsKeepBest(docs: Dataset[DocIn], idx: DataFrame,
+      keepers: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cands = docs.toDF()
+      .withColumn("quality_score",
+        graft.ext.TextAnalysis.qualityScoreColumn)
+      .withColumn("grams", graft.ext.Dedup.wordGramArray)
+      .select(col("doc_id"), col("quality_score"),
+        size(col("grams")).cast("long").as("nsz"),
+        explode_outer(col("grams")).as("gram"))
+      .join(idx, Seq("gram"), "left")
+      .select(col("doc_id"), col("quality_score"), col("nsz"),
+        col("gram"), col("doc_adm"), col("asz"), col("label"))
+      .as[KbCand]
+    val attached = cands.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, KbAttach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[KbCand], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(1L)
+            val rs = rows.toSeq
+            val q = rs.head.quality_score
+            val nsz = rs.head.nsz
+            // Distinct (gram, adm) pairs — exploded occurrences are
+            // already per-distinct-gram (wordGramArray dedups in-row),
+            // but a defensive distinct keeps the count exact if an
+            // upstream ever re-partitions candidate rows.
+            val att = rs.collect {
+              case KbCand(_, _, _, Some(g), Some(a), Some(sz), Some(l)) =>
+                (g, a, sz, l)
+            }.distinct
+              .groupBy(t => (t._2, t._3, t._4))
+              .collect { case ((_, asz, label), hits)
+                if hits.size.toDouble / (nsz + asz - hits.size) >= 0.5 =>
+                label
+              }
+            if (att.isEmpty) Iterator.single(KbAttach(docId, docId, q, 1L))
+            else Iterator.single(KbAttach(docId, att.min, q, 0L))
+          }
+      }
+    attached.toDF()
+      .join(keepers.withColumnRenamed("cluster_id", "kc"),
+        col("cluster_id") === col("kc") && col("kept") === 0L, "left")
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("keeper_id"), col("keeper_quality"), col("kept"))
+  }
+
   case class DqRow(row_id: Long, key: Option[Long])
   case class DqState(keeper: Long, maxSeen: Long)
   case class DqVerdict(row_id: Long, key: Option[Long], check: String,

@@ -3181,6 +3181,53 @@ class ExtensionsSpec extends AnyFunSuite {
       "not_null verdicts must match the batch violation count")
   }
 
+  test("streaming keep-best admission matches the batch gate and is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Frozen state from the batch builder (the one state, two
+    // surfaces rule), new-half docs streamed in two micro-batches,
+    // then the whole stream REPLAYED: rows must equal the batch
+    // admission gate's, and the replay must add nothing.
+    val (half, idx, keepers) = ext.Dedup.keepBestAdmitState(spark, sf)
+    val frozenIdx = idx.localCheckpoint()
+    val frozenKeepers = keepers.localCheckpoint()
+    val newDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "text").collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps
+      .admitDocsKeepBest(input.toDS(), frozenIdx, frozenKeepers)
+      .writeStream.format("memory").queryName("kb_admit_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val afterOnce = spark.sql("SELECT count(*) FROM kb_admit_out")
+      .head.getLong(0)
+    input.addData(newDocs.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT doc_id, cluster_id, quality_score, keeper_id,
+        |  keeper_quality, kept FROM kb_admit_out""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    query.stop()
+    assert(afterOnce == newDocs.length.toLong,
+      s"expected one verdict per doc, got $afterOnce/${newDocs.length}")
+    assert(streamed.size == newDocs.length,
+      s"replay added rows: ${streamed.size} vs ${newDocs.length}")
+    val batch = ext.Dedup.xDedupKeepBestAdmit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    assert(streamed == batch,
+      "streaming keep-best admission diverged from the batch gate: " +
+        s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
     // The r10 audit's BNLJ:6 cluster: five scalar crossJoins more than
     // needed. The class metadata now rides one exploded literal and
