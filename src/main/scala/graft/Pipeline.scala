@@ -252,6 +252,71 @@ object Pipeline {
       .filter(col("effective_date").between(from, to))
   }
 
+  /** Materialize the FROZEN ingest-gate artifact shelf — every
+    * train-once relation/constant the admission and streaming gates
+    * consume, written as versioned parquet per corpus build. This is
+    * the production contract every admission scaladoc cites
+    * ("production ships the artifact, never re-derives it in-stream")
+    * made concrete: one stage builds ALL of them from one corpus
+    * snapshot, so a deployment versions one directory per build and
+    * the gates read relations, not re-run trainers. Artifacts are
+    * deliberately the SMALL frozen states (merge lists, indexes, cut
+    * tables, centroids/codebooks, per-gate split ids); the
+    * corpus-scale side tables (inverted lists, admitted corpora) are
+    * materializeVectorCorpus/materializeTrainingCorpus's layers.
+    * Returns per-artifact row counts (the build manifest).
+    */
+  def materializeFrozenArtifacts(spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, Long] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val (bpeHalf, merges) = ext.TextAnalysis.admitMergeList(spark, sfDir)
+    val (kbHalf, kbIdx, kbKeepers) = ext.Dedup.keepBestAdmitState(spark, sfDir)
+    val (wnHalf, wnIdx) = ext.TextAnalysis.winnowAdmitState(spark, sfDir)
+    val (knnSplit, cents, _) = ext.Similarity.knnAdmitState(spark, sfDir)
+    val (pqSplit, codebooks) = ext.Similarity.pqAdmitState(spark, sfDir)
+    val (dsirRatios, dsirUnseen, dsirCutW, dsirCutId) =
+      ext.Selection.dsirFrozen(spark, sfDir)
+    val nb = ext.Selection.nbFrozen(spark, sfDir)
+    val arts: Seq[(String, DataFrame)] = Seq(
+      "art_bpe_merges" -> merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }.toDF("round", "a", "b"),
+      "art_keepbest_index" -> kbIdx,
+      "art_keepbest_keepers" -> kbKeepers,
+      "art_winnow_admit_index" -> wnIdx,
+      "art_boilerplate_hub_index" ->
+        ext.TextAnalysis.boilerplateHubIndex(spark, sfDir),
+      "art_mix_cuts" ->
+        ext.TextAnalysis.mixCuts(ext.TextAnalysis.wsMixToks(spark, sfDir)),
+      "art_sample_rates" -> ext.TextAnalysis.sampleRates(docs),
+      "art_contamination_eval_index" ->
+        ext.Similarity.contaminationEvalIndex(spark, sfDir),
+      "art_ivf_centroids" -> cents.zipWithIndex.flatMap { case (c, cell) =>
+        c.zipWithIndex.map { case (v, pos) => (cell.toLong, pos.toLong, v) }
+      }.toSeq.toDF("cell", "pos", "value"),
+      "art_pq_codebooks" -> codebooks.zipWithIndex.flatMap { case (sub, m) =>
+        sub.zipWithIndex.flatMap { case (c, cell) =>
+          c.zipWithIndex.map { case (v, pos) =>
+            (m.toLong, cell.toLong, pos.toLong, v) } }
+      }.toSeq.toDF("subspace", "cell", "pos", "value"),
+      "art_dsir_ratios" -> dsirRatios.toSeq.toDF("tok", "ln_ratio"),
+      "art_dsir_consts" -> Seq((dsirUnseen, dsirCutW, dsirCutId))
+        .toDF("unseen_ratio", "cut_w", "cut_id"),
+      "art_nb_classes" -> nb.map { case (c, p, d, _) => (c, p, d) }
+        .toDF("cls", "ln_prior", "unseen_term"),
+      "art_nb_terms" -> nb.flatMap { case (c, _, _, t) =>
+        t.toSeq.map { case (tok, v) => (c, tok, v) } }
+        .toDF("cls", "tok", "term"),
+      "art_splits" -> Seq(("bpe_admit", bpeHalf),
+        ("keepbest_admit", kbHalf), ("winnow_admit", wnHalf),
+        ("knn_admit", knnSplit), ("pq_admit", pqSplit))
+        .toDF("gate", "split_id"))
+    arts.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
@@ -273,6 +338,8 @@ object Pipeline {
     val (cv, vs) = materializeVectorCorpus(spark, sfDir, outDir)
     println(s"clean_vectors: ${spark.read.parquet(cv).count()} rows (label-partitioned)")
     println(s"vector_scores: ${spark.read.parquet(vs).count()} rows (selection-partitioned)")
+    materializeFrozenArtifacts(spark, sfDir, outDir).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => println(s"$k: $v rows (frozen artifact)") }
     spark.stop()
   }
 }

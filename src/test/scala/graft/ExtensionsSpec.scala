@@ -3228,6 +3228,39 @@ class ExtensionsSpec extends AnyFunSuite {
         s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("frozen-artifact shelf materializes every ingest-gate state non-empty") {
+    // The production contract the admission scaladocs cite, made
+    // concrete: one Pipeline stage writes ALL the train-once states
+    // (merge lists, indexes, cut tables, centroids/codebooks, split
+    // ids) as versioned parquet. The gate semantics are pinned by each
+    // gate's own parity spec; this spec pins that the shelf is
+    // complete, readable, and non-degenerate.
+    val tmp = java.nio.file.Files.createTempDirectory("artshelf").toString
+    val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
+    val expected = Set("art_bpe_merges", "art_keepbest_index",
+      "art_keepbest_keepers", "art_winnow_admit_index",
+      "art_boilerplate_hub_index", "art_mix_cuts", "art_sample_rates",
+      "art_contamination_eval_index", "art_ivf_centroids",
+      "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
+      "art_nb_classes", "art_nb_terms", "art_splits")
+    assert(counts.keySet == expected,
+      s"shelf incomplete: missing=${expected -- counts.keySet} " +
+        s"extra=${counts.keySet -- expected}")
+    counts.foreach { case (k, n) => assert(n > 0, s"$k is empty") }
+    assert(counts("art_dsir_consts") == 1L)
+    assert(counts("art_splits") == 5L)
+    // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
+    assert(counts("art_ivf_centroids") == 16L * 64L)
+    assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
+    // Spot roundtrip: the persisted keepers relation is the state
+    // builder's, row for row.
+    val persisted = spark.read.parquet(s"$tmp/art_keepbest_keepers")
+      .collect().map(_.toSeq.toVector).toSet
+    val live = ext.Dedup.keepBestAdmitState(spark, sf)._3
+      .collect().map(_.toSeq.toVector).toSet
+    assert(persisted == live, "persisted keepers diverge from the builder")
+  }
+
   test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
     // The r10 audit's BNLJ:6 cluster: five scalar crossJoins more than
     // needed. The class metadata now rides one exploded literal and
