@@ -69,6 +69,30 @@ object Pipeline {
     path
   }
 
+  /** Materialize the SPAN-CLEANED text corpus — the Lee et al.
+    * deliverable a training run actually reads: the span-composed
+    * prep's keep set (spansCorpus: trainingCorpus minus the
+    * majority-duplicated docs) with each survivor's RECONSTRUCTED
+    * text under the same global keep-first verdicts the gated
+    * x_dedup_span_remove hashes (verdicts over the non-eval corpus,
+    * the prep arm's policy), partitioned by split like the raw
+    * training corpus. The spec pins every written row's
+    * md5(clean_text) to the oracle-gated operator's clean_hash —
+    * the artifact IS the gated result, with its text attached.
+    */
+  def materializeSpanCleanCorpus(spark: SparkSession, sfDir: String,
+      outDir: String): String = {
+    val path = s"$outDir/clean_documents_spans"
+    val nonEval = Tables.documents(spark, sfDir)
+      .filter(col("source") =!= "src0")
+    ext.CorpusPrep.spansCorpus(spark, sfDir)
+      .select("doc_id", "split", "pred_lang")
+      .join(ext.Dedup.spanRemoveText(nonEval), Seq("doc_id"))
+      .repartition(col("split"))
+      .write.mode("overwrite").partitionBy("split").parquet(path)
+    path
+  }
+
   /** Materialize the VECTOR side of the full-refresh DAG — the
     * clean_documents idiom for embeddings, so the dbt-style rebuild
     * covers both corpora end-to-end:
@@ -273,6 +297,7 @@ object Pipeline {
     val (bpeHalf, merges) = ext.TextAnalysis.admitMergeList(spark, sfDir)
     val (kbHalf, kbIdx, kbKeepers) = ext.Dedup.keepBestAdmitState(spark, sfDir)
     val (wnHalf, wnIdx) = ext.TextAnalysis.winnowAdmitState(spark, sfDir)
+    val (spHalf, spIdx) = ext.Dedup.spanAdmitState(spark, sfDir)
     val (knnSplit, cents, _) = ext.Similarity.knnAdmitState(spark, sfDir)
     val (pqSplit, codebooks) = ext.Similarity.pqAdmitState(spark, sfDir)
     val (dsirRatios, dsirUnseen, dsirCutW, dsirCutId) =
@@ -284,6 +309,7 @@ object Pipeline {
       "art_keepbest_index" -> kbIdx,
       "art_keepbest_keepers" -> kbKeepers,
       "art_winnow_admit_index" -> wnIdx,
+      "art_span_admit_index" -> spIdx,
       "art_boilerplate_hub_index" ->
         ext.TextAnalysis.boilerplateHubIndex(spark, sfDir),
       "art_mix_cuts" ->
@@ -309,7 +335,8 @@ object Pipeline {
         .toDF("cls", "tok", "term"),
       "art_splits" -> Seq(("bpe_admit", bpeHalf),
         ("keepbest_admit", kbHalf), ("winnow_admit", wnHalf),
-        ("knn_admit", knnSplit), ("pq_admit", pqSplit))
+        ("span_admit", spHalf), ("knn_admit", knnSplit),
+        ("pq_admit", pqSplit))
         .toDF("gate", "split_id"))
     arts.map { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
@@ -340,6 +367,9 @@ object Pipeline {
     println(s"vector_scores: ${spark.read.parquet(vs).count()} rows (selection-partitioned)")
     materializeFrozenArtifacts(spark, sfDir, outDir).toSeq.sortBy(_._1)
       .foreach { case (k, v) => println(s"$k: $v rows (frozen artifact)") }
+    val sc = materializeSpanCleanCorpus(spark, sfDir, outDir)
+    println(s"clean_documents_spans: ${spark.read.parquet(sc).count()} rows " +
+      "(split-partitioned, span-cleaned text)")
     spark.stop()
   }
 }

@@ -250,10 +250,18 @@ object ScaleProbe {
     }
     val dag1 = dag(base, "/tmp/graft_dag_x1")
     val dagN = dag(work, s"/tmp/graft_dag_x$nReplicas")
+    // The frozen-artifact SHELF build — the full once-per-corpus-build
+    // cost a deployment pays before any gate runs (all 15 trainer
+    // passes + parquet writes), at 1× and N×.
+    val (_, shelf1) = timed(Pipeline.materializeFrozenArtifacts(
+      spark, base, "/tmp/graft_shelf_x1"))
+    val (_, shelfN) = timed(Pipeline.materializeFrozenArtifacts(
+      spark, work, s"/tmp/graft_shelf_x$nReplicas"))
     println(
       f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
       f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
-      f""""dag_rebuild":{"x1":$dag1%.2f,"x$nReplicas%d":$dagN%.2f,"ratio":${dagN / dag1}%.1f}},""" +
+      f""""dag_rebuild":{"x1":$dag1%.2f,"x$nReplicas%d":$dagN%.2f,"ratio":${dagN / dag1}%.1f},""" +
+      f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f}},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas}""")
     spark.stop()
   }

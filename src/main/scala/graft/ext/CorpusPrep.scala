@@ -148,6 +148,42 @@ object CorpusPrep {
       .select(col("doc_b").as("doc_id")).distinct()
   }
 
+  /** The text prep with the SPAN-DOMINATED cut composed in — the Lee
+    * et al. span dedup consumed as a document-level retention policy:
+    * a doc whose majority content is non-first-occurrence 32-token
+    * spans (2 · n_removed > n_spans under the gated
+    * x_dedup_span_remove verdicts) is dropped. This catches the one
+    * failure mode EVERY pair-based stage in the family is
+    * structurally blind to: a SELF-repetitive doc (the Gopher
+    * repetition pathology) repeats its own spans, pairs with nobody —
+    * no winnow pair, no bag-Jaccard edge, no centrality vote — and
+    * sails through FULL; here its own within-doc repeats convict it
+    * (planted spec pins the disagreement). POLICY: verdicts are
+    * computed over NON-EVAL docs only (the winnow stage's eval-keeper
+    * rule) — an eval doc can neither own a span (a training doc must
+    * not die to eval boilerplate by id accident; eval overlap is
+    * decontamination's job) nor be cut. The added cost is the
+    * already-probed x_dedup_span_remove shape minus its
+    * reconstruction join (the verdicts chain is the slim hash
+    * relation), applied as one anti-join on 8-byte ids.
+    */
+  def xLlmCorpusPrepSpans(spark: SparkSession, dir: String): DataFrame =
+    prepRollup(spansCorpus(spark, dir))
+
+  private[graft] def spansCorpus(spark: SparkSession, dir: String): DataFrame =
+    trainingCorpus(spark, dir)
+      .join(spanDominatedLosers(spark, dir), Seq("doc_id"), "left_anti")
+
+  /** The span-dominated drop set: majority-duplicated docs under the
+    * shared spanKeepVerdicts window over the non-eval corpus.
+    */
+  private def spanDominatedLosers(spark: SparkSession,
+      dir: String): DataFrame =
+    Dedup.spanKeepVerdicts(Tables.documents(spark, dir)
+        .filter(col("source") =!= "src0"))
+      .filter(col("n_removed") * lit(2L) > col("n_spans"))
+      .select("doc_id")
+
   /** The text prep pipeline with the DSIR selection stage (Xie et al.
     * 2023) composed in at its pipeline position — after cleaning,
     * before the split rollup: only documents inside the corpus-wide
@@ -267,6 +303,7 @@ object CorpusPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
     "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
+    "x_llm_corpus_prep_spans" -> (xLlmCorpusPrepSpans _),
     "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _),
     "x_llm_corpus_prep_keepbest" -> (xLlmCorpusPrepKeepBest _),
     "x_llm_corpus_prep_full" -> (xLlmCorpusPrepFull _),
@@ -391,6 +428,33 @@ object CorpusPrep {
          |  WHERE ka.source <> 'src0'
          |    AND n_shared >= ${TextAnalysis.winnowShareThreshold})""".stripMargin
 
+  /** The span-stage splice: the x_dedup_span_remove twin's slim hash
+    * chain ("sp"-prefixed, names disjoint from this chain's CTEs) over
+    * non-eval docs, reduced to per-doc counts (no reconstruction), and
+    * the majority-duplicated drop set the final WHERE excludes.
+    */
+  private def spanStageCtes: String =
+    ",\n" + """spt AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS lt
+      |  FROM documents WHERE source <> 'src0'),
+      |sps AS (
+      |  SELECT doc_id, lt,
+      |    unnest(generate_series(0, ((len(lt) - 1) // 32) * 32, 32)) AS start
+      |  FROM spt),
+      |sph AS (
+      |  SELECT doc_id, start // 32 AS span_id,
+      |    md5(array_to_string(lt[start + 1 : start + 32], ' ')) AS h
+      |  FROM sps),
+      |spr AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_id) AS rn
+      |  FROM sph),
+      |splosers AS (
+      |  SELECT doc_id FROM spr
+      |  GROUP BY doc_id
+      |  HAVING 2 * SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > COUNT(*))"""
+      .stripMargin
+
   /** The DSIR-stage splice: the "q"-prefixed chain from the SAME
     * generator the standalone x_dsir_select twin emits (names disjoint
     * from this chain's `toks`/`pred`/`cont`), plus the selected-id set
@@ -459,6 +523,9 @@ object CorpusPrep {
     "x_llm_corpus_prep_winnow" -> llmCorpusPrepOracleSql(
       extraCtes = winnowStageCtes,
       extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM wlosers)"),
+    "x_llm_corpus_prep_spans" -> llmCorpusPrepOracleSql(
+      extraCtes = spanStageCtes,
+      extraWhere = "\n  AND doc_id NOT IN (SELECT doc_id FROM splosers)"),
     "x_llm_corpus_prep_dsir" -> llmCorpusPrepOracleSql(
       extraCtes = dsirStageCtes,
       extraWhere = "\n  AND doc_id IN (SELECT doc_id FROM qsel)"),

@@ -752,6 +752,155 @@ object Dedup {
       .orderBy("chunk_hash")
   }
 
+  /** Duplicated-SPAN removal with text reconstruction — the Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better")
+    * deliverable the chunk-flag operator stops short of: not just
+    * flagging sub-document duplicates but emitting the CLEANED corpus
+    * with every non-first occurrence excised. Documents partition into
+    * NON-overlapping 32-token spans (disjointness makes removal
+    * well-defined — the stride-24 chunk relation can't be cut without
+    * double-dropping shared tokens); span identity is the md5 of the
+    * simple-lowercased token window (the x_dedup_chunks convention,
+    * position-independent so cross-offset repeats match); globally the
+    * FIRST occurrence by (doc_id, span_id) survives — within-doc
+    * repetition dedups too, all-but-first of an entire duplicated doc
+    * empties. Output per doc: span/removal counts, cleaned token count,
+    * and the md5 of the reconstructed text (kept spans' ORIGINAL-case
+    * tokens in span order, single-space joined — simple case mapping is
+    * 1:1 per codepoint and never touches spaces, so original and
+    * lowered token positions always align).
+    *
+    * Scale shape: the dedup verdict rides a SLIM (doc_id, span_id,
+    * hash) relation through the hash window and the per-doc rollup
+    * (~48-byte rows, ≈ tokens/32 of them); the token payload itself
+    * crosses ONE shuffle — the final doc_id equi-join — and the
+    * reconstruction is a narrow per-row expression over the kept-id
+    * array. Same plan at 100 TB: two slim exchanges + one text-weight
+    * join, no token bytes through the window.
+    */
+  /** The slim (doc_id, span_id, h) span relation — THE span
+    * construction every span-dedup surface shares (batch removal,
+    * admission index/gate, streaming gate — the bpeTrain single-loop
+    * rule): non-overlapping 32-token windows over the simple-lowered
+    * whitespace tokens, identity = md5 of the space-joined window.
+    */
+  private[graft] def spanHashes(docs: DataFrame): DataFrame =
+    docs.withColumn("lws", split(lowerS(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast((size(lws) - 1) / 32 as int)),
+          |  i -> struct(cast(i as bigint) as span_id,
+          |    md5(concat_ws(' ', slice(lws, cast(i * 32 + 1 as int), 32))) as h))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.span_id").as("span_id"),
+        col("s.h").as("h"))
+
+  /** The shared reconstruction tail: join the per-doc kept-span-id
+    * verdicts back to the docs and rebuild the cleaned TEXT from the
+    * kept spans' ORIGINAL-case tokens (a narrow per-row expression —
+    * the token payload crosses only this one doc_id join). Emits the
+    * text itself; the gated surfaces hash it (reconstructClean), the
+    * corpus artifact persists it — md5 over the same column ties the
+    * written artifact to the oracle-gated hash byte-for-byte.
+    */
+  private[graft] def reconstructCleanText(docs: DataFrame,
+      kept: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .join(kept, Seq("doc_id"))
+      .withColumn("kept_toks", expr(
+        """flatten(transform(
+          |  filter(transform(sequence(0, cast((size(ws) - 1) / 32 as int)),
+          |      i -> cast(i as bigint)),
+          |    i -> array_contains(keep_ids, i)),
+          |  i -> slice(ws, cast(i * 32 + 1 as int), 32)))""".stripMargin))
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        size(col("kept_toks")).cast("long").as("n_clean_tokens"),
+        array_join(col("kept_toks"), " ").as("clean_text"))
+
+  private def reconstructClean(docs: DataFrame, kept: DataFrame): DataFrame =
+    reconstructCleanText(docs, kept)
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        col("n_clean_tokens"), md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
+  /** The span-cleaned corpus with its TEXT — what a training run
+    * actually consumes (the Lee et al. deliverable as a relation):
+    * every doc's reconstruction under the same global keep-first
+    * verdicts the gated x_dedup_span_remove hashes.
+    */
+  private[graft] def spanRemoveText(docs: DataFrame): DataFrame =
+    reconstructCleanText(docs, spanKeepVerdicts(docs))
+
+  /** Per-doc verdicts of the global keep-first rule — THE window+rollup
+    * every consumer of the span dedup shares (the removal operator and
+    * the prep pipeline's span-dominated cut): span counts, removal
+    * counts, and the kept span ids.
+    */
+  private[graft] def spanKeepVerdicts(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("span_id"))
+    spanHashes(docs).withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_removed"),
+        sort_array(collect_list(when(col("rn") === 1, col("span_id"))))
+          .as("keep_ids"))
+  }
+
+  private[graft] def spanRemove(docs: DataFrame): DataFrame =
+    reconstructClean(docs, spanKeepVerdicts(docs))
+
+  def xDedupSpanRemove(spark: SparkSession, dir: String): DataFrame =
+    spanRemove(Tables.documents(spark, dir))
+
+  /** The frozen span-hash index for INCREMENTAL span dedup — the span
+    * family's train-once state (the winnowAdmitState idiom): every
+    * DISTINCT span hash of the admitted half. Production versions this
+    * relation per corpus build (it rides the artifact shelf) and each
+    * ingest pays one bounded stream-static join against it — the span
+    * counterpart of the admitted fingerprint index, with no df guard
+    * because exact-hash membership is already O(1) fan-out per span.
+    */
+  private[graft] def spanAdmitState(spark: SparkSession,
+      dir: String): (Long, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    (half, spanHashes(docs.filter(col("doc_id") < half))
+      .select("h").distinct())
+  }
+
+  /** Incremental duplicated-span removal — the admission arm of
+    * x_dedup_span_remove: an ARRIVING doc (upper half, the admission
+    * split convention) keeps a span iff its hash is NOT in the frozen
+    * admitted index AND it is the doc's own first occurrence of that
+    * hash (within-doc repeats still dedup in-flight). Cross-arrival
+    * duplicates deliberately PASS — deduping arrivals against each
+    * other needs evolving state no stateless ingest gate can hold
+    * (the x_text_winnow_admit contract); the next corpus build's full
+    * spanRemove sweep reclaims them. Admitted docs are never re-read
+    * or re-cut: the frozen index cannot move (the frozen-quantizer
+    * argument). Streaming surface: StreamOps.cleanDocsSpans — same
+    * state, parity-gated.
+    */
+  def xDedupSpanAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (half, idx) = spanAdmitState(spark, dir)
+    val arrivals = docs.filter(col("doc_id") >= half)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("h")).orderBy(col("span_id"))
+    val kept = spanHashes(arrivals)
+      .join(idx.withColumn("in_idx", lit(1)), Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("in_idx").isNotNull || col("rn") > 1, lit(1L))
+          .otherwise(lit(0L))).as("n_removed"),
+        sort_array(collect_list(when(
+          col("in_idx").isNull && col("rn") === 1, col("span_id"))))
+          .as("keep_ids"))
+    reconstructClean(arrivals, kept)
+  }
+
   /** Embedding-cosine near-dup, label-blocked exact variant: exact cosine
     * over pairs within the same label block (blocking keeps the pair join
     * linear in block size; the unblocked scale path is GATED as
@@ -825,6 +974,8 @@ object Dedup {
     "x_dedup_minhash_fast"  -> (xDedupMinhashFast _),
     "x_dedup_simhash"       -> (xDedupSimhash _),
     "x_dedup_chunks"        -> (xDedupChunks _),
+    "x_dedup_span_remove"   -> (xDedupSpanRemove _),
+    "x_dedup_span_admit"    -> (xDedupSpanAdmit _),
     "x_dedup_emb_cosine"    -> (xDedupEmbCosine _),
     "x_dedup_emb_exact"     -> (xDedupEmbExact _))
 
@@ -917,6 +1068,81 @@ object Dedup {
         |  FROM ch)
         |WHERE rn = 1
         |ORDER BY chunk_hash""".stripMargin,
+    // Duplicated-span removal: DuckDB's array_to_string([], ' ') is
+    // NULL (Spark's array_join gives '') — the coalesce keeps the
+    // fully-emptied-doc hash at md5('') on both engines.
+    "x_dedup_span_remove" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ot,
+        |    string_split(lower(text), ' ') AS lt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ot, lt,
+        |    unnest(generate_series(0, ((len(ot) - 1) // 32) * 32, 32)) AS start
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, start // 32 AS span_id,
+        |    md5(array_to_string(lt[start + 1 : start + 32], ' ')) AS h
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, span_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_id) AS rn
+        |  FROM sp),
+        |k AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    list(span_id ORDER BY span_id) FILTER (WHERE rn = 1) AS keep_ids
+        |  FROM r GROUP BY doc_id),
+        |f AS (
+        |  SELECT t.doc_id, k.n_spans, k.n_removed,
+        |    flatten(list_transform(coalesce(k.keep_ids, []),
+        |      i -> t.ot[i * 32 + 1 : i * 32 + 32])) AS kt
+        |  FROM t JOIN k USING (doc_id))
+        |SELECT doc_id, n_spans, n_removed,
+        |  CAST(len(kt) AS BIGINT) AS n_clean_tokens,
+        |  md5(coalesce(array_to_string(kt, ' '), '')) AS clean_hash
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "x_dedup_span_admit" ->
+      """WITH hl AS (SELECT (max(doc_id) + 1) // 2 AS half FROM documents),
+        |lows AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS lt
+        |  FROM documents, hl WHERE doc_id < hl.half),
+        |aidx AS (
+        |  SELECT DISTINCT md5(array_to_string(lt[start + 1 : start + 32], ' ')) AS h
+        |  FROM (SELECT doc_id, lt,
+        |      unnest(generate_series(0, ((len(lt) - 1) // 32) * 32, 32)) AS start
+        |    FROM lows)),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ot,
+        |    string_split(lower(text), ' ') AS lt
+        |  FROM documents, hl WHERE doc_id >= hl.half),
+        |s AS (
+        |  SELECT doc_id, ot, lt,
+        |    unnest(generate_series(0, ((len(ot) - 1) // 32) * 32, 32)) AS start
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, start // 32 AS span_id,
+        |    md5(array_to_string(lt[start + 1 : start + 32], ' ')) AS h
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, span_id,
+        |    row_number() OVER (PARTITION BY doc_id, h ORDER BY span_id) AS rn,
+        |    (h IN (SELECT h FROM aidx)) AS in_idx
+        |  FROM sp),
+        |k AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(CASE WHEN in_idx OR rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    list(span_id ORDER BY span_id) FILTER (WHERE NOT in_idx AND rn = 1) AS keep_ids
+        |  FROM r GROUP BY doc_id),
+        |f AS (
+        |  SELECT t.doc_id, k.n_spans, k.n_removed,
+        |    flatten(list_transform(coalesce(k.keep_ids, []),
+        |      i -> t.ot[i * 32 + 1 : i * 32 + 32])) AS kt
+        |  FROM t JOIN k USING (doc_id))
+        |SELECT doc_id, n_spans, n_removed,
+        |  CAST(len(kt) AS BIGINT) AS n_clean_tokens,
+        |  md5(coalesce(array_to_string(kt, ' '), '')) AS clean_hash
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_doc_id

@@ -1423,6 +1423,38 @@ object Similarity {
         array_max(col("codes")).as("max_code"))
       .orderBy("vec_id")
 
+  /** The VECTOR corpus composition manifest — the data card's
+    * embedding-side twin (TextAnalysis.xCorpusManifest for float[]
+    * columns): per label, vector counts, DISTINCT-vector counts (so
+    * each slice's exact-duplicate level rides along — the embExactKeepers
+    * convention consumed as a statistic), the dim range (a ragged-dim
+    * ingest bug surfaces as min ≠ max), the exact-integer quantized
+    * square-norm mass (per element trunc(x²·2²⁴) summed as longs — the
+    * avgMoney6 idiom for vectors, portable where float sums are not;
+    * on a unit-normalized corpus this reads ≈ n·2²⁴, so normalization
+    * drift is visible in the card), and each label's share in exact
+    * basis points. One partial-aggregated scan + a 1-row broadcast
+    * total — the manifest costs one pass at any corpus size.
+    */
+  def xEmbManifest(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("embedding")).as("n_distinct_vecs"),
+        min(size(col("embedding"))).cast("long").as("min_dims"),
+        max(size(col("embedding"))).cast("long").as("max_dims"),
+        sum(expr(
+          """aggregate(embedding, 0L, (a, x) ->
+            |  a + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+            |        * 16777216.0D AS BIGINT))""".stripMargin))
+          .as("sum_sq_q"))
+    per.crossJoin(broadcast(per.agg(sum(col("n_vecs")).as("tot"))))
+      .select(col("label"), col("n_vecs"), col("n_distinct_vecs"),
+        col("min_dims"), col("max_dims"), col("sum_sq_q"),
+        expr("n_vecs * 10000 div tot").as("vec_share_bp"))
+      .orderBy("label")
+  }
+
   // Product quantization: 64 dims → 8 subspaces × 8 dims, 16 centroids
   // per subspace (one exact-integer Lloyd round each, same quantizer as
   // IVF), so a vector compresses to 8 nibble codes. Deliberately small
@@ -1801,6 +1833,7 @@ object Similarity {
     "x_ann_ivfadc_admit" -> (xAnnIvfAdcAdmit _),
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _),
+    "x_emb_manifest"   -> (xEmbManifest _),
     "x_emb_corpus_prep" -> (xEmbCorpusPrep _),
     "x_emb_corpus_prep_sem" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepSem(s, d)),
@@ -3256,6 +3289,26 @@ object Similarity {
         |  list_min(codes) AS min_code,
         |  list_max(codes) AS max_code
         |FROM q ORDER BY vec_id""".stripMargin,
+    // Per-element trunc(x²·2²⁴) summed as BIGINTs: each x²·2²⁴ is a
+    // correctly-rounded double times an exact power of two, truncated
+    // identically on both engines (Spark's double→bigint cast truncates;
+    // DuckDB needs the explicit trunc()).
+    "x_emb_manifest" ->
+      """WITH per AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |    CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct_vecs,
+        |    CAST(MIN(len(embedding)) AS BIGINT) AS min_dims,
+        |    CAST(MAX(len(embedding)) AS BIGINT) AS max_dims,
+        |    CAST(SUM(CAST(list_sum(list_transform(embedding, x ->
+        |        CAST(trunc(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |          * 16777216.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
+        |      AS sum_sq_q
+        |  FROM embeddings GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot FROM per)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, n_distinct_vecs,
+        |  min_dims, max_dims, sum_sq_q,
+        |  CAST(n_vecs * 10000 // tot AS BIGINT) AS vec_share_bp
+        |FROM per, tot ORDER BY label""".stripMargin,
     "x_knn_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -546,6 +546,30 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy("source")
 
+  /** The corpus COMPOSITION MANIFEST — the "data card" rollup every
+    * production corpus build publishes next to its artifacts: per
+    * (source, lang) document counts, DISTINCT-text counts (the exact
+    * dedup convention's md5 — so the manifest carries each slice's
+    * duplication level), token/char volume, and each slice's token
+    * share in exact basis points (integer floor-div over the corpus
+    * total, the repetition-score idiom — no float shares). One
+    * partial-aggregated groupBy over the corpus + a 1-row broadcast
+    * total: the manifest costs one scan at any corpus size.
+    */
+  def xCorpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(lowerS(trim(col("text"))))).as("n_distinct_texts"),
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(length(col("text"))).as("total_chars"))
+    per.crossJoin(broadcast(per.agg(sum(col("ws_tokens")).as("tot"))))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("n_distinct_texts"), col("ws_tokens"), col("total_chars"),
+        expr("ws_tokens * 10000 div tot").as("token_share_bp"))
+      .orderBy("source", "lang")
+  }
+
   /** Gopher-style repetition scoring (Rae et al. 2021 §A1.1's
     * "repetition" filters, the standard LLM-corpus quality gate that
     * catches boilerplate/SEO spam): per document, the fraction of
@@ -1210,6 +1234,7 @@ object TextAnalysis {
     "x_text_langid_ngram" -> (xTextLangIdNgram _),
     "x_text_quality"     -> (xTextQuality _),
     "x_text_tokens"      -> (xTextTokens _),
+    "x_corpus_manifest"  -> (xCorpusManifest _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_text_repetition"  -> (xTextRepetition _),
     "x_seq_pack"         -> (xSeqPack _),
@@ -1579,6 +1604,17 @@ object TextAnalysis {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "x_corpus_manifest" ->
+      """WITH per AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_distinct_texts,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(ws_tokens) AS BIGINT) AS tot FROM per)
+        |SELECT source, lang, n_docs, n_distinct_texts, ws_tokens, total_chars,
+        |  CAST(ws_tokens * 10000 // tot AS BIGINT) AS token_share_bp
+        |FROM per, tot ORDER BY source, lang""".stripMargin,
     "x_text_langid_ngram" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS actual_lang,

@@ -543,6 +543,51 @@ object StreamOps {
     (w.getLong, w.getLong)
   }
 
+  case class SpanIn(doc_id: Long, span_id: Long, h: String)
+  case class SpanVerdict(doc_id: Long, span_id: Long, owner_doc: Long,
+    owner_span: Long, kept: Long)
+
+  /** Online duplicated-span dedup — the EVOLVING-state member of the
+    * span family's streaming column (dedupVectorsExactOnline's idiom
+    * at sub-document granularity, next to the FROZEN-index gate
+    * cleanDocsSpans): each arriving span's verdict is the batch
+    * keep-first rule verbatim — owner = the minimum (doc_id, span_id)
+    * ever seen for its hash, kept only by the owner. Spans are cut
+    * in-row by the SAME construction the batch window consumes
+    * (Dedup.spanHashes — one implementation, stream and batch cannot
+    * desync); the state-store key is the span's md5 (a fixed 32-char
+    * content address, the dedup-store tradeoff documented on the
+    * vector twin), the value the 16-byte owner — state is fixed-width
+    * per DISTINCT span regardless of span length, never the tokens.
+    * Replay contract: batches in nondecreasing doc_id order (ids
+    * assigned at ingest); within a batch the group sorts, so the first
+    * arrival of a hash IS its minimum and admitted owners never flip —
+    * replaying the corpus reproduces every batch verdict (parity
+    * spec-gated against spanKeepVerdicts' keep_ids across micro-batch
+    * splits). Emits per-SPAN verdicts: the cleaned-text rebuild is the
+    * consumer's narrow map over its own kept spans (the batch
+    * reconstructClean shape), not a second stateful stage.
+    */
+  def dedupSpansOnline(docs: Dataset[DocIn]): Dataset[SpanVerdict] = {
+    import docs.sparkSession.implicits._
+    val spans = graft.ext.Dedup.spanHashes(docs.toDF()).as[SpanIn]
+    spans.groupByKey(_.h)
+      .flatMapGroupsWithState[(Long, Long), SpanVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SpanIn], state: GroupState[(Long, Long)]) =>
+          var owner =
+            if (state.exists) state.get else (Long.MaxValue, Long.MaxValue)
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.span_id)).map { r =>
+            val k = (r.doc_id, r.span_id)
+            if (Ordering[(Long, Long)].lt(k, owner)) owner = k
+            SpanVerdict(r.doc_id, r.span_id, owner._1, owner._2,
+              if (k == owner) 1L else 0L)
+          }
+          state.update(owner)
+          out.iterator
+      }
+  }
+
   case class SemVerdict(vec_id: Long, cell: Long, kept: Long)
   case class CellVec(cell: Long, vec_id: Long, embedding: Array[Float])
   case class SemCellState(members: List[(Long, Array[Float])])
@@ -907,6 +952,189 @@ object StreamOps {
         col("cluster_id") === col("kc") && col("kept") === 0L, "left")
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         col("keeper_id"), col("keeper_quality"), col("kept"))
+  }
+
+  case class SpanCand(doc_id: Long, span_id: Long, h: String,
+    in_idx: Boolean, ntoks: Long, stoks: String)
+  case class SpanCleanOut(doc_id: Long, n_spans: Long, n_removed: Long,
+    n_clean_tokens: Long, clean_hash: String)
+
+  /** Streaming duplicated-span removal — the Lee-et-al span family's
+    * ingest gate (Dedup.xDedupSpanAdmit's runtime half): the frozen
+    * state is the admitted span-hash index (Dedup.spanAdmitState —
+    * one builder, two surfaces) joined stream-static per arriving
+    * span, so each micro-batch pays one bounded equi-join on the
+    * 32-token span hash — O(1) fan-out per span, no df guard needed.
+    * Spans are cut IN-ROW (the wordGramArray rule: no stateful
+    * distinct), each carrying its original-case token window; the
+    * per-doc group then applies the batch rule — keep iff NOT in the
+    * frozen index AND the doc's own first occurrence of the hash — and
+    * rebuilds the cleaned text (span joins compose associatively, so
+    * the group's string concat equals the batch flatten+join
+    * bitwise; md5 over UTF-8 bytes is the same function both sides).
+    * Cross-arrival duplicates deliberately PASS — deduping arrivals
+    * against each other is evolving state (the batch contract,
+    * documented on the gate); the next corpus build's spanRemove sweep
+    * reclaims them. Flagged group state is one Long per seen doc —
+    * a replayed doc emits nothing (the screenVectors idempotence
+    * contract). Batch parity is spec-gated row-for-row across
+    * micro-batch splits with a replayed batch emitting nothing.
+    */
+  /** The in-row span candidate relation — span cuts carrying their
+    * original-case token windows, left-joined stream-static against the
+    * frozen admitted-hash index: ONE construction behind the standalone
+    * span gate and the composed ingest topology (the bpeTrain
+    * single-loop rule), so the two surfaces cannot desync on how spans
+    * are cut or flagged.
+    */
+  private def spanCandRows(docs: DataFrame, idx: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("lws", split(
+        graft.functions.VectorFunctions.simpleLower(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast((size(lws) - 1) / 32 as int)),
+          |  i -> struct(cast(i as bigint) as span_id,
+          |    md5(concat_ws(' ', slice(lws, cast(i * 32 + 1 as int), 32))) as h,
+          |    size(slice(ws, cast(i * 32 + 1 as int), 32)) as ntoks,
+          |    concat_ws(' ', slice(ws, cast(i * 32 + 1 as int), 32)) as stoks))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.span_id").as("span_id"),
+        col("s.h").as("h"), col("s.ntoks").cast("long").as("ntoks"),
+        col("s.stoks").as("stoks"))
+      .join(idx.withColumn("in_idx_i", lit(1)), Seq("h"), "left")
+      .select(col("doc_id"), col("span_id"), col("h"),
+        col("in_idx_i").isNotNull.as("in_idx"), col("ntoks"), col("stoks"))
+
+  /** The per-doc span-clean fold shared by the standalone gate and the
+    * composed ingest verdict: batch keep rule (not in the frozen index
+    * AND own first in-doc occurrence), cleaned text rebuilt in span
+    * order and md5'd over UTF-8 bytes — the same function both engines
+    * hash with.
+    */
+  private def foldSpanClean(docId: Long,
+      rs: Seq[SpanCand]): SpanCleanOut = {
+    val sorted = rs.sortBy(_.span_id)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val kept = sorted.filter { c =>
+      val first = seen.add(c.h)
+      !c.in_idx && first
+    }
+    val clean = kept.map(_.stoks).mkString(" ")
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    SpanCleanOut(docId, sorted.size.toLong,
+      (sorted.size - kept.size).toLong, kept.map(_.ntoks).sum, hash)
+  }
+
+  def cleanDocsSpans(docs: Dataset[DocIn], idx: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cands = spanCandRows(docs.toDF(), idx).as[SpanCand]
+    cands.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, SpanCleanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[SpanCand], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(1L)
+            Iterator.single(foldSpanClean(docId, rows.toSeq))
+          }
+      }.toDF()
+  }
+
+  case class IngestDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+    lang: String)
+  case class IngestCand(doc_id: Long, kind: Int, span_id: Long, h: String,
+    in_idx: Boolean, ntoks: Long, stoks: String, hub_id: Long,
+    lang: String, mix_kept: Long)
+  case class IngestVerdict(doc_id: Long, lang: String, n_spans: Long,
+    n_removed: Long, n_clean_tokens: Long, clean_hash: String,
+    n_hub_flags: Long, mix_kept: Long, admitted: Long)
+
+  /** The COMPOSED document ingest gate — the production text ingest
+    * path as ONE streaming topology over shelf-loaded frozen state
+    * (the sessionize→attribution one-topology precedent, applied to
+    * the admission matrix): each arriving doc flows through three
+    * verdict branches — duplicated-span cleaning against the frozen
+    * admitted span-hash index (`art_span_admit_index`), the
+    * boilerplate screen against the frozen hub fingerprint index
+    * (`art_boilerplate_hub_index`, hub ids excluded in-branch exactly
+    * as the standalone gate does), and the stateless token-budget mix
+    * cut (`art_mix_cuts`) — unioned into one doc_id-keyed candidate
+    * stream and folded by a SINGLE stateful stage into one per-doc
+    * admission verdict. Each branch IS the standalone surface's
+    * construction (spanCandRows / the screen's fp join / mixDocs'
+    * threshold expression — shared code, not re-derivations), so the
+    * composed verdicts provably equal the composition of the gated
+    * operators (spec-pinned against xDedupSpanAdmit + the batch screen
+    * + the mix cut rule, micro-batch-split and shelf-loaded). The
+    * admission POLICY is the prep composition's:
+    * admitted = no hub flag AND mix-kept AND NOT span-majority-
+    * duplicated (2·n_removed > n_spans, the x_llm_corpus_prep_spans
+    * cut — the gate's cleaned text is still emitted for flagged docs,
+    * the caller decides what to do with rejects). Scale shape per
+    * micro-batch: two bounded stream-static hash joins (span index,
+    * hub prints) + one narrow map (mix) + ONE shuffle to the doc_id
+    * group — state one Long per seen doc (flagged ⇒ replay-idempotent).
+    * The span branch emits ≥ 1 row per doc (every text has a span), so
+    * every arriving doc fires exactly one verdict.
+    */
+  def ingestDocs(docs: Dataset[IngestDoc], spanIdx: DataFrame,
+      hubFps: DataFrame, cuts: Map[String, (Long, Long)],
+      shareThreshold: Int = graft.ext.TextAnalysis.winnowShareThreshold)
+      : Dataset[IngestVerdict] = {
+    import docs.sparkSession.implicits._
+    val base = docs.toDF()
+    val blank = Seq(lit(-1L).as("span_id"), lit("").as("h"),
+      lit(false).as("in_idx"), lit(0L).as("ntoks"), lit("").as("stoks"))
+    val spanB = spanCandRows(base, spanIdx)
+      .select(col("doc_id"), lit(0).as("kind"), col("span_id"), col("h"),
+        col("in_idx"), col("ntoks"), col("stoks"), lit(-1L).as("hub_id"),
+        lit("").as("lang"), lit(0L).as("mix_kept"))
+    val hubB = base
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.winnowFingerprints(col("text"))))
+        .as("fp"))
+      .join(hubFps.select(col("hub_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .join(hubFps, Seq("fp"))
+      .select((col("doc_id") +: lit(1).as("kind") +: blank) ++
+        Seq(col("hub_id"), lit("").as("lang"), lit(0L).as("mix_kept")): _*)
+    val bmap = typedlit(cuts.map { case (l, c) => l -> c._1 })
+    val imap = typedlit(cuts.map { case (l, c) => l -> c._2 })
+    val b = graft.ext.TextAnalysis.md5Bucket(10000, col("doc_id"))
+    val mixB = base
+      .select((col("doc_id") +: lit(2).as("kind") +: blank) ++
+        Seq(lit(-1L).as("hub_id"), col("lang"),
+          when(b < element_at(bmap, col("lang")) ||
+            (b === element_at(bmap, col("lang")) &&
+              col("doc_id") <= element_at(imap, col("lang"))),
+            lit(1L)).otherwise(lit(0L)).as("mix_kept")): _*)
+    spanB.unionByName(hubB).unionByName(mixB).as[IngestCand]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, IngestVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[IngestCand], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(1L)
+            val rs = rows.toSeq
+            val sc = foldSpanClean(docId, rs.filter(_.kind == 0).map(c =>
+              SpanCand(c.doc_id, c.span_id, c.h, c.in_idx, c.ntoks,
+                c.stoks)))
+            val nHubs = rs.filter(_.kind == 1).groupBy(_.hub_id)
+              .count { case (_, hits) => hits.size >= shareThreshold }
+              .toLong
+            val mix = rs.find(_.kind == 2)
+            val mixKept = mix.map(_.mix_kept).getOrElse(0L)
+            val admitted = if (nHubs == 0L && mixKept == 1L &&
+              2L * sc.n_removed <= sc.n_spans) 1L else 0L
+            Iterator.single(IngestVerdict(docId,
+              mix.map(_.lang).getOrElse(""), sc.n_spans, sc.n_removed,
+              sc.n_clean_tokens, sc.clean_hash, nHubs, mixKept, admitted))
+          }
+      }
   }
 
   case class DqRow(row_id: Long, key: Option[Long])

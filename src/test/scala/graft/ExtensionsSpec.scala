@@ -1194,6 +1194,349 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("span-composed prep drops the self-repetitive doc every pair stage is blind to") {
+    import spark.implicits._
+    // The disagreement the arm exists for: a SELF-repetitive doc (the
+    // Gopher repetition pathology) repeats its own 32-token spans and
+    // pairs with NOBODY — no winnow pair, no bag-Jaccard edge — so the
+    // base prep keeps it; the span-dominated cut convicts it from its
+    // own within-doc repeats. A minority-repeat control doc and unique
+    // fillers pin that nothing else is cut.
+    val span = "the and of " + (0 until 29).map(i => s"w$i").mkString(" ")
+    val yspan = "the and of " + (0 until 29).map(i => s"y$i").mkString(" ")
+    val fillers = (0L until 20L).map(i =>
+      (i, (0 until 50).map(j => s"f${i}u$j").mkString(" ") + " the and of",
+        "en", "srcx", 10L))
+    val selfRep = (100L, s"$span $span $span", "en", "srcx", 10L)
+    val control = (101L,
+      s"$yspan $yspan " + (0 until 96).map(j => s"cu$j").mkString(" "),
+      "en", "srcx", 10L)
+    val tmp = java.nio.file.Files.createTempDirectory("prepspans").toString
+    (fillers :+ selfRep :+ control)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val base = ext.CorpusPrep.trainingCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val spans = ext.CorpusPrep.spansCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base.contains(100L),
+      s"the pair-blind base prep must keep the self-repetitive doc: $base")
+    assert(ext.TextAnalysis.xTextWinnowPairs(spark, tmp).collect()
+      .forall(r => r.getLong(0) != 100L && r.getLong(1) != 100L),
+      "the self-repetitive doc must have NO winnow pair (blindness pin)")
+    assert(spans == base - 100L,
+      "the span cut must drop ONLY the majority-duplicated doc: " +
+        s"extra=${(base - 100L) -- spans} unexpected=${spans -- base}")
+    assert(spans.contains(101L),
+      "a minority-repeat doc must survive the 2*removed > spans bar")
+  }
+
+  test("span removal keeps first occurrences, preserves unique text, empties full dups") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w32 = (0 until 32).map(i => s"w$i").mkString(" ")   // the shared span
+    val x32 = (0 until 32).map(i => s"x$i").mkString(" ")   // doc-5-only span
+    val uA = (0 until 10).map(i => s"a$i").mkString(" ")
+    val uB = (0 until 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$w32 $uA"),   // owns the first occurrence; nothing removed
+      (1L, s"$w32 $uB"),   // span-aligned repeat of w32 → excised, uB survives
+      (2L, s"$w32 $w32"),  // every span a later occurrence → doc empties
+      (3L, s"$w32 $uA"),   // full duplicate of doc 0 → doc empties
+      (4L, "only unique words here"),              // untouched verbatim
+      (5L, s"$x32 $x32"))  // WITHIN-doc repeat: first kept, second excised
+      .toDF("doc_id", "text")
+    val out = ext.Dedup.spanRemove(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(0L) == ((2L, 0L, 42L, md5hex(s"$w32 $uA"))),
+      s"first occurrence must keep everything: ${out(0L)}")
+    assert(out(1L) == ((2L, 1L, 10L, md5hex(uB))),
+      s"aligned repeat must excise w32 and keep uB verbatim: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 0L, md5hex(""))),
+      s"all-repeat doc must empty: ${out(2L)}")
+    assert(out(3L) == ((2L, 2L, 0L, md5hex(""))),
+      s"full duplicate of doc 0 must empty: ${out(3L)}")
+    assert(out(4L) == ((1L, 0L, 4L, md5hex("only unique words here"))),
+      s"unique doc must pass through verbatim: ${out(4L)}")
+    assert(out(5L) == ((2L, 1L, 32L, md5hex(x32))),
+      s"within-doc repeat must keep only the first occurrence: ${out(5L)}")
+  }
+
+  test("span admission excises frozen spans, dedups within-doc, passes cross-arrivals") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w32 = (0 until 32).map(i => s"w$i").mkString(" ")
+    val y32 = (0 until 32).map(i => s"y$i").mkString(" ")
+    val z32 = (0 until 32).map(i => s"z$i").mkString(" ")
+    val uA = (0 until 10).map(i => s"a$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("spanadmit").toString
+    // ids 0..5 → half = 3: {0,1,2} admitted, {3,4,5} arrive.
+    Seq(
+      (0L, w32), (1L, "some admitted filler"), (2L, y32),
+      (3L, s"$w32 $uA"),   // admitted span excised, unique tail kept
+      (4L, s"$z32 $z32"),  // novel span: first kept, in-doc repeat excised
+      (5L, z32))           // cross-ARRIVAL duplicate of doc 4 → must PASS
+      .map { case (id, t) => (id, t, "en", "srcx", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.Dedup.xDedupSpanAdmit(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(3L, 4L, 5L),
+      s"admission gate must emit arrivals only: ${out.keySet}")
+    assert(out(3L) == ((2L, 1L, 10L, md5hex(uA))),
+      s"frozen span must excise, unique tail survive: ${out(3L)}")
+    assert(out(4L) == ((2L, 1L, 32L, md5hex(z32))),
+      s"novel span kept once, in-doc repeat excised: ${out(4L)}")
+    assert(out(5L) == ((1L, 0L, 32L, md5hex(z32))),
+      s"cross-arrival duplicate must pass the stateless gate: ${out(5L)}")
+  }
+
+  test("streaming span cleaning matches the batch admission gate and is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (half, idx) = ext.Dedup.spanAdmitState(spark, sf)
+    val frozenIdx = idx.localCheckpoint()
+    val newDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "text").collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps.cleanDocsSpans(input.toDS(), frozenIdx)
+      .writeStream.format("memory").queryName("span_clean_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val afterOnce = spark.sql("SELECT count(*) FROM span_clean_out")
+      .head.getLong(0)
+    input.addData(newDocs.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT doc_id, n_spans, n_removed, n_clean_tokens, clean_hash
+        |FROM span_clean_out""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    query.stop()
+    assert(afterOnce == newDocs.length.toLong,
+      s"expected one cleaned row per doc, got $afterOnce/${newDocs.length}")
+    assert(streamed.size == newDocs.length,
+      s"replay added rows: ${streamed.size} vs ${newDocs.length}")
+    val batch = ext.Dedup.xDedupSpanAdmit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    assert(streamed == batch,
+      "streaming span cleaning diverged from the batch gate: " +
+        s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
+  test("one-topology ingest gate composes span-clean, screen, and mix from the shelf") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The production ingest path end-to-end: build the artifact shelf
+    // once, load every frozen state through ArtifactShelf (ship → load
+    // → gate, no trainer in the topology), stream the span-admission
+    // arrivals through the SINGLE composed stateful stage across two
+    // micro-batches plus a replay, and require the per-doc verdicts to
+    // equal the COMPOSITION of the standalone gated operators:
+    // xDedupSpanAdmit's cleaning, the batch boilerplate screen's hub
+    // flags, and the mix cut rule — with the prep span-majority cut as
+    // the admission policy. At sf0.001 all three dimensions are active
+    // among arrivals (7 span-cut docs, 10 hub flags, mix rejections),
+    // pinned below so the parity cannot go vacuous.
+    val tmp = java.nio.file.Files.createTempDirectory("ingestgate").toString
+    Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
+    val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
+      .localCheckpoint()
+    val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
+      .localCheckpoint()
+    val cuts = ArtifactShelf.table(spark, tmp, "art_mix_cuts").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val half = ArtifactShelf.splits(spark, tmp)("span_admit")
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => streaming.StreamOps.IngestDoc(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val input = MemoryStream[streaming.StreamOps.IngestDoc]
+    val query = streaming.StreamOps
+      .ingestDocs(input.toDS(), spanIdx, hubFps, cuts)
+      .writeStream.format("memory").queryName("ingest_gate_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    input.addData(arrivals.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT doc_id, lang, n_spans, n_removed, n_clean_tokens,
+        |  clean_hash, n_hub_flags, mix_kept, admitted
+        |FROM ingest_gate_out""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    query.stop()
+    assert(streamed.size == arrivals.length,
+      s"one verdict per arrival incl. replay: ${streamed.size}/${arrivals.length}")
+    // The batch composition of the three standalone gated operators.
+    val spans = ext.Dedup.xDedupSpanAdmit(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val hubFlags = ext.TextAnalysis.xTextBoilerplateScreen(spark, sf)
+      .filter(col("doc_id") >= half)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mixKept = streaming.StreamOps.mixDocs(
+      arrivals.map(d => streaming.StreamOps.LangDoc(d.doc_id, d.lang))
+        .toSeq.toDS(), cuts)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans.count(_._2._2 > 0L) == 7 && hubFlags.nonEmpty
+      && mixKept.values.sum < arrivals.length,
+      "all three gate dimensions must be active among arrivals " +
+        s"(${spans.count(_._2._2 > 0L)} span-cut, ${hubFlags.size} " +
+        s"hub-flagged, ${mixKept.values.sum}/${arrivals.length} mix-kept)")
+    val expected = arrivals.map { d =>
+      val (nSpans, nRemoved, nClean, hash) = spans(d.doc_id)
+      val nHubs = hubFlags.getOrElse(d.doc_id, 0L)
+      val mk = mixKept(d.doc_id)
+      val admitted = if (nHubs == 0L && mk == 1L &&
+        2L * nRemoved <= nSpans) 1L else 0L
+      d.doc_id -> Vector[Any](d.doc_id, d.lang, nSpans, nRemoved, nClean,
+        hash, nHubs, mk, admitted)
+    }.toMap
+    assert(streamed == expected,
+      "composed ingest verdicts diverged from the standalone gates: " +
+        s"stream-only=${(streamed.toSet -- expected.toSet).take(3)} " +
+        s"batch-only=${(expected.toSet -- streamed.toSet).take(3)}")
+    assert(expected.values.count(_.last == 1L) > 0,
+      "the composed policy must admit at least one doc")
+  }
+
+  test("span-cleaned corpus artifact carries the gated hashes' exact text") {
+    import spark.implicits._
+    // The artifact IS the gated result with its text attached: every
+    // written row's md5(clean_text) must equal the oracle-gated
+    // operator's clean_hash over the same (non-eval) verdict base, and
+    // the doc set must be exactly the span-composed prep's keep set.
+    val tmp = java.nio.file.Files.createTempDirectory("spancorpus").toString
+    val path = Pipeline.materializeSpanCleanCorpus(spark, sf, tmp)
+    val art = spark.read.parquet(path)
+      .select(col("doc_id"), md5(col("clean_text")).as("h"),
+        col("n_clean_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val keepSet = ext.CorpusPrep.spansCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(art.keySet == keepSet,
+      s"artifact docs != prep keep set: only-art=${(art.keySet -- keepSet).take(3)} " +
+        s"only-prep=${(keepSet -- art.keySet).take(3)}")
+    val gated = ext.Dedup.spanRemove(Tables.documents(spark, sf)
+        .filter(col("source") =!= "src0"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(4), r.getLong(3))))
+      .toMap
+    art.foreach { case (id, (h, n)) =>
+      assert(gated(id) == ((h, n)),
+        s"doc $id: artifact text diverges from the gated hash: " +
+          s"${gated(id)} vs ($h, $n)")
+    }
+  }
+
+  test("span removal conserves tokens and is identity on repeat-free docs") {
+    import spark.implicits._
+    // Property-style pin in one job: (a) IDENTITY — a corpus with no
+    // repeated 32-token window reconstructs every doc verbatim
+    // (clean_hash == md5(text), zero removals); (b) CONSERVATION —
+    // kept + removed span token counts account for every token. Seeded
+    // RNG, tokens carry their (doc, position) so no window can repeat
+    // across the random half; the planted half repeats its own spans.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(11L)
+    val unique = (0L until 40L).map { i =>
+      val n = 1 + rnd.nextInt(150)
+      (i, (0 until n).map(j => s"d${i}p${j}t${rnd.nextInt(1000)}").mkString(" "))
+    }
+    val planted = (100L until 110L).map { i =>
+      val span = (0 until 32).map(j => s"r${i}s$j").mkString(" ")
+      val reps = 2 + rnd.nextInt(3)
+      (i, Seq.fill(reps)(span).mkString(" "))
+    }
+    val docs = (unique ++ planted).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = ext.Dedup.spanRemove(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    unique.foreach { case (id, text) =>
+      val (_, removed, nClean, h) = out(id)
+      assert(removed == 0L && nClean == toks(id) && h == md5hex(text),
+        s"repeat-free doc $id must reconstruct verbatim: ${out(id)}")
+    }
+    planted.foreach { case (id, text) =>
+      val (nSpans, removed, nClean, h) = out(id)
+      val reps = toks(id) / 32L
+      assert(nSpans == reps && removed == reps - 1L && nClean == 32L,
+        s"self-repeating doc $id must keep exactly one span: ${out(id)}")
+      assert(h == md5hex(text.split(" ").take(32).mkString(" ")),
+        s"doc $id must keep its FIRST span verbatim")
+      assert(nClean + removed * 32L == toks(id),
+        s"doc $id token conservation: $nClean + $removed*32 != ${toks(id)}")
+    }
+  }
+
+  test("online span dedup replays the batch keep-first verdicts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The evolving-state member of the span family: feed the corpus in
+    // nondecreasing doc_id order split across micro-batches; every
+    // span's kept/owner verdict must equal the batch window's rn=1
+    // decision (spanKeepVerdicts' keep_ids), including cross-batch
+    // ownership (a span arriving in batch 2 must lose to its batch-1
+    // owner held in state).
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps.dedupSpansOnline(input.toDS())
+      .writeStream.format("memory").queryName("span_online_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val streamedKept = spark.sql(
+      "SELECT doc_id, span_id FROM span_online_out WHERE kept = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedAll = spark.sql(
+      "SELECT count(*) FROM span_online_out").head.getLong(0)
+    query.stop()
+    val verdicts = ext.Dedup.spanKeepVerdicts(
+      Tables.documents(spark, sf)).collect()
+    val batchKept = verdicts.flatMap(r =>
+      r.getSeq[Long](3).map(s => (r.getLong(0), s))).toSet
+    val batchSpans = verdicts.map(_.getLong(1)).sum
+    assert(streamedAll == batchSpans,
+      s"one verdict per span: $streamedAll vs $batchSpans")
+    assert(streamedKept == batchKept,
+      "online span verdicts diverged from the batch window: " +
+        s"stream-only=${(streamedKept -- batchKept).take(3)} " +
+        s"batch-only=${(batchKept -- streamedKept).take(3)}")
+  }
+
   test("LSH-blocked emb cosine dedup finds planted near-dups incl. cross-label") {
     import spark.implicits._
     // The stock synthetic vectors top out near cosine 0.47, so BOTH
@@ -3239,7 +3582,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
     val expected = Set("art_bpe_merges", "art_keepbest_index",
       "art_keepbest_keepers", "art_winnow_admit_index",
-      "art_boilerplate_hub_index", "art_mix_cuts", "art_sample_rates",
+      "art_span_admit_index", "art_boilerplate_hub_index",
+      "art_mix_cuts", "art_sample_rates",
       "art_contamination_eval_index", "art_ivf_centroids",
       "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
       "art_nb_classes", "art_nb_terms", "art_splits")
@@ -3248,7 +3592,7 @@ class ExtensionsSpec extends AnyFunSuite {
         s"extra=${counts.keySet -- expected}")
     counts.foreach { case (k, n) => assert(n > 0, s"$k is empty") }
     assert(counts("art_dsir_consts") == 1L)
-    assert(counts("art_splits") == 5L)
+    assert(counts("art_splits") == 6L)
     // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
     assert(counts("art_ivf_centroids") == 16L * 64L)
     assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
@@ -3259,6 +3603,57 @@ class ExtensionsSpec extends AnyFunSuite {
     val live = ext.Dedup.keepBestAdmitState(spark, sf)._3
       .collect().map(_.toSeq.toVector).toSet
     assert(persisted == live, "persisted keepers diverge from the builder")
+
+    // The CONSUMING half: ArtifactShelf's typed readers rebuild every
+    // Scala-value state BITWISE in the exact shapes the gates take —
+    // ship → load → gate, no trainer in the loop. Doubles compared by
+    // raw bits (parquet binary64 round-trips exactly; this pins it).
+    def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+    val (bpeHalf, liveMerges) = ext.TextAnalysis.admitMergeList(spark, sf)
+    assert(ArtifactShelf.bpeMerges(spark, tmp) == liveMerges,
+      "loaded merge list diverges from the trainer's")
+    val (knnSplit, liveCents, _) = ext.Similarity.knnAdmitState(spark, sf)
+    val loadedCents = ArtifactShelf.ivfCentroids(spark, tmp)
+    assert(loadedCents.map(_.map(bits).toVector).toVector ==
+      liveCents.map(_.map(bits).toVector).toVector,
+      "loaded IVF centroids diverge bitwise")
+    val (pqSplit, liveCbs) = ext.Similarity.pqAdmitState(spark, sf)
+    val loadedCbs = ArtifactShelf.pqCodebooks(spark, tmp)
+    assert(loadedCbs.map(_.map(_.map(bits).toVector).toVector).toVector ==
+      liveCbs.map(_.map(_.map(bits).toVector).toVector).toVector,
+      "loaded PQ codebooks diverge bitwise")
+    val (liveRatios, liveUnseen, liveCutW, liveCutId) =
+      ext.Selection.dsirFrozen(spark, sf)
+    assert(ArtifactShelf.dsirRatios(spark, tmp).view
+      .mapValues(bits).toMap == liveRatios.view.mapValues(bits).toMap,
+      "loaded DSIR ratios diverge bitwise")
+    assert(ArtifactShelf.dsirConsts(spark, tmp) match {
+      case (u, w, i) => bits(u) == bits(liveUnseen) &&
+        bits(w) == bits(liveCutW) && i == liveCutId
+    }, "loaded DSIR consts diverge bitwise")
+    val liveNb = ext.Selection.nbFrozen(spark, sf)
+    val loadedNb = ArtifactShelf.nbState(spark, tmp)
+    assert(loadedNb.map { case (c, p, d, t) =>
+      (c, bits(p), bits(d), t.view.mapValues(bits).toMap) } ==
+      liveNb.map { case (c, p, d, t) =>
+        (c, bits(p), bits(d), t.view.mapValues(bits).toMap) },
+      "loaded NB state diverges bitwise")
+    assert(ArtifactShelf.splits(spark, tmp) == Map(
+      "bpe_admit" -> bpeHalf, "keepbest_admit" ->
+        ext.Dedup.keepBestAdmitState(spark, sf)._1,
+      "winnow_admit" -> ext.TextAnalysis.winnowAdmitState(spark, sf)._1,
+      "span_admit" -> ext.Dedup.spanAdmitState(spark, sf)._1,
+      "knn_admit" -> knnSplit, "pq_admit" -> pqSplit),
+      "loaded split ids diverge")
+    // One end-to-end gate from loaded state: the frozen-codebook PQ
+    // encode emits code-for-code what the trainer-built state emits.
+    val e = Tables.embeddings(spark, sf)
+    val fromShelf = ext.Similarity.pqEncode(e, loadedCbs)
+      .collect().map(_.toSeq.toVector).toSet
+    val fromTrainer = ext.Similarity.pqEncode(e, liveCbs)
+      .collect().map(_.toSeq.toVector).toSet
+    assert(fromShelf == fromTrainer,
+      "shelf-loaded PQ gate diverges from the trainer-built gate")
   }
 
   test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {

@@ -370,7 +370,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       "x_ann_ivfpq" -> "ANN search", "x_ann_ivfadc" -> "ANN search",
       "x_ann_ivfadc_admit" -> "IVFADC admission",
       "x_diversity_sample" -> "md5 cap utility, no pair join",
-      "x_emb_quantize" -> "narrow per-row map, no pair join")
+      "x_emb_quantize" -> "narrow per-row map, no pair join",
+      "x_emb_manifest" -> ("data card over the corpus AS GIVEN — the " +
+        "duplication level (n_vecs vs n_distinct_vecs) is part of what " +
+        "it reports, so it must see the raw relation; no pair join"))
     val cleanComposed = registry -- collapseStage -- dirtyBaselines.keySet
     assert(dirtyBaselines.keySet.subsetOf(registry),
       s"declared dirty baselines not in the registry: ${dirtyBaselines.keySet -- registry}")
