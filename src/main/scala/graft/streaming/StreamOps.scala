@@ -1137,6 +1137,119 @@ object StreamOps {
       }
   }
 
+  case class ManifestDoc(doc_id: Long, source: String, lang: String,
+    text: String)
+  case class ManifestCand(source: String, lang: String, h: String,
+    doc_id: Long, ws_tokens: Long, n_chars: Long)
+  case class ManifestInc(source: String, lang: String, doc_id: Long,
+    distinct_inc: Long, ws_tokens: Long, n_chars: Long)
+  case class ManifestState(seen: List[Long])
+
+  /** Streaming corpus-manifest INCREMENTS — the data card
+    * (TextAnalysis.xCorpusManifest) kept live at ingest: each arriving
+    * doc emits one increment row carrying its (source, lang) slice,
+    * token/char volume, and a distinct_inc flag that is 1 iff the doc
+    * is the FIRST arrival of its exact text (the exact-dedup md5 over
+    * simple-lowered trimmed text — the same hash the batch card
+    * counts DISTINCT over), so any downstream rollup of the emitted
+    * rows — a running update-mode aggregate, a periodic batch sum — IS
+    * the batch manifest over everything ingested (parity spec-gated:
+    * rolled-up increments equal xCorpusManifest column-for-column,
+    * shares recomputed by the same integer floor-div). Keyed by
+    * (source, lang, text-hash); state is the seen doc-id list per
+    * DISTINCT text (the dedup-store key-set argument — one long per
+    * ingested doc overall, never the text), which gives BOTH
+    * idempotence levels at once: a replayed doc_id emits nothing (its
+    * id is in state), a new copy of a seen text emits with
+    * distinct_inc = 0. Groups sort by doc_id, so which copy carries
+    * the distinct flag is deterministic across micro-batch splits.
+    */
+  def manifestDocs(docs: Dataset[ManifestDoc]): Dataset[ManifestInc] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .select(col("source"), col("lang"),
+        md5(graft.functions.VectorFunctions.simpleLower(trim(col("text"))))
+          .as("h"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .as[ManifestCand]
+      .groupByKey(c => (c.source, c.lang, c.h))
+      .flatMapGroupsWithState[ManifestState, ManifestInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, String, String), rows: Iterator[ManifestCand],
+         state: GroupState[ManifestState]) =>
+          var seen = if (state.exists) state.get.seen else Nil
+          // O(1) membership per arrival (a dup-heavy stream can put
+          // many copies in one content group; List.contains would be
+          // quadratic across a group's lifetime).
+          val seenSet = scala.collection.mutable.HashSet(seen: _*)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { c =>
+            if (!seenSet.add(c.doc_id)) None
+            else {
+              val first = seen.isEmpty && seenSet.size == 1
+              seen = c.doc_id :: seen
+              Some(ManifestInc(c.source, c.lang, c.doc_id,
+                if (first) 1L else 0L, c.ws_tokens, c.n_chars))
+            }
+          }
+          state.update(ManifestState(seen))
+          out.iterator
+      }
+  }
+
+  case class VecCard(vec_id: Long, label: Int, embedding: Array[Float])
+  case class VecCardInc(label: Int, vec_id: Long, distinct_inc: Long,
+    n_dims: Long, sq_q: Long)
+
+  /** Streaming VECTOR-manifest increments — the embedding data card
+    * (Similarity.xEmbManifest) at ingest, the manifestDocs idiom with
+    * the vector family's content address: keyed by (label,
+    * embContentKey) — the fixed-width 128-bit hash over float bits
+    * with ±0.0 collapsed and NaNs canonicalized, NEVER the embedding
+    * itself (the state-store invariant) — each arriving vector emits
+    * its dim count and exact-integer quantized square-norm mass
+    * (trunc(x²·2²⁴) summed as longs, computed by the SAME Spark
+    * expression the batch card aggregates), with distinct_inc = 1 on
+    * the first arrival of its exact content. Rolled up, the emitted
+    * rows equal xEmbManifest column-for-column (min/max dims from the
+    * per-row dim counts, shares by the same integer floor-div) —
+    * parity spec-gated across micro-batch splits with replays
+    * emitting nothing.
+    */
+  def manifestVectors(vecs: Dataset[VecCard]): Dataset[VecCardInc] = {
+    import vecs.sparkSession.implicits._
+    val withQ = vecs.toDF()
+      .withColumn("sq_q", expr(
+        """aggregate(embedding, 0L, (a, x) ->
+          |  a + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+          |        * 16777216.0D AS BIGINT))""".stripMargin))
+      .withColumn("n_dims", size(col("embedding")).cast("long"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("n_dims"), col("sq_q"))
+      .as[(Long, Int, Array[Float], Long, Long)]
+    withQ.groupByKey(r => (r._2, embContentKey(r._3)))
+      .flatMapGroupsWithState[ManifestState, VecCardInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, (Long, Long)),
+         rows: Iterator[(Long, Int, Array[Float], Long, Long)],
+         state: GroupState[ManifestState]) =>
+          var seen = if (state.exists) state.get.seen else Nil
+          val seenSet = scala.collection.mutable.HashSet(seen: _*)
+          val out = rows.toSeq.sortBy(_._1).flatMap { r =>
+            if (!seenSet.add(r._1)) None
+            else {
+              val first = seen.isEmpty && seenSet.size == 1
+              seen = r._1 :: seen
+              Some(VecCardInc(r._2, r._1, if (first) 1L else 0L,
+                r._4, r._5))
+            }
+          }
+          state.update(ManifestState(seen))
+          out.iterator
+      }
+  }
+
   case class DqRow(row_id: Long, key: Option[Long])
   case class DqState(keeper: Long, maxSeen: Long)
   case class DqVerdict(row_id: Long, key: Option[Long], check: String,

@@ -1421,6 +1421,118 @@ class ExtensionsSpec extends AnyFunSuite {
       "the composed policy must admit at least one doc")
   }
 
+  test("streaming manifest increments roll up to the batch data card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The data card kept live at ingest: stream every doc across two
+    // micro-batches plus a full replay; each doc must emit EXACTLY one
+    // increment (replayed ids emit nothing), and the rolled-up
+    // increments must equal the oracle-gated batch manifest
+    // column-for-column, token shares recomputed by the same integer
+    // floor-div. The stock corpus has no exact-duplicate texts, so
+    // plant 3 copies at fresh ids — the duplication level the card
+    // exists to report (distinct_inc = 0 on the copies).
+    val baseDf = Tables.documents(spark, sf)
+    val maxId = baseDf.agg(max("doc_id")).head.getLong(0)
+    val aug = baseDf.unionByName(baseDf.orderBy("doc_id").limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1L)))
+    val tmp = java.nio.file.Files.createTempDirectory("manifinc").toString
+    aug.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docs = Tables.documents(spark, tmp)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => streaming.StreamOps.ManifestDoc(r.getLong(0),
+        r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.ManifestDoc]
+    val query = streaming.StreamOps.manifestDocs(input.toDS())
+      .writeStream.format("memory").queryName("manifest_inc_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    input.addData(docs.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val incs = spark.sql(
+      """SELECT source, lang, doc_id, distinct_inc, ws_tokens, n_chars
+        |FROM manifest_inc_out""".stripMargin).collect()
+    query.stop()
+    assert(incs.length == docs.length,
+      s"one increment per doc incl. replay: ${incs.length}/${docs.length}")
+    val rolled = incs.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((s, l), rs) =>
+        (s, l) -> ((rs.length.toLong, rs.map(_.getLong(3)).sum,
+          rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum))
+      }
+    val totalToks = rolled.values.map(_._3).sum
+    val batch = ext.TextAnalysis.xCorpusManifest(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(rolled.keySet == batch.keySet,
+      s"slice sets diverge: ${rolled.keySet} vs ${batch.keySet}")
+    rolled.foreach { case (k, (n, nd, wt, nc)) =>
+      assert(batch(k) == ((n, nd, wt, nc, wt * 10000L / totalToks)),
+        s"slice $k: rolled-up increments ${(n, nd, wt, nc,
+          wt * 10000L / totalToks)} != batch card ${batch(k)}")
+    }
+    assert(incs.map(_.getLong(3)).sum == docs.length.toLong - 3L,
+      "exactly the 3 planted copies must carry distinct_inc = 0")
+  }
+
+  test("streaming vector-card increments roll up to the batch embedding card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Plant 2 exact replicas at fresh ids (the stock corpus has none)
+    // so the distinct level the card reports is exercised.
+    val baseV = Tables.embeddings(spark, sf)
+    val maxV = baseV.agg(max("vec_id")).head.getLong(0)
+    val augV = baseV.unionByName(baseV.orderBy("vec_id").limit(2)
+      .withColumn("vec_id", col("vec_id") + lit(maxV + 1L)))
+    val tmpV = java.nio.file.Files.createTempDirectory("veccardinc").toString
+    augV.write.mode("overwrite").parquet(s"$tmpV/embeddings.parquet")
+    val vecs = Tables.embeddings(spark, tmpV).collect()
+      .map(r => streaming.StreamOps.VecCard(r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecCard]
+    val query = streaming.StreamOps.manifestVectors(input.toDS())
+      .writeStream.format("memory").queryName("veccard_inc_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    input.addData(vecs.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val incs = spark.sql(
+      """SELECT label, vec_id, distinct_inc, n_dims, sq_q
+        |FROM veccard_inc_out""".stripMargin).collect()
+    query.stop()
+    assert(incs.length == vecs.length,
+      s"one increment per vector incl. replay: ${incs.length}/${vecs.length}")
+    val rolled = incs.groupBy(_.getInt(0)).map { case (l, rs) =>
+      l -> ((rs.length.toLong, rs.map(_.getLong(2)).sum,
+        rs.map(_.getLong(3)).min, rs.map(_.getLong(3)).max,
+        rs.map(_.getLong(4)).sum))
+    }
+    val totalVecs = rolled.values.map(_._1).sum
+    val batch = ext.Similarity.xEmbManifest(spark, tmpV).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rolled.keySet == batch.keySet,
+      s"label sets diverge: ${rolled.keySet} vs ${batch.keySet}")
+    rolled.foreach { case (l, (n, nd, mnd, mxd, sq)) =>
+      assert(batch(l) == ((n, nd, mnd, mxd, sq, n * 10000L / totalVecs)),
+        s"label $l: rolled-up increments ${(n, nd, mnd, mxd, sq,
+          n * 10000L / totalVecs)} != batch card ${batch(l)}")
+    }
+    assert(incs.map(_.getLong(2)).sum == vecs.length.toLong - 2L,
+      "exactly the 2 planted replicas must carry distinct_inc = 0")
+  }
+
   test("span-cleaned corpus artifact carries the gated hashes' exact text") {
     import spark.implicits._
     // The artifact IS the gated result with its text attached: every
