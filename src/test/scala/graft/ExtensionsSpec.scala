@@ -267,7 +267,13 @@ class ExtensionsSpec extends AnyFunSuite {
         ("ivfpq", 0.6, topSets(ext.Similarity.xAnnIvfPq(spark, sf))),
         // residual codebooks are tighter at the same budget, so the
         // classical IVFADC floor matches the raw-vector composition's
-        ("ivfadc", 0.6, topSets(ext.Similarity.xAnnIvfAdc(spark, sf))))) {
+        ("ivfadc", 0.6, topSets(ext.Similarity.xAnnIvfAdc(spark, sf))),
+        // JL shortlist+rerank: 32-dim ±1 projection at a 20% candidate
+        // fraction — on this near-random-neighbor corpus the projection
+        // noise (~0.18) sits right on the 0.27–0.39 neighbor/bulk gap,
+        // so the floor matches the compressed variants' (measured 0.66
+        // here, rising with corpus size: 0.76 sf0.01, 0.88 sf0.1).
+        ("rp", 0.6, topSets(ext.Similarity.xAnnRp(spark, sf))))) {
       val recalls = exact.map { case (q, ex) =>
         approx.get(q).map(ap => (ap intersect ex).size.toDouble / ex.size).getOrElse(0.0)
       }
@@ -2916,6 +2922,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "batch admission coded nothing")
     assert(streamed == batch,
       s"streaming encode diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
+  test("streaming JL reduction matches the batch projection bitwise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The dimensionality-reduction family's streaming half: the ±1 sign
+    // matrix is compile-time frozen, so the stream is a stateless map —
+    // split the corpus across TWO micro-batches and require
+    // coordinate-for-coordinate (raw double, bitwise) equality with the
+    // gated x_emb_rp_reduce relation; the shared rpProjectWide pass
+    // makes drift structural rather than possible.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.reduceVectors(input.toDS())
+      .writeStream.format("memory").queryName("rp_reduce_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    def rowKey(r: org.apache.spark.sql.Row): Vector[Any] =
+      r.getLong(0) +: (1 to 32).map(i =>
+        java.lang.Double.doubleToLongBits(r.getDouble(i))).toVector
+    val cols = "vec_id, " + (0 until 32).map(j => f"rp_$j%02d").mkString(", ")
+    val streamed = spark.sql(s"SELECT $cols FROM rp_reduce_out")
+      .collect().map(rowKey).toSet
+    query.stop()
+    val batch = ext.Similarity.xEmbRpReduce(spark, sf).collect()
+      .map(rowKey).toSet
+    assert(batch.nonEmpty, "batch projection produced nothing")
+    assert(streamed == batch,
+      s"streaming projection diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
   test("streaming kNN-graph attach matches the batch admission edges") {

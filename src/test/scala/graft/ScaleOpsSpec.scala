@@ -371,6 +371,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       "x_ann_ivfadc_admit" -> "IVFADC admission",
       "x_diversity_sample" -> "md5 cap utility, no pair join",
       "x_emb_quantize" -> "narrow per-row map, no pair join",
+      "x_emb_rp_reduce" -> "narrow per-row map (JL projection), no pair join",
+      "x_ann_rp" -> "ANN search (reduced space)",
       "x_emb_manifest" -> ("data card over the corpus AS GIVEN — the " +
         "duplication level (n_vecs vs n_distinct_vecs) is part of what " +
         "it reports, so it must see the raw relation; no pair join"))
