@@ -22,9 +22,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactShelf {
 
-  /** A DataFrame-shaped artifact, as written. */
-  def table(spark: SparkSession, shelfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$shelfDir/$name")
+  /** Order-independent content fingerprint of an artifact relation:
+    * the wrapping Long sum of xxhash64 over every row (all columns).
+    * Internal INTEGRITY only — never oracle-compared — so the
+    * non-portable xxhash64 is the right tool (one codegen'd pass, no
+    * sort). Used by the build stamp and the load-time skew check.
+    */
+  private[graft] def fingerprint(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    // Sum in DECIMAL(38,0) — a raw long sum of ±2⁶³-range hashes
+    // overflows under ANSI arithmetic; 38 digits hold millions of
+    // them exactly — then fold to a long on the driver.
+    val h = df.select(xxhash64(df.columns.map(col): _*)
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum("h")).head()
+    if (h.isNullAt(0)) 0L
+    else h.getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValueExact()
+  }
+
+  /** A DataFrame-shaped artifact, as written — VERIFIED against the
+    * shelf's build stamp before it is handed to a gate: a shelf whose
+    * artifact was regenerated against different sibling artifacts (a
+    * partial rebuild, a mixed-version deploy — e.g. an `art_splits`
+    * half-point that disagrees with the admission indexes trained on
+    * it) fails loudly here instead of silently emitting wrong
+    * admissions. The stamp scan is one codegen'd pass over an
+    * artifact that is small by design (the shelf holds frozen states,
+    * never corpus-scale relations).
+    */
+  def table(spark: SparkSession, shelfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$shelfDir/$name")
+    if (name != "art_build_stamp") {
+      val stamp = spark.read.parquet(s"$shelfDir/art_build_stamp")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val (wantN, wantFp) = stamp.getOrElse(name, throw new
+        IllegalStateException(s"shelf artifact unstamped: $name at " +
+          s"$shelfDir is not in art_build_stamp — not written by the " +
+          "shelf build that stamped this directory"))
+      val (gotN, gotFp) = (df.count(), fingerprint(df))
+      require(gotN == wantN && gotFp == wantFp,
+        s"shelf artifact version skew: $name at $shelfDir has " +
+          s"($gotN rows, fp $gotFp) but the build stamp recorded " +
+          s"($wantN rows, fp $wantFp) — the artifact was regenerated " +
+          "after the shelf build; rebuild the whole shelf")
+    }
+    df
+  }
 
   /** The per-gate admission split ids (`art_splits`). */
   def splits(spark: SparkSession, shelfDir: String): Map[String, Long] =
@@ -48,8 +93,18 @@ object ArtifactShelf {
       : Array[Array[Double]] = {
     val rows = table(spark, shelfDir, "art_ivf_centroids").collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    // Shape guard: the array dims are INFERRED from the max observed
+    // (cell, pos), so a truncated or partially-written shelf table would
+    // otherwise load silently as zero-filled plausible-but-wrong frozen
+    // state. A dense artifact has exactly k·dims rows — anything else is
+    // an incomplete shelf, and loading it must fail loudly.
+    require(rows.nonEmpty,
+      s"shelf artifact incomplete: art_ivf_centroids at $shelfDir is empty")
     val k = rows.map(_._1).max + 1
     val dims = rows.map(_._2).max + 1
+    require(rows.length == k * dims,
+      s"shelf artifact incomplete: art_ivf_centroids has ${rows.length} " +
+        s"rows, expected k*dims = $k*$dims = ${k * dims}")
     val out = Array.fill(k)(new Array[Double](dims))
     rows.foreach { case (c, p, v) => out(c)(p) = v }
     out
@@ -64,9 +119,17 @@ object ArtifactShelf {
     val rows = table(spark, shelfDir, "art_pq_codebooks").collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
         r.getLong(2).toInt, r.getDouble(3)))
+    // Same shape guard as ivfCentroids: a dense codebook artifact has
+    // exactly m·k·sub rows; inferred-shape zero-fill must never paper
+    // over a partial write.
+    require(rows.nonEmpty,
+      s"shelf artifact incomplete: art_pq_codebooks at $shelfDir is empty")
     val m = rows.map(_._1).max + 1
     val k = rows.map(_._2).max + 1
     val sub = rows.map(_._3).max + 1
+    require(rows.length == m * k * sub,
+      s"shelf artifact incomplete: art_pq_codebooks has ${rows.length} " +
+        s"rows, expected m*k*sub = $m*$k*$sub = ${m * k * sub}")
     val out = Array.fill(m, k)(new Array[Double](sub))
     rows.foreach { case (s, c, p, v) => out(s)(c)(p) = v }
     out

@@ -273,23 +273,25 @@ object Bench {
     // 13.7s BPE-depth-12 run would cost driver minutes for no signal.
     val sweepConfirmMaxWall = 8.0
     val sweep = sweepNames.map { name =>
-      def run(): (Double, String) = {
+      def run(): (Double, Double, String) = {
         spark.catalog.clearCache()
+        val cpu0 = cpuNow()
         val t0 = System.nanoTime()
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.count()
           val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (cpuNow() - cpu0) / 1e9
           // join strategies recorded for the sweep too: single-run walls
           // are too noisy to gate on, but a plan flip IS adjudicable.
-          (wall, try joinStrategies(df) catch { case _: Throwable => "" })
+          (wall, cpu, try joinStrategies(df) catch { case _: Throwable => "" })
         } catch { case e: Throwable =>
           System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
-          (-1.0, "")
+          (-1.0, -1.0, "")
         }
       }
       val first = run()
-      val runs: Seq[(Double, String)] =
+      val runs: Seq[(Double, Double, String)] =
         if (first._1 < 0) Seq(first)
         else if (first._1 < sweepMedianMaxWall)
           first +: (2 to sweepN).map(_ => run())
@@ -301,18 +303,25 @@ object Bench {
         } else Seq(first)
       val ok = runs.filter(_._1 >= 0)
       // Lower median (deterministic for even N); sweepN=1 is exactly the
-      // historical single run.
-      val (w, p) =
-        if (ok.isEmpty) (-1.0, "")
-        else (ok.map(_._1).sorted.apply((ok.size - 1) / 2), ok.last._2)
-      (name, w, p)
+      // historical single run. The reported CPU is the MEDIAN run's CPU
+      // (the run whose wall is reported), so wall and CPU adjudicate the
+      // same execution — per the committed-CPU-band protocol.
+      val (w, c, p) =
+        if (ok.isEmpty) (-1.0, -1.0, "")
+        else {
+          val med = ok.sortBy(_._1).apply((ok.size - 1) / 2)
+          (med._1, med._2, ok.last._3)
+        }
+      (name, w, c, p)
     }
-    val sweepJson = sweep.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
+    val sweepJson = sweep.map { case (k, w, _, _) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
-    val sweepPlans = sweep.collect { case (k, _, p) if p.nonEmpty =>
+    val sweepCpu = sweep.map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val sweepPlans = sweep.collect { case (k, _, _, p) if p.nonEmpty =>
       "\"" + k + "\":\"" + p + "\"" }.mkString("{", ",", "}")
-    val sweepTotal = sweep.collect { case (_, w, _) if w >= 0 => w }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_plans":$sweepPlans,"sweep_total":$sweepTotal,"sweep_n":$sweepN,"errors":$errs,"sf":"$sfDir"}""")
+    val sweepTotal = sweep.collect { case (_, w, _, _) if w >= 0 => w }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"queries":$qs,"cpu":$cpu,"plans":$plans,"sweep":$sweepJson,"sweep_cpu":$sweepCpu,"sweep_plans":$sweepPlans,"sweep_total":$sweepTotal,"sweep_n":$sweepN,"errors":$errs,"sf":"$sfDir"}""")
     // Compact trailing summary: the driver's artifact keeps only the LAST
     // 2,000 chars of output, which truncated BENCH_r06 down to the tail of
     // the cpu map — the wall times and total were lost. This second line is
@@ -340,7 +349,22 @@ object Bench {
     val top5plans = top5rows
       .map { case (k, _, _, p) => "\"" + k + "\":\"" + shortPlan(p) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"n_headline":${results.size},"n_sweep":${sweep.size},"sweep_total":${f"$sweepTotal%.3f"},"sweep_n":$sweepN,"top5":$top5,"top5_cpu":$top5cpu,"top5_plans":$top5plans,"errors":$errs,"sf":"$sfDir"}""")
+    // Sweep digest (the r11 verdict's measurement blind spot): the sweep
+    // total previously recorded plans only, so a sweep-total swing needed
+    // SCALE.md spelunking. The 5 slowest sweep keys ride along with their
+    // median-run CPU and abbreviated plans — a BENCH_rN tail alone can
+    // now adjudicate a sweep swing (flat CPU = host, flip = real).
+    val sweepTop5rows = sweep.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val sweepTop5 = sweepTop5rows
+      .map { case (k, w, _, _) => "\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val sweepTop5cpu = sweepTop5rows
+      .map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val sweepTop5plans = sweepTop5rows
+      .map { case (k, _, _, p) => "\"" + k + "\":\"" + shortPlan(p) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","calibration":$calib,"calibration_short":$calibShort,"n_headline":${results.size},"n_sweep":${sweep.size},"sweep_total":${f"$sweepTotal%.3f"},"sweep_n":$sweepN,"top5":$top5,"top5_cpu":$top5cpu,"top5_plans":$top5plans,"sweep_top5":$sweepTop5,"sweep_top5_cpu":$sweepTop5cpu,"sweep_top5_plans":$sweepTop5plans,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -338,10 +338,25 @@ object Pipeline {
         ("span_admit", spHalf), ("knn_admit", knnSplit),
         ("pq_admit", pqSplit))
         .toDF("gate", "split_id"))
-    arts.map { case (name, df) =>
+    val counts = arts.map { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()
-    }.toMap
+    }
+    // The build STAMP — the version-skew guard: every artifact's row
+    // count and order-independent content fingerprint as WRITTEN by
+    // this one build, persisted last. A shelf whose art_splits
+    // half-point was regenerated against different index artifacts (a
+    // partial rebuild, a mixed-version deploy) no longer matches its
+    // stamp, and ArtifactShelf.table fails loudly instead of letting a
+    // gate silently emit wrong admissions. The fingerprint is internal
+    // integrity (never oracle-compared), so xxhash64 is fine here.
+    val stamp = counts.map { case (name, n) =>
+      (name, n, ArtifactShelf.fingerprint(
+        spark.read.parquet(s"$outDir/$name")))
+    }.toDF("artifact", "n_rows", "fp")
+    stamp.write.mode("overwrite").parquet(s"$outDir/art_build_stamp")
+    (counts :+ ("art_build_stamp" ->
+      spark.read.parquet(s"$outDir/art_build_stamp").count())).toMap
   }
 
   def main(args: Array[String]): Unit = {

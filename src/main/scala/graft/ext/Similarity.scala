@@ -151,8 +151,9 @@ object Similarity {
     * the streaming surface (the keepBestAdmitState rule): a narrow
     * per-row map, no shuffle, O(rows·rpOutDims·dims) inside
     * WholeStageCodegen. At 100 TB this is the cheap front-end that cuts
-    * every downstream distance computation 4× (64→16 dims) — the
-    * standard prefilter before brute-force/ANN re-rank.
+    * every downstream distance computation dims/rpOutDims-fold
+    * (64→`rpOutDims` = 32 dims, 2×) — the standard prefilter before
+    * brute-force/ANN re-rank.
     */
   private[graft] def rpProject(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
@@ -230,8 +231,8 @@ object Similarity {
        |      i -> CAST($vecExpr[i] AS DOUBLE) * (${rpSignList(j)})[i])),
        |    (a, x) -> a + x)""".stripMargin
 
-  /** The rp CTE both generated twins share: vec_id + the 16 projected
-    * coordinates as a DOUBLE list. */
+  /** The rp CTE both generated twins share: vec_id + the `rpOutDims`
+    * projected coordinates as a DOUBLE list. */
   private def rpCteSql: String =
     s"""rp AS (
        |  SELECT vec_id,
@@ -810,23 +811,28 @@ object Similarity {
     * and verified by the exact rounded cosine ≥ 0.8 — the batch
     * operator's verdict, per arriving pair. Pairs colliding in several
     * tables dedup in-batch downstream (StreamOps.screenVectors).
+    * `extra` names pass-through columns of `vecs` carried onto the
+    * candidate rows unchanged — the composed vector ingest gate rides
+    * this SAME construction keyed by its content-key columns, so the
+    * standalone screen and the one-topology gate cannot desync.
     */
   private[graft] def streamScreenCands(vecs: DataFrame,
-      evalIndex: DataFrame): DataFrame = {
+      evalIndex: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val train = vecs
       .filter(TextAnalysis.md5Bucket(100, col("vec_id")) >= 10)
       .withColumn("n1", sqrt(VectorFunctions.dotProduct(
         col("embedding"), col("embedding"))))
     val sig = (0 until nTables).foldLeft(train)((df, t) =>
       df.withColumn(s"s$t", bucketExpr(t)))
-    sig.select(col("vec_id"), col("n1"), col("embedding"),
+    sig.select(col("vec_id") +: extra.map(col) ++: Seq(col("n1"),
+      col("embedding"),
       explode(array((0 until nTables).map(t =>
         (lit(t.toLong * (1L << planesPerTable)) + col(s"s$t")).as("b")): _*))
-        .as("bucket"))
+        .as("bucket")): _*)
       .join(evalIndex, Seq("bucket"))
-      .select(col("vec_id"), col("eval_id"),
+      .select(col("vec_id") +: extra.map(col) ++: Seq(col("eval_id"),
         round(VectorFunctions.dotProduct(col("embedding"), col("v2"))
-          / (col("n1") * col("n2")), 4).as("cosine"))
+          / (col("n1") * col("n2")), 4).as("cosine")): _*)
       .filter(col("cosine") >= lit(0.8))
   }
 
@@ -1592,7 +1598,7 @@ object Similarity {
   // IVF), so a vector compresses to 8 nibble codes. Deliberately small
   // gated params; at 100 TB the standard config is m=16..64, k=256
   // (1 byte/code) — the same code path, and the codebook stays a few KB.
-  private val pqM = 8
+  private[graft] val pqM = 8
   private val pqSub = 8
   private val pqK = 16
 
@@ -1925,11 +1931,13 @@ object Similarity {
   /** The shared frozen-codebook encode pass: m codegen'd
     * nearest_centroid columns over embedding subspaces — one narrow
     * map, O(rows·m·k·sub), no shuffle. ONE implementation behind the
-    * batch admission gate and the streaming encoder.
+    * batch admission gate, the streaming encoder, and (via `extra`
+    * pass-through columns — the streamScreenCands convention) the
+    * composed vector ingest gate.
     */
   private[graft] def pqEncode(df: DataFrame,
-      cbs: Array[Array[Array[Double]]]): DataFrame =
-    df.select(col("vec_id") +: (0 until pqM).map(s =>
+      cbs: Array[Array[Array[Double]]], extra: Seq[String] = Nil): DataFrame =
+    df.select(col("vec_id") +: extra.map(col) ++: (0 until pqM).map(s =>
       VectorFunctions.nearestCentroid(
         expr(s"slice(embedding, ${s * pqSub + 1}, $pqSub)"), cbs(s))
         .cast("long").as(s"c$s")): _*)

