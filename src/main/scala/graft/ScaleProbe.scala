@@ -183,6 +183,163 @@ object ScaleProbe {
     try mw.print(markerWant) finally mw.close()
   }
 
+  /** Build the N× GROWN dir: distinct-content synthetic documents, not
+    * replicas — the measurement the replication probe cannot give for
+    * the df-windowed text family (at 100× identical replication every
+    * fingerprint's df crosses the [2,50] cutoff and the pair graphs
+    * EMPTY, so those rows evidence guard behavior, not growth cost).
+    * Construction (the KrogerDataGen determinism idiom — spark.range +
+    * hash-derived columns, no driver loops, no RNG state): each
+    * synthetic doc draws its 10–99 tokens from the base corpus's
+    * closed vocabulary, with ~20% of tokens salted by the doc's COHORT
+    * (one cohort per base-corpus-size slice of ids). The salt models
+    * vocabulary growth (Heaps' law): winnow grams touching a salted
+    * token are cohort-local, so their df stays in the base corpus's
+    * df regime at any N instead of scaling ∝ N — the pair graph GROWS
+    * ~linearly with cohorts (the realistic shape) rather than emptying
+    * (closed-vocab df blowout) or exploding quadratically
+    * (replication). Langs/sources hash over the base value sets so the
+    * mix/langid/quality stages see the base distributions. Everything
+    * except documents symlinks to the base dir.
+    */
+  private def buildGrownDir(spark: SparkSession, base: String,
+      work: String, nReplicas: Int): Unit = {
+    val marker = new java.io.File(s"$work/_graft_grown_marker")
+    val markerWant = s"$base grown x$nReplicas"
+    val reuse = marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString.trim == markerWant finally src.close()
+    }
+    if (reuse) return
+    new java.io.File(work).mkdirs()
+    val docs = Tables.documents(spark, base)
+    // Bounded collects: the synthetic corpus's closed vocabulary (31
+    // tokens) and the lang/source value sets.
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").distinct().orderBy("t")
+      .collect().map(_.getString(0)).toSeq
+    val langs = docs.select("lang").distinct().orderBy("lang")
+      .collect().map(_.getString(0)).toSeq
+    val sources = docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)).toSeq
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val nBase = docs.count()
+    def pick(seed: Int, values: Seq[String], cols: org.apache.spark.sql.Column*) =
+      element_at(typedlit(values),
+        (pmod(xxhash64((lit(seed) +: cols): _*), lit(values.size)) + 1)
+          .cast("int"))
+    val synth = spark.range((nReplicas - 1L) * nBase)
+      .withColumn("doc_id", col("id") + maxId + 1L)
+      .withColumn("cohort", expr(s"id div $nBase"))
+      .withColumn("len",
+        (pmod(xxhash64(lit(101), col("doc_id")), lit(90)) + 10).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), col("len") - 1), i => {
+          val tok = pick(202, vocab, col("doc_id"), i)
+          when(pmod(xxhash64(lit(404), col("doc_id"), i), lit(5)) === 0,
+            concat(tok, lit("x"), col("cohort"))).otherwise(tok)
+        })))
+      .select(col("doc_id"), col("text"),
+        pick(303, langs, col("doc_id")).as("lang"),
+        pick(505, sources, col("doc_id")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    docs.unionByName(synth)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "lineitem", "embeddings").foreach { t =>
+      val target = new java.io.File(s"$work/$t.parquet")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (target.exists() || java.nio.file.Files.isSymbolicLink(target.toPath)) rm(target)
+      java.nio.file.Files.createSymbolicLink(target.toPath,
+        java.nio.file.Paths.get(s"$base/$t.parquet"))
+    }
+    val mw = new java.io.PrintWriter(marker)
+    try mw.print(markerWant) finally mw.close()
+  }
+
+  /** The grown-corpus probe: times the df-windowed text family at 1×
+    * vs N× DISTINCT-content growth (buildGrownDir) and records row
+    * counts alongside walls, so the SCALE.md table can separate "the
+    * pair graph emptied" (replication) from "the pair graph grew and
+    * cost this much" (growth). Usage:
+    * runMain graft.ScaleProbe grown [base] [work] [replicas] [q1,q2,..]
+    */
+  private def grownMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_grownprobe"
+    val nReplicas = if (args.length > 2) args(2).toInt else 100
+    val defaults = Vector("x_text_winnow_pairs", "x_text_graph_pagerank",
+      "x_text_graph_pagerank_select", "x_text_boilerplate_screen",
+      "x_dedup_keep_best", "x_dedup_keep_best_admit")
+    val probeSet =
+      if (args.length > 3) args(3).split(",").toVector else defaults
+    val unknown = probeSet.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildGrownDir(spark, base, work, nReplicas)
+    def time(dir: String, name: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    time(base, "a2_category_rollup") // warm-up
+    val json = probeSet.map { q =>
+      val (x1, r1) = time(base, q)
+      val (xn, rn) = time(work, q)
+      f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f,"rows_x1":$r1,"rows_x$nReplicas%d":$rn}"""
+    }.mkString("{\"grown\":{", ",", s"},\"replicas\":$nReplicas}")
+    println(json)
+    spark.stop()
+  }
+
+  /** The 100×-recall probe (the r11 verdict's task #7): the three
+    * production ANN shapes' recall gates re-run on the N×-replicated
+    * corpus — inverted lists and code cells N× fuller under the same
+    * replica-exclusion probe the 10× gates use. Usage:
+    * runMain graft.ScaleProbe recall [base] [work] [replicas]
+    */
+  private def recallMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val nReplicas = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildReplicaDir(spark, base, work, nReplicas)
+    spark.catalog.clearCache()
+    val ivf = ext.Similarity.probeRecall5Ivf(spark, work, idShift)
+    spark.catalog.clearCache()
+    // Shortlist fraction held constant (the probeRecall5Pq rationale).
+    val ivfPq = ext.Similarity.probeRecall5IvfPq(spark, work, idShift,
+      32 * nReplicas)
+    spark.catalog.clearCache()
+    val ivfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, idShift,
+      32 * nReplicas)
+    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f},"replicas":$nReplicas}""")
+    spark.stop()
+  }
+
   /** The deployed-shape probe (see main): times the artifact builds
     * once (production ships them per corpus build), then the
     * REPLAY-ONLY operator shapes at 1× and N×, then the full Pipeline
@@ -275,6 +432,11 @@ object ScaleProbe {
     // shapes. Usage: runMain graft.ScaleProbe deployed [base] [work]
     // [replicas]
     if (args.headOption.contains("deployed")) return deployedMain(args.drop(1))
+    // "grown" mode: N× DISTINCT-content growth for the df-windowed
+    // text family (see grownMain). "recall" mode: the production ANN
+    // shapes' recall gates at N× replication (see recallMain).
+    if (args.headOption.contains("grown")) return grownMain(args.drop(1))
+    if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 10
