@@ -198,14 +198,18 @@ object ScaleProbe {
     * df regime at any N instead of scaling ∝ N — the pair graph GROWS
     * ~linearly with cohorts (the realistic shape) rather than emptying
     * (closed-vocab df blowout) or exploding quadratically
-    * (replication). Langs/sources hash over the base value sets so the
+    * (replication). ~5% of synthetic docs are NEAR-COPIES (one token
+    * edited) of another doc in their own cohort — the roughly constant
+    * duplication rate a real crawl carries — so the near-dup/keep-best
+    * pair work grows ∝ N too instead of staying base-scale.
+    * Langs/sources hash over the base value sets so the
     * mix/langid/quality stages see the base distributions. Everything
     * except documents symlinks to the base dir.
     */
   private def buildGrownDir(spark: SparkSession, base: String,
       work: String, nReplicas: Int): Unit = {
     val marker = new java.io.File(s"$work/_graft_grown_marker")
-    val markerWant = s"$base grown x$nReplicas"
+    val markerWant = s"$base grown-v2 x$nReplicas"
     val reuse = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == markerWant finally src.close()
@@ -231,13 +235,31 @@ object ScaleProbe {
     val synth = spark.range((nReplicas - 1L) * nBase)
       .withColumn("doc_id", col("id") + maxId + 1L)
       .withColumn("cohort", expr(s"id div $nBase"))
+      // ~5% near-copies: token stream generated from a TEMPLATE doc in
+      // the same cohort (gen_id), then one position edited below — a
+      // copy-of-a-copy reproduces the template's base stream, so edit
+      // chains stay within 2 tokens of their cluster root.
+      .withColumn("gen_id",
+        when(pmod(xxhash64(lit(606), col("doc_id")), lit(20)) === 0,
+          col("cohort") * nBase +
+            pmod(xxhash64(lit(707), col("doc_id")), lit(nBase)) +
+            (maxId + 1L))
+          .otherwise(col("doc_id")))
       .withColumn("len",
-        (pmod(xxhash64(lit(101), col("doc_id")), lit(90)) + 10).cast("int"))
+        (pmod(xxhash64(lit(101), col("gen_id")), lit(90)) + 10).cast("int"))
+      .withColumn("edit_pos",
+        pmod(xxhash64(lit(808), col("doc_id")), col("len")))
       .withColumn("text", concat_ws(" ",
         transform(sequence(lit(0), col("len") - 1), i => {
-          val tok = pick(202, vocab, col("doc_id"), i)
-          when(pmod(xxhash64(lit(404), col("doc_id"), i), lit(5)) === 0,
+          val tok = pick(202, vocab, col("gen_id"), i)
+          val salted = when(
+            pmod(xxhash64(lit(404), col("gen_id"), i), lit(5)) === 0,
             concat(tok, lit("x"), col("cohort"))).otherwise(tok)
+          // the copy's single edit (no-op when gen_id == doc_id would
+          // still flip one token of the doc's own stream — harmless,
+          // it is its own distinct doc either way)
+          when(col("gen_id") =!= col("doc_id") && i === col("edit_pos"),
+            pick(909, vocab, col("doc_id"), i)).otherwise(salted)
         })))
       .select(col("doc_id"), col("text"),
         pick(303, langs, col("doc_id")).as("lang"),
