@@ -27,7 +27,148 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object StreamStateProbe {
 
+  /** "ingest" mode — state SIZING for the composed one-topology ingest
+    * gates (ingestDocsFull / ingestVectors). Unlike the TTL'd operators
+    * above, admission state is PERMANENT by design (a frozen gate must
+    * remember every verdict it issued — re-admitting a replayed doc
+    * would flip downstream corpora), so the claim to measure is not a
+    * plateau but the SLOPE: exactly ONE state row per ingested doc
+    * (resp. per distinct vector content), at a fixed byte cost — the
+    * executor-memory sizing input for a 100 TB ingest (state rows ∝
+    * corpus, so a deployment budgets bytes/doc × docs, sharded by the
+    * state store the same way the data shuffles). Both structural
+    * gates are `require`d: state rows == docs ingested (== distinct
+    * contents for vectors, dups and replays adding NOTHING), and the
+    * probe prints measured bytes/row for the record.
+    *
+    * Usage: runMain graft.StreamStateProbe ingest [nDocs] [nVecs]
+    */
+  private def ingestMain(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toInt else 5000
+    val nVecs = if (args.length > 1) args(1).toInt else 5000
+    val sf = "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Frozen admission state from the SAME trainers the shelf ships —
+    // sf0.001-sized, localCheckpointed so micro-batches re-join a
+    // materialized static side instead of re-running trainer chains.
+    val (_, spanIdx0) = ext.Dedup.spanAdmitState(spark, sf)
+    val spanIdx = spanIdx0.localCheckpoint()
+    val hubFps = ext.TextAnalysis.boilerplateHubIndex(spark, sf)
+      .localCheckpoint()
+    val cuts = ext.TextAnalysis
+      .mixCuts(ext.TextAnalysis.wsMixToks(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
+    val ratiosDf = ratios.toSeq.toDF("tok", "ln_ratio").localCheckpoint()
+    val nb = ext.Selection.nbFrozen(spark, sf)
+    val nbMeta = nb.map { case (c, p, d, _) => (c, p, d) }
+    val termsDf = nb.flatMap { case (c, _, _, t) =>
+      t.toSeq.map { case (tok, v) => (c, tok, v) } }
+      .toDF("cls", "tok", "term").localCheckpoint()
+    val cents = ext.Similarity.knnAdmitState(spark, sf)._2
+    val cbs = ext.Similarity.pqAdmitState(spark, sf)._2
+    val evalIndex = ext.Similarity.contaminationEvalIndex(spark, sf)
+      .localCheckpoint()
+
+    def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Long, Long) = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) (0L, 0L)
+      else (p.stateOperators(0).numRowsTotal,
+        p.stateOperators(0).memoryUsedBytes)
+    }
+
+    // Doc gate: n synthetic docs (base-lang so the mix branch is live),
+    // fed in id order, then ONE full replay — rows must not move.
+    val docGate = {
+      val input = MemoryStream[streaming.StreamOps.IngestDoc]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ingest_probe_docs").toString
+      val q = streaming.StreamOps.ingestDocsFull(input.toDS(), spanIdx,
+          hubFps, cuts, ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val t0 = new Timestamp(1700000000000L)
+      def doc(k: Int) = streaming.StreamOps.IngestDoc(1000000L + k, t0,
+        s"alpha$k beta$k gamma row scan key value part $k", "en")
+      var i = 0
+      while (i < nDocs) {
+        val hi = math.min(i + 500, nDocs)
+        input.addData((i until hi).map(doc): _*)
+        q.processAllAvailable()
+        i = hi
+      }
+      val (rows, bytes) = stateOf(q)
+      input.addData((0 until math.min(500, nDocs)).map(doc): _*)
+      q.processAllAvailable()
+      val (rowsReplay, _) = stateOf(q)
+      q.stop()
+      (rows, bytes, rowsReplay)
+    }
+    // Vector gate: 90% distinct contents + 10% exact dups, then a
+    // replayed batch — state rows must equal DISTINCT contents both
+    // times (dups and replays share or skip existing state).
+    val vecGate = {
+      val input = MemoryStream[streaming.StreamOps.VecIn]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ingest_probe_vecs").toString
+      val q = streaming.StreamOps
+        .ingestVectors(input.toDS(), cents, cbs, evalIndex)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt).start()
+      def vec(k: Int): streaming.StreamOps.VecIn = {
+        // every 10th vector duplicates its predecessor's content
+        val g = if (k % 10 == 9) k - 1 else k
+        streaming.StreamOps.VecIn(1000000L + k, Array.tabulate(64) { j =>
+          (((g * 64 + j) * 2654435761L % 1000003L).toFloat / 500001.5f) - 1f
+        })
+      }
+      val distinct = (0 until nVecs).count(k => k % 10 != 9)
+      var i = 0
+      while (i < nVecs) {
+        val hi = math.min(i + 500, nVecs)
+        input.addData((i until hi).map(vec): _*)
+        q.processAllAvailable()
+        i = hi
+      }
+      val (rows, bytes) = stateOf(q)
+      input.addData((0 until math.min(500, nVecs)).map(vec): _*)
+      q.processAllAvailable()
+      val (rowsReplay, _) = stateOf(q)
+      q.stop()
+      (rows, bytes, rowsReplay, distinct.toLong)
+    }
+    val (dRows, dBytes, dReplay) = docGate
+    val (vRows, vBytes, vReplay, vDistinct) = vecGate
+    println(s"""{"probe":"ingest_gate_state","n_docs":$nDocs,""" +
+      s""""doc_state_rows":$dRows,"doc_state_bytes":$dBytes,""" +
+      f""""doc_bytes_per_row":${dBytes.toDouble / math.max(1L, dRows)}%.1f,""" +
+      s""""doc_rows_after_replay":$dReplay,""" +
+      s""""n_vecs":$nVecs,"vec_distinct":$vDistinct,""" +
+      s""""vec_state_rows":$vRows,"vec_state_bytes":$vBytes,""" +
+      f""""vec_bytes_per_row":${vBytes.toDouble / math.max(1L, vRows)}%.1f,""" +
+      s""""vec_rows_after_replay":$vReplay}""")
+    require(dRows == nDocs.toLong && dReplay == nDocs.toLong,
+      s"doc gate state must be exactly one row per ingested doc " +
+        s"(got $dRows/$dReplay for $nDocs, replay must add nothing)")
+    require(vRows == vDistinct && vReplay == vDistinct,
+      s"vector gate state must be one row per DISTINCT content " +
+        s"(got $vRows/$vReplay for $vDistinct distinct)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     val nSmall = if (args.nonEmpty) args(0).toInt else 2000
     val spark = SparkSession.builder()
       .master("local[8]")
