@@ -1511,7 +1511,8 @@ object StreamOps {
     embedding: Array[Float])
   case class IngestVecCand(h1: Long, h2: Long, vec_id: Long, kind: Int,
     cell: Long, codes: Seq[Long], eval_id: Long)
-  case class IngestVecState(keeper: Long, emitted: List[Long])
+  case class IngestVecState(keeper: Long, maxSeen: Long,
+    emitted: List[Long])
   case class IngestVecVerdict(vec_id: Long, keeper_id: Long, is_dup: Long,
     cell: Long, codes: Seq[Long], n_flags: Long, admitted: Long)
 
@@ -1547,9 +1548,16 @@ object StreamOps {
     * narrow maps (assign+encode fused in-row), one bounded
     * stream-static hash join (eval index — broadcast-sized between
     * benchmark updates), ONE shuffle to the content-key group; state
-    * is the 16-byte keeper + the emitted ids per distinct content
-    * (one id per vector at steady state — production would TTL the
-    * emitted list by ingest horizon, the dqGate convention).
+    * is the 16-byte keeper + maxSeen + the emitted ids per distinct
+    * content (the manifest ops' seen-id budget: one id per ingested
+    * copy of that content — production would TTL the list by ingest
+    * horizon, the dqGate convention). Replica-flood arithmetic: an
+    * identical-replica flood concentrates ALL its ids into one group —
+    * the ingest gate IS the collapse point — so membership rides the
+    * `maxSeen` fast path: under the nondecreasing contract a fresh
+    * arrival exceeds maxSeen and never scans the list; only genuinely
+    * replayed ids (≤ maxSeen) pay the list walk. Per-arrival work
+    * stays O(1) at any concentration.
     */
   def ingestVectors(vecs: Dataset[VecIn],
       centroids: Array[Array[Double]],
@@ -1580,13 +1588,15 @@ object StreamOps {
         (_: (Long, Long), rows: Iterator[IngestVecCand],
          state: GroupState[IngestVecState]) =>
           var st = if (state.exists) state.get
-            else IngestVecState(Long.MaxValue, Nil)
+            else IngestVecState(Long.MaxValue, Long.MinValue, Nil)
           val out = scala.collection.mutable.Buffer[IngestVecVerdict]()
           // Ascending vec_id, the dedup operator's in-batch order: the
           // running-min keeper reproduces dedupVectorsExactOnline verbatim.
           rows.toSeq.groupBy(_.vec_id).toSeq.sortBy(_._1)
             .foreach { case (id, rs) =>
-              if (!st.emitted.contains(id)) {
+              // maxSeen fast path: ids arrive nondecreasing, so only a
+              // replayed id (≤ maxSeen) ever walks the emitted list.
+              if (id > st.maxSeen || !st.emitted.contains(id)) {
                 if (id < st.keeper) st = st.copy(keeper = id)
                 // The kind-0 narrow map emits one row per arriving vector,
                 // so every vector in the group carries its cell + codes.
@@ -1597,7 +1607,8 @@ object StreamOps {
                 out += IngestVecVerdict(id, st.keeper, isDup, m.cell,
                   m.codes, nFlags,
                   if (isDup == 0L && nFlags == 0L) 1L else 0L)
-                st = st.copy(emitted = id :: st.emitted)
+                st = st.copy(maxSeen = math.max(st.maxSeen, id),
+                  emitted = id :: st.emitted)
               }
             }
           state.update(st)
