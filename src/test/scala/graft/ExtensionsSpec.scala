@@ -1578,6 +1578,81 @@ class ExtensionsSpec extends AnyFunSuite {
       "the composed policy must admit at least one doc")
   }
 
+  test("full-matrix gate survives a checkpoint restart on a real file source, exactly-once") {
+    import spark.implicits._
+    // The production wiring, not MemoryStream: arrivals land as parquet
+    // files, the gate reads them through a file SOURCE, writes verdicts
+    // through a parquet SINK with a checkpoint, is STOPPED cold between
+    // batches, and restarted from the checkpoint — with the second wave
+    // re-delivering part of the first (an at-least-once upstream). The
+    // persisted output must hold exactly ONE verdict per doc, equal to
+    // the straight-through run's rows: state and source offsets both
+    // recover from the checkpoint.
+    val tmp = shelfDir
+    val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
+      .localCheckpoint()
+    val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
+      .localCheckpoint()
+    val cuts = ArtifactShelf.table(spark, tmp, "art_mix_cuts").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ratiosDf = ArtifactShelf.table(spark, tmp, "art_dsir_ratios")
+      .localCheckpoint()
+    val (unseen, cutW, cutId) = ArtifactShelf.dsirConsts(spark, tmp)
+    val nbMeta = ArtifactShelf.nbState(spark, tmp)
+      .map { case (c, p, d, _) => (c, p, d) }
+    val termsDf = ArtifactShelf.table(spark, tmp, "art_nb_terms")
+      .localCheckpoint()
+    val half = ArtifactShelf.splits(spark, tmp)("span_admit")
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => streaming.StreamOps.IngestDoc(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val dirs = java.nio.file.Files.createTempDirectory("ingestfile")
+    val (in, out, ckpt) = (s"$dirs/in", s"$dirs/out", s"$dirs/ckpt")
+    val sch = org.apache.spark.sql.Encoders
+      .product[streaming.StreamOps.IngestDoc].schema
+    def start() = streaming.StreamOps.ingestDocsFull(
+        spark.readStream.schema(sch).parquet(in)
+          .as[streaming.StreamOps.IngestDoc],
+        spanIdx, hubFps, cuts, ratiosDf, unseen, cutW, cutId,
+        nbMeta, termsDf)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    b1.toSeq.toDS().write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // Wave 2: the rest PLUS a re-delivery of the first wave's files.
+    (b2 ++ b1.take(b1.length / 2)).toSeq.toDS()
+      .write.mode("append").parquet(in)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val persisted = spark.read.parquet(out)
+    assert(persisted.count() == arrivals.length.toLong,
+      s"exactly one verdict per doc across the restart: " +
+        s"${persisted.count()}/${arrivals.length}")
+    assert(persisted.select("doc_id").distinct().count()
+      == arrivals.length.toLong, "duplicate doc_id verdicts after restart")
+    // Spot-parity with the in-memory run's policy column: the restart
+    // path must admit the same docs the one-shot topology admits.
+    val restartAdmits = persisted.filter(col("admitted") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.IngestDoc]
+    val qm = streaming.StreamOps.ingestDocsFull(input.toDS(), spanIdx,
+        hubFps, cuts, ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
+      .writeStream.format("memory").queryName("ingest_restart_ref")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); qm.processAllAvailable(); qm.stop()
+    val refAdmits = spark.sql(
+      "SELECT doc_id FROM ingest_restart_ref WHERE admitted = 1")
+      .collect().map(_.getLong(0)).toSet
+    assert(refAdmits.nonEmpty, "vacuous fixture: nothing admitted")
+    assert(restartAdmits == refAdmits,
+      s"restart path admitted ${restartAdmits.size} docs, " +
+        s"one-shot ${refAdmits.size}")
+  }
+
   test("composed vector ingest gate equals the four standalone surfaces shelf-loaded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
