@@ -290,54 +290,92 @@ object Pipeline {
     * materializeVectorCorpus/materializeTrainingCorpus's layers.
     * Returns per-artifact row counts (the build manifest).
     */
+  /** The shelf's REFRESH GROUPS: each gate's artifact relations plus
+    * its `art_splits` row, built TOGETHER by one trainer call — group
+    * granularity is what keeps a partial rebuild consistent by
+    * construction (an index refreshed against a new corpus snapshot
+    * carries its own new split; refreshing the index without the split
+    * is exactly the version skew the build stamp exists to catch).
+    * ONE construction per artifact, shared by the full build and
+    * [[refreshShelfGroup]] (the bpeTrain single-loop rule).
+    */
+  private[graft] val shelfGroups: Vector[String] = Vector("bpe",
+    "keepbest", "winnow", "span", "hub", "mix", "sample",
+    "contamination", "ivf", "pq", "dsir", "nb")
+
+  private def shelfGroup(spark: SparkSession, sfDir: String, group: String)
+      : (Seq[(String, DataFrame)], Seq[(String, Long)]) = {
+    import spark.implicits._
+    group match {
+      case "bpe" =>
+        val (half, merges) = ext.TextAnalysis.admitMergeList(spark, sfDir)
+        (Seq("art_bpe_merges" -> merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1L, a, b) }
+          .toDF("round", "a", "b")),
+          Seq("bpe_admit" -> half))
+      case "keepbest" =>
+        val (half, idx, keepers) = ext.Dedup.keepBestAdmitState(spark, sfDir)
+        (Seq("art_keepbest_index" -> idx, "art_keepbest_keepers" -> keepers),
+          Seq("keepbest_admit" -> half))
+      case "winnow" =>
+        val (half, idx) = ext.TextAnalysis.winnowAdmitState(spark, sfDir)
+        (Seq("art_winnow_admit_index" -> idx), Seq("winnow_admit" -> half))
+      case "span" =>
+        val (half, idx) = ext.Dedup.spanAdmitState(spark, sfDir)
+        (Seq("art_span_admit_index" -> idx), Seq("span_admit" -> half))
+      case "hub" =>
+        (Seq("art_boilerplate_hub_index" ->
+          ext.TextAnalysis.boilerplateHubIndex(spark, sfDir)), Nil)
+      case "mix" =>
+        (Seq("art_mix_cuts" -> ext.TextAnalysis.mixCuts(
+          ext.TextAnalysis.wsMixToks(spark, sfDir))), Nil)
+      case "sample" =>
+        (Seq("art_sample_rates" -> ext.TextAnalysis.sampleRates(
+          Tables.documents(spark, sfDir))), Nil)
+      case "contamination" =>
+        (Seq("art_contamination_eval_index" ->
+          ext.Similarity.contaminationEvalIndex(spark, sfDir)), Nil)
+      case "ivf" =>
+        val (split, cents, _) = ext.Similarity.knnAdmitState(spark, sfDir)
+        (Seq("art_ivf_centroids" ->
+          cents.zipWithIndex.flatMap { case (c, cell) =>
+            c.zipWithIndex.map { case (v, pos) =>
+              (cell.toLong, pos.toLong, v) }
+          }.toSeq.toDF("cell", "pos", "value")),
+          Seq("knn_admit" -> split))
+      case "pq" =>
+        val (split, codebooks) = ext.Similarity.pqAdmitState(spark, sfDir)
+        (Seq("art_pq_codebooks" ->
+          codebooks.zipWithIndex.flatMap { case (sub, m) =>
+            sub.zipWithIndex.flatMap { case (c, cell) =>
+              c.zipWithIndex.map { case (v, pos) =>
+                (m.toLong, cell.toLong, pos.toLong, v) } }
+          }.toSeq.toDF("subspace", "cell", "pos", "value")),
+          Seq("pq_admit" -> split))
+      case "dsir" =>
+        val (ratios, unseen, cutW, cutId) =
+          ext.Selection.dsirFrozen(spark, sfDir)
+        (Seq("art_dsir_ratios" -> ratios.toSeq.toDF("tok", "ln_ratio"),
+          "art_dsir_consts" -> Seq((unseen, cutW, cutId))
+            .toDF("unseen_ratio", "cut_w", "cut_id")), Nil)
+      case "nb" =>
+        val nb = ext.Selection.nbFrozen(spark, sfDir)
+        (Seq("art_nb_classes" -> nb.map { case (c, p, d, _) => (c, p, d) }
+          .toDF("cls", "ln_prior", "unseen_term"),
+          "art_nb_terms" -> nb.flatMap { case (c, _, _, t) =>
+            t.toSeq.map { case (tok, v) => (c, tok, v) } }
+            .toDF("cls", "tok", "term")), Nil)
+      case other => throw new IllegalArgumentException(
+        s"unknown shelf group: $other (one of ${shelfGroups.mkString(", ")})")
+    }
+  }
+
   def materializeFrozenArtifacts(spark: SparkSession, sfDir: String,
       outDir: String): Map[String, Long] = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val (bpeHalf, merges) = ext.TextAnalysis.admitMergeList(spark, sfDir)
-    val (kbHalf, kbIdx, kbKeepers) = ext.Dedup.keepBestAdmitState(spark, sfDir)
-    val (wnHalf, wnIdx) = ext.TextAnalysis.winnowAdmitState(spark, sfDir)
-    val (spHalf, spIdx) = ext.Dedup.spanAdmitState(spark, sfDir)
-    val (knnSplit, cents, _) = ext.Similarity.knnAdmitState(spark, sfDir)
-    val (pqSplit, codebooks) = ext.Similarity.pqAdmitState(spark, sfDir)
-    val (dsirRatios, dsirUnseen, dsirCutW, dsirCutId) =
-      ext.Selection.dsirFrozen(spark, sfDir)
-    val nb = ext.Selection.nbFrozen(spark, sfDir)
-    val arts: Seq[(String, DataFrame)] = Seq(
-      "art_bpe_merges" -> merges.zipWithIndex
-        .map { case ((a, b), i) => (i + 1L, a, b) }.toDF("round", "a", "b"),
-      "art_keepbest_index" -> kbIdx,
-      "art_keepbest_keepers" -> kbKeepers,
-      "art_winnow_admit_index" -> wnIdx,
-      "art_span_admit_index" -> spIdx,
-      "art_boilerplate_hub_index" ->
-        ext.TextAnalysis.boilerplateHubIndex(spark, sfDir),
-      "art_mix_cuts" ->
-        ext.TextAnalysis.mixCuts(ext.TextAnalysis.wsMixToks(spark, sfDir)),
-      "art_sample_rates" -> ext.TextAnalysis.sampleRates(docs),
-      "art_contamination_eval_index" ->
-        ext.Similarity.contaminationEvalIndex(spark, sfDir),
-      "art_ivf_centroids" -> cents.zipWithIndex.flatMap { case (c, cell) =>
-        c.zipWithIndex.map { case (v, pos) => (cell.toLong, pos.toLong, v) }
-      }.toSeq.toDF("cell", "pos", "value"),
-      "art_pq_codebooks" -> codebooks.zipWithIndex.flatMap { case (sub, m) =>
-        sub.zipWithIndex.flatMap { case (c, cell) =>
-          c.zipWithIndex.map { case (v, pos) =>
-            (m.toLong, cell.toLong, pos.toLong, v) } }
-      }.toSeq.toDF("subspace", "cell", "pos", "value"),
-      "art_dsir_ratios" -> dsirRatios.toSeq.toDF("tok", "ln_ratio"),
-      "art_dsir_consts" -> Seq((dsirUnseen, dsirCutW, dsirCutId))
-        .toDF("unseen_ratio", "cut_w", "cut_id"),
-      "art_nb_classes" -> nb.map { case (c, p, d, _) => (c, p, d) }
-        .toDF("cls", "ln_prior", "unseen_term"),
-      "art_nb_terms" -> nb.flatMap { case (c, _, _, t) =>
-        t.toSeq.map { case (tok, v) => (c, tok, v) } }
-        .toDF("cls", "tok", "term"),
-      "art_splits" -> Seq(("bpe_admit", bpeHalf),
-        ("keepbest_admit", kbHalf), ("winnow_admit", wnHalf),
-        ("span_admit", spHalf), ("knn_admit", knnSplit),
-        ("pq_admit", pqSplit))
-        .toDF("gate", "split_id"))
+    val parts = shelfGroups.map(g => shelfGroup(spark, sfDir, g))
+    val arts: Seq[(String, DataFrame)] = parts.flatMap(_._1) :+
+      ("art_splits" -> parts.flatMap(_._2).toDF("gate", "split_id"))
     val counts = arts.map { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()
@@ -357,6 +395,53 @@ object Pipeline {
     stamp.write.mode("overwrite").parquet(s"$outDir/art_build_stamp")
     (counts :+ ("art_build_stamp" ->
       spark.read.parquet(s"$outDir/art_build_stamp").count())).toMap
+  }
+
+  /** Sanctioned PER-GATE shelf refresh — the only way to partially
+    * rebuild a stamped shelf without tripping the version-skew guard:
+    * rebuilds one refresh group's artifacts from the trainers at
+    * `sfDir` (the new corpus snapshot), rewrites its `art_splits` rows
+    * where the gate has one (index and split move TOGETHER — the
+    * consistency the guard exists to protect), and RESTAMPS exactly
+    * the touched artifacts, leaving every other stamp row intact. A
+    * mixed-version shelf produced any other way (hand-replacing one
+    * parquet dir) still fails loudly at load. Production shape:
+    * benchmark updates refresh `contamination`, a new corpus version
+    * refreshes `mix`/`sample` cheaply without re-running the heavy
+    * index trainers, and a scheduled re-train refreshes one admission
+    * gate at a time. Operates on a REAL directory (not a symlink
+    * copy). Returns the refreshed artifacts' row counts.
+    */
+  def refreshShelfGroup(spark: SparkSession, sfDir: String,
+      shelfDir: String, group: String): Map[String, Long] = {
+    import spark.implicits._
+    val (arts, splitUpdates) = shelfGroup(spark, sfDir, group)
+    // Collect the shared tables BEFORE any overwrite (lazy reads over a
+    // path being rewritten would race the delete).
+    val oldSplits = spark.read.parquet(s"$shelfDir/art_splits").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oldStamp = spark.read.parquet(s"$shelfDir/art_build_stamp")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val written = arts.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$shelfDir/$name")
+      name -> spark.read.parquet(s"$shelfDir/$name").count()
+    }
+    val touched = arts.map(_._1) ++ (if (splitUpdates.isEmpty) Nil else {
+      (oldSplits ++ splitUpdates).toSeq.sortBy(_._1)
+        .toDF("gate", "split_id")
+        .write.mode("overwrite").parquet(s"$shelfDir/art_splits")
+      Seq("art_splits")
+    })
+    val newStamp = (oldStamp -- touched) ++ touched.map { n =>
+      val df = spark.read.parquet(s"$shelfDir/$n")
+      n -> ((df.count(), ArtifactShelf.fingerprint(df)))
+    }
+    newStamp.toSeq.sortBy(_._1)
+      .map { case (n, (c, f)) => (n, c, f) }
+      .toDF("artifact", "n_rows", "fp")
+      .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
+    written.toMap
   }
 
   def main(args: Array[String]): Unit = {

@@ -88,9 +88,15 @@ object StreamStateProbe {
         p.stateOperators(0).memoryUsedBytes)
     }
 
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
     // Doc gate: n synthetic docs (base-lang so the mix branch is live),
     // fed in id order, then ONE full replay — rows must not move.
-    val docGate = {
+    val (docGate, docSecs) = timed {
       val input = MemoryStream[streaming.StreamOps.IngestDoc]
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ingest_probe_docs").toString
@@ -118,7 +124,7 @@ object StreamStateProbe {
     // Vector gate: 90% distinct contents + 10% exact dups, then a
     // replayed batch — state rows must equal DISTINCT contents both
     // times (dups and replays share or skip existing state).
-    val vecGate = {
+    val (vecGate, vecSecs) = timed {
       val input = MemoryStream[streaming.StreamOps.VecIn]
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ingest_probe_vecs").toString
@@ -154,10 +160,12 @@ object StreamStateProbe {
       s""""doc_state_rows":$dRows,"doc_state_bytes":$dBytes,""" +
       f""""doc_bytes_per_row":${dBytes.toDouble / math.max(1L, dRows)}%.1f,""" +
       s""""doc_rows_after_replay":$dReplay,""" +
+      f""""doc_ingest_per_s":${nDocs / docSecs}%.0f,""" +
       s""""n_vecs":$nVecs,"vec_distinct":$vDistinct,""" +
       s""""vec_state_rows":$vRows,"vec_state_bytes":$vBytes,""" +
       f""""vec_bytes_per_row":${vBytes.toDouble / math.max(1L, vRows)}%.1f,""" +
-      s""""vec_rows_after_replay":$vReplay}""")
+      s""""vec_rows_after_replay":$vReplay,""" +
+      f""""vec_ingest_per_s":${nVecs / vecSecs}%.0f}""")
     require(dRows == nDocs.toLong && dReplay == nDocs.toLong,
       s"doc gate state must be exactly one row per ingested doc " +
         s"(got $dRows/$dReplay for $nDocs, replay must add nothing)")

@@ -4327,6 +4327,49 @@ class ExtensionsSpec extends AnyFunSuite {
       ArtifactShelf.splits(spark, shelfDir))
   }
 
+  test("per-gate shelf refresh repairs a skewed artifact and restamps only what it touched") {
+    // The skew guard's positive counterpart: refreshShelfGroup is the
+    // sanctioned partial rebuild — group artifacts and their art_splits
+    // rows move together and get restamped; everything else's stamp
+    // rows survive untouched. Start from a REAL copy of the shared
+    // shelf with art_mix_cuts corrupted (loads must fail), refresh the
+    // mix group (loads must pass and equal the trainer), then refresh a
+    // split-bearing group and require the whole shelf still loads.
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory("shelf_refresh").toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    spark.read.parquet(s"$shelfDir/art_mix_cuts")
+      .withColumn("cut_bucket", col("cut_bucket") + 1L)
+      .write.mode("overwrite").parquet(s"$dir/art_mix_cuts")
+    val e = intercept[IllegalArgumentException] {
+      ArtifactShelf.table(spark, dir, "art_mix_cuts")
+    }
+    assert(e.getMessage.contains("version skew"), e.getMessage)
+    val refreshed = Pipeline.refreshShelfGroup(spark, sf, dir, "mix")
+    assert(refreshed.keySet == Set("art_mix_cuts"))
+    val repaired = ArtifactShelf.table(spark, dir, "art_mix_cuts")
+      .collect().map(_.toSeq.toVector).toSet
+    val trainer = ext.TextAnalysis
+      .mixCuts(ext.TextAnalysis.wsMixToks(spark, sf))
+      .collect().map(_.toSeq.toVector).toSet
+    assert(repaired == trainer,
+      "refreshed mix cuts diverge from the trainer's")
+    // A split-bearing group: index AND art_splits move together, both
+    // restamped; the untouched artifacts' stamps survive.
+    Pipeline.refreshShelfGroup(spark, sf, dir, "span")
+    assert(ArtifactShelf.splits(spark, dir) ==
+      ArtifactShelf.splits(spark, shelfDir),
+      "same-corpus refresh must reproduce the split ids")
+    assert(ArtifactShelf.table(spark, dir, "art_span_admit_index").count()
+      == ArtifactShelf.table(spark, shelfDir, "art_span_admit_index").count())
+    assert(ArtifactShelf.table(spark, dir, "art_nb_terms").count() > 0,
+      "untouched artifact must still load through the guard")
+  }
+
   test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
     // The r10 audit's BNLJ:6 cluster: five scalar crossJoins more than
     // needed. The class metadata now rides one exploded literal and
