@@ -382,7 +382,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    buildReplicaDir(spark, base, work, nReplicas)
+    // A work dir carrying a grown-corpus marker is used AS-IS: the
+    // deployed shapes then measure the GROWTH regime (distinct
+    // content) instead of replication — never overwrite a grown dir
+    // with replicas.
+    val grownMarker = new java.io.File(s"$work/_graft_grown_marker")
+    if (!grownMarker.exists()) buildReplicaDir(spark, base, work, nReplicas)
     def timed[T](f: => T): (T, Double) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
