@@ -1753,6 +1753,56 @@ class ExtensionsSpec extends AnyFunSuite {
       "the composed policy must admit at least one vector")
   }
 
+  test("vector gate survives a checkpoint restart on a real file source, exactly-once") {
+    import spark.implicits._
+    // The ingestVectors mirror of the doc restart spec — its state is
+    // the richer IngestVecState (keeper + maxSeen + emitted ids), so
+    // this pins that the recovered state still dedups: wave 2
+    // re-delivers part of wave 1 AND adds a fresh exact duplicate of a
+    // wave-1 vector, which must come back is_dup = 1 against the
+    // RECOVERED keeper.
+    val tmp = shelfDir
+    val cents = ArtifactShelf.ivfCentroids(spark, tmp)
+    val cbs = ArtifactShelf.pqCodebooks(spark, tmp)
+    val evalIndex = ArtifactShelf
+      .table(spark, tmp, "art_contamination_eval_index").localCheckpoint()
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val dupId = stock.last.vec_id + 7
+    val (b1, b2pre) = stock.splitAt(stock.length / 2)
+    val b2 = b2pre :+ streaming.StreamOps.VecIn(dupId, b1.head.embedding)
+    val dirs = java.nio.file.Files.createTempDirectory("vecfile")
+    val (in, out, ckpt) = (s"$dirs/in", s"$dirs/out", s"$dirs/ckpt")
+    val sch = org.apache.spark.sql.Encoders
+      .product[streaming.StreamOps.VecIn].schema
+    def start() = streaming.StreamOps.ingestVectors(
+        spark.readStream.schema(sch).parquet(in)
+          .as[streaming.StreamOps.VecIn],
+        cents, cbs, evalIndex)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    b1.toSeq.toDS().write.mode("append").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    (b2 ++ b1.take(b1.length / 2)).toSeq.toDS()
+      .write.mode("append").parquet(in)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val persisted = spark.read.parquet(out)
+    assert(persisted.count() == stock.length + 1L,
+      s"exactly one verdict per distinct arrival across the restart: " +
+        s"${persisted.count()}/${stock.length + 1}")
+    assert(persisted.select("vec_id").distinct().count()
+      == stock.length + 1L, "duplicate vec_id verdicts after restart")
+    val dup = persisted.filter(col("vec_id") === dupId)
+      .select("keeper_id", "is_dup").head()
+    assert(dup.getLong(1) == 1L && dup.getLong(0) == b1.head.vec_id,
+      s"post-restart duplicate must dedup against the RECOVERED keeper " +
+        s"(got keeper=${dup.getLong(0)}, is_dup=${dup.getLong(1)}, " +
+        s"want keeper=${b1.head.vec_id})")
+  }
+
   test("streaming manifest increments roll up to the batch data card") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
