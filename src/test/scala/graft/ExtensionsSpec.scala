@@ -2619,6 +2619,49 @@ class ExtensionsSpec extends AnyFunSuite {
       "the frozen threshold must admit exactly the batch top-N")
   }
 
+  test("DSIR join arm is invariant to frozen-vocabulary size") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The claim behind the literal arm's ceiling, tested directly: the
+    // term table rides as a RELATION, so growing it 4 orders of
+    // magnitude must change NOTHING but the join's static side — pad
+    // the real ratio relation with 200k filler tokens no document
+    // carries and require bitwise-identical gate output. (The literal
+    // arm at this size would serialize a 200k-entry map into the plan
+    // and the codegen constant pool — the shape the join arm retires.)
+    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
+    val slim = ratios.toSeq.toDF("tok", "ln_ratio")
+    val padded = slim.unionByName(spark.range(200000)
+      .select(concat(lit("zz_filler_"), col("id")).as("tok"),
+        (col("id") % 7).cast("double").as("ln_ratio")))
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
+    def run(name: String, rel: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Option[Double], Long)] = {
+      val input = MemoryStream[streaming.StreamOps.DocIn]
+      val query = streaming.StreamOps
+        .selectDocsJoin(input.toDS(), rel, unseen, cutW, cutId)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(docs.toSeq); query.processAllAvailable()
+      val out = spark.sql(
+        s"SELECT doc_id, n_tokens, dsir_weight, selected FROM $name")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1),
+            Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
+            r.getLong(3)))).toMap
+      query.stop()
+      out
+    }
+    val a = run("dsir_vocab_slim", slim)
+    val b = run("dsir_vocab_padded", padded)
+    assert(a.nonEmpty && a == b,
+      s"gate output moved with vocabulary size: ${a.size} vs ${b.size} " +
+        "rows or differing values")
+  }
+
   test("NB join arm equals the literal arm row-for-row across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
