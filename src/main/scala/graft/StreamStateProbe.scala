@@ -65,9 +65,13 @@ object StreamStateProbe {
     val spanIdx = spanIdx0.localCheckpoint()
     val hubFps = ext.TextAnalysis.boilerplateHubIndex(spark, sf)
       .localCheckpoint()
+    val winnowIdx = ext.TextAnalysis.winnowAdmitState(spark, sf)._2
+      .localCheckpoint()
     val cuts = ext.TextAnalysis
       .mixCuts(ext.TextAnalysis.wsMixToks(spark, sf)).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rates = ext.TextAnalysis.sampleRates(Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
     val ratiosDf = ratios.toSeq.toDF("tok", "ln_ratio").localCheckpoint()
     val nb = ext.Selection.nbFrozen(spark, sf)
@@ -101,7 +105,8 @@ object StreamStateProbe {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ingest_probe_docs").toString
       val q = streaming.StreamOps.ingestDocsFull(input.toDS(), spanIdx,
-          hubFps, cuts, ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
+          hubFps, winnowIdx, cuts, rates, ratiosDf, unseen, cutW, cutId,
+          nbMeta, termsDf)
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt).start()
       val t0 = new Timestamp(1700000000000L)

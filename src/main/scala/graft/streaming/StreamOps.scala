@@ -467,12 +467,20 @@ object StreamOps {
     * xCorpusSample's rollup, split across micro-batches.
     */
   def sampleDocs(docs: Dataset[LangDoc],
-      rates: Map[String, Double]): DataFrame = {
-    val rmap = typedlit(rates)
+      rates: Map[String, Double]): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      when(graft.ext.TextAnalysis.md5Bucket(10000, col("doc_id"))
-          < element_at(rmap, col("lang")) * 10000, lit(1L))
-        .otherwise(lit(0L)).as("kept"))
+      sampleKeptExpr(rates).as("kept"))
+
+  /** The frozen temperature-sampling membership expression over
+    * (doc_id, lang) — ONE construction behind the standalone gate and
+    * the composed ingest topology (the mixKeptExpr rule).
+    */
+  private def sampleKeptExpr(rates: Map[String, Double])
+      : org.apache.spark.sql.Column = {
+    val rmap = typedlit(rates)
+    when(graft.ext.TextAnalysis.md5Bucket(10000, col("doc_id"))
+        < element_at(rmap, col("lang")) * 10000, lit(1L))
+      .otherwise(lit(0L))
   }
 
   /** Streaming token-budget mix gate — the online half of x_corpus_mix
@@ -1383,47 +1391,61 @@ object StreamOps {
 
   case class IngestFullCand(doc_id: Long, kind: Int, span_id: Long,
     h: String, in_idx: Boolean, ntoks: Long, stoks: String, hub_id: Long,
-    lang: String, mix_kept: Long, c4_mask: Long, pos: Option[Long],
-    r: Option[Double], cls: Option[String], term: Option[Double])
+    lang: String, mix_kept: Long, c4_mask: Long, sampled: Long,
+    pos: Option[Long], r: Option[Double], cls: Option[String],
+    term: Option[Double])
   case class IngestFullVerdict(doc_id: Long, lang: String, n_spans: Long,
     n_removed: Long, n_clean_tokens: Long, clean_hash: String,
-    n_hub_flags: Long, mix_kept: Long, c4_fail_mask: Long, c4_keep: Long,
+    n_hub_flags: Long, n_winnow_flags: Long, mix_kept: Long,
+    sampled: Long, c4_fail_mask: Long, c4_keep: Long,
     n_tokens: Long, dsir_weight: Option[Double], dsir_selected: Long,
     nb_pred: String, nb_score: Double, admitted: Long)
 
   /** The FULL-MATRIX composed document ingest gate — [[ingestDocs]]
-    * extended to every frozen admission dimension the shelf holds
-    * (the r11 verdict's task): each arriving doc flows through SIX
-    * verdict branches — duplicated-span cleaning (`art_span_admit_index`),
-    * the boilerplate hub screen (`art_boilerplate_hub_index`), the
-    * stateless mix cut (`art_mix_cuts`) fused in-row with the C4/Gopher
-    * hard-rule mask (a pure narrow map, no artifact needed), the DSIR
-    * weight against the frozen ratio relation (`art_dsir_ratios` +
-    * `art_dsir_consts` — the JOIN arm's vocab-scalable shape, never a
-    * plan literal), and the NB class against the frozen term relation
-    * (`art_nb_terms` + `art_nb_classes`' bounded metadata) — unioned
-    * into one doc_id-keyed candidate stream and folded by the SAME
-    * single stateful stage into one per-doc verdict carrying all six
-    * dimensions. Every branch IS the standalone surface's construction
-    * (spanCandRows / hubCandRows / mixKeptExpr / c4RuleCols /
-    * dsirCandRows+foldDsir / nbCandRows+foldNb — shared code), so the
-    * composed verdicts provably equal the composition of the gated
-    * operators (parity spec-gated, micro-batch-split, shelf-loaded,
-    * replay-idempotent). Admission POLICY: the prep composition's cut
-    * extended by the two hard filters —
-    * admitted = no hub flag AND mix-kept AND NOT span-majority-
-    * duplicated AND C4 mask clean AND DSIR-selected; the NB class rides
-    * as an ANNOTATION (pred + score), the production routing column —
-    * a class-based drop rule would be corpus policy, not engine
-    * semantics, so the gate reports and the caller decides. Scale
-    * shape per micro-batch: four bounded stream-static hash joins
-    * (span index, hub prints, ratio relation, term relation — the
-    * latter two AQE-broadcast while small, shuffled once the
-    * vocabulary is huge) + two narrow maps (mix+C4 fused) + ONE
+    * extended to every frozen DOCUMENT admission dimension the shelf
+    * holds (the r11 verdict's task, + winnow and sampling in r12):
+    * each arriving doc flows through six branch legs carrying EIGHT
+    * verdict dimensions —
+    * duplicated-span cleaning (`art_span_admit_index`), the
+    * boilerplate hub screen (`art_boilerplate_hub_index`), the winnow
+    * substring-dup screen against the admitted fingerprint index
+    * (`art_winnow_admit_index` — the x_text_winnow_admit dimension,
+    * the SAME hubCandRows construction over a different frozen index),
+    * the stateless mix cut (`art_mix_cuts`) fused in-row with the
+    * C4/Gopher hard-rule mask and the temperature-sampling cut
+    * (`art_sample_rates` — three narrow maps, one branch row), the
+    * DSIR weight against the frozen ratio relation (`art_dsir_ratios`
+    * + `art_dsir_consts` — the JOIN arm's vocab-scalable shape, never
+    * a plan literal), and the NB class against the frozen term
+    * relation (`art_nb_terms` + `art_nb_classes`' bounded metadata) —
+    * unioned into one doc_id-keyed candidate stream and folded by the
+    * SAME single stateful stage into one per-doc verdict carrying all
+    * eight columns. Every branch IS the standalone surface's
+    * construction (spanCandRows / hubCandRows / mixKeptExpr /
+    * sampleKeptExpr / c4RuleCols / dsirCandRows+foldDsir /
+    * nbCandRows+foldNb — shared code), so the composed verdicts
+    * provably equal the composition of the gated operators (parity
+    * spec-gated, micro-batch-split, shelf-loaded, replay-idempotent).
+    * The keep-best attach is deliberately NOT folded: its verdict
+    * needs the arriving doc's cluster-quality rank against frozen
+    * keepers — a retention POLICY the prep compositions own, not a
+    * per-doc gate (admitDocsKeepBest is its standalone surface).
+    * Admission POLICY: the prep composition's cut extended by the
+    * hard filters — admitted = no hub flag AND no winnow-dup flag AND
+    * mix-kept AND sampled AND NOT span-majority-duplicated AND C4 mask
+    * clean AND DSIR-selected; the NB class rides as an ANNOTATION
+    * (pred + score), the production routing column — a class-based
+    * drop rule would be corpus policy, not engine semantics, so the
+    * gate reports and the caller decides. Scale shape per micro-batch:
+    * five bounded stream-static hash joins (span index, hub prints,
+    * winnow index, ratio relation, term relation — the latter two
+    * AQE-broadcast while small, shuffled once the vocabulary is huge)
+    * + three fused narrow maps (mix+sample+C4, one branch row) + ONE
     * shuffle to the doc_id group — state one Long per seen doc.
     */
   def ingestDocsFull(docs: Dataset[IngestDoc], spanIdx: DataFrame,
-      hubFps: DataFrame, cuts: Map[String, (Long, Long)],
+      hubFps: DataFrame, winnowIdx: DataFrame,
+      cuts: Map[String, (Long, Long)], sampleRates: Map[String, Double],
       dsirRatios: DataFrame, dsirUnseen: Double, dsirCutW: Double,
       dsirCutId: Long, nbMeta: Seq[(String, Double, Double)],
       nbTerms: DataFrame,
@@ -1433,7 +1455,7 @@ object StreamOps {
     require(nbMeta.nonEmpty, "frozen NB state must carry at least one class")
     val meta = nbMeta.sortBy(_._1)
     val base = docs.toDF()
-    // Typed pads so the five branch schemas union positionally clean.
+    // Typed pads so the six branch schemas union positionally clean.
     val blankSpan = Seq(lit(-1L).as("span_id"), lit("").as("h"),
       lit(false).as("in_idx"), lit(0L).as("ntoks"), lit("").as("stoks"))
     val blankTok = Seq(lit(null).cast("long").as("pos"),
@@ -1445,31 +1467,39 @@ object StreamOps {
         langCol: org.apache.spark.sql.Column,
         mixCol: org.apache.spark.sql.Column,
         c4Col: org.apache.spark.sql.Column,
+        sampleCol: org.apache.spark.sql.Column,
         tokCols: Seq[org.apache.spark.sql.Column]): DataFrame =
       rows.select((col("doc_id") +: lit(kind).as("kind") +: spanCols) ++
         (hubCol.as("hub_id") +: langCol.as("lang") +:
-          mixCol.as("mix_kept") +: c4Col.as("c4_mask") +: tokCols): _*)
+          mixCol.as("mix_kept") +: c4Col.as("c4_mask") +:
+          sampleCol.as("sampled") +: tokCols): _*)
     val spanB = pad(0, spanCandRows(base, spanIdx),
       Seq(col("span_id"), col("h"), col("in_idx"), col("ntoks"),
         col("stoks")),
-      lit(-1L), lit(""), lit(0L), lit(0L), blankTok)
+      lit(-1L), lit(""), lit(0L), lit(0L), lit(0L), blankTok)
     val hubB = pad(1, hubCandRows(base, hubFps), blankSpan,
-      col("hub_id"), lit(""), lit(0L), lit(0L), blankTok)
-    // Mix + C4 fused: both are stateless per-doc narrow maps, so one
-    // branch row carries both verdicts — one union leg fewer to shuffle.
+      col("hub_id"), lit(""), lit(0L), lit(0L), lit(0L), blankTok)
+    // Mix + sample + C4 fused: all three are stateless per-doc narrow
+    // maps, so one branch row carries the three verdicts — two union
+    // legs fewer to shuffle.
     val mixB = pad(2, graft.ext.TextAnalysis.c4RuleCols(base), blankSpan,
-      lit(-1L), col("lang"), mixKeptExpr(cuts), col("fail_mask"), blankTok)
+      lit(-1L), col("lang"), mixKeptExpr(cuts), col("fail_mask"),
+      sampleKeptExpr(sampleRates), blankTok)
     val tokPos = tokPosRows(base)
     val dsirB = pad(3, dsirCandRows(tokPos, dsirRatios), blankSpan,
-      lit(-1L), lit(""), lit(0L), lit(0L),
+      lit(-1L), lit(""), lit(0L), lit(0L), lit(0L),
       Seq(col("pos"), col("r"), lit(null).cast("string").as("cls"),
         lit(null).cast("double").as("term")))
     val nbB = pad(4, nbCandRows(tokPos, nbTerms), blankSpan,
-      lit(-1L), lit(""), lit(0L), lit(0L),
+      lit(-1L), lit(""), lit(0L), lit(0L), lit(0L),
       Seq(col("pos"), lit(null).cast("double").as("r"), col("cls"),
         col("term")))
-    spanB.unionByName(hubB).unionByName(mixB).unionByName(dsirB)
-      .unionByName(nbB).as[IngestFullCand]
+    // The winnow substring-dup screen: the hub branch's construction
+    // verbatim over the admitted fingerprint index.
+    val winB = pad(5, hubCandRows(base, winnowIdx), blankSpan,
+      col("hub_id"), lit(""), lit(0L), lit(0L), lit(0L), blankTok)
+    spanB.unionByName(hubB).unionByName(winB).unionByName(mixB)
+      .unionByName(dsirB).unionByName(nbB).as[IngestFullCand]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[Long, IngestFullVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -1482,12 +1512,16 @@ object StreamOps {
             val sc = foldSpanClean(docId, rs.filter(_.kind == 0).map(c =>
               SpanCand(c.doc_id, c.span_id, c.h, c.in_idx, c.ntoks,
                 c.stoks)))
-            val nHubs = rs.filter(_.kind == 1).groupBy(_.hub_id)
-              .count { case (_, hits) => hits.size >= shareThreshold }
-              .toLong
+            def flagCount(kind: Int): Long =
+              rs.filter(_.kind == kind).groupBy(_.hub_id)
+                .count { case (_, hits) => hits.size >= shareThreshold }
+                .toLong
+            val nHubs = flagCount(1)
+            val nWin = flagCount(5)
             val mix = rs.find(_.kind == 2)
             val mixKept = mix.map(_.mix_kept).getOrElse(0L)
             val c4Mask = mix.map(_.c4_mask).getOrElse(0L)
+            val sampled = mix.map(_.sampled).getOrElse(0L)
             val (nToks, w) = foldDsir(
               rs.filter(_.kind == 3).map(c => DsirCand(c.doc_id, c.pos, c.r)),
               dsirUnseen)
@@ -1495,12 +1529,14 @@ object StreamOps {
               wv > dsirCutW || (wv == dsirCutW && docId <= dsirCutId))
             val (pred, score) = foldNb(meta,
               nbByPos(rs.filter(_.kind == 4).map(c => (c.pos, c.cls, c.term))))
-            val admitted = if (nHubs == 0L && mixKept == 1L &&
+            val admitted = if (nHubs == 0L && nWin == 0L &&
+              mixKept == 1L && sampled == 1L &&
               2L * sc.n_removed <= sc.n_spans && c4Mask == 0L && dsirSel)
               1L else 0L
             Iterator.single(IngestFullVerdict(docId,
               mix.map(_.lang).getOrElse(""), sc.n_spans, sc.n_removed,
-              sc.n_clean_tokens, sc.clean_hash, nHubs, mixKept, c4Mask,
+              sc.n_clean_tokens, sc.clean_hash, nHubs, nWin, mixKept,
+              sampled, c4Mask,
               if (c4Mask == 0L) 1L else 0L, nToks, w,
               if (dsirSel) 1L else 0L, pred, score, admitted))
           }

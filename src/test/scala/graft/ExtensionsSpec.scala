@@ -1457,7 +1457,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "the composed policy must admit at least one doc")
   }
 
-  test("full-matrix ingest gate equals the composed standalone gates on all six dimensions") {
+  test("full-matrix ingest gate equals the composed standalone gates on all eight dimensions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // The r11 verdict's task #3: the production gate consults the WHOLE
@@ -1481,6 +1481,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val nbMeta = nb.map { case (c, p, d, _) => (c, p, d) }
     val termsDf = ArtifactShelf.table(spark, tmp, "art_nb_terms")
       .localCheckpoint()
+    val winnowIdx = ArtifactShelf.table(spark, tmp, "art_winnow_admit_index")
+      .localCheckpoint()
+    val rates = ArtifactShelf.table(spark, tmp, "art_sample_rates")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val half = ArtifactShelf.splits(spark, tmp)("span_admit")
     val arrivals = Tables.documents(spark, sf)
       .filter(col("doc_id") >= half)
@@ -1491,8 +1495,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
     val input = MemoryStream[streaming.StreamOps.IngestDoc]
     val query = streaming.StreamOps
-      .ingestDocsFull(input.toDS(), spanIdx, hubFps, cuts,
-        ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
+      .ingestDocsFull(input.toDS(), spanIdx, hubFps, winnowIdx, cuts,
+        rates, ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
       .writeStream.format("memory").queryName("ingest_full_out")
       .outputMode("append").start()
     input.addData(b1.toSeq)
@@ -1503,7 +1507,8 @@ class ExtensionsSpec extends AnyFunSuite {
     query.processAllAvailable()
     val streamed = spark.sql(
       """SELECT doc_id, lang, n_spans, n_removed, n_clean_tokens,
-        |  clean_hash, n_hub_flags, mix_kept, c4_fail_mask, c4_keep,
+        |  clean_hash, n_hub_flags, n_winnow_flags, mix_kept, sampled,
+        |  c4_fail_mask, c4_keep,
         |  n_tokens, dsir_weight, dsir_selected, nb_pred, nb_score,
         |  admitted
         |FROM ingest_full_out""".stripMargin)
@@ -1511,7 +1516,14 @@ class ExtensionsSpec extends AnyFunSuite {
     query.stop()
     assert(streamed.size == arrivals.length,
       s"one verdict per arrival incl. replay: ${streamed.size}/${arrivals.length}")
-    // The batch composition of the six standalone gated operators.
+    // The batch composition of the eight standalone gated operators.
+    val winFlags = ext.TextAnalysis.xTextWinnowAdmit(spark, sf)
+      .groupBy(col("doc_new")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = streaming.StreamOps.sampleDocs(
+      arrivals.map(d => streaming.StreamOps.LangDoc(d.doc_id, d.lang))
+        .toSeq.toDS(), rates)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val spans = ext.Dedup.xDedupSpanAdmit(spark, sf).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
@@ -1541,31 +1553,38 @@ class ExtensionsSpec extends AnyFunSuite {
         nbMeta, termsDf)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(2), r.getDouble(3)))).toMap
-    // All six dimensions must be active among arrivals so the parity
+    // All eight dimensions must be active among arrivals so the parity
     // cannot go vacuous.
     assert(spans.count(_._2._2 > 0L) > 0 && hubFlags.nonEmpty
+      && winFlags.nonEmpty
       && mixKept.values.sum < arrivals.length
+      && sampled.values.sum < arrivals.length
       && c4.values.exists(_._2 == 0L)
       && dsir.values.exists(_._3 == 1L) && dsir.values.exists(_._3 == 0L)
       && nbPred.values.map(_._1).toSet.size > 1,
-      "all six gate dimensions must be active among arrivals: " +
+      "all eight gate dimensions must be active among arrivals: " +
         s"${spans.count(_._2._2 > 0L)} span-cut, ${hubFlags.size} hub-" +
-        s"flagged, ${mixKept.values.sum}/${arrivals.length} mix-kept, " +
+        s"flagged, ${winFlags.size} winnow-flagged, " +
+        s"${mixKept.values.sum}/${arrivals.length} mix-kept, " +
+        s"${sampled.values.sum}/${arrivals.length} sampled, " +
         s"${c4.values.count(_._2 == 0L)} c4-failed, " +
         s"${dsir.values.count(_._3 == 1L)} dsir-selected, " +
         s"${nbPred.values.map(_._1).toSet.size} predicted classes")
     val expected = arrivals.map { d =>
       val (nSpans, nRemoved, nClean, hash) = spans(d.doc_id)
       val nHubs = hubFlags.getOrElse(d.doc_id, 0L)
+      val nWin = winFlags.getOrElse(d.doc_id, 0L)
       val mk = mixKept(d.doc_id)
+      val smp = sampled(d.doc_id)
       val (c4Mask, c4Keep) = c4(d.doc_id)
       val (nToks, w, sel) = dsir(d.doc_id)
       val (pred, score) = nbPred(d.doc_id)
-      val admitted = if (nHubs == 0L && mk == 1L &&
-        2L * nRemoved <= nSpans && c4Mask == 0L && sel == 1L) 1L else 0L
+      val admitted = if (nHubs == 0L && nWin == 0L && mk == 1L &&
+        smp == 1L && 2L * nRemoved <= nSpans && c4Mask == 0L &&
+        sel == 1L) 1L else 0L
       d.doc_id -> Vector[Any](d.doc_id, d.lang, nSpans, nRemoved, nClean,
-        hash, nHubs, mk, c4Mask, c4Keep, nToks, w.orNull, sel, pred,
-        score, admitted)
+        hash, nHubs, nWin, mk, smp, c4Mask, c4Keep, nToks, w.orNull, sel,
+        pred, score, admitted)
     }.toMap
     val diff = (streamed.keySet ++ expected.keySet)
       .filter(k => streamed.get(k) != expected.get(k))
@@ -1602,6 +1621,10 @@ class ExtensionsSpec extends AnyFunSuite {
       .map { case (c, p, d, _) => (c, p, d) }
     val termsDf = ArtifactShelf.table(spark, tmp, "art_nb_terms")
       .localCheckpoint()
+    val winnowIdx = ArtifactShelf.table(spark, tmp, "art_winnow_admit_index")
+      .localCheckpoint()
+    val rates = ArtifactShelf.table(spark, tmp, "art_sample_rates")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val half = ArtifactShelf.splits(spark, tmp)("span_admit")
     val arrivals = Tables.documents(spark, sf)
       .filter(col("doc_id") >= half)
@@ -1617,8 +1640,8 @@ class ExtensionsSpec extends AnyFunSuite {
     def start() = streaming.StreamOps.ingestDocsFull(
         spark.readStream.schema(sch).parquet(in)
           .as[streaming.StreamOps.IngestDoc],
-        spanIdx, hubFps, cuts, ratiosDf, unseen, cutW, cutId,
-        nbMeta, termsDf)
+        spanIdx, hubFps, winnowIdx, cuts, rates, ratiosDf, unseen,
+        cutW, cutId, nbMeta, termsDf)
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ckpt).start()
     b1.toSeq.toDS().write.mode("append").parquet(in)
@@ -1640,7 +1663,8 @@ class ExtensionsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[streaming.StreamOps.IngestDoc]
     val qm = streaming.StreamOps.ingestDocsFull(input.toDS(), spanIdx,
-        hubFps, cuts, ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
+        hubFps, winnowIdx, cuts, rates, ratiosDf, unseen, cutW, cutId,
+        nbMeta, termsDf)
       .writeStream.format("memory").queryName("ingest_restart_ref")
       .outputMode("append").start()
     input.addData(arrivals.toSeq); qm.processAllAvailable(); qm.stop()
