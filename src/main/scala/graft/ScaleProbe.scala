@@ -358,7 +358,10 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val ivfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, idShift,
       32 * nReplicas)
-    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f},"replicas":$nReplicas}""")
+    spark.catalog.clearCache()
+    val ivfSq8 = ext.Similarity.probeRecall5IvfSq8(spark, work, idShift,
+      32 * nReplicas)
+    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"ivfsq8":$ivfSq8%.2f},"replicas":$nReplicas}""")
     spark.stop()
   }
 
@@ -567,6 +570,15 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val recallIvfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, idShift,
       32 * nReplicas)
+    // SQ8 arms (r13): fixed ~1/254 code distortion regardless of N —
+    // flat SQ8 stresses only the shortlist fraction, IVF+SQ8 adds the
+    // N×-fuller probe walk.
+    spark.catalog.clearCache()
+    val recallSq8 = ext.Similarity.probeRecall5Sq8(spark, work, idShift,
+      32 * nReplicas)
+    spark.catalog.clearCache()
+    val recallIvfSq8 = ext.Similarity.probeRecall5IvfSq8(spark, work, idShift,
+      32 * nReplicas)
     val json = results.map { case (q, (x1, xn)) =>
       f""""$q":{"x1":$x1%.2f,"x$nReplicas%d":$xn%.2f,"ratio":${xn / x1}%.1f}"""
     }.mkString("{\"q\":{", ",",
@@ -580,6 +592,8 @@ object ScaleProbe {
       f",\"pq_seedh_recall5_x$nReplicas%d\":$recallPqSeedh%.2f" +
       f",\"ivfpq_recall5_x$nReplicas%d\":$recallIvfPq%.2f" +
       f",\"ivfadc_recall5_x$nReplicas%d\":$recallIvfAdc%.2f" +
+      f",\"sq8_recall5_x$nReplicas%d\":$recallSq8%.2f" +
+      f",\"ivfsq8_recall5_x$nReplicas%d\":$recallIvfSq8%.2f" +
       f",\"ann_capped64_probe_s\":$tCap%.2f}")
     println(json)
     require(recall >= 0.8,
@@ -604,6 +618,12 @@ object ScaleProbe {
       f"IVF+PQ recall@5 degraded to $recallIvfPq%.2f at $nReplicas× replication")
     require(recallIvfAdc >= 0.5,
       f"IVFADC recall@5 degraded to $recallIvfAdc%.2f at $nReplicas× replication")
+    // SQ8's distortion doesn't grow with N, so it holds the
+    // uncompressed variants' floor; IVF+SQ8 is probe-walk-capped.
+    require(recallSq8 >= 0.8,
+      f"SQ8 recall@5 degraded to $recallSq8%.2f at $nReplicas× replication")
+    require(recallIvfSq8 >= 0.8,
+      f"IVF+SQ8 recall@5 degraded to $recallIvfSq8%.2f at $nReplicas× replication")
     spark.stop()
   }
 }

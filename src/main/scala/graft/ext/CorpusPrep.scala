@@ -300,6 +300,99 @@ object CorpusPrep {
       .distinct()
   }
 
+  /** Per-stage DROP-ATTRIBUTION AUDIT of the screened production
+    * pipeline — the FULL/SCREEN arms' auditability argument ("every
+    * drop traces to exactly one gated operator") promoted to a
+    * first-class relation: every document in the RAW pool is attributed
+    * to the FIRST stage that drops it, in the screen arm's composition
+    * order (exact dedup → keep-best near-dup retention → eval-source
+    * exclusion → language → quality → contamination → substring dedup →
+    * DSIR selection → boilerplate screen), and the funnel rolls up to
+    * per-stage drop counts. This is the production "why did my corpus
+    * shrink 40%?" debugging surface — at 100 TB you cannot re-run the
+    * pipeline per question, so the attribution ships WITH the corpus
+    * (next to the data-card manifest). Because the stages are
+    * independent corpus-wide verdicts (the FULL arm's design), the
+    * attribution is pure CASE priority over the gated operators' OWN
+    * shared verdict constructions (dedupCorpus / keepBestVerdicts /
+    * winnowSubLosers / xDsirSelect / screenLosers — never
+    * re-derivations), so the 'kept' row equals the screen arm's
+    * survivor set BY CONSTRUCTION, and the spec pins it doc-for-doc.
+    * Cost: the screen arm's audit shape plus id-keyed flag joins —
+    * every join ships 8-byte ids, the text is read only by the stages
+    * themselves.
+    */
+  def xLlmCorpusPrepAudit(spark: SparkSession, dir: String): DataFrame = {
+    val per = auditCorpus(spark, dir)
+    per.groupBy(col("stage_ord"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage_ord")
+  }
+
+  private[graft] val auditStages: Seq[String] = Seq(
+    "exact_dup", "near_dup", "eval_source", "lang", "quality",
+    "contamination", "substring_dup", "dsir", "boilerplate", "kept")
+
+  /** The per-document attribution relation behind the audit rollup
+    * (the spec inspects it doc-by-doc against screenedCorpus). */
+  private[graft] def auditCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val labels = Dedup.connectedComponents(pairs)._1
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.select("doc_id").distinct().withColumn(name, lit(1))
+    docs.select(col("doc_id"), col("source"))
+      .join(flag(Dedup.dedupCorpus(docs), "f_exact_keep"), Seq("doc_id"), "left")
+      .join(flag(Dedup.keepBestVerdicts(docs, labels)
+        .filter(col("kept") === 0L), "f_near_lose"), Seq("doc_id"), "left")
+      .join(predLang(spark, docs), Seq("doc_id"))
+      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
+      .join(contamination(docs), Seq("doc_id"), "left")
+      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+      .join(flag(winnowSubLosers(spark, dir), "f_winnow"), Seq("doc_id"), "left")
+      .join(flag(Selection.xDsirSelect(spark, dir)
+        .filter(col("selected") === 1L), "f_dsir_sel"), Seq("doc_id"), "left")
+      .join(flag(screenLosers(spark, dir), "f_screen"), Seq("doc_id"), "left")
+      .withColumn("stage_ord",
+        when(col("f_exact_keep").isNull, lit(0L))
+          .when(col("f_near_lose") === 1, lit(1L))
+          .when(col("source") === "src0", lit(2L))
+          .when(col("pred_lang") === "und", lit(3L))
+          .when(col("quality_score") < 0.4, lit(4L))
+          .when(col("contamination") > 0.2, lit(5L))
+          .when(col("f_winnow") === 1, lit(6L))
+          .when(col("f_dsir_sel").isNull, lit(7L))
+          .when(col("f_screen") === 1, lit(8L))
+          .otherwise(lit(9L)))
+      .withColumn("stage",
+        element_at(typedlit(auditStages), col("stage_ord").cast("int") + 1))
+  }
+
+  /** Corpus VERSION DIFF — the data-versioning surface a production
+    * corpus registry publishes when a pipeline policy changes: v1 = the
+    * flagship policy's survivor set (min-id near-dup retention, no
+    * substring/DSIR stages — trainingCorpus), v2 = the production FULL
+    * policy's (keep-best retention + substring dedup + DSIR selection).
+    * One full-outer join on 8-byte ids: docs only in v1 are 'removed'
+    * by the upgrade, only in v2 'added' (keep-best retains a different
+    * cluster member than min-id — a doc the old corpus never had),
+    * both 'unchanged'. At 100 TB this runs over the two PERSISTED
+    * survivor-id relations (the Pipeline artifacts), not by recomputing
+    * the chains as the audit-shaped gate here does — the diff itself is
+    * one id-keyed join either way.
+    */
+  def xCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = trainingCorpus(spark, dir).select(col("doc_id").as("v1_id"))
+    val v2 = fullCorpus(spark, dir).select(col("doc_id").as("v2_id"))
+    v1.join(v2, col("v1_id") === col("v2_id"), "full_outer")
+      .select(coalesce(col("v1_id"), col("v2_id")).as("doc_id"),
+        when(col("v2_id").isNull, "removed")
+          .when(col("v1_id").isNull, "added")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
     "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
@@ -307,7 +400,9 @@ object CorpusPrep {
     "x_llm_corpus_prep_dsir" -> (xLlmCorpusPrepDsir _),
     "x_llm_corpus_prep_keepbest" -> (xLlmCorpusPrepKeepBest _),
     "x_llm_corpus_prep_full" -> (xLlmCorpusPrepFull _),
-    "x_llm_corpus_prep_screen" -> (xLlmCorpusPrepScreen _))
+    "x_llm_corpus_prep_screen" -> (xLlmCorpusPrepScreen _),
+    "x_llm_corpus_prep_audit" -> (xLlmCorpusPrepAudit _),
+    "x_corpus_diff" -> (xCorpusDiff _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
@@ -323,6 +418,26 @@ object CorpusPrep {
   private def llmCorpusPrepOracleSql(extraCtes: String = "",
       extraWhere: String = "",
       neardupCtes: String = "",
+      neardupLosers: String = "SELECT doc_id FROM lab WHERE doc_id <> cluster_id"): String =
+    llmCorpusPrepPrelude(neardupCtes, neardupLosers) + extraCtes + "\n" +
+      s"""SELECT CASE WHEN bucket < 80 THEN 'train'
+         |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  pred_lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  MIN(quality_score) AS min_quality,
+         |  MAX(quality_score) AS max_quality
+         |FROM scored
+         |WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2$extraWhere
+         |GROUP BY 1, 2
+         |ORDER BY split, pred_lang""".stripMargin
+
+  /** The shared prelude of every llm-prep twin (everything through the
+    * `scored` CTE) — split out of llmCorpusPrepOracleSql so the AUDIT
+    * and DIFF twins (whose final SELECTs differ from the rollup) compose
+    * the same chain; the rollup generator's output is byte-identical to
+    * its pre-split text (the OracleDump refactor rule).
+    */
+  private def llmCorpusPrepPrelude(neardupCtes: String = "",
       neardupLosers: String = "SELECT doc_id FROM lab WHERE doc_id <> cluster_id"): String =
     s"""WITH RECURSIVE gsrc AS (
         |  SELECT DISTINCT doc_id, source, gram FROM (
@@ -397,17 +512,7 @@ object CorpusPrep {
         |  FROM keep k
         |  JOIN pred p ON k.doc_id = p.doc_id
         |  JOIN qual q ON k.doc_id = q.doc_id
-        |  LEFT JOIN cont ON k.doc_id = cont.doc_id)$extraCtes
-        |SELECT CASE WHEN bucket < 80 THEN 'train'
-        |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        |  pred_lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |  MIN(quality_score) AS min_quality,
-        |  MAX(quality_score) AS max_quality
-        |FROM scored
-        |WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2$extraWhere
-        |GROUP BY 1, 2
-        |ORDER BY split, pred_lang""".stripMargin
+        |  LEFT JOIN cont ON k.doc_id = cont.doc_id)""".stripMargin
 
   /** The winnow-stage splice: the shared fingerprint chain + the
     * prefixed ("w") pair-join CTEs from TextAnalysis — the SAME
@@ -518,7 +623,80 @@ object CorpusPrep {
        |  SELECT doc_id FROM scrn
        |  WHERE n_shared >= ${TextAnalysis.winnowShareThreshold})""".stripMargin
 
+  /** The audit twin: the screen twin's full prelude + splices (keep-best
+    * retention, winnow, DSIR, screen — the same generated pieces), with
+    * the final SELECT swapped for the first-drop CASE over ALL documents
+    * and the per-stage rollup. The CASE arms read each stage's own CTE
+    * (exact / kranked / source / pred / qual / cont / wlosers / qsel /
+    * sdrop) in the Spark side's priority order.
+    */
+  private def llmCorpusPrepAuditOracleSql: String = {
+    val stageCase = auditStages.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+    llmCorpusPrepPrelude(
+      neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
+      neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1") +
+      winnowStageCtes + dsirStageCtes + screenStageCtes + ",\n" +
+      s"""aud AS (
+         |  SELECT d.doc_id,
+         |    CASE
+         |      WHEN d.doc_id NOT IN (SELECT doc_id FROM exact) THEN 0
+         |      WHEN d.doc_id IN (SELECT doc_id FROM kranked WHERE rn <> 1) THEN 1
+         |      WHEN d.source = 'src0' THEN 2
+         |      WHEN p.pred_lang = 'und' THEN 3
+         |      WHEN q.quality_score < 0.4 THEN 4
+         |      WHEN COALESCE(ct.contamination, 0.0) > 0.2 THEN 5
+         |      WHEN d.doc_id IN (SELECT doc_id FROM wlosers) THEN 6
+         |      WHEN d.doc_id NOT IN (SELECT doc_id FROM qsel) THEN 7
+         |      WHEN d.doc_id IN (SELECT doc_id FROM sdrop) THEN 8
+         |      ELSE 9 END AS so
+         |  FROM documents d
+         |  JOIN pred p ON d.doc_id = p.doc_id
+         |  JOIN qual q ON d.doc_id = q.doc_id
+         |  LEFT JOIN cont ct ON d.doc_id = ct.doc_id)
+         |SELECT CAST(so AS BIGINT) AS stage_ord,
+         |  CASE so $stageCase END AS stage,
+         |  COUNT(*) AS n_docs
+         |FROM aud GROUP BY so ORDER BY stage_ord""".stripMargin
+  }
+
+  /** The diff twin: ONE chain holding both policies — the prelude built
+    * with the keep-best retention (its `scored` = v2's candidates) plus
+    * a v1 (min-id retention, no extra stages) candidate chain over the
+    * SAME shared CTEs, full-outer joined.
+    */
+  private def corpusDiffOracleSql: String =
+    llmCorpusPrepPrelude(
+      neardupCtes = "\n" + Dedup.keepBestRankCtes("k") + ",",
+      neardupLosers = "SELECT doc_id FROM kranked WHERE rn <> 1") +
+      winnowStageCtes + dsirStageCtes + ",\n" +
+      """keep1 AS (
+        |  SELECT d.doc_id FROM documents d
+        |  JOIN exact e ON d.doc_id = e.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |    AND d.source <> 'src0'),
+        |v1 AS (
+        |  SELECT k.doc_id FROM keep1 k
+        |  JOIN pred p ON k.doc_id = p.doc_id
+        |  JOIN qual q ON k.doc_id = q.doc_id
+        |  LEFT JOIN cont ct ON k.doc_id = ct.doc_id
+        |  WHERE p.pred_lang <> 'und' AND q.quality_score >= 0.4
+        |    AND COALESCE(ct.contamination, 0.0) <= 0.2),
+        |v2 AS (
+        |  SELECT doc_id FROM scored
+        |  WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2
+        |    AND doc_id NOT IN (SELECT doc_id FROM wlosers)
+        |    AND doc_id IN (SELECT doc_id FROM qsel))
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.doc_id IS NULL THEN 'added'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x_llm_corpus_prep_audit" -> llmCorpusPrepAuditOracleSql,
+    "x_corpus_diff" -> corpusDiffOracleSql,
     "x_llm_corpus_prep" -> llmCorpusPrepOracleSql(),
     "x_llm_corpus_prep_winnow" -> llmCorpusPrepOracleSql(
       extraCtes = winnowStageCtes,

@@ -358,6 +358,21 @@ object Similarity {
     meanRecall5(knnBruteForce(spark, dir, replicaShift),
       annIvfAdc(spark, dir, replicaShift, shortlist))
 
+  /** Flat SQ8 under the same probe (shortlist scaled like PQ's — the
+    * candidate-fraction rationale). */
+  def probeRecall5Sq8(spark: SparkSession, dir: String, replicaShift: Long,
+      shortlist: Int = sq8Shortlist): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annSq8(spark, dir, replicaShift, shortlist))
+
+  /** IVF+SQ8 under the same probe: inverted lists fill N× while the
+    * int8 codes keep their fixed ~1/254 distortion — isolates the probe
+    * walk's contribution from the compression's. */
+  def probeRecall5IvfSq8(spark: SparkSession, dir: String, replicaShift: Long,
+      shortlist: Int = sq8Shortlist): Double =
+    meanRecall5(knnBruteForce(spark, dir, replicaShift),
+      annIvfSq8(spark, dir, replicaShift, shortlist))
+
   private def meanRecall5(exactDf: DataFrame, approxDf: DataFrame): Double = {
     def tops(df: DataFrame): Map[Long, Set[Long]] = df.collect()
       .groupBy(_.getAs[Long]("query_id"))
@@ -1551,9 +1566,7 @@ object Similarity {
     */
   def xEmbQuantize(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
-          .as("codes"))
+      .select(col("vec_id"), sq8Codes("embedding").as("codes"))
       .select(col("vec_id"),
         size(col("codes")).cast("long").as("n_dims"),
         expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
@@ -1749,6 +1762,104 @@ object Similarity {
           (a, b) => (a - b) * (a - b)),
         lit(0d), (acc, x) => acc + x)
     }.reduce(_ + _)
+
+  // SQ8 shortlist size: same regime as pqShortlist (the ADC comment
+  // applies verbatim — on this gap-poor corpus the candidate FRACTION
+  // is what holds recall, so probe arms scale it with replication).
+  private val sq8Shortlist = 32
+
+  /** THE int8 quantize expression — ONE builder (the bpeTrain rule)
+    * behind the gated x_emb_quantize summary and both SQ8 search ops:
+    * code_i = clamp(floor(x_i·127 + 0.5), −127, 127) as a BIGINT list.
+    * Every step is exact IEEE on exactly-widened floats (floor, not
+    * cast — the engine-divergent double→int rounding gotcha), so codes
+    * are bitwise identical in any engine.
+    */
+  private[ext] def sq8Codes(vecCol: String): org.apache.spark.sql.Column =
+    expr(s"transform($vecCol, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
+
+  /** The integer-dot compressed-domain shortlist shared by flat SQ8 and
+    * IVF+SQ8: Σ qc_i·cc_i over the BIGINT code lists (|Σ| ≤ 64·127² ≈
+    * 10⁶ — no overflow at any realistic dims), top-`shortlist` per query
+    * by (idot DESC, neighbor_id). Exact longs: the ranking is portable
+    * BY CONSTRUCTION, with no float fold order to pin — stronger than
+    * the ADC path's pinned-order doubles.
+    */
+  private def sq8Shortlisted(cand: DataFrame, shortlist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("neighbor_id"))
+    cand
+      .withColumn("idot",
+        expr("aggregate(zip_with(qc, cc, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"))
+      .withColumn("sq_rank", row_number().over(w))
+      .filter(col("sq_rank") <= shortlist)
+  }
+
+  /** Scalar-quantized (SQ8) ANN — the int8 compression column's SEARCH
+    * member, completing the compression matrix next to PQ (the FAISS
+    * IndexScalarQuantizer/SQ8 position: the memory-bound-but-recall-
+    * sensitive middle ground between raw floats and PQ's 32×): corpus
+    * and queries are quantized by the ONE x_emb_quantize expression
+    * (4× smaller scans, and the scan arithmetic becomes pure
+    * int8×int8→int accumulate — the SIMD-friendly form production
+    * engines ship SQ8 for), the compressed-domain score is the exact
+    * integer dot product (unit-norm embeddings make it track cosine),
+    * and the shared exact re-rank tail restores ranking precision.
+    *
+    * Scale shape: FLAT SQ8 — one narrow broadcast pass over the coded
+    * corpus (O(N·dims) byte MACs at ~4× the float path's effective
+    * memory bandwidth), then an O(Q·shortlist) exact tail. For
+    * sublinear scans compose with the IVF coarse quantizer — gated as
+    * x_ann_ivfsq8.
+    */
+  def xAnnSq8(spark: SparkSession, dir: String): DataFrame =
+    annSq8(spark, dir, 0L)
+
+  private[ext] def annSq8(spark: SparkSession, dir: String,
+      replicaShift: Long, shortlist: Int = sq8Shortlist): DataFrame = {
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v2"),
+      col("nrm").as("n2"), sq8Codes("embedding").as("cc"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"),
+        col("nrm").as("n1"), sq8Codes("embedding").as("qc"))
+    rerankTopK(sq8Shortlisted(
+        c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .filter(keepNeighbor(replicaShift)), shortlist)
+      .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
+  }
+
+  /** IVF+SQ8 composed ANN — the coarse quantizer routes each query to
+    * its nProbe=4 nearest cells and the integer-dot scan runs over the
+    * probed inverted lists only (an equi-join on cell, never a corpus
+    * scan), then shortlist → exact re-rank: the sublinear production
+    * shape for the SQ8 column, mirroring x_ann_ivfpq's plumbing with
+    * the ADC scan swapped for the exact-integer dot. A candidate
+    * reachable through several probed cells enters the ranking once
+    * (the IVF+PQ dedup rule — its code list is cell-independent).
+    */
+  def xAnnIvfSq8(spark: SparkSession, dir: String): DataFrame =
+    annIvfSq8(spark, dir, 0L)
+
+  private[ext] def annIvfSq8(spark: SparkSession, dir: String,
+      replicaShift: Long, shortlist: Int = sq8Shortlist): DataFrame = {
+    val nProbe = 4
+    val (assigned, refined) = ivfAssigned(spark, dir)
+    val coded = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
+      col("v").as("v2"), col("nrm").as("n2"), sq8Codes("embedding").as("cc"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("v1"),
+        col("nrm").as("n1"), sq8Codes("embedding").as("qc"),
+        explode(VectorFunctions.nearestCells(col("embedding"), refined, nProbe))
+          .as("cell"))
+    rerankTopK(sq8Shortlisted(
+        broadcast(q).join(coded, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .filter(keepNeighbor(replicaShift))
+          .dropDuplicates("query_id", "neighbor_id"), shortlist)
+      .select("query_id", "neighbor_id", "v1", "n1", "v2", "n2"), 5)
+  }
 
   /** IVF+PQ composed ANN — the production sublinear search shape for a
     * 100 TB vector corpus: the coarse quantizer routes each query to its
@@ -1973,6 +2084,11 @@ object Similarity {
     "x_ann_pq_seedh"   -> ((s: SparkSession, d: String) =>
       annPq(s, d, 0L, pqShortlist, 1, hashSpread = true)),
     "x_ann_ivfpq"      -> (xAnnIvfPq _),
+    // SQ8 search: the int8 compression column's flat and IVF-composed
+    // search members — integer-dot shortlist (exact longs, portable by
+    // construction) + the shared exact re-rank tail.
+    "x_ann_sq8"        -> (xAnnSq8 _),
+    "x_ann_ivfsq8"     -> (xAnnIvfSq8 _),
     "x_ann_pq_admit"   -> (xAnnPqAdmit _),
     "x_ann_ivfadc"     -> (xAnnIvfAdc _),
     "x_ann_ivfadc_admit" -> (xAnnIvfAdcAdmit _),
@@ -3116,6 +3232,86 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The sq8 code-list CTE over `e` — the x_emb_quantize twin's
+    * expression verbatim (already DOUBLE[] in `e.v`, so no cast). */
+  private def sq8CodesCte: String =
+    """sq8 AS (
+      |  SELECT vec_id,
+      |    list_transform(v,
+      |      x -> CAST(greatest(least(floor(x * 127 + 0.5), 127), -127) AS BIGINT)) AS cc
+      |  FROM e)""".stripMargin
+
+  /** Exact integer dot between two BIGINT code lists — a fixed fold of
+    * exact longs, portable with no rounding pin (see xAnnSq8). */
+  private def sq8DotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, $dims), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** The SQ8 shortlist → exact-re-rank tail: callers provide the `idp`
+    * CTE (query_id, neighbor_id, idot). */
+  private def sq8RerankTail: String =
+    s"""short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY idot DESC, neighbor_id) AS sq_rank
+       |    FROM idp) WHERE sq_rank <= $sq8Shortlist),
+       |pairs AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine_raw
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(cosine_raw, 6) DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, round(cosine_raw, 4) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The DuckDB twin of xAnnSq8: quantize everyone with the shared
+    * expression, integer-dot every non-self candidate, shortlist, exact
+    * re-rank. */
+  private def annSq8OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |$sq8CodesCte,
+       |idp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${sq8DotSql("q.cc", "c.cc")} AS idot
+       |  FROM sq8 q
+       |  JOIN sq8 c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |$sq8RerankTail""".stripMargin
+
+  /** The DuckDB twin of xAnnIvfSq8: the IVF quantizer chain (probe walk
+    * from its final-round distances — the annIvfPq twin's CTE), sq8
+    * codes, candidates restricted to probed cells' inverted lists,
+    * integer-dot shortlist, exact re-rank. */
+  private def annIvfSq8OracleSql: String =
+    s"""${ivfAssignOracleCtes()},
+       |$sq8CodesCte,
+       |probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d1 WHERE vec_id < 10) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a1.vec_id AS neighbor_id
+       |  FROM probe p JOIN a1 ON p.cell = a1.cell
+       |  WHERE a1.vec_id <> p.query_id),
+       |idp AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |  ${sq8DotSql("qc.cc", "nc.cc")} AS idot
+       |  FROM cand cd
+       |  JOIN sq8 qc ON qc.vec_id = cd.query_id
+       |  JOIN sq8 nc ON nc.vec_id = cd.neighbor_id),
+       |$sq8RerankTail""".stripMargin
+
   /** The DuckDB twin of xAnnIvfPq: the IVF quantizer chain (probe walk
     * from its final-round distances), the PQ chains, candidates
     * restricted to probed cells' inverted lists, then the shared
@@ -3187,6 +3383,8 @@ object Similarity {
     "x_ann_pq_r2" -> annPqOracleSql(2),
     "x_ann_pq_seedh" -> annPqOracleSql(1, hashSpread = true),
     "x_ann_ivfpq" -> annIvfPqOracleSql,
+    "x_ann_sq8" -> annSq8OracleSql,
+    "x_ann_ivfsq8" -> annIvfSq8OracleSql,
     "x_ann_pq_admit" -> pqAdmitOracleSql,
     "x_ann_ivfadc" -> annIvfAdcOracleSql,
     "x_ann_ivfadc_admit" -> ivfAdcAdmitOracleSql,

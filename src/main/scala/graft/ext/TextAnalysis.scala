@@ -556,8 +556,17 @@ object TextAnalysis {
     * partial-aggregated groupBy over the corpus + a 1-row broadcast
     * total: the manifest costs one scan at any corpus size.
     */
-  def xCorpusManifest(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
+  def xCorpusManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestCard(Tables.documents(spark, dir)).orderBy("source", "lang")
+
+  /** The manifest card over an arbitrary document relation — ONE builder
+    * (the bpeTrain rule) behind the gated data card, the drift monitor's
+    * two half-cards, and the streaming-increment parity spec. Shares are
+    * basis points of the INPUT relation's own total, so a card compares
+    * distributions across slices of different sizes.
+    */
+  private[graft] def manifestCard(docs: DataFrame): DataFrame = {
+    val per = docs
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(lowerS(trim(col("text"))))).as("n_distinct_texts"),
@@ -567,8 +576,45 @@ object TextAnalysis {
       .select(col("source"), col("lang"), col("n_docs"),
         col("n_distinct_texts"), col("ws_tokens"), col("total_chars"),
         expr("ws_tokens * 10000 div tot").as("token_share_bp"))
-      .orderBy("source", "lang")
   }
+
+  /** Data-card DRIFT monitor — the composition-shift alarm a production
+    * ingest publishes next to the live manifest: the corpus's admitted
+    * (lower-id) half is the REFERENCE card, the arriving (upper-id)
+    * half the LIVE card (the admission matrix's split convention), and
+    * each (source, lang) slice reports both token shares in basis
+    * points (each over its OWN half's total — comparing distributions,
+    * not volumes), the integer share delta, and a drift flag at
+    * |delta| ≥ 100 bp. A slice present in only one half zero-fills the
+    * other side, so appearing/vanishing sources surface as pure drift
+    * instead of vanishing from the report. All-integer arithmetic (the
+    * manifest's floor-div shares), so the twin is bitwise at any size;
+    * cost is two manifestCard scans + a slice-count-sized join.
+    */
+  def xCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    driftBetween(
+      manifestCard(docs.filter(col("doc_id") < half)),
+      manifestCard(docs.filter(col("doc_id") >= half)))
+  }
+
+  /** The card comparator shared by the batch gate and the streaming
+    * parity spec (cards rolled up from manifestDocs increments feed the
+    * same comparison). */
+  private[graft] def driftBetween(ref: DataFrame, live: DataFrame): DataFrame =
+    ref.select(col("source"), col("lang"),
+        col("token_share_bp").as("ref_share_bp"))
+      .join(live.select(col("source"), col("lang"),
+        col("token_share_bp").as("new_share_bp")),
+        Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"),
+        coalesce(col("ref_share_bp"), lit(0L)).as("ref_share_bp"),
+        coalesce(col("new_share_bp"), lit(0L)).as("new_share_bp"))
+      .withColumn("delta_bp", col("new_share_bp") - col("ref_share_bp"))
+      .withColumn("drifted",
+        when(abs(col("delta_bp")) >= 100, lit(1L)).otherwise(lit(0L)))
+      .orderBy("source", "lang")
 
   /** Gopher-style repetition scoring (Rae et al. 2021 §A1.1's
     * "repetition" filters, the standard LLM-corpus quality gate that
@@ -1243,6 +1289,9 @@ object TextAnalysis {
     "x_text_quality"     -> (xTextQuality _),
     "x_text_tokens"      -> (xTextTokens _),
     "x_corpus_manifest"  -> (xCorpusManifest _),
+    // The drift monitor: admitted-half card vs arriving-half card,
+    // integer basis-point share deltas + the alarm flag.
+    "x_corpus_drift"     -> (xCorpusDrift _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_text_repetition"  -> (xTextRepetition _),
     "x_seq_pack"         -> (xSeqPack _),
@@ -1623,6 +1672,33 @@ object TextAnalysis {
         |SELECT source, lang, n_docs, n_distinct_texts, ws_tokens, total_chars,
         |  CAST(ws_tokens * 10000 // tot AS BIGINT) AS token_share_bp
         |FROM per, tot ORDER BY source, lang""".stripMargin,
+    // Drift twin: each half's shares over its OWN total (floor-div
+    // integers), full-outer joined with zero-fill, CASE flag at 100 bp.
+    "x_corpus_drift" ->
+      """WITH half AS (SELECT (max(doc_id) + 1) // 2 AS h FROM documents),
+        |rper AS (
+        |  SELECT source, lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws
+        |  FROM documents WHERE doc_id < (SELECT h FROM half) GROUP BY 1, 2),
+        |rtot AS (SELECT CAST(SUM(ws) AS BIGINT) AS tot FROM rper),
+        |rs AS (
+        |  SELECT source, lang, CAST(ws * 10000 // tot AS BIGINT) AS ref_share_bp
+        |  FROM rper, rtot),
+        |nper AS (
+        |  SELECT source, lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws
+        |  FROM documents WHERE doc_id >= (SELECT h FROM half) GROUP BY 1, 2),
+        |ntot AS (SELECT CAST(SUM(ws) AS BIGINT) AS tot FROM nper),
+        |ns AS (
+        |  SELECT source, lang, CAST(ws * 10000 // tot AS BIGINT) AS new_share_bp
+        |  FROM nper, ntot)
+        |SELECT COALESCE(r.source, n.source) AS source,
+        |  COALESCE(r.lang, n.lang) AS lang,
+        |  CAST(COALESCE(r.ref_share_bp, 0) AS BIGINT) AS ref_share_bp,
+        |  CAST(COALESCE(n.new_share_bp, 0) AS BIGINT) AS new_share_bp,
+        |  CAST(COALESCE(n.new_share_bp, 0) - COALESCE(r.ref_share_bp, 0) AS BIGINT) AS delta_bp,
+        |  CAST(CASE WHEN abs(COALESCE(n.new_share_bp, 0) - COALESCE(r.ref_share_bp, 0)) >= 100
+        |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM rs r FULL OUTER JOIN ns n ON r.source = n.source AND r.lang = n.lang
+        |ORDER BY source, lang""".stripMargin,
     "x_text_langid_ngram" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS actual_lang,

@@ -1543,6 +1543,42 @@ object StreamOps {
       }
   }
 
+  /** Per-gate-dimension DROP-ATTRIBUTION over the full-matrix gate's
+    * verdicts — the streaming counterpart of the batch
+    * x_llm_corpus_prep_audit funnel: each verdict row is attributed to
+    * the FIRST admission dimension that rejects it, in the gate's
+    * documented policy order (hub screen → winnow-dup screen → mix cut
+    * → sampling cut → span-majority → C4 rules → DSIR selection), and
+    * the funnel rolls up to per-dimension reject counts with 'admitted'
+    * as the terminal stage. A stateless narrow map + one rollup over
+    * the verdict relation — run it on the streamed gate output, a
+    * persisted verdict table, or the batch-composed verdicts alike
+    * (the spec pins kept == Σ admitted and per-dimension counts on a
+    * planted mixed-rejection batch).
+    */
+  def ingestAuditRollup(verdicts: DataFrame): DataFrame = {
+    val stages = ingestAuditStages
+    verdicts
+      .withColumn("stage_ord",
+        when(col("n_hub_flags") > 0L, lit(0L))
+          .when(col("n_winnow_flags") > 0L, lit(1L))
+          .when(col("mix_kept") =!= 1L, lit(2L))
+          .when(col("sampled") =!= 1L, lit(3L))
+          .when(col("n_removed") * lit(2L) > col("n_spans"), lit(4L))
+          .when(col("c4_fail_mask") =!= 0L, lit(5L))
+          .when(col("dsir_selected") =!= 1L, lit(6L))
+          .otherwise(lit(7L)))
+      .withColumn("stage",
+        element_at(typedlit(stages), col("stage_ord").cast("int") + 1))
+      .groupBy(col("stage_ord"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage_ord")
+  }
+
+  private[graft] val ingestAuditStages: Seq[String] = Seq(
+    "hub_screen", "winnow_dup", "mix_cut", "sample_cut", "span_majority",
+    "c4_rules", "dsir", "admitted")
+
   case class KeyedVec(h1: Long, h2: Long, vec_id: Long,
     embedding: Array[Float])
   case class IngestVecCand(h1: Long, h2: Long, vec_id: Long, kind: Int,
@@ -1718,6 +1754,28 @@ object StreamOps {
           state.update(ManifestState(seen))
           out.iterator
       }
+  }
+
+  /** The card rollup over emitted manifest increments — the scaladoc's
+    * "any rollup of the increments IS the batch card" claim as SHARED
+    * code instead of per-consumer arithmetic: per (source, lang) slice,
+    * docs / first-arrival distincts / volumes summed, token shares by
+    * the same integer floor-div as TextAnalysis.manifestCard. Feeding
+    * two of these (a frozen reference card vs the live increments'
+    * card) to TextAnalysis.driftBetween is the LIVE drift monitor; the
+    * parity spec pins that composition against the batch x_corpus_drift
+    * gate half-for-half.
+    */
+  def cardFromIncrements(incs: DataFrame): DataFrame = {
+    val per = incs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("distinct_inc")).as("n_distinct_texts"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    per.crossJoin(broadcast(per.agg(sum(col("ws_tokens")).as("tot"))))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("n_distinct_texts"), col("ws_tokens"), col("total_chars"),
+        expr("ws_tokens * 10000 div tot").as("token_share_bp"))
   }
 
   case class VecCard(vec_id: Long, label: Int, embedding: Array[Float])

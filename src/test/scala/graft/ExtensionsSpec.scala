@@ -282,7 +282,14 @@ class ExtensionsSpec extends AnyFunSuite {
         // noise (~0.18) sits right on the 0.27–0.39 neighbor/bulk gap,
         // so the floor matches the compressed variants' (measured 0.66
         // here, rising with corpus size: 0.76 sf0.01, 0.88 sf0.1).
-        ("rp", 0.6, topSets(ext.Similarity.xAnnRp(spark, sf))))) {
+        ("rp", 0.6, topSets(ext.Similarity.xAnnRp(spark, sf))),
+        // SQ8's distortion is ~1/254 per coordinate — far below the
+        // neighbor/bulk cosine gap, so the integer-dot shortlist +
+        // exact re-rank holds the uncompressed variants' floor.
+        ("sq8", 0.8, topSets(ext.Similarity.xAnnSq8(spark, sf))),
+        // IVF+SQ8 is additionally capped by the probe walk (the ivfpq
+        // argument), but not by code distortion — IVF's floor holds.
+        ("ivfsq8", 0.8, topSets(ext.Similarity.xAnnIvfSq8(spark, sf))))) {
       val recalls = exact.map { case (q, ex) =>
         approx.get(q).map(ap => (ap intersect ex).size.toDouble / ex.size).getOrElse(0.0)
       }
@@ -4502,5 +4509,143 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nb == 0, s"x_text_nb_class plan has $nb nested-loop joins, want 0")
     val ds = bnlj("x_dsir_select")
     assert(ds <= 1, s"x_dsir_select plan has $ds nested-loop joins, want <= 1")
+  }
+
+  test("prep audit attributes every raw doc once and its kept row IS the screen survivors") {
+    // The audit's contract: a PARTITION of the raw pool (each doc
+    // lands in exactly one stage), whose terminal 'kept' class equals
+    // the screen arm's survivor set doc-for-doc — the "every drop
+    // traces to exactly one gated operator" claim, checked as set
+    // algebra instead of prose.
+    val per = ext.CorpusPrep.auditCorpus(spark, sf)
+      .select("doc_id", "stage_ord").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = Tables.documents(spark, sf).count()
+    assert(per.length.toLong == total,
+      s"audit covers ${per.length} of $total docs")
+    assert(per.map(_._1).distinct.length == per.length,
+      "a doc carries more than one attribution row")
+    val kept = per.filter(_._2 == 9L).map(_._1).toSet
+    val survivors = ext.CorpusPrep.screenedCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == survivors,
+      s"audit 'kept' diverges from the screen survivors: " +
+        s"only-audit=${(kept -- survivors).take(5)} " +
+        s"only-screen=${(survivors -- kept).take(5)}")
+    val rollup = ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val recount = per.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rollup == recount, s"funnel rollup $rollup != per-doc $recount")
+  }
+
+  test("corpus diff pins the policy upgrade: argmax rescued as 'added', id-accident keeper 'removed'") {
+    import spark.implicits._
+    // A planted 4-doc corpus where v1 (flagship min-id retention) and
+    // v2 (production keep-best + winnow + DSIR) disagree in BOTH
+    // directions: C = X ++ Y is the bag-similarity BRIDGE between
+    // A = X + 3-token overlap (near-dups C at Jaccard ~0.505) and
+    // B = 3-token overlap + Y (~0.5075) — A and B share only the
+    // 6-token seam (J ~0.02, and far below the winnow pair bar), so
+    // the cluster {A, B, C} forms only through the closure. Qualities:
+    // B (no stopwords) = 1.0 > C (one appended 'the') ~0.995 > A (one
+    // appended 'the') ~0.990. v1 keeps min-id A; v2's keep-best keeps
+    // argmax B, the winnow stage drops only C (both its pairs have a
+    // lower-id partner), DSIR selects everything (4 docs < selectN) —
+    // so the diff must read: A removed, B ADDED (the doc the id
+    // accident sacrificed, rescued by the policy upgrade), C absent
+    // (dropped in both), D (an untouched singleton) unchanged.
+    val xs = (1 to 97).map(i => s"qdifx${i}w")
+    val ys = (1 to 97).map(i => s"qdify${i}w")
+    val X = (xs.take(47) ++ Seq("der", "und", "das") ++ xs.drop(47))
+    val Y = (ys.take(47) ++ Seq("el", "los", "las") ++ ys.drop(47))
+    val aTxt = (X ++ Y.take(3) ++ Seq("the")).mkString(" ")
+    val bTxt = (X.takeRight(3) ++ Y).mkString(" ")
+    val cTxt = (X ++ Y ++ Seq("the")).mkString(" ")
+    val dTxt = ((1 to 47).map(i => s"qdifd${i}w") ++
+      Seq("der", "und", "das")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("corpusdiff").toString
+    Seq((9000001L, aTxt, "de", "srcx", aTxt.length.toLong),
+        (9000002L, bTxt, "es", "srcx", bTxt.length.toLong),
+        (9000003L, cTxt, "de", "srcx", cTxt.length.toLong),
+        (9000004L, dTxt, "de", "srcx", dTxt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val diff = ext.CorpusPrep.xCorpusDiff(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(9000001L -> "removed", 9000002L -> "added",
+      9000004L -> "unchanged"),
+      s"diff verdicts: $diff")
+  }
+
+  test("live drift monitor: cards from streamed manifest increments reproduce the batch drift gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The drift monitor composed the way production runs it: the
+    // reference half and the live half each streamed through
+    // manifestDocs (micro-batch split + at-least-once replay), rolled
+    // up by the shared cardFromIncrements, compared by the shared
+    // driftBetween — row-for-row equal to the batch x_corpus_drift
+    // gate over the same corpus.
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    def streamedCard(rows: Array[streaming.StreamOps.ManifestDoc],
+        name: String): org.apache.spark.sql.DataFrame = {
+      val input = MemoryStream[streaming.StreamOps.ManifestDoc]
+      val query = streaming.StreamOps.manifestDocs(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(rows.toSeq); query.processAllAvailable() // replay
+      query.stop()
+      streaming.StreamOps.cardFromIncrements(spark.table(name))
+    }
+    val all = docs.select("doc_id", "source", "lang", "text").collect()
+      .map(r => streaming.StreamOps.ManifestDoc(r.getLong(0),
+        r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_.doc_id)
+    val live = ext.TextAnalysis.driftBetween(
+        streamedCard(all.filter(_.doc_id < half), "drift_ref_card"),
+        streamedCard(all.filter(_.doc_id >= half), "drift_live_card"))
+      .collect().map(_.toSeq).toSeq
+    val batch = ext.TextAnalysis.xCorpusDrift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(live == batch,
+      s"streamed drift diverges from the batch gate:\n$live\nvs\n$batch")
+  }
+
+  test("ingest audit rollup attributes each verdict to its first failing gate dimension") {
+    import spark.implicits._
+    // One planted verdict per reject class, in every case also failing
+    // a LATER dimension (so the rollup provably attributes to the
+    // FIRST, not to any), plus two admitted rows. The verdict columns
+    // themselves are parity-spec'd against the standalone gates by the
+    // full-matrix spec; this pins the funnel consumer's semantics.
+    def v(id: Long, hub: Long, win: Long, mix: Long, smp: Long,
+        nRem: Long, c4: Long, dsir: Long): streaming.StreamOps.IngestFullVerdict =
+      streaming.StreamOps.IngestFullVerdict(id, "en", 4L, nRem, 10L, "h",
+        hub, win, mix, smp, c4, if (c4 == 0L) 1L else 0L, 10L, Some(1.0),
+        dsir, "c0", 0.5,
+        if (hub == 0L && win == 0L && mix == 1L && smp == 1L &&
+          2L * nRem <= 4L && c4 == 0L && dsir == 1L) 1L else 0L)
+    val rows = Seq(
+      v(1, 2, 1, 0, 0, 3, 7, 0), // hub first, everything else failing too
+      v(2, 0, 1, 0, 0, 3, 7, 0), // winnow
+      v(3, 0, 0, 0, 0, 3, 7, 0), // mix
+      v(4, 0, 0, 1, 0, 3, 7, 0), // sample
+      v(5, 0, 0, 1, 1, 3, 7, 0), // span-majority (2*3 > 4)
+      v(6, 0, 0, 1, 1, 0, 7, 0), // c4
+      v(7, 0, 0, 1, 1, 0, 0, 0), // dsir
+      v(8, 0, 0, 1, 1, 0, 0, 1), // admitted
+      v(9, 0, 0, 1, 1, 2, 0, 1)) // admitted (2*2 <= 4 boundary)
+    assert(rows.count(_.admitted == 1L) == 2, "fixture self-check")
+    val out = streaming.StreamOps.ingestAuditRollup(rows.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = streaming.StreamOps.ingestAuditStages.zipWithIndex.map {
+      case (s, i) => (i.toLong, s, if (s == "admitted") 2L else 1L)
+    }
+    assert(out.toSeq == want,
+      s"funnel ${out.toSeq} != expected $want")
   }
 }
