@@ -359,9 +359,12 @@ object ScaleProbe {
     val ivfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, idShift,
       32 * nReplicas)
     spark.catalog.clearCache()
+    val sq8 = ext.Similarity.probeRecall5Sq8(spark, work, idShift,
+      32 * nReplicas)
+    spark.catalog.clearCache()
     val ivfSq8 = ext.Similarity.probeRecall5IvfSq8(spark, work, idShift,
       32 * nReplicas)
-    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"ivfsq8":$ivfSq8%.2f},"replicas":$nReplicas}""")
+    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"sq8":$sq8%.2f,"ivfsq8":$ivfSq8%.2f},"replicas":$nReplicas}""")
     spark.stop()
   }
 

@@ -1274,13 +1274,19 @@ object Similarity {
     * generator with a `semantic` flag — so the two gated rows can only
     * ever differ by the semantic stage, never by tail drift.
     */
-  private def capAndQuantize(assigned: DataFrame): DataFrame = {
+  private def capAndQuantize(assigned: DataFrame): DataFrame =
+    int8CapTail(cappedRanks(assigned))
+
+  /** The md5-order per-cell cap ranks BEFORE the ≤ 8 cut — factored so
+    * the audit can read the cap stage's losers (rank > 8) through the
+    * same window the gated preps cut with. */
+  private def cappedRanks(assigned: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("bucket"), col("vec_id"))
-    int8CapTail(assigned
+    assigned
       .select(col("vec_id"), col("embedding"), col("cell"),
         TextAnalysis.md5Bucket(10000, col("vec_id")).as("bucket"))
-      .withColumn("rank", row_number().over(w)))
+      .withColumn("rank", row_number().over(w))
   }
 
   /** The cap + int8 half of the prep tail over a pre-RANKED (vec_id,
@@ -1408,6 +1414,17 @@ object Similarity {
     * individually measured (1.0×/1.0×/2.0×-shaped chains — SCALE.md).
     */
   def xEmbCorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, semLosers) = fullPrepSemStage(spark, dir)
+    val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
+    capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
+  }
+
+  /** The FULL arm's (assigned clean survivors, semantic-loser ids) pair
+    * — ONE construction (the bpeTrain rule) behind the gated
+    * composition and the drop-attribution audit below.
+    */
+  private def fullPrepSemStage(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val surv = embPrepSurvivorsClean(spark, dir)
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
     val assigned = withVecNorm(surv).withColumn("cell",
@@ -1421,9 +1438,52 @@ object Similarity {
       .filter(round(VectorFunctions.dotProduct(col("v1"), col("v2"))
         / (col("n1") * col("n2")), 4) >= semThreshold)
       .select(col("id2").as("vec_id")).distinct()
-    val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
-    capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
+    (assigned, semLosers)
   }
+
+  /** Per-stage DROP-ATTRIBUTION AUDIT of the production vector prep —
+    * the embedding-side twin of x_llm_corpus_prep_audit: every vector
+    * in the raw pool attributed to the FIRST x_emb_corpus_prep_full
+    * stage that drops it (exact collapse → banded near-dup → within-
+    * cell SemDeDup → per-cell cap), funnel-rolled to per-stage counts.
+    * Pure CASE priority over the gated stages' OWN shared
+    * constructions (embExactKeepers / the clean banded losers /
+    * fullPrepSemStage / cappedRanks — never re-derivations), so the
+    * 'kept' class equals the FULL arm's emitted vec_ids by
+    * construction (spec-pinned). Ships next to the vector data card
+    * at any scale: every attribution join is an 8-byte id join.
+    */
+  def xEmbCorpusPrepAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, semLosers) = fullPrepSemStage(spark, dir)
+    val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
+    val capLosers = cappedRanks(
+        sem.select(col("vec_id"), col("embedding"), col("cell")))
+      .filter(col("rank") > 8).select("vec_id")
+    val bandLosers = xDedupEmbCosineLshClean(spark, dir)
+      .select(col("id2").as("vec_id")).distinct()
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.select("vec_id").distinct().withColumn(name, lit(1))
+    Tables.embeddings(spark, dir).select("vec_id")
+      .join(flag(Dedup.embExactKeepers(spark, dir), "f_keep"),
+        Seq("vec_id"), "left")
+      .join(flag(bandLosers, "f_band"), Seq("vec_id"), "left")
+      .join(flag(semLosers, "f_sem"), Seq("vec_id"), "left")
+      .join(flag(capLosers, "f_cap"), Seq("vec_id"), "left")
+      .withColumn("stage_ord",
+        when(col("f_keep").isNull, lit(0L))
+          .when(col("f_band") === 1, lit(1L))
+          .when(col("f_sem") === 1, lit(2L))
+          .when(col("f_cap") === 1, lit(3L))
+          .otherwise(lit(4L)))
+      .withColumn("stage",
+        element_at(typedlit(embAuditStages), col("stage_ord").cast("int") + 1))
+      .groupBy(col("stage_ord"), col("stage"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("stage_ord")
+  }
+
+  private[graft] val embAuditStages: Seq[String] = Seq(
+    "exact_dup", "near_dup", "semantic", "cap", "kept")
 
   /** The DECONTAMINATED production vector pipeline — the clean prep
     * with the text flagship's two holdout stages composed at their
@@ -1587,8 +1647,16 @@ object Similarity {
     * basis points. One partial-aggregated scan + a 1-row broadcast
     * total — the manifest costs one pass at any corpus size.
     */
-  def xEmbManifest(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.embeddings(spark, dir)
+  def xEmbManifest(spark: SparkSession, dir: String): DataFrame =
+    embManifestCard(Tables.embeddings(spark, dir)).orderBy("label")
+
+  /** The vector card over an arbitrary embedding relation — ONE builder
+    * behind the gated card and the drift monitor's two half-cards (the
+    * TextAnalysis.manifestCard idiom); shares are basis points of the
+    * INPUT relation's own total.
+    */
+  private def embManifestCard(e: DataFrame): DataFrame = {
+    val per = e
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("embedding")).as("n_distinct_vecs"),
@@ -1603,6 +1671,33 @@ object Similarity {
       .select(col("label"), col("n_vecs"), col("n_distinct_vecs"),
         col("min_dims"), col("max_dims"), col("sum_sq_q"),
         expr("n_vecs * 10000 div tot").as("vec_share_bp"))
+  }
+
+  /** Vector-card DRIFT monitor — the embedding-side twin of
+    * x_corpus_drift: the admitted (lower-id) half's card is the
+    * REFERENCE, the arriving half's the LIVE card (the admission split
+    * convention), and each label slice reports both vector shares in
+    * basis points (each over its OWN half total), the integer delta,
+    * and the 100 bp alarm flag; labels present in one half zero-fill
+    * the other. A label-distribution shift at ingest is the embedding
+    * corpus's composition-drift signal (a new upstream encoder or
+    * source mix shows up here before any model does). All-integer —
+    * bitwise at any size; two card scans + a label-count-sized join.
+    */
+  def xEmbDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    def shares(df: DataFrame, as: String): DataFrame =
+      embManifestCard(df).select(col("label"), col("vec_share_bp").as(as))
+    shares(e.filter(col("vec_id") < half), "ref_share_bp")
+      .join(shares(e.filter(col("vec_id") >= half), "new_share_bp"),
+        Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("ref_share_bp"), lit(0L)).as("ref_share_bp"),
+        coalesce(col("new_share_bp"), lit(0L)).as("new_share_bp"))
+      .withColumn("delta_bp", col("new_share_bp") - col("ref_share_bp"))
+      .withColumn("drifted",
+        when(abs(col("delta_bp")) >= 100, lit(1L)).otherwise(lit(0L)))
       .orderBy("label")
   }
 
@@ -2095,6 +2190,12 @@ object Similarity {
     "x_diversity_sample" -> (xDiversitySample _),
     "x_emb_quantize"   -> (xEmbQuantize _),
     "x_emb_manifest"   -> (xEmbManifest _),
+    // The vector data card's drift monitor (admitted-half vs
+    // arriving-half label shares) and the production prep's
+    // drop-attribution audit — the embedding-side twins of
+    // x_corpus_drift / x_llm_corpus_prep_audit.
+    "x_emb_drift"      -> (xEmbDrift _),
+    "x_emb_corpus_prep_audit" -> (xEmbCorpusPrepAudit _),
     "x_emb_corpus_prep" -> (xEmbCorpusPrep _),
     "x_emb_corpus_prep_sem" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepSem(s, d)),
@@ -3001,6 +3102,77 @@ object Similarity {
        |ORDER BY cell, k.rank""".stripMargin
   }
 
+  /** The vector-audit twin: the FULL arm's chain (clean staging +
+    * hash-spread quantizer + semantic losers + cap ranks — the same
+    * generated pieces embCorpusPrepOracleSql(semantic=true, clean=true)
+    * composes, with the rollup tail swapped for the first-drop CASE
+    * over ALL vectors). Each CASE arm reads the stage's own CTE (uq /
+    * losers / semlosers / ranked) in the Spark side's priority order.
+    */
+  private def embCorpusPrepAuditOracleSql: String = {
+    val stageCase = embAuditStages.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+    s"""${ivfAssignOracleCtes(16, 1, "TRUE", hashSpread = true,
+        srcTable = "surv", prelude = embCleanSurvPrelude())},
+       |semv AS (
+       |  SELECT a1.vec_id, a1.cell, e.v, e.nrm
+       |  FROM a1 JOIN e USING (vec_id)),
+       |semlosers AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM semv a JOIN semv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $semThreshold),
+       |bkt AS (
+       |  SELECT vec_id, cell,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+       |  FROM a1 WHERE vec_id NOT IN (SELECT vec_id FROM semlosers)),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell ORDER BY bucket, vec_id) AS rank
+       |  FROM bkt),
+       |vaud AS (
+       |  SELECT em.vec_id,
+       |    CASE
+       |      WHEN em.vec_id NOT IN (SELECT vec_id FROM uq) THEN 0
+       |      WHEN em.vec_id IN (SELECT vec_id FROM losers) THEN 1
+       |      WHEN em.vec_id IN (SELECT vec_id FROM semlosers) THEN 2
+       |      WHEN em.vec_id IN (SELECT vec_id FROM ranked WHERE rank > 8) THEN 3
+       |      ELSE 4 END AS so
+       |  FROM embeddings em)
+       |SELECT CAST(so AS BIGINT) AS stage_ord,
+       |  CASE so $stageCase END AS stage,
+       |  COUNT(*) AS n_vecs
+       |FROM vaud GROUP BY so ORDER BY stage_ord""".stripMargin
+  }
+
+  /** The vector-drift twin: each half's per-label vector shares over
+    * its OWN half total (integer floor-div), full-outer joined with
+    * zero-fill, the 100 bp CASE flag — x_corpus_drift's shape keyed by
+    * label. */
+  private def embDriftOracleSql: String =
+    """WITH half AS (SELECT (max(vec_id) + 1) // 2 AS h FROM embeddings),
+      |rper AS (
+      |  SELECT label, COUNT(*) AS n FROM embeddings
+      |  WHERE vec_id < (SELECT h FROM half) GROUP BY 1),
+      |rtot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM rper),
+      |rs AS (
+      |  SELECT label, CAST(n * 10000 // tot AS BIGINT) AS ref_share_bp
+      |  FROM rper, rtot),
+      |nper AS (
+      |  SELECT label, COUNT(*) AS n FROM embeddings
+      |  WHERE vec_id >= (SELECT h FROM half) GROUP BY 1),
+      |ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM nper),
+      |ns AS (
+      |  SELECT label, CAST(n * 10000 // tot AS BIGINT) AS new_share_bp
+      |  FROM nper, ntot)
+      |SELECT COALESCE(r.label, n.label) AS label,
+      |  CAST(COALESCE(r.ref_share_bp, 0) AS BIGINT) AS ref_share_bp,
+      |  CAST(COALESCE(n.new_share_bp, 0) AS BIGINT) AS new_share_bp,
+      |  CAST(COALESCE(n.new_share_bp, 0) - COALESCE(r.ref_share_bp, 0) AS BIGINT) AS delta_bp,
+      |  CAST(CASE WHEN abs(COALESCE(n.new_share_bp, 0) - COALESCE(r.ref_share_bp, 0)) >= 100
+      |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+      |FROM rs r FULL OUTER JOIN ns n ON r.label = n.label
+      |ORDER BY label""".stripMargin
+
   /** The DuckDB twin of xDiversitySample: the SAME quantizer chain as
     * the ANN twin (so both gates pin one assignment), then the
     * growth-stable md5 id bucket (the x_train_val_split idiom — first 8
@@ -3401,6 +3573,8 @@ object Similarity {
       embCorpusPrepOracleSql(clean = true, decon = true),
     "x_emb_corpus_prep_curated" -> embCorpusPrepCuratedOracleSql(),
     "x_emb_corpus_prep_proto" -> embCorpusPrepProtoOracleSql(),
+    "x_emb_corpus_prep_audit" -> embCorpusPrepAuditOracleSql,
+    "x_emb_drift" -> embDriftOracleSql,
     // SemDeDup twin: shared quantizer chain, vectors joined back to
     // their (v, nrm), within-cell keep-lowest pair verdicts.
     // LSH-blocked cosine dedup twin: the shared signature/inverted-list

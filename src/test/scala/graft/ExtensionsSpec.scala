@@ -4615,6 +4615,48 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streamed drift diverges from the batch gate:\n$live\nvs\n$batch")
   }
 
+  test("vector prep audit partitions the pool and its kept row IS the FULL arm's output") {
+    // The embedding-side audit contract (the text audit's twin): every
+    // raw vector attributed exactly once, terminal 'kept' class equal
+    // to x_emb_corpus_prep_full's emitted vec_ids.
+    val rollup = ext.Similarity.xEmbCorpusPrepAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rollup.map(_._3).sum == total,
+      s"audit covers ${rollup.map(_._3).sum} of $total vectors")
+    val keptN = rollup.find(_._2 == "kept").map(_._3).getOrElse(0L)
+    val full = ext.Similarity.xEmbCorpusPrepFull(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptN == full.size.toLong,
+      s"audit kept $keptN != FULL arm's ${full.size} survivors")
+  }
+
+  test("vector drift zero-fills a label present in only one half as pure drift") {
+    import spark.implicits._
+    // A planted corpus where label 7 exists ONLY in the arriving half:
+    // the reference side must zero-fill (ref_share_bp = 0), the delta
+    // equals the live share, and the alarm flag fires — an appearing
+    // source reads as drift instead of vanishing from the report.
+    val tmp = java.nio.file.Files.createTempDirectory("embdrift").toString
+    val rows = (0L until 40L).map { i =>
+      val label = if (i >= 30L) 7 else (i % 3L).toInt // 7 only at ids 30+
+      (i, label, Array.fill(4)(0.1f * (i % 5L + 1L)))
+    }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = ext.Similarity.xEmbDrift(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // half = 20: ref half ids 0..19 (labels 0,1,2), live half 20..39
+    // (ids 20..29 labels 0,1,2; 30..39 all label 7 = 5000 bp).
+    assert(out(7) == ((0L, 5000L, 5000L, 1L)),
+      s"appearing label must read as pure drift: ${out(7)}")
+    assert(out.keySet == Set(0, 1, 2, 7), s"labels: ${out.keySet}")
+    out.filter(_._1 != 7).values.foreach { case (ref, nw, d, _) =>
+      assert(d == nw - ref)
+    }
+  }
+
   test("ingest audit rollup attributes each verdict to its first failing gate dimension") {
     import spark.implicits._
     // One planted verdict per reject class, in every case also failing
