@@ -1870,7 +1870,7 @@ object Similarity {
     * cast — the engine-divergent double→int rounding gotcha), so codes
     * are bitwise identical in any engine.
     */
-  private[ext] def sq8Codes(vecCol: String): org.apache.spark.sql.Column =
+  private[graft] def sq8Codes(vecCol: String): org.apache.spark.sql.Column =
     expr(s"transform($vecCol, v -> CAST(greatest(least(floor(CAST(v AS DOUBLE) * 127d + 0.5d), 127d), -127d) AS BIGINT))")
 
   /** The integer-dot compressed-domain shortlist shared by flat SQ8 and

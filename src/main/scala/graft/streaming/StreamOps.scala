@@ -297,6 +297,23 @@ object StreamOps {
       codebooks: Array[Array[Array[Double]]]): DataFrame =
     graft.ext.Similarity.pqEncode(vecs.toDF(), codebooks)
 
+  /** Streaming SQ8 encode — the scalar-quantization member of the
+    * compression family's streaming column (PQ: encodeVectors): each
+    * arriving vector is quantized to its int8 code list by THE ONE
+    * sq8Codes expression (x_emb_quantize / the SQ8 search ops — one
+    * implementation, so stream and batch cannot desync) as a STATELESS
+    * narrow map — no training, no state, no shuffle; the "frozen
+    * state" is the fixed ×127 grid, which is the production appeal:
+    * an SQ8 column never needs quantizer versioning. The coded stream
+    * is what a 100 TB ingest persists next to (or instead of) raw
+    * floats — 4× smaller scans for every downstream integer-dot pass
+    * (x_ann_sq8's deployed shape). Batch parity spec-gated against
+    * the gated x_emb_quantize summaries across micro-batch splits.
+    */
+  def encodeVectorsSq8(vecs: Dataset[VecIn]): DataFrame =
+    vecs.select(col("vec_id"),
+      graft.ext.Similarity.sq8Codes("embedding").as("sq8_codes"))
+
   /** Streaming JL reduction — the dimensionality-reduction family's
     * streaming half (the encodeVectors idiom): the ±1 sign matrix is a
     * compile-time frozen artifact (no training at all — the one family
@@ -1582,11 +1599,12 @@ object StreamOps {
   case class KeyedVec(h1: Long, h2: Long, vec_id: Long,
     embedding: Array[Float])
   case class IngestVecCand(h1: Long, h2: Long, vec_id: Long, kind: Int,
-    cell: Long, codes: Seq[Long], eval_id: Long)
+    cell: Long, codes: Seq[Long], sq8: Seq[Long], eval_id: Long)
   case class IngestVecState(keeper: Long, maxSeen: Long,
     emitted: List[Long])
   case class IngestVecVerdict(vec_id: Long, keeper_id: Long, is_dup: Long,
-    cell: Long, codes: Seq[Long], n_flags: Long, admitted: Long)
+    cell: Long, codes: Seq[Long], sq8_codes: Seq[Long], n_flags: Long,
+    admitted: Long)
 
   /** The COMPOSED vector ingest gate — ingestDocsFull's mirror for the
     * embedding side (the r11 verdict's task #4), the production vector
@@ -1640,18 +1658,25 @@ object StreamOps {
       val (h1, h2) = embContentKey(v.embedding)
       KeyedVec(h1, h2, v.vec_id, v.embedding)
     }.toDF()
+    // SQ8 codes ride the SAME kind-0 branch row in-row (the
+    // pqEncode-extra rule: an annotation, not a second branch) through
+    // the shared sq8Codes expression — the encodeVectorsSq8 surface's
+    // construction verbatim.
     val mainB = graft.ext.Similarity.pqEncode(
-        keyed.withColumn("cell", cellExpr(centroids)),
-        codebooks, extra = Seq("h1", "h2", "cell"))
+        keyed.withColumn("cell", cellExpr(centroids))
+          .withColumn("sq8", graft.ext.Similarity.sq8Codes("embedding")),
+        codebooks, extra = Seq("h1", "h2", "cell", "sq8"))
       .select(col("h1"), col("h2"), col("vec_id"), lit(0).as("kind"),
         col("cell"),
         array((0 until graft.ext.Similarity.pqM).map(s => col(s"c$s")): _*)
           .as("codes"),
+        col("sq8"),
         lit(-1L).as("eval_id"))
     val screenB = graft.ext.Similarity
       .streamScreenCands(keyed, evalIndex, extra = Seq("h1", "h2"))
       .select(col("h1"), col("h2"), col("vec_id"), lit(1).as("kind"),
         lit(-1L).as("cell"), lit(null).cast("array<bigint>").as("codes"),
+        lit(null).cast("array<bigint>").as("sq8"),
         col("eval_id"))
     mainB.unionByName(screenB).as[IngestVecCand]
       .groupByKey(c => (c.h1, c.h2))
@@ -1677,7 +1702,7 @@ object StreamOps {
                   .distinct.size.toLong
                 val isDup = if (id == st.keeper) 0L else 1L
                 out += IngestVecVerdict(id, st.keeper, isDup, m.cell,
-                  m.codes, nFlags,
+                  m.codes, m.sq8, nFlags,
                   if (isDup == 0L && nFlags == 0L) 1L else 0L)
                 st = st.copy(maxSeen = math.max(st.maxSeen, id),
                   emitted = id :: st.emitted)

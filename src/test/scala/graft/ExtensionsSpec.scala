@@ -1737,11 +1737,12 @@ class ExtensionsSpec extends AnyFunSuite {
       ds => streaming.StreamOps.ingestVectors(ds, cents, cbs, evalIndex),
       replay = true)
     val streamed = spark.sql(
-      """SELECT vec_id, keeper_id, is_dup, cell, codes, n_flags, admitted
+      """SELECT vec_id, keeper_id, is_dup, cell, codes, sq8_codes, n_flags,
+        |  admitted
         |FROM vec_ingest_out""".stripMargin)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getSeq[Long](4).toVector, r.getLong(5),
-        r.getLong(6)))).toMap
+        r.getLong(3), r.getSeq[Long](4).toVector, r.getSeq[Long](5).toVector,
+        r.getLong(6), r.getLong(7)))).toMap
     assert(streamed.size == arrivals.length,
       s"one verdict per arrival, replay emitting nothing new: " +
         s"${streamed.size}/${arrivals.length}")
@@ -1763,6 +1764,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val codes = streaming.StreamOps.encodeVectors(arrivalsDs, cbs)
       .collect().map(r => r.getLong(0) ->
         (1 until r.length).map(r.getLong).toVector).toMap
+    val sq8 = streaming.StreamOps.encodeVectorsSq8(arrivalsDs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
     assert(dedup.values.exists(_._2 == 1L),
       "vacuous fixture: no exact duplicate among arrivals")
     assert(flags.nonEmpty, "vacuous fixture: no contamination flag")
@@ -1770,7 +1773,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val expected = arrivals.map { v =>
       val (keeper, isDup) = dedup(v.vec_id)
       val nf = flags.getOrElse(v.vec_id, 0L)
-      v.vec_id -> ((keeper, isDup, cells(v.vec_id), codes(v.vec_id), nf,
+      v.vec_id -> ((keeper, isDup, cells(v.vec_id), codes(v.vec_id),
+        sq8(v.vec_id), nf,
         if (isDup == 0L && nf == 0L) 1L else 0L))
     }.toMap
     val diff = (streamed.keySet ++ expected.keySet)
@@ -1780,7 +1784,7 @@ class ExtensionsSpec extends AnyFunSuite {
         diff.take(3).map(k =>
           s"$k: gate=${streamed.get(k)} composed=${expected.get(k)}")
           .mkString("; "))
-    assert(expected.values.count(_._6 == 1L) > 0,
+    assert(expected.values.count(_._7 == 1L) > 0,
       "the composed policy must admit at least one vector")
   }
 
@@ -3472,6 +3476,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "batch admission coded nothing")
     assert(streamed == batch,
       s"streaming encode diverged from batch (sizes ${streamed.size}/${batch.size})")
+  }
+
+  test("streaming SQ8 encode matches the gated x_emb_quantize summaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The scalar-quantization member of the compression family's
+    // streaming column: stateless map through THE ONE sq8Codes
+    // expression, split across TWO micro-batches; the streamed code
+    // lists rolled up to (n_dims, sum, min, max) must equal the
+    // oracle-gated batch summaries row-for-row.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.encodeVectorsSq8(input.toDS())
+      .writeStream.format("memory").queryName("sq8_encode_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT vec_id, sq8_codes FROM sq8_encode_out").collect()
+      .map(r => r.getLong(0) -> {
+        val cs = r.getSeq[Long](1)
+        (cs.length.toLong, cs.sum, cs.min, cs.max)
+      }).toMap
+    query.stop()
+    val batch = ext.Similarity.xEmbQuantize(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch,
+      s"streamed SQ8 summaries diverge (sizes ${streamed.size}/${batch.size})")
   }
 
   test("streaming JL reduction matches the batch projection bitwise") {
