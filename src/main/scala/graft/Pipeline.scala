@@ -125,6 +125,33 @@ object Pipeline {
     (corpusPath, scoresPath)
   }
 
+  /** Materialize the corpus OBSERVABILITY artifacts — the r13 column:
+    * the data cards, the per-stage drop-attribution audits, and the
+    * drift reports a production prep build publishes NEXT TO its
+    * corpora (at 100 TB nobody re-runs the pipeline to answer "why did
+    * my corpus shrink" or "did the source mix move" — the answers ship
+    * as slim relations beside the data). Each artifact is exactly a
+    * gated operator's result (the materializeSpanCleanCorpus rule:
+    * the artifact IS the gated relation), so the spec pins every
+    * written table to its operator row-for-row. All six are
+    * slice-count-sized — the coalesce(1) single-file layout is the
+    * right shape at any corpus size.
+    */
+  def materializeObservability(spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, String] = {
+    def write(name: String, df: DataFrame): (String, String) = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> s"$outDir/$name"
+    }
+    Map(
+      write("corpus_card", ext.TextAnalysis.xCorpusManifest(spark, sfDir)),
+      write("corpus_audit", ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sfDir)),
+      write("corpus_drift", ext.TextAnalysis.xCorpusDrift(spark, sfDir)),
+      write("emb_card", ext.Similarity.xEmbManifest(spark, sfDir)),
+      write("emb_audit", ext.Similarity.xEmbCorpusPrepAudit(spark, sfDir)),
+      write("emb_drift", ext.Similarity.xEmbDrift(spark, sfDir)))
+  }
+
   /** Operational incremental near-dup admission: the MinHash signature
     * table parquet at `sigStatePath` is the persisted dedup STATE (64
     * longs per admitted doc). `admitBatch` signs only the new batch,
@@ -470,6 +497,10 @@ object Pipeline {
     val sc = materializeSpanCleanCorpus(spark, sfDir, outDir)
     println(s"clean_documents_spans: ${spark.read.parquet(sc).count()} rows " +
       "(split-partitioned, span-cleaned text)")
+    materializeObservability(spark, sfDir, outDir).toSeq.sortBy(_._1)
+      .foreach { case (k, p) =>
+        println(s"$k: ${spark.read.parquet(p).count()} rows (observability)")
+      }
     spark.stop()
   }
 }

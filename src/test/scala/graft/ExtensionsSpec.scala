@@ -4694,6 +4694,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("observability artifacts are the gated relations row-for-row") {
+    // The materializeSpanCleanCorpus rule applied to the r13 column:
+    // every published card/audit/drift table must BE its gated
+    // operator's result — a drifted artifact would ship wrong answers
+    // next to the corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("observ").toString
+    val paths = Pipeline.materializeObservability(spark, sf, tmp)
+    val gated = Map(
+      "corpus_card" -> ext.TextAnalysis.xCorpusManifest(spark, sf),
+      "corpus_audit" -> ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sf),
+      "corpus_drift" -> ext.TextAnalysis.xCorpusDrift(spark, sf),
+      "emb_card" -> ext.Similarity.xEmbManifest(spark, sf),
+      "emb_audit" -> ext.Similarity.xEmbCorpusPrepAudit(spark, sf),
+      "emb_drift" -> ext.Similarity.xEmbDrift(spark, sf))
+    assert(paths.keySet == gated.keySet)
+    gated.foreach { case (name, df) =>
+      val artifact = spark.read.parquet(paths(name))
+        .collect().map(_.toSeq).toSet
+      val expect = df.collect().map(_.toSeq).toSet
+      assert(artifact == expect, s"$name artifact diverges from the gate")
+    }
+  }
+
   test("ingest audit rollup attributes each verdict to its first failing gate dimension") {
     import spark.implicits._
     // One planted verdict per reject class, in every case also failing
