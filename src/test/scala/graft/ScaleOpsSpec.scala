@@ -368,6 +368,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       "x_ann_pq" -> "ANN search", "x_ann_pq_r2" -> "ANN search",
       "x_ann_pq_seedh" -> "ANN search", "x_ann_pq_admit" -> "PQ admission",
       "x_ann_ivfpq" -> "ANN search", "x_ann_ivfadc" -> "ANN search",
+      "x_ann_sq8" -> "ANN search", "x_ann_ivfsq8" -> "ANN search",
       "x_ann_ivfadc_admit" -> "IVFADC admission",
       "x_diversity_sample" -> "md5 cap utility, no pair join",
       "x_emb_quantize" -> "narrow per-row map, no pair join",
