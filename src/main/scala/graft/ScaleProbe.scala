@@ -447,11 +447,19 @@ object ScaleProbe {
       spark, base, "/tmp/graft_shelf_x1"))
     val (_, shelfN) = timed(Pipeline.materializeFrozenArtifacts(
       spark, work, s"/tmp/graft_shelf_x$nReplicas"))
+    // The observability publish (r13): the six card/audit/drift
+    // relations written per corpus build — the deployed cost of the
+    // "ships WITH the corpus" column.
+    val (_, obs1) = timed(Pipeline.materializeObservability(
+      spark, base, "/tmp/graft_obs_x1"))
+    val (_, obsN) = timed(Pipeline.materializeObservability(
+      spark, work, s"/tmp/graft_obs_x$nReplicas"))
     println(
       f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
       f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
       f""""dag_rebuild":{"x1":$dag1%.2f,"x$nReplicas%d":$dagN%.2f,"ratio":${dagN / dag1}%.1f},""" +
-      f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f}},""" +
+      f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f},""" +
+      f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f}},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas}""")
     spark.stop()
   }
