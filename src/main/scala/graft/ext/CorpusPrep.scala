@@ -393,6 +393,36 @@ object CorpusPrep {
       .orderBy("doc_id")
   }
 
+  /** CONTENT diff — the diff family's second member (x_corpus_diff
+    * reports the MEMBERSHIP delta of a policy upgrade; this reports
+    * what the cleaning transform did to the published artifact): the
+    * raw non-eval pool vs the span-cleaned corpus artifact
+    * (clean_documents_spans' relation — the spans-arm keep set with
+    * reconstructed text). Per doc: 'removed' (not in the artifact —
+    * a prep filter or the span-majority cut dropped it), 'modified'
+    * (kept, but the span stage removed at least one duplicated span —
+    * its published text differs from its ingested text), 'unchanged'.
+    * Verdicts come from the gated spanKeepVerdicts construction, so
+    * 'modified' is the operator's own n_removed > 0, not a text
+    * re-compare. One id-keyed left join per status source.
+    */
+  def xCorpusDiffContent(spark: SparkSession, dir: String): DataFrame = {
+    val nonEval = Tables.documents(spark, dir)
+      .filter(col("source") =!= "src0")
+    val kept = spansCorpus(spark, dir)
+      .select(col("doc_id")).withColumn("f_kept", lit(1))
+    val rem = Dedup.spanKeepVerdicts(nonEval)
+      .select(col("doc_id"), col("n_removed"))
+    nonEval.select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("f_kept").isNull, "removed")
+          .when(coalesce(col("n_removed"), lit(0L)) > 0L, "modified")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
     "x_llm_corpus_prep_winnow" -> (xLlmCorpusPrepWinnow _),
@@ -402,7 +432,8 @@ object CorpusPrep {
     "x_llm_corpus_prep_full" -> (xLlmCorpusPrepFull _),
     "x_llm_corpus_prep_screen" -> (xLlmCorpusPrepScreen _),
     "x_llm_corpus_prep_audit" -> (xLlmCorpusPrepAudit _),
-    "x_corpus_diff" -> (xCorpusDiff _))
+    "x_corpus_diff" -> (xCorpusDiff _),
+    "x_corpus_diff_content" -> (xCorpusDiffContent _))
 
   /** The composed oracle: the near-dup/exact-dedup CTEs from the
     * x_dedup_corpus_neardup twin, the language/quality/contamination
@@ -694,9 +725,36 @@ object CorpusPrep {
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin
 
+  /** The content-diff twin: the base prelude (min-id retention — the
+    * spans arm's chain) + the span-stage splice, per-doc removed-span
+    * counts from its `spr` CTE, and the artifact-membership CTE
+    * (scored under the prep filters minus the span-dominated losers —
+    * spansCorpus's own definition).
+    */
+  private def corpusDiffContentOracleSql: String =
+    llmCorpusPrepPrelude() + spanStageCtes + ",\n" +
+      """spn AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_rem
+        |  FROM spr GROUP BY doc_id),
+        |v2m AS (
+        |  SELECT doc_id FROM scored
+        |  WHERE pred_lang <> 'und' AND quality_score >= 0.4 AND contamination <= 0.2
+        |    AND doc_id NOT IN (SELECT doc_id FROM splosers))
+        |SELECT d.doc_id AS doc_id,
+        |  CASE WHEN v2m.doc_id IS NULL THEN 'removed'
+        |       WHEN COALESCE(spn.n_rem, 0) > 0 THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents d
+        |LEFT JOIN v2m ON d.doc_id = v2m.doc_id
+        |LEFT JOIN spn ON d.doc_id = spn.doc_id
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_llm_corpus_prep_audit" -> llmCorpusPrepAuditOracleSql,
     "x_corpus_diff" -> corpusDiffOracleSql,
+    "x_corpus_diff_content" -> corpusDiffContentOracleSql,
     "x_llm_corpus_prep" -> llmCorpusPrepOracleSql(),
     "x_llm_corpus_prep_winnow" -> llmCorpusPrepOracleSql(
       extraCtes = winnowStageCtes,

@@ -4614,6 +4614,33 @@ class ExtensionsSpec extends AnyFunSuite {
       s"diff verdicts: $diff")
   }
 
+  test("content diff pins all three arms: span-modified, majority-removed, untouched") {
+    import spark.implicits._
+    // The diff family's transform member on a planted 3-doc corpus:
+    // M = S ++ T ++ S (96 tokens, 3 spans, the repeated S's second
+    // occurrence removed — kept but MODIFIED, 2·1 ≤ 3), R = S' ×3
+    // (2 of 3 spans removed — majority-duplicated, REMOVED), U unique
+    // (UNCHANGED). Markers ride inside the spans so every doc passes
+    // the prep's language gate; all tokens are corpus-unique so no
+    // cross-doc stage fires.
+    def toks(p: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$p${i}w")
+    val S = toks("qcdm", 29) ++ Seq("der", "und", "das")
+    val T = toks("qcdt", 32)
+    val Sp = toks("qcdr", 29) ++ Seq("der", "und", "das")
+    val U = toks("qcdu", 47) ++ Seq("der", "und", "das")
+    val tmp = java.nio.file.Files.createTempDirectory("contentdiff").toString
+    Seq((9100001L, (S ++ T ++ S).mkString(" "), "de", "srcx", 1L),
+        (9100002L, U.mkString(" "), "de", "srcx", 1L),
+        (9100003L, (Sp ++ Sp ++ Sp).mkString(" "), "de", "srcx", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.CorpusPrep.xCorpusDiffContent(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(9100001L -> "modified", 9100002L -> "unchanged",
+      9100003L -> "removed"), s"content-diff verdicts: $out")
+  }
+
   test("live drift monitor: cards from streamed manifest increments reproduce the batch drift gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
