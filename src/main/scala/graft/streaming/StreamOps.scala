@@ -1596,6 +1596,29 @@ object StreamOps {
     "hub_screen", "winnow_dup", "mix_cut", "sample_cut", "span_majority",
     "c4_rules", "dsir", "admitted")
 
+  /** The vector gate's funnel — ingestAuditRollup's mirror over
+    * [[ingestVectors]]' verdicts, in the gate's policy order (exact
+    * content dup → contamination flag → admitted): the same stateless
+    * map + rollup, runnable on the live stream output or a persisted
+    * verdict table.
+    */
+  def ingestVecAuditRollup(verdicts: DataFrame): DataFrame = {
+    verdicts
+      .withColumn("stage_ord",
+        when(col("is_dup") === 1L, lit(0L))
+          .when(col("n_flags") > 0L, lit(1L))
+          .otherwise(lit(2L)))
+      .withColumn("stage",
+        element_at(typedlit(ingestVecAuditStages),
+          col("stage_ord").cast("int") + 1))
+      .groupBy(col("stage_ord"), col("stage"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("stage_ord")
+  }
+
+  private[graft] val ingestVecAuditStages: Seq[String] = Seq(
+    "exact_dup", "contamination", "admitted")
+
   case class KeyedVec(h1: Long, h2: Long, vec_id: Long,
     embedding: Array[Float])
   case class IngestVecCand(h1: Long, h2: Long, vec_id: Long, kind: Int,

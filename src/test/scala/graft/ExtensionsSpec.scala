@@ -4679,6 +4679,23 @@ class ExtensionsSpec extends AnyFunSuite {
       s"streamed drift diverges from the batch gate:\n$live\nvs\n$batch")
   }
 
+  test("vector ingest funnel attributes each verdict to its first failing dimension") {
+    import spark.implicits._
+    // The vector gate's funnel mirror of the doc-gate fixture: a dup
+    // that is ALSO flagged must attribute to exact_dup (first in
+    // policy order), a keeper with flags to contamination, clean
+    // keepers to admitted.
+    def v(id: Long, dup: Long, flags: Long): streaming.StreamOps.IngestVecVerdict =
+      streaming.StreamOps.IngestVecVerdict(id, if (dup == 1L) 0L else id,
+        dup, 3L, Seq(1L), Seq(5L), flags,
+        if (dup == 0L && flags == 0L) 1L else 0L)
+    val rows = Seq(v(1, 1, 2), v(2, 1, 0), v(3, 0, 1), v(4, 0, 0), v(5, 0, 0))
+    val out = streaming.StreamOps.ingestVecAuditRollup(rows.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, "exact_dup", 2L), (1L, "contamination", 1L),
+      (2L, "admitted", 2L)), s"funnel: $out")
+  }
+
   test("vector prep audit partitions the pool and its kept row IS the FULL arm's output") {
     // The embedding-side audit contract (the text audit's twin): every
     // raw vector attributed exactly once, terminal 'kept' class equal
