@@ -143,13 +143,42 @@ object Pipeline {
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       name -> s"$outDir/$name"
     }
+    // DEPLOYED attribution shape (r14): the per-stage verdict relations
+    // persist FIRST (the chains run once, here), then both audits are
+    // the id-join + CASE + rollup TAIL over the persisted relations —
+    // auditFromArtifacts/embAuditFromArtifacts, parity-spec'd
+    // row-for-row against the gated audit shapes, so the published
+    // artifact still IS the gated relation. Later attribution questions
+    // re-run only the tail (the ScaleProbe deployed "audit_tail" row).
+    val verdDir = materializePrepVerdicts(spark, sfDir, outDir)
     Map(
       write("corpus_card", ext.TextAnalysis.xCorpusManifest(spark, sfDir)),
-      write("corpus_audit", ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sfDir)),
+      write("corpus_audit", ext.CorpusPrep.auditRollup(
+        ext.CorpusPrep.auditFromArtifacts(spark, verdDir))),
       write("corpus_drift", ext.TextAnalysis.xCorpusDrift(spark, sfDir)),
       write("emb_card", ext.Similarity.xEmbManifest(spark, sfDir)),
-      write("emb_audit", ext.Similarity.xEmbCorpusPrepAudit(spark, sfDir)),
+      write("emb_audit", ext.Similarity.embAuditRollup(
+        ext.Similarity.embAuditFromArtifacts(spark, sfDir, verdDir))),
       write("emb_drift", ext.Similarity.xEmbDrift(spark, sfDir)))
+  }
+
+  /** Persist the slim per-stage VERDICT relations both preps' deployed
+    * attribution arms consume (CorpusPrep.prepVerdictRelations +
+    * Similarity.embPrepVerdictRelations — the gated stages' own shared
+    * constructions, run once per corpus build). Everything written is
+    * 8-byte ids plus the one per-doc score row — at 100 TB these are
+    * the relations that make "why did my corpus shrink?" an id-join
+    * tail instead of a pipeline re-run. Returns the verdict directory.
+    */
+  def materializePrepVerdicts(spark: SparkSession, sfDir: String,
+      outDir: String): String = {
+    val verdDir = s"$outDir/prep_verdicts"
+    (ext.CorpusPrep.prepVerdictRelations(spark, sfDir) ++
+      ext.Similarity.embPrepVerdictRelations(spark, sfDir))
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$verdDir/$name")
+      }
+    verdDir
   }
 
   /** Operational incremental near-dup admission: the MinHash signature

@@ -203,13 +203,15 @@ object ScaleProbe {
     * duplication rate a real crawl carries — so the near-dup/keep-best
     * pair work grows ∝ N too instead of staying base-scale.
     * Langs/sources hash over the base value sets so the
-    * mix/langid/quality stages see the base distributions. Everything
-    * except documents symlinks to the base dir.
+    * mix/langid/quality stages see the base distributions. Since
+    * grown-v3 the EMBEDDINGS side is synthesized too (cohort-salted
+    * perturbed vectors + ~5% near-copies — see the construction note
+    * below); everything else symlinks to the base dir.
     */
   private def buildGrownDir(spark: SparkSession, base: String,
       work: String, nReplicas: Int): Unit = {
     val marker = new java.io.File(s"$work/_graft_grown_marker")
-    val markerWant = s"$base grown-v2 x$nReplicas"
+    val markerWant = s"$base grown-v3 x$nReplicas"
     val reuse = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == markerWant finally src.close()
@@ -267,8 +269,55 @@ object ScaleProbe {
         length(col("text")).cast("long").as("n_chars"))
     docs.unionByName(synth)
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // GROWN vectors (r14, grown-v3): distinct-content synthetic
+    // embeddings by the documents' construction — each synthetic vector
+    // perturbs a hash-picked base template with a COHORT-shared shift
+    // plus per-vector noise (uniform ±0.15/element over 64 dims ⇒
+    // perturbation norm ≈ the unit base norm, typical cosine-to-template
+    // ≈ 0.7: genuinely new content under the 0.8 near-dup/semantic
+    // thresholds, while cohorts still form coherent regions for the
+    // quantizer). ~5% are NEAR-COPIES of a synthetic vector in their own
+    // cohort (same template + noise stream, ONE element nudged 0.01 —
+    // cosine ≈ 0.9999), the constant duplication rate a real crawl
+    // carries, so the near-dup/semantic pair work grows ∝ N. Seed-id
+    // rules respected by construction: synthetic ids all exceed the base
+    // max, so lloydCentroids' vec_id < k seeds stay the base corpus's,
+    // and near-copies are edits, never scaled co-directional plants.
+    val emb = Tables.embeddings(spark, base)
+    val vLabels = emb.select("label").distinct().orderBy("label")
+      .collect().map(_.getInt(0)).toSeq
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0)
+    val nBaseV = emb.count()
+    val synthV = spark.range((nReplicas - 1L) * nBaseV)
+      .withColumn("vec_id", col("id") + maxVid + 1L)
+      .withColumn("vcohort", expr(s"id div $nBaseV"))
+      .withColumn("vgen_id",
+        when(pmod(xxhash64(lit(616), col("vec_id")), lit(20)) === 0,
+          col("vcohort") * nBaseV +
+            pmod(xxhash64(lit(717), col("vec_id")), lit(nBaseV)) +
+            (maxVid + 1L))
+          .otherwise(col("vec_id")))
+      .withColumn("src_id",
+        pmod(xxhash64(lit(818), col("vgen_id")), lit(nBaseV)))
+      .join(broadcast(emb.select(col("vec_id").as("src_id"),
+        col("embedding").as("bemb"))), Seq("src_id"))
+      .withColumn("edit_pos",
+        pmod(xxhash64(lit(919), col("vec_id")), size(col("bemb")).cast("long")))
+      .withColumn("embedding", expr(
+        """transform(bemb, (x, i) -> CAST(
+          |  CAST(x AS DOUBLE)
+          |  + (pmod(xxhash64(121L, vcohort, CAST(i AS BIGINT)), 301L) - 150.0) / 1000.0
+          |  + (pmod(xxhash64(232L, vgen_id, CAST(i AS BIGINT)), 301L) - 150.0) / 1000.0
+          |  + (CASE WHEN vgen_id <> vec_id AND CAST(i AS BIGINT) = edit_pos
+          |     THEN 0.01 ELSE 0.0 END) AS FLOAT))""".stripMargin))
+      .select(col("vec_id"), col("embedding"),
+        element_at(typedlit(vLabels),
+          (pmod(xxhash64(lit(343), col("vec_id")), lit(vLabels.size)) + 1)
+            .cast("int")).as("label"))
+    emb.select("vec_id", "embedding", "label").unionByName(synthV)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "events", "lineitem", "embeddings").foreach { t =>
+      "events", "lineitem").foreach { t =>
       val target = new java.io.File(s"$work/$t.parquet")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
@@ -328,16 +377,22 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** The 100×-recall probe (the r11 verdict's task #7): the three
-    * production ANN shapes' recall gates re-run on the N×-replicated
-    * corpus — inverted lists and code cells N× fuller under the same
-    * replica-exclusion probe the 10× gates use. Usage:
-    * runMain graft.ScaleProbe recall [base] [work] [replicas]
+  /** The 100×-recall probe (the r11 verdict's task #7): the production
+    * ANN shapes' recall gates re-run on the N× corpus — inverted lists
+    * and code cells N× fuller. Two regimes: REPLICATION (default —
+    * replica-exclusion probe, base-content centroids reused by
+    * construction) and GROWN (4th arg "grown" — distinct-content
+    * synthetic vectors, buildGrownDir; no exclusion needed because no
+    * ids share content, so replicaShift = 0 and recall measures genuine
+    * neighbor recovery among NEW content the quantizers never saw at
+    * base scale — the r13 verdict's untested axis). Usage:
+    * runMain graft.ScaleProbe recall [base] [work] [replicas] [grown]
     */
   private def recallMain(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 100
+    val grown = args.length > 3 && args(3) == "grown"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -348,23 +403,26 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    buildReplicaDir(spark, base, work, nReplicas)
+    if (grown) buildGrownDir(spark, base, work, nReplicas)
+    else buildReplicaDir(spark, base, work, nReplicas)
+    val shift = if (grown) 0L else idShift
     spark.catalog.clearCache()
-    val ivf = ext.Similarity.probeRecall5Ivf(spark, work, idShift)
+    val ivf = ext.Similarity.probeRecall5Ivf(spark, work, shift)
     spark.catalog.clearCache()
     // Shortlist fraction held constant (the probeRecall5Pq rationale).
-    val ivfPq = ext.Similarity.probeRecall5IvfPq(spark, work, idShift,
+    val ivfPq = ext.Similarity.probeRecall5IvfPq(spark, work, shift,
       32 * nReplicas)
     spark.catalog.clearCache()
-    val ivfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, idShift,
+    val ivfAdc = ext.Similarity.probeRecall5IvfAdc(spark, work, shift,
       32 * nReplicas)
     spark.catalog.clearCache()
-    val sq8 = ext.Similarity.probeRecall5Sq8(spark, work, idShift,
+    val sq8 = ext.Similarity.probeRecall5Sq8(spark, work, shift,
       32 * nReplicas)
     spark.catalog.clearCache()
-    val ivfSq8 = ext.Similarity.probeRecall5IvfSq8(spark, work, idShift,
+    val ivfSq8 = ext.Similarity.probeRecall5IvfSq8(spark, work, shift,
       32 * nReplicas)
-    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"sq8":$sq8%.2f,"ivfsq8":$ivfSq8%.2f},"replicas":$nReplicas}""")
+    val regime = if (grown) "grown" else "replicated"
+    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"sq8":$sq8%.2f,"ivfsq8":$ivfSq8%.2f},"replicas":$nReplicas,"regime":"$regime"}""")
     spark.stop()
   }
 
@@ -454,12 +512,26 @@ object ScaleProbe {
       spark, base, "/tmp/graft_obs_x1"))
     val (_, obsN) = timed(Pipeline.materializeObservability(
       spark, work, s"/tmp/graft_obs_x$nReplicas"))
+    // The DEPLOYED attribution tail (r14): both audits re-derived from
+    // the verdict relations the observability publish just persisted —
+    // the cost of answering "why did my corpus shrink?" AFTER the
+    // build, which is the production shape (id-joins over slim parquet,
+    // no chain re-runs).
+    def auditTail(dir: String, obsDir: String): Double = timed {
+      ext.CorpusPrep.auditRollup(ext.CorpusPrep.auditFromArtifacts(
+        spark, s"$obsDir/prep_verdicts")).count()
+      ext.Similarity.embAuditRollup(ext.Similarity.embAuditFromArtifacts(
+        spark, dir, s"$obsDir/prep_verdicts")).count()
+    }._2
+    val tail1 = auditTail(base, "/tmp/graft_obs_x1")
+    val tailN = auditTail(work, s"/tmp/graft_obs_x$nReplicas")
     println(
       f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
       f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
       f""""dag_rebuild":{"x1":$dag1%.2f,"x$nReplicas%d":$dagN%.2f,"ratio":${dagN / dag1}%.1f},""" +
       f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f},""" +
-      f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f}},""" +
+      f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f},""" +
+      f""""audit_tail":{"x1":$tail1%.2f,"x$nReplicas%d":$tailN%.2f,"ratio":${tailN / tail1}%.1f}},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas}""")
     spark.stop()
   }

@@ -322,38 +322,71 @@ object CorpusPrep {
     * every join ships 8-byte ids, the text is read only by the stages
     * themselves.
     */
-  def xLlmCorpusPrepAudit(spark: SparkSession, dir: String): DataFrame = {
-    val per = auditCorpus(spark, dir)
+  def xLlmCorpusPrepAudit(spark: SparkSession, dir: String): DataFrame =
+    auditRollup(auditCorpus(spark, dir))
+
+  private[graft] def auditRollup(per: DataFrame): DataFrame =
     per.groupBy(col("stage_ord"), col("stage"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("stage_ord")
-  }
 
   private[graft] val auditStages: Seq[String] = Seq(
     "exact_dup", "near_dup", "eval_source", "lang", "quality",
     "contamination", "substring_dup", "dsir", "boilerplate", "kept")
 
-  /** The per-document attribution relation behind the audit rollup
-    * (the spec inspects it doc-by-doc against screenedCorpus). */
-  private[graft] def auditCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** The names of the slim per-stage verdict relations the DEPLOYED
+    * attribution arm persists (Pipeline.materializePrepVerdicts) and
+    * [[auditFromArtifacts]] reads back — id sets plus one per-doc score
+    * row, never text.
+    */
+  private[graft] val prepVerdictNames: Seq[String] = Seq(
+    "verd_doc_scores", "verd_exact_keep", "verd_near_lose",
+    "verd_winnow_lose", "verd_dsir_sel", "verd_screen_lose")
+
+  /** The slim per-stage verdict relations, built from the gated stages'
+    * OWN shared constructions — ONE construction behind the live audit
+    * (auditCorpus) and the persisted deployed arm (the
+    * corpusMixBpeFrozen precedent): at 100 TB the Pipeline persists
+    * these during the build, and every later "why did my corpus
+    * shrink?" question is [[auditFromArtifacts]]'s id-join tail over
+    * them — no chain re-runs. Every relation is 8-byte ids (plus the
+    * one per-doc score row): the corpus text never rides along.
+    */
+  private[graft] def prepVerdictRelations(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.ngramJaccardPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
     val labels = Dedup.connectedComponents(pairs)._1
+    Seq(
+      "verd_doc_scores" -> docs.select(col("doc_id"), col("source"))
+        .join(predLang(spark, docs), Seq("doc_id"))
+        .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
+        .join(contamination(docs), Seq("doc_id"), "left")
+        .withColumn("contamination", coalesce(col("contamination"), lit(0.0))),
+      "verd_exact_keep" -> Dedup.dedupCorpus(docs).select("doc_id"),
+      "verd_near_lose" -> Dedup.keepBestVerdicts(docs, labels)
+        .filter(col("kept") === 0L).select("doc_id"),
+      "verd_winnow_lose" -> winnowSubLosers(spark, dir).select("doc_id"),
+      "verd_dsir_sel" -> Selection.xDsirSelect(spark, dir)
+        .filter(col("selected") === 1L).select("doc_id"),
+      "verd_screen_lose" -> screenLosers(spark, dir).select("doc_id"))
+  }
+
+  /** The attribution TAIL — the id-joins + first-drop CASE over the
+    * verdict relations, shared verbatim by the live audit and the
+    * artifact-backed deployed arm (the bpeTrain single-loop rule: one
+    * tail, two relation sources).
+    */
+  private def auditAttributionTail(rel: Map[String, DataFrame]): DataFrame = {
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.select("doc_id").distinct().withColumn(name, lit(1))
-    docs.select(col("doc_id"), col("source"))
-      .join(flag(Dedup.dedupCorpus(docs), "f_exact_keep"), Seq("doc_id"), "left")
-      .join(flag(Dedup.keepBestVerdicts(docs, labels)
-        .filter(col("kept") === 0L), "f_near_lose"), Seq("doc_id"), "left")
-      .join(predLang(spark, docs), Seq("doc_id"))
-      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
-      .join(contamination(docs), Seq("doc_id"), "left")
-      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
-      .join(flag(winnowSubLosers(spark, dir), "f_winnow"), Seq("doc_id"), "left")
-      .join(flag(Selection.xDsirSelect(spark, dir)
-        .filter(col("selected") === 1L), "f_dsir_sel"), Seq("doc_id"), "left")
-      .join(flag(screenLosers(spark, dir), "f_screen"), Seq("doc_id"), "left")
+    rel("verd_doc_scores")
+      .join(flag(rel("verd_exact_keep"), "f_exact_keep"), Seq("doc_id"), "left")
+      .join(flag(rel("verd_near_lose"), "f_near_lose"), Seq("doc_id"), "left")
+      .join(flag(rel("verd_winnow_lose"), "f_winnow"), Seq("doc_id"), "left")
+      .join(flag(rel("verd_dsir_sel"), "f_dsir_sel"), Seq("doc_id"), "left")
+      .join(flag(rel("verd_screen_lose"), "f_screen"), Seq("doc_id"), "left")
       .withColumn("stage_ord",
         when(col("f_exact_keep").isNull, lit(0L))
           .when(col("f_near_lose") === 1, lit(1L))
@@ -368,6 +401,22 @@ object CorpusPrep {
       .withColumn("stage",
         element_at(typedlit(auditStages), col("stage_ord").cast("int") + 1))
   }
+
+  /** The per-document attribution relation behind the audit rollup
+    * (the spec inspects it doc-by-doc against screenedCorpus). */
+  private[graft] def auditCorpus(spark: SparkSession, dir: String): DataFrame =
+    auditAttributionTail(prepVerdictRelations(spark, dir).toMap)
+
+  /** The DEPLOYED attribution arm: the same tail over the PERSISTED
+    * verdict relations (Pipeline.materializePrepVerdicts's layout) —
+    * the production answer to "why did my corpus shrink?": the chains
+    * ran once at build time; attribution later is id-joins over slim
+    * parquet, sub-second at any corpus scale. Parity-spec'd doc-for-doc
+    * against [[auditCorpus]].
+    */
+  def auditFromArtifacts(spark: SparkSession, verdDir: String): DataFrame =
+    auditAttributionTail(prepVerdictNames.map(n =>
+      n -> spark.read.parquet(s"$verdDir/$n")).toMap)
 
   /** Corpus VERSION DIFF — the data-versioning surface a production
     * corpus registry publishes when a pipeline policy changes: v1 = the

@@ -1381,11 +1381,20 @@ object Similarity {
     * drift from the verdict operators.
     */
   private def embPrepSurvivorsClean(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = embPrepCleanStage(spark, dir)._1
+
+  /** The clean stage's (survivors, band-loser ids) pair — the band
+    * losers are derived ONCE here and returned so the audit consumes
+    * the same derivation it anti-joins with (the shared-construction
+    * rule), instead of re-running the banded chain for its flag join.
+    */
+  private def embPrepCleanStage(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val losers = xDedupEmbCosineLshClean(spark, dir)
       .select(col("id2").as("vec_id")).distinct()
-    Dedup.embExactKeepers(spark, dir)
+    val surv = Dedup.embExactKeepers(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
+    (surv, losers)
   }
 
   /** xEmbCorpusPrep with the dedup front-end swapped to the PRODUCTION
@@ -1414,18 +1423,21 @@ object Similarity {
     * individually measured (1.0×/1.0×/2.0×-shaped chains — SCALE.md).
     */
   def xEmbCorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, semLosers) = fullPrepSemStage(spark, dir)
+    val (assigned, semLosers, _) = fullPrepSemStage(spark, dir)
     val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
     capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
   }
 
-  /** The FULL arm's (assigned clean survivors, semantic-loser ids) pair
-    * — ONE construction (the bpeTrain rule) behind the gated
-    * composition and the drop-attribution audit below.
+  /** The FULL arm's (assigned clean survivors, semantic-loser ids,
+    * band-loser ids) triple — ONE construction (the bpeTrain rule)
+    * behind the gated composition and the drop-attribution audit below;
+    * the band losers ride along so the audit flags with the SAME
+    * derivation the survivor anti-join consumed (never a second run of
+    * the banded chain, the heaviest stage).
     */
   private def fullPrepSemStage(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val surv = embPrepSurvivorsClean(spark, dir)
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (surv, bandLosers) = embPrepCleanStage(spark, dir)
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
     val assigned = withVecNorm(surv).withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
@@ -1438,7 +1450,7 @@ object Similarity {
       .filter(round(VectorFunctions.dotProduct(col("v1"), col("v2"))
         / (col("n1") * col("n2")), 4) >= semThreshold)
       .select(col("id2").as("vec_id")).distinct()
-    (assigned, semLosers)
+    (assigned, semLosers, bandLosers)
   }
 
   /** Per-stage DROP-ATTRIBUTION AUDIT of the production vector prep —
@@ -1453,22 +1465,62 @@ object Similarity {
     * construction (spec-pinned). Ships next to the vector data card
     * at any scale: every attribution join is an 8-byte id join.
     */
-  def xEmbCorpusPrepAudit(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, semLosers) = fullPrepSemStage(spark, dir)
+  def xEmbCorpusPrepAudit(spark: SparkSession, dir: String): DataFrame =
+    embAuditRollup(embAuditVectors(spark, dir))
+
+  private[graft] def embAuditRollup(per: DataFrame): DataFrame =
+    per.groupBy(col("stage_ord"), col("stage"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("stage_ord")
+
+  /** The per-vector attribution relation behind the audit rollup (the
+    * auditCorpus idiom — the spec inspects it vec-for-vec against the
+    * FULL arm's survivor set, not just by count). Band losers come from
+    * fullPrepSemStage's own returned derivation (never a second run of
+    * the banded chain).
+    */
+  private[graft] def embAuditVectors(spark: SparkSession,
+      dir: String): DataFrame =
+    embAuditTail(Tables.embeddings(spark, dir).select("vec_id"),
+      embPrepVerdictRelations(spark, dir).toMap)
+
+  /** The names of the vector prep's slim verdict relations the deployed
+    * arm persists and [[embAuditFromArtifacts]] reads back. */
+  private[graft] val embVerdictNames: Seq[String] = Seq(
+    "verd_emb_keep", "verd_emb_band_lose", "verd_emb_sem_lose",
+    "verd_emb_cap_lose")
+
+  /** The vector prep's slim per-stage verdict id sets — ONE
+    * construction (fullPrepSemStage's own returned derivations) behind
+    * the live audit and the persisted deployed arm, mirroring
+    * CorpusPrep.prepVerdictRelations. Each is a vec_id column only:
+    * embeddings never ride into the attribution artifacts.
+    */
+  private[graft] def embPrepVerdictRelations(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val (assigned, semLosers, bandLosers) = fullPrepSemStage(spark, dir)
     val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
     val capLosers = cappedRanks(
         sem.select(col("vec_id"), col("embedding"), col("cell")))
       .filter(col("rank") > 8).select("vec_id")
-    val bandLosers = xDedupEmbCosineLshClean(spark, dir)
-      .select(col("id2").as("vec_id")).distinct()
+    Seq(
+      "verd_emb_keep" -> Dedup.embExactKeepers(spark, dir).select("vec_id"),
+      "verd_emb_band_lose" -> bandLosers,
+      "verd_emb_sem_lose" -> semLosers,
+      "verd_emb_cap_lose" -> capLosers)
+  }
+
+  /** The attribution tail over the raw pool + verdict id sets — shared
+    * verbatim by the live audit and the artifact-backed arm. */
+  private def embAuditTail(pool: DataFrame,
+      rel: Map[String, DataFrame]): DataFrame = {
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.select("vec_id").distinct().withColumn(name, lit(1))
-    Tables.embeddings(spark, dir).select("vec_id")
-      .join(flag(Dedup.embExactKeepers(spark, dir), "f_keep"),
-        Seq("vec_id"), "left")
-      .join(flag(bandLosers, "f_band"), Seq("vec_id"), "left")
-      .join(flag(semLosers, "f_sem"), Seq("vec_id"), "left")
-      .join(flag(capLosers, "f_cap"), Seq("vec_id"), "left")
+    pool
+      .join(flag(rel("verd_emb_keep"), "f_keep"), Seq("vec_id"), "left")
+      .join(flag(rel("verd_emb_band_lose"), "f_band"), Seq("vec_id"), "left")
+      .join(flag(rel("verd_emb_sem_lose"), "f_sem"), Seq("vec_id"), "left")
+      .join(flag(rel("verd_emb_cap_lose"), "f_cap"), Seq("vec_id"), "left")
       .withColumn("stage_ord",
         when(col("f_keep").isNull, lit(0L))
           .when(col("f_band") === 1, lit(1L))
@@ -1477,10 +1529,18 @@ object Similarity {
           .otherwise(lit(4L)))
       .withColumn("stage",
         element_at(typedlit(embAuditStages), col("stage_ord").cast("int") + 1))
-      .groupBy(col("stage_ord"), col("stage"))
-      .agg(count(lit(1)).as("n_vecs"))
-      .orderBy("stage_ord")
   }
+
+  /** The DEPLOYED vector attribution arm: the same tail over the
+    * PERSISTED verdict id sets (Pipeline.materializePrepVerdicts) and
+    * the corpus's raw pool — id-joins over slim parquet, no chain
+    * re-runs; parity-spec'd vec-for-vec against [[embAuditVectors]].
+    */
+  def embAuditFromArtifacts(spark: SparkSession, dir: String,
+      verdDir: String): DataFrame =
+    embAuditTail(Tables.embeddings(spark, dir).select("vec_id"),
+      embVerdictNames.map(n =>
+        n -> spark.read.parquet(s"$verdDir/$n")).toMap)
 
   private[graft] val embAuditStages: Seq[String] = Seq(
     "exact_dup", "near_dup", "semantic", "cap", "kept")
@@ -1686,7 +1746,10 @@ object Similarity {
     */
   def xEmbDrift(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+    // Empty-corpus guard: max() over no rows is null — an empty report,
+    // not an NPE (half = 0 puts both halves empty).
+    val hr = e.agg(expr("(max(vec_id) + 1) div 2")).head()
+    val half = if (hr.isNullAt(0)) 0L else hr.getLong(0)
     def shares(df: DataFrame, as: String): DataFrame =
       embManifestCard(df).select(col("label"), col("vec_share_bp").as(as))
     shares(e.filter(col("vec_id") < half), "ref_share_bp")

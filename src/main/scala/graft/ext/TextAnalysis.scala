@@ -575,7 +575,8 @@ object TextAnalysis {
     per.crossJoin(broadcast(per.agg(sum(col("ws_tokens")).as("tot"))))
       .select(col("source"), col("lang"), col("n_docs"),
         col("n_distinct_texts"), col("ws_tokens"), col("total_chars"),
-        expr("ws_tokens * 10000 div tot").as("token_share_bp"))
+        coalesce(expr("ws_tokens * 10000 div tot"), lit(0L))
+          .as("token_share_bp"))
   }
 
   /** Data-card DRIFT monitor — the composition-shift alarm a production
@@ -593,7 +594,10 @@ object TextAnalysis {
     */
   def xCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    // Empty-corpus guard: max() over no rows is null — an empty report,
+    // not an NPE (half = 0 puts both halves empty).
+    val hr = docs.agg(expr("(max(doc_id) + 1) div 2")).head()
+    val half = if (hr.isNullAt(0)) 0L else hr.getLong(0)
     driftBetween(
       manifestCard(docs.filter(col("doc_id") < half)),
       manifestCard(docs.filter(col("doc_id") >= half)))
@@ -1670,7 +1674,7 @@ object TextAnalysis {
         |  FROM documents GROUP BY 1, 2),
         |tot AS (SELECT CAST(SUM(ws_tokens) AS BIGINT) AS tot FROM per)
         |SELECT source, lang, n_docs, n_distinct_texts, ws_tokens, total_chars,
-        |  CAST(ws_tokens * 10000 // tot AS BIGINT) AS token_share_bp
+        |  CAST(COALESCE(ws_tokens * 10000 // tot, 0) AS BIGINT) AS token_share_bp
         |FROM per, tot ORDER BY source, lang""".stripMargin,
     // Drift twin: each half's shares over its OWN total (floor-div
     // integers), full-outer joined with zero-fill, CASE flag at 100 bp.

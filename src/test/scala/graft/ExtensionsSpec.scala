@@ -4697,19 +4697,42 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("vector prep audit partitions the pool and its kept row IS the FULL arm's output") {
-    // The embedding-side audit contract (the text audit's twin): every
-    // raw vector attributed exactly once, terminal 'kept' class equal
-    // to x_emb_corpus_prep_full's emitted vec_ids.
-    val rollup = ext.Similarity.xEmbCorpusPrepAudit(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // The embedding-side audit contract (the text audit's twin), pinned
+    // vec-for-vec over the per-vector attribution relation: every raw
+    // vector attributed EXACTLY once, and the terminal 'kept' class is
+    // SET-equal to x_emb_corpus_prep_full's emitted vec_ids (count
+    // equality alone would admit one wrong drop + one wrong keep).
+    val per = ext.Similarity.embAuditVectors(spark, sf)
+      .select("vec_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
     val total = Tables.embeddings(spark, sf).count()
-    assert(rollup.map(_._3).sum == total,
-      s"audit covers ${rollup.map(_._3).sum} of $total vectors")
-    val keptN = rollup.find(_._2 == "kept").map(_._3).getOrElse(0L)
+    assert(per.length.toLong == total && per.map(_._1).distinct.length == per.length,
+      s"audit attributes ${per.length} rows over $total vectors (must be exactly one each)")
+    val kept = per.filter(_._2 == "kept").map(_._1).toSet
     val full = ext.Similarity.xEmbCorpusPrepFull(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(keptN == full.size.toLong,
-      s"audit kept $keptN != FULL arm's ${full.size} survivors")
+    assert(kept == full,
+      s"audit kept-set diverges from the FULL arm: extra=${kept -- full}, missing=${full -- kept}")
+    // And the gated rollup is exactly this relation's funnel.
+    val rollup = ext.Similarity.xEmbCorpusPrepAudit(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    val want = per.groupBy(_._2).map { case (s, rs) => s -> rs.length.toLong }
+    assert(rollup == want, s"rollup $rollup != per-vector funnel $want")
+  }
+
+  test("drift monitors return an empty report over an empty corpus") {
+    import spark.implicits._
+    // The half-split guard: max(id) over no rows is null — both gates
+    // must return zero rows, not NPE on the driver-collected split.
+    val tmp = java.nio.file.Files.createTempDirectory("emptydrift").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(ext.TextAnalysis.xCorpusDrift(spark, tmp).count() == 0L)
+    assert(ext.Similarity.xEmbDrift(spark, tmp).count() == 0L)
   }
 
   test("vector drift zero-fills a label present in only one half as pure drift") {
@@ -4759,6 +4782,35 @@ class ExtensionsSpec extends AnyFunSuite {
       val expect = df.collect().map(_.toSeq).toSet
       assert(artifact == expect, s"$name artifact diverges from the gate")
     }
+  }
+
+  test("deployed attribution arm equals the live audits row-for-row") {
+    // The r14 deployed shape: the Pipeline persists the slim per-stage
+    // verdict relations once; auditFromArtifacts/embAuditFromArtifacts
+    // are the id-join + CASE tail over them. Their per-row attribution
+    // must equal the live audit-shaped derivations exactly — the parity
+    // that lets production answer attribution questions without chain
+    // re-runs.
+    val tmp = java.nio.file.Files.createTempDirectory("verd").toString
+    val verdDir = Pipeline.materializePrepVerdicts(spark, sf, tmp)
+    val liveDoc = ext.CorpusPrep.auditCorpus(spark, sf)
+      .select("doc_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    val artDoc = ext.CorpusPrep.auditFromArtifacts(spark, verdDir)
+      .select("doc_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    assert(artDoc == liveDoc,
+      s"text deployed attribution diverges: extra=${(artDoc -- liveDoc).take(3)} " +
+        s"missing=${(liveDoc -- artDoc).take(3)}")
+    val liveVec = ext.Similarity.embAuditVectors(spark, sf)
+      .select("vec_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    val artVec = ext.Similarity.embAuditFromArtifacts(spark, sf, verdDir)
+      .select("vec_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    assert(artVec == liveVec,
+      s"vector deployed attribution diverges: extra=${(artVec -- liveVec).take(3)} " +
+        s"missing=${(liveVec -- artVec).take(3)}")
   }
 
   test("ingest audit rollup attributes each verdict to its first failing gate dimension") {
