@@ -357,7 +357,7 @@ object Pipeline {
     */
   private[graft] val shelfGroups: Vector[String] = Vector("bpe",
     "keepbest", "winnow", "span", "hub", "mix", "sample",
-    "contamination", "ivf", "pq", "dsir", "nb")
+    "contamination", "ivf", "pq", "dsir", "nb", "diff")
 
   private def shelfGroup(spark: SparkSession, sfDir: String, group: String)
       : (Seq[(String, DataFrame)], Seq[(String, Long)]) = {
@@ -421,6 +421,13 @@ object Pipeline {
           "art_nb_terms" -> nb.flatMap { case (c, _, _, t) =>
             t.toSeq.map { case (tok, v) => (c, tok, v) } }
             .toDF("cls", "tok", "term")), Nil)
+      case "diff" =>
+        // The frozen v1 MEMBERSHIP relation the streaming version-diff
+        // gate compares arrivals against (StreamOps.diffDocsIncrement):
+        // the flagship policy's survivor ids — x_corpus_diff's v1 side,
+        // persisted once per corpus version like every frozen state.
+        (Seq("art_corpus_v1_members" ->
+          ext.CorpusPrep.trainingCorpus(spark, sfDir).select("doc_id")), Nil)
       case other => throw new IllegalArgumentException(
         s"unknown shelf group: $other (one of ${shelfGroups.mkString(", ")})")
     }

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -436,11 +436,22 @@ object CorpusPrep {
     val v2 = fullCorpus(spark, dir).select(col("doc_id").as("v2_id"))
     v1.join(v2, col("v1_id") === col("v2_id"), "full_outer")
       .select(coalesce(col("v1_id"), col("v2_id")).as("doc_id"),
-        when(col("v2_id").isNull, "removed")
-          .when(col("v1_id").isNull, "added")
-          .otherwise("unchanged").as("status"))
+        diffStatus(col("v1_id").isNotNull, col("v2_id").isNotNull)
+          .as("status"))
       .orderBy("doc_id")
   }
+
+  /** The version-diff status semantics — ONE builder (the driftBetween
+    * idiom) behind the batch gate above and the streaming increment
+    * surface (StreamOps.diffDocsIncrement): membership in v1/v2 → the
+    * x_corpus_diff status vocabulary. Callers guarantee at least one
+    * side holds (the batch full-outer join by construction; the
+    * streaming surface filters neither-side rows).
+    */
+  private[graft] def diffStatus(inV1: Column, inV2: Column): Column =
+    when(!inV2, "removed")
+      .when(!inV1, "added")
+      .otherwise("unchanged")
 
   /** CONTENT diff — the diff family's second member (x_corpus_diff
     * reports the MEMBERSHIP delta of a policy upgrade; this reports

@@ -1881,6 +1881,42 @@ object StreamOps {
       }
   }
 
+  case class DiffDoc(doc_id: Long, admitted: Long)
+
+  /** Streaming corpus VERSION-DIFF increments — the observability
+    * column's last batch-only member (x_corpus_diff) kept live at
+    * ingest: each arriving per-doc admission verdict (the live gate's
+    * output — ingestDocsFull emits exactly (doc_id, admitted, ...)) is
+    * compared against the FROZEN v1 membership relation (the shelf's
+    * `art_corpus_v1_members`, stamped like every frozen state) and
+    * emits its x_corpus_diff status on arrival: admitted ∧ in-v1 →
+    * 'unchanged', admitted ∧ ¬in-v1 → 'added', ¬admitted ∧ in-v1 →
+    * 'removed'; a doc in neither corpus emits nothing (the batch gate
+    * covers v1 ∪ v2 only). The status vocabulary is the ONE shared
+    * builder (CorpusPrep.diffStatus — never a re-derivation), and the
+    * surface is STATELESS (one stream-static left join on 8-byte ids +
+    * a narrow map), so it is micro-batch-split-proof by construction
+    * and replays re-emit the same deterministic row — an upsert sink
+    * keyed on doc_id (the w3_upsert_dedup convention) absorbs
+    * at-least-once upstreams. Works unchanged over a batch frame (the
+    * parity spec replays the corpus through it against the batch
+    * gate row-for-row). Scale shape: the static side is the persisted
+    * id relation — broadcast while small, id-bucketed at 100 TB; no
+    * state store, no watermark, nothing corpus-scale on any driver.
+    */
+  def diffDocsIncrement(verdicts: DataFrame, v1Members: DataFrame): DataFrame =
+    verdicts.select(col("doc_id"), col("admitted"))
+      .join(v1Members.select(col("doc_id")).withColumn("f_v1", lit(1)),
+        Seq("doc_id"), "left")
+      // Null-strict flag handling: f_v1 is NULL (not false) off the left
+      // join — coalesce BEFORE the boolean algebra or 'added' rows would
+      // null through diffStatus's negation into 'unchanged'.
+      .withColumn("f_v1", coalesce(col("f_v1"), lit(0)))
+      .filter(col("admitted") === 1L || col("f_v1") === 1)
+      .select(col("doc_id"),
+        graft.ext.CorpusPrep.diffStatus(
+          col("f_v1") === 1, col("admitted") === 1L).as("status"))
+
   case class DqRow(row_id: Long, key: Option[Long])
   case class DqState(keeper: Long, maxSeen: Long)
   case class DqVerdict(row_id: Long, key: Option[Long], check: String,

@@ -4364,7 +4364,8 @@ class ExtensionsSpec extends AnyFunSuite {
       "art_mix_cuts", "art_sample_rates",
       "art_contamination_eval_index", "art_ivf_centroids",
       "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
-      "art_nb_classes", "art_nb_terms", "art_splits", "art_build_stamp")
+      "art_nb_classes", "art_nb_terms", "art_corpus_v1_members",
+      "art_splits", "art_build_stamp")
     assert(counts.keySet == expected,
       s"shelf incomplete: missing=${expected -- counts.keySet} " +
         s"extra=${counts.keySet -- expected}")
@@ -4372,7 +4373,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(counts("art_dsir_consts") == 1L)
     assert(counts("art_splits") == 6L)
     // One stamp row per (non-stamp) artifact — the skew guard's ledger.
-    assert(counts("art_build_stamp") == 16L)
+    assert(counts("art_build_stamp") == 17L)
     // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
     assert(counts("art_ivf_centroids") == 16L * 64L)
     assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
@@ -4677,6 +4678,41 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(live == batch,
       s"streamed drift diverges from the batch gate:\n$live\nvs\n$batch")
+  }
+
+  test("streamed corpus diff equals the batch diff gate across splits and replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The observability column's last batch-only member in streaming
+    // form: arriving per-doc admission verdicts joined against the
+    // shelf's FROZEN v1 membership (stamped load), statuses from the
+    // ONE shared diffStatus builder — row-for-row the batch
+    // x_corpus_diff on the replayed corpus. The surface is stateless,
+    // so micro-batch splits change nothing and a replayed batch
+    // re-emits identical rows (set-compared — the upsert-sink dedup
+    // convention).
+    val v1 = ArtifactShelf.table(spark, shelfDir, "art_corpus_v1_members")
+    val v2 = ext.CorpusPrep.fullCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val verdicts = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(r => streaming.StreamOps.DiffDoc(r.getLong(0),
+        if (v2(r.getLong(0))) 1L else 0L)).sortBy(_.doc_id)
+    val input = MemoryStream[streaming.StreamOps.DiffDoc]
+    val query = streaming.StreamOps.diffDocsIncrement(input.toDF(), v1)
+      .writeStream.format("memory").queryName("diff_incs")
+      .outputMode("append").start()
+    val (b1, b2) = verdicts.splitAt(verdicts.length / 2)
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    input.addData(verdicts.toSeq); query.processAllAvailable() // replay
+    query.stop()
+    val streamed = spark.table("diff_incs").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = ext.CorpusPrep.xCorpusDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      s"streamed diff diverges from the batch gate: " +
+        s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
   }
 
   test("vector ingest funnel attributes each verdict to its first failing dimension") {
