@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// r14: the big suite is split by family (ExtensionsSpec / IngestGateSpec /
+// SelectionGraphSpec / ObservabilitySpec / ...) and the suites run
+// CONCURRENTLY inside the one forked JVM, sharing GraftTest's session
+// and shelf fixtures — roughly halves the `sbt test` wall.
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -5,28 +5,17 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Specs for the custom expression, kroger-shaped ingest, the pipeline
-  * materialization, and Structured Streaming sessionization.
+/** Specs for the custom expressions, kroger-shaped ingest, pipeline
+  * materialization, ANN recall, connected components, multimodal
+  * plumbing, and the early streaming surfaces. (The r14 suite split:
+  * this file keeps the core; IngestGateSpec / SelectionGraphSpec /
+  * ObservabilitySpec carry the rest, all sharing GraftTest's fixtures.)
   */
 class ExtensionsSpec extends AnyFunSuite {
-  private val sf = "/root/testdata/sf0.001"
-
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  // ONE frozen-artifact shelf build shared by every shelf-consuming
-  // spec (the full shelf build runs all 15 trainer passes — paying it
-  // once per suite, not per test, keeps the suite wall bounded).
-  lazy val (shelfDir: String, shelfCounts: Map[String, Long]) = {
-    val tmp = java.nio.file.Files.createTempDirectory("shelf_shared").toString
-    val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
-    (tmp, counts)
-  }
+  private val sf = GraftTest.sf
+  lazy val spark: SparkSession = GraftTest.spark
+  lazy val shelfDir: String = GraftTest.shelf._1
+  lazy val shelfCounts: Map[String, Long] = GraftTest.shelf._2
 
   test("dot_product matches the SQL aggregate/zip_with fold bitwise") {
     val e = Tables.embeddings(spark, sf).limit(50)
@@ -1380,3506 +1369,5 @@ class ExtensionsSpec extends AnyFunSuite {
       "streaming span cleaning diverged from the batch gate: " +
         s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
         s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
-  }
-
-  test("one-topology ingest gate composes span-clean, screen, and mix from the shelf") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The production ingest path end-to-end: build the artifact shelf
-    // once, load every frozen state through ArtifactShelf (ship → load
-    // → gate, no trainer in the topology), stream the span-admission
-    // arrivals through the SINGLE composed stateful stage across two
-    // micro-batches plus a replay, and require the per-doc verdicts to
-    // equal the COMPOSITION of the standalone gated operators:
-    // xDedupSpanAdmit's cleaning, the batch boilerplate screen's hub
-    // flags, and the mix cut rule — with the prep span-majority cut as
-    // the admission policy. At sf0.001 all three dimensions are active
-    // among arrivals (7 span-cut docs, 10 hub flags, mix rejections),
-    // pinned below so the parity cannot go vacuous.
-    val tmp = shelfDir
-    val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
-      .localCheckpoint()
-    val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
-      .localCheckpoint()
-    val cuts = ArtifactShelf.table(spark, tmp, "art_mix_cuts").collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val half = ArtifactShelf.splits(spark, tmp)("span_admit")
-    val arrivals = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= half)
-      .select("doc_id", "text", "lang").collect()
-      .map(r => streaming.StreamOps.IngestDoc(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1), r.getString(2)))
-      .sortBy(_.doc_id)
-    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
-    val input = MemoryStream[streaming.StreamOps.IngestDoc]
-    val query = streaming.StreamOps
-      .ingestDocs(input.toDS(), spanIdx, hubFps, cuts)
-      .writeStream.format("memory").queryName("ingest_gate_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    input.addData(arrivals.toSeq) // at-least-once replay
-    query.processAllAvailable()
-    val streamed = spark.sql(
-      """SELECT doc_id, lang, n_spans, n_removed, n_clean_tokens,
-        |  clean_hash, n_hub_flags, mix_kept, admitted
-        |FROM ingest_gate_out""".stripMargin)
-      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
-    query.stop()
-    assert(streamed.size == arrivals.length,
-      s"one verdict per arrival incl. replay: ${streamed.size}/${arrivals.length}")
-    // The batch composition of the three standalone gated operators.
-    val spans = ext.Dedup.xDedupSpanAdmit(spark, sf).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
-    val hubFlags = ext.TextAnalysis.xTextBoilerplateScreen(spark, sf)
-      .filter(col("doc_id") >= half)
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val mixKept = streaming.StreamOps.mixDocs(
-      arrivals.map(d => streaming.StreamOps.LangDoc(d.doc_id, d.lang))
-        .toSeq.toDS(), cuts)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(spans.count(_._2._2 > 0L) == 7 && hubFlags.nonEmpty
-      && mixKept.values.sum < arrivals.length,
-      "all three gate dimensions must be active among arrivals " +
-        s"(${spans.count(_._2._2 > 0L)} span-cut, ${hubFlags.size} " +
-        s"hub-flagged, ${mixKept.values.sum}/${arrivals.length} mix-kept)")
-    val expected = arrivals.map { d =>
-      val (nSpans, nRemoved, nClean, hash) = spans(d.doc_id)
-      val nHubs = hubFlags.getOrElse(d.doc_id, 0L)
-      val mk = mixKept(d.doc_id)
-      val admitted = if (nHubs == 0L && mk == 1L &&
-        2L * nRemoved <= nSpans) 1L else 0L
-      d.doc_id -> Vector[Any](d.doc_id, d.lang, nSpans, nRemoved, nClean,
-        hash, nHubs, mk, admitted)
-    }.toMap
-    assert(streamed == expected,
-      "composed ingest verdicts diverged from the standalone gates: " +
-        s"stream-only=${(streamed.toSet -- expected.toSet).take(3)} " +
-        s"batch-only=${(expected.toSet -- streamed.toSet).take(3)}")
-    assert(expected.values.count(_.last == 1L) > 0,
-      "the composed policy must admit at least one doc")
-  }
-
-  test("full-matrix ingest gate equals the composed standalone gates on all eight dimensions") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The r11 verdict's task #3: the production gate consults the WHOLE
-    // frozen admission matrix — span index, hub screen, mix cut, C4
-    // hard rules, DSIR weight (join arm over the shelf relation), NB
-    // class (join arm) — folded by ONE stateful stage. Stream the
-    // unadmitted half across two micro-batches plus a replay and
-    // require every verdict column to equal the standalone gates'
-    // composition, shelf-loaded end to end.
-    val tmp = shelfDir
-    val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
-      .localCheckpoint()
-    val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
-      .localCheckpoint()
-    val cuts = ArtifactShelf.table(spark, tmp, "art_mix_cuts").collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val ratiosDf = ArtifactShelf.table(spark, tmp, "art_dsir_ratios")
-      .localCheckpoint()
-    val (unseen, cutW, cutId) = ArtifactShelf.dsirConsts(spark, tmp)
-    val nb = ArtifactShelf.nbState(spark, tmp)
-    val nbMeta = nb.map { case (c, p, d, _) => (c, p, d) }
-    val termsDf = ArtifactShelf.table(spark, tmp, "art_nb_terms")
-      .localCheckpoint()
-    val winnowIdx = ArtifactShelf.table(spark, tmp, "art_winnow_admit_index")
-      .localCheckpoint()
-    val rates = ArtifactShelf.table(spark, tmp, "art_sample_rates")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val half = ArtifactShelf.splits(spark, tmp)("span_admit")
-    val arrivals = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= half)
-      .select("doc_id", "text", "lang").collect()
-      .map(r => streaming.StreamOps.IngestDoc(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1), r.getString(2)))
-      .sortBy(_.doc_id)
-    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
-    val input = MemoryStream[streaming.StreamOps.IngestDoc]
-    val query = streaming.StreamOps
-      .ingestDocsFull(input.toDS(), spanIdx, hubFps, winnowIdx, cuts,
-        rates, ratiosDf, unseen, cutW, cutId, nbMeta, termsDf)
-      .writeStream.format("memory").queryName("ingest_full_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    input.addData(arrivals.toSeq) // at-least-once replay
-    query.processAllAvailable()
-    val streamed = spark.sql(
-      """SELECT doc_id, lang, n_spans, n_removed, n_clean_tokens,
-        |  clean_hash, n_hub_flags, n_winnow_flags, mix_kept, sampled,
-        |  c4_fail_mask, c4_keep,
-        |  n_tokens, dsir_weight, dsir_selected, nb_pred, nb_score,
-        |  admitted
-        |FROM ingest_full_out""".stripMargin)
-      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
-    query.stop()
-    assert(streamed.size == arrivals.length,
-      s"one verdict per arrival incl. replay: ${streamed.size}/${arrivals.length}")
-    // The batch composition of the eight standalone gated operators.
-    val winFlags = ext.TextAnalysis.xTextWinnowAdmit(spark, sf)
-      .groupBy(col("doc_new")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val sampled = streaming.StreamOps.sampleDocs(
-      arrivals.map(d => streaming.StreamOps.LangDoc(d.doc_id, d.lang))
-        .toSeq.toDS(), rates)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val spans = ext.Dedup.xDedupSpanAdmit(spark, sf).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
-    val hubFlags = ext.TextAnalysis.xTextBoilerplateScreen(spark, sf)
-      .filter(col("doc_id") >= half)
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val mixKept = streaming.StreamOps.mixDocs(
-      arrivals.map(d => streaming.StreamOps.LangDoc(d.doc_id, d.lang))
-        .toSeq.toDS(), cuts)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val c4 = ext.TextAnalysis.xTextC4Rules(spark, sf)
-      .filter(col("doc_id") >= half)
-      .select("doc_id", "fail_mask", "keep").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val dsir = streaming.StreamOps.selectDocs(
-        arrivals.map(d => streaming.StreamOps.DocIn(d.doc_id,
-          new java.sql.Timestamp(0L), d.text)).toSeq.toDS(),
-        ArtifactShelf.dsirRatios(spark, tmp), unseen, cutW, cutId)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1),
-          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
-          r.getLong(3)))).toMap
-    val nbPred = streaming.StreamOps.classifyDocsJoin(
-        arrivals.map(d => streaming.StreamOps.LabeledDoc(d.doc_id,
-          new java.sql.Timestamp(0L), d.text, "")).toSeq.toDS(),
-        nbMeta, termsDf)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getString(2), r.getDouble(3)))).toMap
-    // All eight dimensions must be active among arrivals so the parity
-    // cannot go vacuous.
-    assert(spans.count(_._2._2 > 0L) > 0 && hubFlags.nonEmpty
-      && winFlags.nonEmpty
-      && mixKept.values.sum < arrivals.length
-      && sampled.values.sum < arrivals.length
-      && c4.values.exists(_._2 == 0L)
-      && dsir.values.exists(_._3 == 1L) && dsir.values.exists(_._3 == 0L)
-      && nbPred.values.map(_._1).toSet.size > 1,
-      "all eight gate dimensions must be active among arrivals: " +
-        s"${spans.count(_._2._2 > 0L)} span-cut, ${hubFlags.size} hub-" +
-        s"flagged, ${winFlags.size} winnow-flagged, " +
-        s"${mixKept.values.sum}/${arrivals.length} mix-kept, " +
-        s"${sampled.values.sum}/${arrivals.length} sampled, " +
-        s"${c4.values.count(_._2 == 0L)} c4-failed, " +
-        s"${dsir.values.count(_._3 == 1L)} dsir-selected, " +
-        s"${nbPred.values.map(_._1).toSet.size} predicted classes")
-    val expected = arrivals.map { d =>
-      val (nSpans, nRemoved, nClean, hash) = spans(d.doc_id)
-      val nHubs = hubFlags.getOrElse(d.doc_id, 0L)
-      val nWin = winFlags.getOrElse(d.doc_id, 0L)
-      val mk = mixKept(d.doc_id)
-      val smp = sampled(d.doc_id)
-      val (c4Mask, c4Keep) = c4(d.doc_id)
-      val (nToks, w, sel) = dsir(d.doc_id)
-      val (pred, score) = nbPred(d.doc_id)
-      val admitted = if (nHubs == 0L && nWin == 0L && mk == 1L &&
-        smp == 1L && 2L * nRemoved <= nSpans && c4Mask == 0L &&
-        sel == 1L) 1L else 0L
-      d.doc_id -> Vector[Any](d.doc_id, d.lang, nSpans, nRemoved, nClean,
-        hash, nHubs, nWin, mk, smp, c4Mask, c4Keep, nToks, w.orNull, sel,
-        pred, score, admitted)
-    }.toMap
-    val diff = (streamed.keySet ++ expected.keySet)
-      .filter(k => streamed.get(k) != expected.get(k))
-    assert(diff.isEmpty,
-      s"full-matrix verdicts diverged on ${diff.size} docs, e.g. " +
-        diff.take(2).map(k =>
-          s"$k:\n  stream=${streamed.get(k)}\n  batch =${expected.get(k)}")
-          .mkString("\n"))
-    assert(expected.values.count(_.last == 1L) > 0,
-      "the composed policy must admit at least one doc")
-  }
-
-  test("full-matrix gate survives a checkpoint restart on a real file source, exactly-once") {
-    import spark.implicits._
-    // The production wiring, not MemoryStream: arrivals land as parquet
-    // files, the gate reads them through a file SOURCE, writes verdicts
-    // through a parquet SINK with a checkpoint, is STOPPED cold between
-    // batches, and restarted from the checkpoint — with the second wave
-    // re-delivering part of the first (an at-least-once upstream). The
-    // persisted output must hold exactly ONE verdict per doc, equal to
-    // the straight-through run's rows: state and source offsets both
-    // recover from the checkpoint.
-    val tmp = shelfDir
-    val spanIdx = ArtifactShelf.table(spark, tmp, "art_span_admit_index")
-      .localCheckpoint()
-    val hubFps = ArtifactShelf.table(spark, tmp, "art_boilerplate_hub_index")
-      .localCheckpoint()
-    val cuts = ArtifactShelf.table(spark, tmp, "art_mix_cuts").collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val ratiosDf = ArtifactShelf.table(spark, tmp, "art_dsir_ratios")
-      .localCheckpoint()
-    val (unseen, cutW, cutId) = ArtifactShelf.dsirConsts(spark, tmp)
-    val nbMeta = ArtifactShelf.nbState(spark, tmp)
-      .map { case (c, p, d, _) => (c, p, d) }
-    val termsDf = ArtifactShelf.table(spark, tmp, "art_nb_terms")
-      .localCheckpoint()
-    val winnowIdx = ArtifactShelf.table(spark, tmp, "art_winnow_admit_index")
-      .localCheckpoint()
-    val rates = ArtifactShelf.table(spark, tmp, "art_sample_rates")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val half = ArtifactShelf.splits(spark, tmp)("span_admit")
-    val arrivals = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= half)
-      .select("doc_id", "text", "lang").collect()
-      .map(r => streaming.StreamOps.IngestDoc(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1), r.getString(2)))
-      .sortBy(_.doc_id)
-    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
-    val dirs = java.nio.file.Files.createTempDirectory("ingestfile")
-    val (in, out, ckpt) = (s"$dirs/in", s"$dirs/out", s"$dirs/ckpt")
-    val sch = org.apache.spark.sql.Encoders
-      .product[streaming.StreamOps.IngestDoc].schema
-    def start() = streaming.StreamOps.ingestDocsFull(
-        spark.readStream.schema(sch).parquet(in)
-          .as[streaming.StreamOps.IngestDoc],
-        spanIdx, hubFps, winnowIdx, cuts, rates, ratiosDf, unseen,
-        cutW, cutId, nbMeta, termsDf)
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", out).option("checkpointLocation", ckpt).start()
-    b1.toSeq.toDS().write.mode("append").parquet(in)
-    val q1 = start(); q1.processAllAvailable(); q1.stop()
-    // Wave 2: the rest PLUS a re-delivery of the first wave's files.
-    (b2 ++ b1.take(b1.length / 2)).toSeq.toDS()
-      .write.mode("append").parquet(in)
-    val q2 = start(); q2.processAllAvailable(); q2.stop()
-    val persisted = spark.read.parquet(out)
-    assert(persisted.count() == arrivals.length.toLong,
-      s"exactly one verdict per doc across the restart: " +
-        s"${persisted.count()}/${arrivals.length}")
-    assert(persisted.select("doc_id").distinct().count()
-      == arrivals.length.toLong, "duplicate doc_id verdicts after restart")
-    // Spot-parity with the in-memory run's policy column: the restart
-    // path must admit the same docs the one-shot topology admits.
-    val restartAdmits = persisted.filter(col("admitted") === 1L)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[streaming.StreamOps.IngestDoc]
-    val qm = streaming.StreamOps.ingestDocsFull(input.toDS(), spanIdx,
-        hubFps, winnowIdx, cuts, rates, ratiosDf, unseen, cutW, cutId,
-        nbMeta, termsDf)
-      .writeStream.format("memory").queryName("ingest_restart_ref")
-      .outputMode("append").start()
-    input.addData(arrivals.toSeq); qm.processAllAvailable(); qm.stop()
-    val refAdmits = spark.sql(
-      "SELECT doc_id FROM ingest_restart_ref WHERE admitted = 1")
-      .collect().map(_.getLong(0)).toSet
-    assert(refAdmits.nonEmpty, "vacuous fixture: nothing admitted")
-    assert(restartAdmits == refAdmits,
-      s"restart path admitted ${restartAdmits.size} docs, " +
-        s"one-shot ${refAdmits.size}")
-  }
-
-  test("composed vector ingest gate equals the four standalone surfaces shelf-loaded") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The vector mirror of the full-matrix doc gate: exact-dedup
-    // content verdict + frozen IVF assign + PQ encode + contamination
-    // screen folded by ONE content-keyed stateful stage over
-    // shelf-loaded state, parity vs the four standalone streaming/
-    // stateless surfaces composed, across two micro-batches plus an
-    // at-least-once replay (which must emit nothing new).
-    val tmp = shelfDir
-    val cents = ArtifactShelf.ivfCentroids(spark, tmp)
-    val cbs = ArtifactShelf.pqCodebooks(spark, tmp)
-    val evalIndex = ArtifactShelf
-      .table(spark, tmp, "art_contamination_eval_index").localCheckpoint()
-    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select("vec_id", "embedding").collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-      .sortBy(_.vec_id)
-    val maxId = stock.last.vec_id
-    // Plant ids ABOVE the stock max (nondecreasing-arrival contract),
-    // train-side by md5 bucket so the screen branch sees them.
-    val buckets = (maxId + 1 to maxId + 300).toDF("vec_id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val trainIds = buckets.toSeq.sortBy(_._1)
-      .filter(_._2 >= 10).take(2).map(_._1)
-    // An eval keeper the frozen index actually holds, for the
-    // contamination plant (a scaled copy keeps cosine = 1.0).
-    val evalId = evalIndex.select("eval_id").head.getLong(0)
-    val evalVec = stock.find(_.vec_id == evalId).get.embedding
-    val arrivals = (stock :+
-      streaming.StreamOps.VecIn(trainIds(0), stock.head.embedding) :+
-      streaming.StreamOps.VecIn(trainIds(1), evalVec.map(_ * 1.01f)))
-      .sortBy(_.vec_id)
-    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
-    def runStream[T <: AnyRef : org.apache.spark.sql.Encoder](name: String,
-        mk: org.apache.spark.sql.Dataset[streaming.StreamOps.VecIn]
-          => org.apache.spark.sql.Dataset[T],
-        replay: Boolean): Unit = {
-      val input = MemoryStream[streaming.StreamOps.VecIn]
-      val query = mk(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      input.addData(b1.toSeq); query.processAllAvailable()
-      input.addData(b2.toSeq); query.processAllAvailable()
-      if (replay) { input.addData(b1.toSeq); query.processAllAvailable() }
-      query.stop()
-    }
-    runStream("vec_ingest_out",
-      ds => streaming.StreamOps.ingestVectors(ds, cents, cbs, evalIndex),
-      replay = true)
-    val streamed = spark.sql(
-      """SELECT vec_id, keeper_id, is_dup, cell, codes, sq8_codes, n_flags,
-        |  admitted
-        |FROM vec_ingest_out""".stripMargin)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getSeq[Long](4).toVector, r.getSeq[Long](5).toVector,
-        r.getLong(6), r.getLong(7)))).toMap
-    assert(streamed.size == arrivals.length,
-      s"one verdict per arrival, replay emitting nothing new: " +
-        s"${streamed.size}/${arrivals.length}")
-    // The four standalone surfaces composed over the same arrivals.
-    runStream("vec_dedup_ref",
-      ds => streaming.StreamOps.dedupVectorsExactOnline(ds), replay = false)
-    val dedup = spark.sql(
-      "SELECT vec_id, keeper_id, is_dup FROM vec_dedup_ref")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    runStream("vec_screen_ref",
-      ds => streaming.StreamOps.screenVectors(ds, evalIndex), replay = false)
-    val flags = spark.sql(
-      "SELECT vec_id, count(DISTINCT eval_id) FROM vec_screen_ref GROUP BY 1")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val arrivalsDs = arrivals.toSeq.toDS()
-    val cells = streaming.StreamOps.assignVectors(arrivalsDs, cents)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val codes = streaming.StreamOps.encodeVectors(arrivalsDs, cbs)
-      .collect().map(r => r.getLong(0) ->
-        (1 until r.length).map(r.getLong).toVector).toMap
-    val sq8 = streaming.StreamOps.encodeVectorsSq8(arrivalsDs)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
-    assert(dedup.values.exists(_._2 == 1L),
-      "vacuous fixture: no exact duplicate among arrivals")
-    assert(flags.nonEmpty, "vacuous fixture: no contamination flag")
-    assert(cells.values.toSet.size > 1, "vacuous fixture: one cell")
-    val expected = arrivals.map { v =>
-      val (keeper, isDup) = dedup(v.vec_id)
-      val nf = flags.getOrElse(v.vec_id, 0L)
-      v.vec_id -> ((keeper, isDup, cells(v.vec_id), codes(v.vec_id),
-        sq8(v.vec_id), nf,
-        if (isDup == 0L && nf == 0L) 1L else 0L))
-    }.toMap
-    val diff = (streamed.keySet ++ expected.keySet)
-      .filter(k => streamed.get(k) != expected.get(k))
-    assert(diff.isEmpty,
-      s"vector ingest verdicts diverged on ${diff.size} vecs, e.g. " +
-        diff.take(3).map(k =>
-          s"$k: gate=${streamed.get(k)} composed=${expected.get(k)}")
-          .mkString("; "))
-    assert(expected.values.count(_._7 == 1L) > 0,
-      "the composed policy must admit at least one vector")
-  }
-
-  test("vector gate survives a checkpoint restart on a real file source, exactly-once") {
-    import spark.implicits._
-    // The ingestVectors mirror of the doc restart spec — its state is
-    // the richer IngestVecState (keeper + maxSeen + emitted ids), so
-    // this pins that the recovered state still dedups: wave 2
-    // re-delivers part of wave 1 AND adds a fresh exact duplicate of a
-    // wave-1 vector, which must come back is_dup = 1 against the
-    // RECOVERED keeper.
-    val tmp = shelfDir
-    val cents = ArtifactShelf.ivfCentroids(spark, tmp)
-    val cbs = ArtifactShelf.pqCodebooks(spark, tmp)
-    val evalIndex = ArtifactShelf
-      .table(spark, tmp, "art_contamination_eval_index").localCheckpoint()
-    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select("vec_id", "embedding").collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-      .sortBy(_.vec_id)
-    val dupId = stock.last.vec_id + 7
-    val (b1, b2pre) = stock.splitAt(stock.length / 2)
-    val b2 = b2pre :+ streaming.StreamOps.VecIn(dupId, b1.head.embedding)
-    val dirs = java.nio.file.Files.createTempDirectory("vecfile")
-    val (in, out, ckpt) = (s"$dirs/in", s"$dirs/out", s"$dirs/ckpt")
-    val sch = org.apache.spark.sql.Encoders
-      .product[streaming.StreamOps.VecIn].schema
-    def start() = streaming.StreamOps.ingestVectors(
-        spark.readStream.schema(sch).parquet(in)
-          .as[streaming.StreamOps.VecIn],
-        cents, cbs, evalIndex)
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", out).option("checkpointLocation", ckpt).start()
-    b1.toSeq.toDS().write.mode("append").parquet(in)
-    val q1 = start(); q1.processAllAvailable(); q1.stop()
-    (b2 ++ b1.take(b1.length / 2)).toSeq.toDS()
-      .write.mode("append").parquet(in)
-    val q2 = start(); q2.processAllAvailable(); q2.stop()
-    val persisted = spark.read.parquet(out)
-    assert(persisted.count() == stock.length + 1L,
-      s"exactly one verdict per distinct arrival across the restart: " +
-        s"${persisted.count()}/${stock.length + 1}")
-    assert(persisted.select("vec_id").distinct().count()
-      == stock.length + 1L, "duplicate vec_id verdicts after restart")
-    val dup = persisted.filter(col("vec_id") === dupId)
-      .select("keeper_id", "is_dup").head()
-    assert(dup.getLong(1) == 1L && dup.getLong(0) == b1.head.vec_id,
-      s"post-restart duplicate must dedup against the RECOVERED keeper " +
-        s"(got keeper=${dup.getLong(0)}, is_dup=${dup.getLong(1)}, " +
-        s"want keeper=${b1.head.vec_id})")
-  }
-
-  test("streaming manifest increments roll up to the batch data card") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The data card kept live at ingest: stream every doc across two
-    // micro-batches plus a full replay; each doc must emit EXACTLY one
-    // increment (replayed ids emit nothing), and the rolled-up
-    // increments must equal the oracle-gated batch manifest
-    // column-for-column, token shares recomputed by the same integer
-    // floor-div. The stock corpus has no exact-duplicate texts, so
-    // plant 3 copies at fresh ids — the duplication level the card
-    // exists to report (distinct_inc = 0 on the copies).
-    val baseDf = Tables.documents(spark, sf)
-    val maxId = baseDf.agg(max("doc_id")).head.getLong(0)
-    val aug = baseDf.unionByName(baseDf.orderBy("doc_id").limit(3)
-      .withColumn("doc_id", col("doc_id") + lit(maxId + 1L)))
-    val tmp = java.nio.file.Files.createTempDirectory("manifinc").toString
-    aug.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val docs = Tables.documents(spark, tmp)
-      .select("doc_id", "source", "lang", "text").collect()
-      .map(r => streaming.StreamOps.ManifestDoc(r.getLong(0),
-        r.getString(1), r.getString(2), r.getString(3)))
-      .sortBy(_.doc_id)
-    val (b1, b2) = docs.splitAt(docs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.ManifestDoc]
-    val query = streaming.StreamOps.manifestDocs(input.toDS())
-      .writeStream.format("memory").queryName("manifest_inc_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    input.addData(docs.toSeq) // at-least-once replay
-    query.processAllAvailable()
-    val incs = spark.sql(
-      """SELECT source, lang, doc_id, distinct_inc, ws_tokens, n_chars
-        |FROM manifest_inc_out""".stripMargin).collect()
-    query.stop()
-    assert(incs.length == docs.length,
-      s"one increment per doc incl. replay: ${incs.length}/${docs.length}")
-    val rolled = incs.groupBy(r => (r.getString(0), r.getString(1)))
-      .map { case ((s, l), rs) =>
-        (s, l) -> ((rs.length.toLong, rs.map(_.getLong(3)).sum,
-          rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum))
-      }
-    val totalToks = rolled.values.map(_._3).sum
-    val batch = ext.TextAnalysis.xCorpusManifest(spark, tmp).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getLong(6)))).toMap
-    assert(rolled.keySet == batch.keySet,
-      s"slice sets diverge: ${rolled.keySet} vs ${batch.keySet}")
-    rolled.foreach { case (k, (n, nd, wt, nc)) =>
-      assert(batch(k) == ((n, nd, wt, nc, wt * 10000L / totalToks)),
-        s"slice $k: rolled-up increments ${(n, nd, wt, nc,
-          wt * 10000L / totalToks)} != batch card ${batch(k)}")
-    }
-    assert(incs.map(_.getLong(3)).sum == docs.length.toLong - 3L,
-      "exactly the 3 planted copies must carry distinct_inc = 0")
-  }
-
-  test("streaming vector-card increments roll up to the batch embedding card") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Plant 2 exact replicas at fresh ids (the stock corpus has none)
-    // so the distinct level the card reports is exercised.
-    val baseV = Tables.embeddings(spark, sf)
-    val maxV = baseV.agg(max("vec_id")).head.getLong(0)
-    val augV = baseV.unionByName(baseV.orderBy("vec_id").limit(2)
-      .withColumn("vec_id", col("vec_id") + lit(maxV + 1L)))
-    val tmpV = java.nio.file.Files.createTempDirectory("veccardinc").toString
-    augV.write.mode("overwrite").parquet(s"$tmpV/embeddings.parquet")
-    val vecs = Tables.embeddings(spark, tmpV).collect()
-      .map(r => streaming.StreamOps.VecCard(r.getLong(0), r.getInt(2),
-        r.getSeq[Float](1).toArray))
-      .sortBy(_.vec_id)
-    val (b1, b2) = vecs.splitAt(vecs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecCard]
-    val query = streaming.StreamOps.manifestVectors(input.toDS())
-      .writeStream.format("memory").queryName("veccard_inc_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    input.addData(vecs.toSeq) // at-least-once replay
-    query.processAllAvailable()
-    val incs = spark.sql(
-      """SELECT label, vec_id, distinct_inc, n_dims, sq_q
-        |FROM veccard_inc_out""".stripMargin).collect()
-    query.stop()
-    assert(incs.length == vecs.length,
-      s"one increment per vector incl. replay: ${incs.length}/${vecs.length}")
-    val rolled = incs.groupBy(_.getInt(0)).map { case (l, rs) =>
-      l -> ((rs.length.toLong, rs.map(_.getLong(2)).sum,
-        rs.map(_.getLong(3)).min, rs.map(_.getLong(3)).max,
-        rs.map(_.getLong(4)).sum))
-    }
-    val totalVecs = rolled.values.map(_._1).sum
-    val batch = ext.Similarity.xEmbManifest(spark, tmpV).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
-    assert(rolled.keySet == batch.keySet,
-      s"label sets diverge: ${rolled.keySet} vs ${batch.keySet}")
-    rolled.foreach { case (l, (n, nd, mnd, mxd, sq)) =>
-      assert(batch(l) == ((n, nd, mnd, mxd, sq, n * 10000L / totalVecs)),
-        s"label $l: rolled-up increments ${(n, nd, mnd, mxd, sq,
-          n * 10000L / totalVecs)} != batch card ${batch(l)}")
-    }
-    assert(incs.map(_.getLong(2)).sum == vecs.length.toLong - 2L,
-      "exactly the 2 planted replicas must carry distinct_inc = 0")
-  }
-
-  test("span-cleaned corpus artifact carries the gated hashes' exact text") {
-    import spark.implicits._
-    // The artifact IS the gated result with its text attached: every
-    // written row's md5(clean_text) must equal the oracle-gated
-    // operator's clean_hash over the same (non-eval) verdict base, and
-    // the doc set must be exactly the span-composed prep's keep set.
-    val tmp = java.nio.file.Files.createTempDirectory("spancorpus").toString
-    val path = Pipeline.materializeSpanCleanCorpus(spark, sf, tmp)
-    val art = spark.read.parquet(path)
-      .select(col("doc_id"), md5(col("clean_text")).as("h"),
-        col("n_clean_tokens"))
-      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
-      .toMap
-    val keepSet = ext.CorpusPrep.spansCorpus(spark, sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(art.keySet == keepSet,
-      s"artifact docs != prep keep set: only-art=${(art.keySet -- keepSet).take(3)} " +
-        s"only-prep=${(keepSet -- art.keySet).take(3)}")
-    val gated = ext.Dedup.spanRemove(Tables.documents(spark, sf)
-        .filter(col("source") =!= "src0"))
-      .collect().map(r => r.getLong(0) -> ((r.getString(4), r.getLong(3))))
-      .toMap
-    art.foreach { case (id, (h, n)) =>
-      assert(gated(id) == ((h, n)),
-        s"doc $id: artifact text diverges from the gated hash: " +
-          s"${gated(id)} vs ($h, $n)")
-    }
-  }
-
-  test("span removal conserves tokens and is identity on repeat-free docs") {
-    import spark.implicits._
-    // Property-style pin in one job: (a) IDENTITY — a corpus with no
-    // repeated 32-token window reconstructs every doc verbatim
-    // (clean_hash == md5(text), zero removals); (b) CONSERVATION —
-    // kept + removed span token counts account for every token. Seeded
-    // RNG, tokens carry their (doc, position) so no window can repeat
-    // across the random half; the planted half repeats its own spans.
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val rnd = new scala.util.Random(11L)
-    val unique = (0L until 40L).map { i =>
-      val n = 1 + rnd.nextInt(150)
-      (i, (0 until n).map(j => s"d${i}p${j}t${rnd.nextInt(1000)}").mkString(" "))
-    }
-    val planted = (100L until 110L).map { i =>
-      val span = (0 until 32).map(j => s"r${i}s$j").mkString(" ")
-      val reps = 2 + rnd.nextInt(3)
-      (i, Seq.fill(reps)(span).mkString(" "))
-    }
-    val docs = (unique ++ planted).toDF("doc_id", "text")
-    val toks = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val out = ext.Dedup.spanRemove(docs).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
-    unique.foreach { case (id, text) =>
-      val (_, removed, nClean, h) = out(id)
-      assert(removed == 0L && nClean == toks(id) && h == md5hex(text),
-        s"repeat-free doc $id must reconstruct verbatim: ${out(id)}")
-    }
-    planted.foreach { case (id, text) =>
-      val (nSpans, removed, nClean, h) = out(id)
-      val reps = toks(id) / 32L
-      assert(nSpans == reps && removed == reps - 1L && nClean == 32L,
-        s"self-repeating doc $id must keep exactly one span: ${out(id)}")
-      assert(h == md5hex(text.split(" ").take(32).mkString(" ")),
-        s"doc $id must keep its FIRST span verbatim")
-      assert(nClean + removed * 32L == toks(id),
-        s"doc $id token conservation: $nClean + $removed*32 != ${toks(id)}")
-    }
-  }
-
-  test("online span dedup replays the batch keep-first verdicts across micro-batches") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The evolving-state member of the span family: feed the corpus in
-    // nondecreasing doc_id order split across micro-batches; every
-    // span's kept/owner verdict must equal the batch window's rn=1
-    // decision (spanKeepVerdicts' keep_ids), including cross-batch
-    // ownership (a span arriving in batch 2 must lose to its batch-1
-    // owner held in state).
-    val docs = Tables.documents(spark, sf)
-      .select("doc_id", "text").collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1)))
-      .sortBy(_.doc_id)
-    val (b1, b2) = docs.splitAt(docs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.DocIn]
-    val query = streaming.StreamOps.dedupSpansOnline(input.toDS())
-      .writeStream.format("memory").queryName("span_online_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    val streamedKept = spark.sql(
-      "SELECT doc_id, span_id FROM span_online_out WHERE kept = 1")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val streamedAll = spark.sql(
-      "SELECT count(*) FROM span_online_out").head.getLong(0)
-    query.stop()
-    val verdicts = ext.Dedup.spanKeepVerdicts(
-      Tables.documents(spark, sf)).collect()
-    val batchKept = verdicts.flatMap(r =>
-      r.getSeq[Long](3).map(s => (r.getLong(0), s))).toSet
-    val batchSpans = verdicts.map(_.getLong(1)).sum
-    assert(streamedAll == batchSpans,
-      s"one verdict per span: $streamedAll vs $batchSpans")
-    assert(streamedKept == batchKept,
-      "online span verdicts diverged from the batch window: " +
-        s"stream-only=${(streamedKept -- batchKept).take(3)} " +
-        s"batch-only=${(batchKept -- streamedKept).take(3)}")
-  }
-
-  test("LSH-blocked emb cosine dedup finds planted near-dups incl. cross-label") {
-    import spark.implicits._
-    // The stock synthetic vectors top out near cosine 0.47, so BOTH
-    // cosine-dedup arms are vacuous on the raw corpus (their oracle
-    // gates pin the empty result). Plant three near-identical vectors —
-    // two sharing a label, one under a DIFFERENT label — on top of the
-    // corpus: the label-blocked exact operator must find exactly the
-    // within-label pair, and the LSH-blocked arm must find all three
-    // pairs, the cross-label ones being the pairs label blocking
-    // structurally cannot see (the arm's reason to exist). Scaled
-    // copies keep cosine exactly 1.0 while the bytes differ.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9000001L, v.map(_ * 1.01f).toArray, 5),
-      (9000002L, v.map(_ * 1.02f).toArray, 5),
-      (9000003L, v.map(_ * 1.03f).toArray, 6))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("lshcos").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val exact = ext.Dedup.xDedupEmbCosine(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    val lsh = ext.Similarity.xDedupEmbCosineLsh(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    // (vec 0 shares the planted direction and label 5, so pairs with it
-    // appear too — the claims below are membership, not set equality)
-    assert(exact.contains((9000001L, 9000002L)),
-      s"label-blocked exact missed the planted within-label pair: $exact")
-    assert(!exact.exists { case (a, b) => a == 9000003L || b == 9000003L },
-      s"label blocking paired the cross-label plant: $exact")
-    val expectedLsh = Set((9000001L, 9000002L),
-      (9000001L, 9000003L), (9000002L, 9000003L))
-    assert(expectedLsh.subsetOf(lsh),
-      s"LSH arm missed planted pairs: ${expectedLsh -- lsh}")
-    // every exact (label-blocked) verdict is also found by the unblocked
-    // arm on this corpus: identical directions share every signature
-    assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
-    // Admission arm == the full operator restricted to new-id (upper
-    // half) larger sides: the planted ids sit in the new half, so every
-    // planted pair survives the restriction; any admitted-vs-admitted
-    // pair (e.g. vec 0 cliques) is correctly absent.
-    val split = (spark.read.parquet(s"$tmp/embeddings.parquet")
-      .agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
-    val admit = ext.Similarity.xDedupEmbCosineLshAdmit(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    assert(admit == lsh.filter(_._2 >= split),
-      s"admission arm is not the new-id restriction of the full arm")
-    assert(Set((9000001L, 9000002L), (9000001L, 9000003L),
-      (9000002L, 9000003L)).subsetOf(admit),
-      s"admission arm missed planted new-batch pairs: $admit")
-  }
-
-  test("semantic admission drops a planted admitted-copy, keeps a novel vector") {
-    import spark.implicits._
-    // Plant two NEW-half vectors on top of the corpus (max id 9000002
-    // puts the split at 4500002, so every original vector is admitted):
-    // a bit-identical copy of admitted vec 0 — same distances, same
-    // frozen cell, cosine 1.0 ⇒ must be dropped against its admitted
-    // original — and a constant direction no corpus vector approaches
-    // (|cos| to near-random cell-mates stays far below the 0.4 cut) ⇒
-    // must be kept. Verdicts cover exactly the new half.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9000001L, v.toArray, 5),
-      (9000002L, Array.fill(64)(0.1f), 6))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("semadmit").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val rows = ext.Similarity.xDedupSemanticAdmit(spark, tmp).collect()
-    assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(9000001L, 9000002L),
-      "admission verdicts must cover exactly the new half")
-    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("kept")).toMap
-    assert(byId(9000001L) == 0L,
-      "bit-identical copy of an admitted vector must be dropped")
-    assert(byId(9000002L) == 1L,
-      "novel direction with no near cell-mate must be kept")
-  }
-
-  test("exact vector dedup collapses planted replicas; clean LSH arm keeps near-dups") {
-    import spark.implicits._
-    // Plant two BIT-IDENTICAL replicas of vector 0 plus one scaled
-    // near-dup (different bytes, cosine exactly 1.0). Exact dedup must
-    // collapse only the identical pair to the min-id keeper (vec 0);
-    // the clean LSH arm must (a) never emit a pair touching a collapsed
-    // replica — identical vectors are the banded join's quadratic worst
-    // case and its reason to run downstream of the hash collapse — and
-    // (b) still find the genuine near-dup pair among keepers, proving
-    // the collapse removes replicas, not semantics.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9000011L, v.toArray, 7),
-      (9000012L, v.toArray, 7),
-      (9000013L, v.map(_ * 1.01f).toArray, 7))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("embexact").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val verdicts = ext.Dedup.xDedupEmbExact(spark, tmp).collect()
-      .map(r => r.getAs[Long]("vec_id") ->
-        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("is_dup")))).toMap
-    assert(verdicts(9000011L) == ((0L, 1L)), s"replica 11: ${verdicts(9000011L)}")
-    assert(verdicts(9000012L) == ((0L, 1L)), s"replica 12: ${verdicts(9000012L)}")
-    assert(verdicts(0L) == ((0L, 0L)), "keeper 0 flagged as dup")
-    assert(verdicts(9000013L) == ((9000013L, 0L)),
-      "scaled near-dup (distinct bytes) wrongly collapsed by exact dedup")
-    val keepers = ext.Dedup.embExactKeepers(spark, tmp)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(!keepers(9000011L) && !keepers(9000012L))
-    assert(keepers(0L) && keepers(9000013L))
-    // Clean arm == the full banded arm restricted to keeper pairs: the
-    // collapse changes COST (bucket occupancy), never which distinct
-    // vectors count as near-dups.
-    val full = ext.Similarity.xDedupEmbCosineLsh(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    val clean = ext.Similarity.xDedupEmbCosineLshClean(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    assert(clean == full.filter { case (a, b) => keepers(a) && keepers(b) },
-      "clean arm is not the keeper restriction of the full arm")
-    assert(clean.contains((0L, 9000013L)), s"near-dup keeper pair lost: $clean")
-    assert(!clean.exists { case (a, b) =>
-      a == 9000011L || b == 9000011L || a == 9000012L || b == 9000012L },
-      s"collapsed replica reached the banded join: $clean")
-    // The clean kNN graph: collapsed replicas never appear as a node or
-    // a neighbor; the surviving near-dup keeper still ranks next to its
-    // direction-mate (the graph is over the deduped corpus, semantics
-    // otherwise untouched).
-    val gClean = ext.Similarity.xKnnGraph(spark, tmp,
-      srcOverride = Some(ext.Dedup.embExactKeepers(spark, tmp))).collect()
-    val gIds = gClean.flatMap(r => Seq(r.getAs[Long]("vec_id"),
-      r.getAs[Long]("nn_id"))).toSet
-    assert(!gIds(9000011L) && !gIds(9000012L),
-      "collapsed replica survived into the clean knn graph")
-    assert(gIds(9000013L), "keeper near-dup missing from the clean graph")
-  }
-
-  test("curated prep caps by density where the md5 cap would keep the crowded") {
-    import spark.implicits._
-    // A fully synthetic corpus engineered so the curated prep's density
-    // cap and the clean prep's md5 cap DISAGREE inside one cell —
-    // pinning that the diversity policy is LIVE inside the composition,
-    // not an md5 cap wearing a new name. Construction: ids are assigned
-    // by md5-bucket rank (computed first), so the 16 lowest-bucket ids
-    // become the hash-spread seeds (each filler its own cell); one
-    // filler F* carries the clique's base direction e1, so ten clique
-    // members — two "dense" D's (pairwise-closest, cos .7074/.7212,
-    // all BELOW the 0.8 dedup threshold so the clean staging keeps
-    // everyone) and eight "sparse" S's (cos .5-.51) — all land strictly
-    // in F*'s cell (positive dot with F* only; planted ABOVE the seed
-    // ids per the planted-vector rule). Densities (e4, top-5): S 5454 <
-    // D 5917 < F* 7127. The D ids own the LOWEST clique buckets, so the
-    // md5 cap keeps F*, D1, D2 + 5 S's while the density cap keeps
-    // exactly the 8 S's — opposite verdicts on three vectors.
-    val buckets = (0L until 100L).toDF("id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(10000, col("id")))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy { case (id, b) => (b, id) }.map(_._1)
-    val fillers = buckets.take(16)
-    val fStar = fillers.head
-    val dIds = buckets.slice(16, 18)
-    val sIds = buckets.takeRight(8)
-    def vec(parts: (Int, Float)*): Array[Float] = {
-      val a = Array.fill(64)(0f)
-      parts.foreach { case (i, x) => a(i) = x }
-      a
-    }
-    val rows =
-      Seq((fStar, vec(0 -> 2f))) ++
-      fillers.tail.zipWithIndex.map { case (id, k) => (id, vec((20 + k) -> 2f)) } ++
-      dIds.zipWithIndex.map { case (id, j) =>
-        (id, vec(0 -> 1f, 9 -> 0.6f, (10 + j) -> 0.75f)) } ++
-      sIds.zipWithIndex.map { case (id, i) => (id, vec(0 -> 1f, (1 + i) -> 1f)) }
-    val tmp = java.nio.file.Files.createTempDirectory("curated").toString
-    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val curated = ext.Similarity.xEmbCorpusPrepCurated(spark, tmp).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val clean = SparkEntry.queries("x_emb_corpus_prep_clean")(spark, tmp)
-      .collect().map(_.getAs[Long]("vec_id")).toSet
-    // every singleton filler survives both caps
-    assert(fillers.tail.forall(id => curated(id) && clean(id)))
-    // the md5 cap keeps the dense trio (lowest buckets in the cell)...
-    assert(clean(fStar) && dIds.forall(clean),
-      s"fixture broke: md5 cap dropped a low-bucket dense member")
-    assert(sIds.count(clean) == 5, "md5 cap must squeeze out 3 sparse members")
-    // ...the density cap keeps exactly the 8 sparse members instead
-    assert(sIds.forall(curated),
-      s"density cap dropped a sparse member: ${sIds.filterNot(curated)}")
-    assert(!curated(fStar) && dIds.forall(id => !curated(id)),
-      "density cap kept a crowded member the diversity policy must prune")
-    assert(curated != clean, "the two retention policies must disagree")
-  }
-
-  test("proto prep caps by centrality — the mirror of the curated density cap") {
-    import spark.implicits._
-    // One synthetic cell where the two graph-curation retention
-    // policies give OPPOSITE verdicts: 6 mutually-close hubs (pairwise
-    // cos 0.75 — everyone's top-5 votes land on hubs, so hubs carry
-    // all the centrality), 5 sparse satellites (mutual cos 0.5, cos to
-    // hubs ~0.6124 — they vote but receive nothing, scores stay at the
-    // damped base), and a bridge vector F* carrying the cell's base
-    // direction (cos to hubs 0.72 < banded 0.8 threshold, so the clean
-    // staging keeps everyone). Ids assigned by md5-bucket rank so the
-    // 16 lowest-bucket fillers are the hash-spread seeds and the
-    // 12-member clique lands in F*'s cell. Expected caps of 8:
-    // centrality keeps ALL 6 hubs (+2 base-score members); density
-    // keeps ALL 5 satellites (densities: S 6124 < F* 7200 < H 7500)
-    // and at most 2 hubs — prototypes vs diversity, live and opposed.
-    val buckets = (0L until 100L).toDF("id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(10000, col("id")))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy { case (id, b) => (b, id) }.map(_._1)
-    val fillers = buckets.take(16)
-    val fStar = fillers.head
-    val hubIds = buckets.slice(16, 22)
-    val satIds = buckets.takeRight(5)
-    def vec(parts: (Int, Float)*): Array[Float] = {
-      val a = Array.fill(64)(0f)
-      parts.foreach { case (i, x) => a(i) = x }
-      a
-    }
-    val rows =
-      Seq((fStar, vec(0 -> 1.6627f, 38 -> 1.1115f))) ++
-      fillers.tail.zipWithIndex.map { case (id, k) => (id, vec((20 + k) -> 2f)) } ++
-      hubIds.zipWithIndex.map { case (id, j) =>
-        (id, vec(0 -> 1.5f, (40 + j) -> 0.8660254f)) } ++
-      satIds.zipWithIndex.map { case (id, i) => (id, vec(0 -> 1f, (50 + i) -> 1f)) }
-    val tmp = java.nio.file.Files.createTempDirectory("protoprep").toString
-    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val proto = ext.Similarity.xEmbCorpusPrepProto(spark, tmp).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val curated = ext.Similarity.xEmbCorpusPrepCurated(spark, tmp).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    assert(hubIds.forall(proto),
-      s"centrality cap dropped a hub: ${hubIds.filterNot(proto)}")
-    assert(satIds.count(proto) <= 2,
-      "centrality cap must prune the voteless satellites")
-    assert(satIds.forall(curated),
-      s"density cap dropped a sparse satellite: ${satIds.filterNot(curated)}")
-    assert(hubIds.count(curated) <= 2,
-      "density cap must prune the crowded hub region")
-    assert(proto != curated, "the two retention policies must disagree")
-    // both caps keep singleton fillers (isolated cells are rank 1)
-    assert(fillers.tail.forall(id => proto(id) && curated(id)))
-  }
-
-  test("density select keeps the sparse and drops the crowded, integer-exact") {
-    import spark.implicits._
-    // Plant 6 bit-identical copies of vector 0: all land in vec 0's
-    // cell (identical L2 distances), every mutual cosine rounds to
-    // 1.0000, so each copy's top-5 neighbors are the other copies and
-    // its basis-point density is exactly 10000 — the maximally crowded
-    // region the diversity cut must refuse, while exactly selectN of
-    // the sparser corpus is kept.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = (0 until 6).map(i => (9000021L + i, v.toArray, 7))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("dens").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val out = ext.Similarity.xKnnDensitySelect(spark, tmp).collect()
-    assert(out.length == base.count() + 6, "every vector must be judged")
-    assert(out.map(_.getAs[Long]("selected")).sum == 100L,
-      "exactly selectN vectors must be selected")
-    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
-    (0 until 6).map(i => 9000021L + i).foreach { id =>
-      val r = byId(id)
-      assert(r.getAs[Long]("n_neighbors") == 5L, s"copy $id neighbor count")
-      assert(r.getAs[Long]("density_e4") == 10000L, s"copy $id density")
-      assert(r.getAs[Long]("selected") == 0L, s"crowded copy $id selected")
-    }
-    assert(byId(0L).getAs[Long]("density_e4") == 10000L &&
-      byId(0L).getAs[Long]("selected") == 0L,
-      "the copied original must read as crowded too")
-    // POLICY pin: zero measured redundancy sorts first — any isolated
-    // vector (null density) must be selected (vacuous if none isolated).
-    def sk(r: org.apache.spark.sql.Row): Long =
-      if (r.isNullAt(r.fieldIndex("density_e4"))) -10001L
-      else r.getAs[Long]("density_e4")
-    out.filter(r => r.isNullAt(r.fieldIndex("density_e4"))).foreach(r =>
-      assert(r.getAs[Long]("selected") == 1L,
-        s"isolated vector ${r.getAs[Long]("vec_id")} not selected"))
-    // Cut consistency: every selected (density, id) precedes every
-    // unselected one lexicographically.
-    val ord = implicitly[Ordering[(Long, Long)]]
-    val worstSel = out.filter(_.getAs[Long]("selected") == 1L)
-      .map(r => (sk(r), r.getAs[Long]("vec_id"))).max
-    assert(out.filter(_.getAs[Long]("selected") == 0L)
-      .map(r => (sk(r), r.getAs[Long]("vec_id")))
-      .forall(u => ord.compare(u, worstSel) > 0),
-      "an unselected vector precedes the worst selected one")
-  }
-
-  test("clean knn graph is bitwise-identical to the base graph on a dup-free corpus") {
-    // The raw synthetic embeddings contain no bit-identical pair, so the
-    // keeper relation IS the corpus: same Lloyd input, same centroids,
-    // same cells, same ranks — byte-for-byte. This pins that the clean
-    // arm changes COST on duplicated corpora, never semantics on clean
-    // ones.
-    val base = ext.Similarity.xKnnGraph(spark, sf).collect().map(_.toString)
-    val clean = ext.Similarity.xKnnGraph(spark, sf,
-      srcOverride = Some(ext.Dedup.embExactKeepers(spark, sf)))
-      .collect().map(_.toString)
-    assert(base.sameElements(clean), "clean graph diverged on a dup-free corpus")
-  }
-
-  test("knn graph k64 density arm keeps rank semantics with 4x the cells") {
-    val g = ext.Similarity.xKnnGraph(spark, sf, 5, 64, 1).collect()
-    assert(g.nonEmpty)
-    val byVec = g.groupBy(_.getAs[Long]("vec_id"))
-    byVec.foreach { case (id, rows) =>
-      val ranks = rows.map(_.getAs[Long]("nn_rank")).sorted
-      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
-        s"vec $id ranks not contiguous-from-1: ${ranks.mkString(",")}")
-      assert(rows.map(_.getAs[Long]("nn_id")).distinct.length == rows.length,
-        s"vec $id repeats a neighbor")
-      rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
-    }
-    // The density knob must take: strictly more, smaller cells mean the
-    // total candidate volume shrinks vs the k=16 default graph.
-    val g16 = ext.Similarity.xKnnGraph(spark, sf).collect()
-    assert(byVec.size >= g16.groupBy(_.getAs[Long]("vec_id")).size / 2,
-      "k64 arm silently dropped most vectors")
-  }
-
-  test("keep-best dedup retains the higher-quality member, not the lower id") {
-    import spark.implicits._
-    // Two planted near-dups sharing a ~100-token unique body (rare
-    // grams, df=1, Jaccard ≈ 0.86 ≥ 0.5 — one cluster). The LOWER id
-    // gets 8 appended stopwords (quality 1·(1−8/108) ≈ 0.9259), the
-    // HIGHER id 8 appended non-stopwords (quality 1.0): keep-lowest
-    // would retain 9000001; the quality policy must retain 9000002.
-    val body = (0 until 100).map(i => s"w${i}word").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("keepbest").toString
-    val base = spark.read.parquet(s"$sf/documents.parquet")
-    base.unionByName(Seq(
-        (9000001L, body + " the of and a to the of and", "en", "srcx", 1L),
-        (9000002L, body + " zulu yankee xray whiskey victor uniform tango sierra",
-          "en", "srcx", 1L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars"))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val out = ext.Dedup.xDedupKeepBest(spark, tmp).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("cluster_id"), r.getAs[Double]("quality_score"),
-          r.getAs[Long]("kept")))).toMap
-    assert(out.contains(9000001L) && out.contains(9000002L),
-      s"planted pair not clustered: ${out.keys.filter(_ >= 9000000L)}")
-    assert(out(9000001L)._1 == out(9000002L)._1, "pair not in one cluster")
-    assert(out(9000002L)._2 > out(9000001L)._2,
-      s"quality ordering broken: $out")
-    assert(out(9000002L)._3 == 1L && out(9000001L)._3 == 0L,
-      s"keep-best must retain the higher-quality higher-id doc: $out")
-  }
-
-  test("composed keep-best prep retains the quality argmax where lowest-id would not") {
-    import spark.implicits._
-    // Same planted-cluster construction as the standalone keep-best
-    // spec, but run through BOTH trainingCorpus retention arms: the
-    // lower id pads with en stopwords (quality ≈ 0.9259, pred_lang en),
-    // the higher id with es markers + non-stopwords (quality 1.0,
-    // pred_lang es) — both pass every prep filter, so the ONLY
-    // difference between the arms is which cluster member survives.
-    val body = (0 until 100).map(i => s"w${i}word").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("prepkeepbest").toString
-    val base = spark.read.parquet(s"$sf/documents.parquet")
-    base.unionByName(Seq(
-        (9000001L, body + " the of and a to the of and", "en", "srcx", 1L),
-        (9000002L, body + " victor uniform tango sierra " +
-          "el los las el los las el los", "en", "srcx", 1L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars"))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val pairs = ext.Dedup.ngramJaccardPairs(spark, tmp)
-      .filter(col("jaccard") >= 0.5).select("d1", "d2")
-    val labels = ext.Dedup.connectedComponents(pairs)._1
-    def survivors(keepBest: Boolean): Set[Long] =
-      ext.CorpusPrep.trainingCorpus(spark, tmp, Some(labels),
-          keepBest = keepBest)
-        .filter(col("doc_id") >= 9000000L).collect()
-        .map(_.getAs[Long]("doc_id")).toSet
-    val lowestId = survivors(keepBest = false)
-    val argmax = survivors(keepBest = true)
-    assert(lowestId == Set(9000001L),
-      s"lowest-id arm must retain the lower id only: $lowestId")
-    assert(argmax == Set(9000002L),
-      s"keep-best arm must retain the quality argmax only: $argmax")
-  }
-
-  test("knn-graph admission attaches new vectors to admitted neighbors only") {
-    val split = Tables.embeddings(spark, sf)
-      .agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
-    val g = ext.Similarity.xKnnGraphAdmit(spark, sf).collect()
-    assert(g.nonEmpty, "admission graph emitted no edges")
-    g.foreach { r =>
-      assert(r.getAs[Long]("vec_id") >= split,
-        s"admitted-side vector ${r.getAs[Long]("vec_id")} appeared as a query")
-      assert(r.getAs[Long]("nn_id") < split,
-        s"new vector ${r.getAs[Long]("nn_id")} appeared as a neighbor")
-    }
-    g.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, rows) =>
-      val ranks = rows.map(_.getAs[Long]("nn_rank")).sorted
-      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
-        s"vec $id ranks not contiguous-from-1: ${ranks.mkString(",")}")
-    }
-  }
-
-  test("full prep pipeline is a pure intersection on top of the keep-best arm") {
-    // The full arm adds only an anti-join (substring losers) and a
-    // semi-join (DSIR selected) to the keep-best per-doc corpus, so its
-    // rollup can never exceed keep-best's anywhere, and every (split,
-    // lang) group it reports must exist in the keep-best rollup.
-    def rows(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
-      df.collect().map(r => (r.getAs[String]("split"),
-        r.getAs[String]("pred_lang")) -> r.getAs[Long]("n_docs")).toMap
-    val kb = rows(ext.CorpusPrep.xLlmCorpusPrepKeepBest(spark, sf))
-    val full = rows(ext.CorpusPrep.xLlmCorpusPrepFull(spark, sf))
-    assert(full.nonEmpty, "full pipeline emitted no groups")
-    full.foreach { case (k, n) =>
-      assert(kb.contains(k), s"group $k absent from the keep-best rollup")
-      assert(n <= kb(k), s"group $k grew under pure filters: $n > ${kb(k)}")
-    }
-  }
-
-  test("streaming DSIR gate reproduces the frozen batch cut across micro-batches") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Batch truth: the gated top-N cut. Frozen state: the per-token
-    // log-ratio table + the Nth-(weight, id) threshold. Replaying the
-    // SAME corpus through the stateless streaming gate must reproduce
-    // every (n_tokens, weight, selected) row — split mid-stream, so a
-    // result depending on micro-batch contents would diverge.
-    val batch = ext.Selection.xDsirSelect(spark, sf).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_tokens"),
-          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
-          r.getAs[Long]("selected")))).toMap
-    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
-    val input = MemoryStream[streaming.StreamOps.DocIn]
-    val query = streaming.StreamOps
-      .selectDocs(input.toDS(), ratios, unseen, cutW, cutId)
-      .writeStream.format("memory").queryName("dsir_gate_out")
-      .outputMode("append").start()
-    val (b1, b2) = docs.splitAt(docs.length / 2)
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT doc_id, n_tokens, dsir_weight, selected FROM dsir_gate_out")
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1),
-          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
-          r.getLong(3)))).toMap
-    query.stop()
-    assert(streamed == batch,
-      s"streaming gate diverged from the frozen batch cut " +
-        s"(stream=${streamed.size} rows, batch=${batch.size} rows)")
-    assert(streamed.values.count(_._3 == 1L) == 100,
-      "the frozen threshold must admit exactly the batch top-N on replay")
-  }
-
-  test("NB admission scores exactly the unadmitted half under frozen train counts") {
-    import spark.implicits._
-    // Fully planted corpus: train half (ids < 2) defines two classes
-    // with disjoint vocabularies; the held half must be scored — and
-    // ONLY it — with each held doc predicted as the class whose frozen
-    // token counts it matches.
-    val tmp = java.nio.file.Files.createTempDirectory("nbadmit").toString
-    Seq(
-        (0L, "apple banana apple apple", "en", "srca", 1L),
-        (1L, "zebra yak zebra yak yak", "en", "srcb", 1L),
-        (2L, "apple apple banana", "en", "srca", 1L),
-        (3L, "zebra zebra yak", "en", "srcb", 1L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val rows = ext.Selection.xTextNbAdmit(spark, tmp).collect()
-    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 3L),
-      "admission arm must score exactly the upper-id half")
-    val pred = rows.map(r =>
-      r.getAs[Long]("doc_id") -> r.getAs[String]("pred_source")).toMap
-    assert(pred == Map(2L -> "srca", 3L -> "srcb"),
-      s"frozen-count scoring must recover the planted classes: $pred")
-    assert(rows.forall(_.getAs[Long]("hit") == 1L))
-  }
-
-  test("streaming NB gate reproduces the frozen batch admission across micro-batches") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Batch truth: the frozen-count admission rows. Frozen state: the
-    // per-class priors/defaults/token-term maps. Replaying the held half
-    // through the stateless streaming gate must reproduce every
-    // (true_source, pred_source, nb_score, hit) row — split mid-stream,
-    // so a result depending on micro-batch contents would diverge.
-    val batch = ext.Selection.xTextNbAdmit(spark, sf).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[String]("true_source"), r.getAs[String]("pred_source"),
-          r.getAs[Double]("nb_score"), r.getAs[Long]("hit")))).toMap
-    val frozen = ext.Selection.nbFrozen(spark, sf)
-    val splitId = Tables.documents(spark, sf)
-      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    val held = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= splitId)
-      .select("doc_id", "text", "source").collect()
-      .map(r => streaming.StreamOps.LabeledDoc(r.getLong(0), t0,
-        r.getString(1), r.getString(2)))
-    val input = MemoryStream[streaming.StreamOps.LabeledDoc]
-    val query = streaming.StreamOps.classifyDocs(input.toDS(), frozen)
-      .writeStream.format("memory").queryName("nb_gate_out")
-      .outputMode("append").start()
-    val (b1, b2) = held.splitAt(held.length / 2)
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT doc_id, true_source, pred_source, nb_score, hit FROM nb_gate_out")
-      .collect().map(r => r.getLong(0) ->
-        ((r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
-    query.stop()
-    assert(streamed == batch,
-      s"streaming gate diverged from frozen batch admission " +
-        s"(stream=${streamed.size} rows, batch=${batch.size} rows)")
-    assert(streamed.nonEmpty && streamed.keySet.forall(_ >= splitId),
-      "the gate must score exactly the unadmitted half")
-  }
-
-  test("DSIR join arm equals the literal arm row-for-row across micro-batches") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The r11 verdict's one weak component: the literal arm embeds the
-    // vocab-sized ratio table as a typedlit plan literal — vocab-bounded
-    // codegen. The join arm ships it as the shelf RELATION
-    // (art_dsir_ratios' (tok, ln_ratio) shape) and must reproduce the
-    // literal arm's rows EXACTLY: same left-fold order, same IEEE adds,
-    // same HALF_UP round, same cutoff tiebreak — split mid-stream so a
-    // batching dependence would diverge.
-    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
-    val ratiosDf = ratios.toSeq.toDF("tok", "ln_ratio")
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
-    def runArm(name: String,
-        mk: org.apache.spark.sql.Dataset[streaming.StreamOps.DocIn]
-          => org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Double], Long)] = {
-      val input = MemoryStream[streaming.StreamOps.DocIn]
-      val query = mk(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      val (b1, b2) = docs.splitAt(docs.length / 2)
-      input.addData(b1.toSeq)
-      query.processAllAvailable()
-      input.addData(b2.toSeq)
-      query.processAllAvailable()
-      val out = spark.sql(
-        s"SELECT doc_id, n_tokens, dsir_weight, selected FROM $name")
-        .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1),
-            Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
-            r.getLong(3)))).toMap
-      query.stop()
-      out
-    }
-    val lit = runArm("dsir_lit_arm",
-      ds => streaming.StreamOps.selectDocs(ds, ratios, unseen, cutW, cutId))
-    val join = runArm("dsir_join_arm",
-      ds => streaming.StreamOps.selectDocsJoin(ds, ratiosDf, unseen, cutW, cutId))
-    assert(join.size == docs.length, s"join arm emitted ${join.size} rows")
-    val diff = (lit.keySet ++ join.keySet).filter(k => lit.get(k) != join.get(k))
-    assert(diff.isEmpty,
-      s"join arm diverged from literal arm on ${diff.size} docs, e.g. " +
-        diff.take(3).map(k => s"$k: lit=${lit.get(k)} join=${join.get(k)}")
-          .mkString("; "))
-    assert(join.values.count(_._3 == 1L) == 100,
-      "the frozen threshold must admit exactly the batch top-N")
-  }
-
-  test("DSIR join arm is invariant to frozen-vocabulary size") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The claim behind the literal arm's ceiling, tested directly: the
-    // term table rides as a RELATION, so growing it 4 orders of
-    // magnitude must change NOTHING but the join's static side — pad
-    // the real ratio relation with 200k filler tokens no document
-    // carries and require bitwise-identical gate output. (The literal
-    // arm at this size would serialize a 200k-entry map into the plan
-    // and the codegen constant pool — the shape the join arm retires.)
-    val (ratios, unseen, cutW, cutId) = ext.Selection.dsirFrozen(spark, sf)
-    val slim = ratios.toSeq.toDF("tok", "ln_ratio")
-    val padded = slim.unionByName(spark.range(200000)
-      .select(concat(lit("zz_filler_"), col("id")).as("tok"),
-        (col("id") % 7).cast("double").as("ln_ratio")))
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    val docs = Tables.documents(spark, sf).select("doc_id", "text")
-      .collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0), t0, r.getString(1)))
-    def run(name: String, rel: org.apache.spark.sql.DataFrame)
-        : Map[Long, (Long, Option[Double], Long)] = {
-      val input = MemoryStream[streaming.StreamOps.DocIn]
-      val query = streaming.StreamOps
-        .selectDocsJoin(input.toDS(), rel, unseen, cutW, cutId)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      input.addData(docs.toSeq); query.processAllAvailable()
-      val out = spark.sql(
-        s"SELECT doc_id, n_tokens, dsir_weight, selected FROM $name")
-        .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1),
-            Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble),
-            r.getLong(3)))).toMap
-      query.stop()
-      out
-    }
-    val a = run("dsir_vocab_slim", slim)
-    val b = run("dsir_vocab_padded", padded)
-    assert(a.nonEmpty && a == b,
-      s"gate output moved with vocabulary size: ${a.size} vs ${b.size} " +
-        "rows or differing values")
-  }
-
-  test("NB join arm equals the literal arm row-for-row across micro-batches") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Same contract for the classifier gate: art_nb_terms as a relation,
-    // |classes|-row metadata only on the driver; per-class folds replay
-    // the literal arm's arithmetic and argmax tiebreak exactly.
-    val frozen = ext.Selection.nbFrozen(spark, sf)
-    val meta = frozen.map { case (c, p, d, _) => (c, p, d) }
-    val termsDf = frozen.flatMap { case (c, _, _, t) =>
-      t.toSeq.map { case (tok, v) => (c, tok, v) } }
-      .toDF("cls", "tok", "term")
-    val splitId = Tables.documents(spark, sf)
-      .agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    val held = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= splitId)
-      .select("doc_id", "text", "source").collect()
-      .map(r => streaming.StreamOps.LabeledDoc(r.getLong(0), t0,
-        r.getString(1), r.getString(2)))
-    def runArm(name: String,
-        mk: org.apache.spark.sql.Dataset[streaming.StreamOps.LabeledDoc]
-          => org.apache.spark.sql.DataFrame): Map[Long, (String, String, Double, Long)] = {
-      val input = MemoryStream[streaming.StreamOps.LabeledDoc]
-      val query = mk(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      val (b1, b2) = held.splitAt(held.length / 2)
-      input.addData(b1.toSeq)
-      query.processAllAvailable()
-      input.addData(b2.toSeq)
-      query.processAllAvailable()
-      val out = spark.sql(
-        s"SELECT doc_id, true_source, pred_source, nb_score, hit FROM $name")
-        .collect().map(r => r.getLong(0) ->
-          ((r.getString(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
-      query.stop()
-      out
-    }
-    val lit = runArm("nb_lit_arm",
-      ds => streaming.StreamOps.classifyDocs(ds, frozen))
-    val join = runArm("nb_join_arm",
-      ds => streaming.StreamOps.classifyDocsJoin(ds, meta, termsDf))
-    assert(join.size == held.length, s"join arm emitted ${join.size} rows")
-    val diff = (lit.keySet ++ join.keySet).filter(k => lit.get(k) != join.get(k))
-    assert(diff.isEmpty,
-      s"join arm diverged from literal arm on ${diff.size} docs, e.g. " +
-        diff.take(3).map(k => s"$k: lit=${lit.get(k)} join=${join.get(k)}")
-          .mkString("; "))
-  }
-
-  // md5 id bucket as the operators compute it (first 8 hex digits % 100)
-  // — lets planted-doc specs pick ids that land in a chosen split.
-  private def md5Bucket100(id: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 100
-  }
-
-  test("DSIR selects exactly N docs and ranks in-target vocab above out-of-target") {
-    import spark.implicits._
-    // Planted pair: a TARGET-split doc (bucket < 20) whose unique tokens
-    // therefore appear in the target LM, and a non-target doc with its
-    // own unique tokens (target count 0). The target-vocab doc's
-    // log-ratio is the maximum positive per-token value; the other's is
-    // negative — the weight order is forced, independent of the corpus.
-    val tgtId = (9000001L to 9000400L).find(md5Bucket100(_) < 20).get
-    val othId = (9000001L to 9000400L).find(md5Bucket100(_) >= 20).get
-    val body = (0 until 8).map(i => s"qzx$i").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
-    spark.read.parquet(s"$sf/documents.parquet")
-      .unionByName(Seq(
-        (tgtId, body, "en", "srcx", 1L),
-        (othId, (0 until 8).map(i => s"wvu$i").mkString(" "), "en", "srcx", 1L))
-        .toDF("doc_id", "text", "lang", "source", "n_chars"))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val out = ext.Selection.xDsirSelect(spark, tmp).collect()
-    val byId = out.map(r => r.getAs[Long]("doc_id") ->
-      ((r.getAs[Double]("dsir_weight"), r.getAs[Long]("selected")))).toMap
-    assert(byId(tgtId)._1 > byId(othId)._1,
-      s"target-vocab doc must outrank out-of-target: $byId")
-    assert(out.map(_.getAs[Long]("selected")).sum == 100L,
-      "exactly selectN docs must be selected")
-    // The cut is consistent: every selected (w, id) dominates every
-    // unselected one lexicographically (w desc, id asc).
-    val sel = out.filter(_.getAs[Long]("selected") == 1L)
-      .map(r => (r.getAs[Double]("dsir_weight"), r.getAs[Long]("doc_id")))
-    val unsel = out.filter(r => r.getAs[Long]("selected") == 0L &&
-        !r.isNullAt(r.fieldIndex("dsir_weight")))
-      .map(r => (r.getAs[Double]("dsir_weight"), r.getAs[Long]("doc_id")))
-    val worstSel = sel.minBy(p => (p._1, -p._2))
-    assert(unsel.forall(u => u._1 < worstSel._1 ||
-      (u._1 == worstSel._1 && u._2 > worstSel._2)),
-      "an unselected doc dominates the cutoff")
-  }
-
-  test("NB classifier predicts the class owning a planted disjoint vocabulary") {
-    import spark.implicits._
-    // Train: three docs each for classes qa/qb with disjoint vocab, ids
-    // chosen in the train split (bucket < 80). Held-out: one doc
-    // (bucket >= 80) written in qa's vocabulary but labeled qb — the
-    // classifier must predict qa (3 tokens × ln(10/..) dominates any
-    // prior gap) and report hit = 0.
-    val ids = (9100001L to 9100500L)
-    val trainIds = ids.filter(md5Bucket100(_) < 80).take(6).toSeq
-    val heldId = ids.find(md5Bucket100(_) >= 80).get
-    val rows = trainIds.take(3).map(id => (id, "aqua aqua aqua", "en", "qa", 1L)) ++
-      trainIds.drop(3).map(id => (id, "bravo bravo bravo", "en", "qb", 1L)) :+
-      ((heldId, "aqua aqua aqua", "en", "qb", 1L))
-    val tmp = java.nio.file.Files.createTempDirectory("nbclass").toString
-    spark.read.parquet(s"$sf/documents.parquet")
-      .unionByName(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val out = ext.Selection.xTextNbClass(spark, tmp).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[String]("pred_source"), r.getAs[String]("true_source"),
-          r.getAs[Long]("hit")))).toMap
-    assert(out.contains(heldId), "held-out planted doc missing from scoring")
-    assert(out(heldId)._1 == "qa",
-      s"disjoint-vocab doc must classify to the vocab owner: ${out(heldId)}")
-    assert(out(heldId)._2 == "qb" && out(heldId)._3 == 0L,
-      s"hit must reflect pred != true label: ${out(heldId)}")
-    // Every held-out doc scores exactly once.
-    val all = ext.Selection.xTextNbClass(spark, tmp)
-    assert(all.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
-  }
-
-  test("kNN graph ranks a planted identical pair as mutual rank-1 at cosine 1.0") {
-    import spark.implicits._
-    // Two identical planted vectors land in the same quantizer cell by
-    // construction and are each other's maximum-similarity neighbor;
-    // ranks are contiguous per vector and self-edges are absent.
-    val vec = Seq.fill(64)(0.25f)
-    val tmp = java.nio.file.Files.createTempDirectory("knngraph").toString
-    spark.read.parquet(s"$sf/embeddings.parquet")
-      .unionByName(Seq((9000001L, vec, 0), (9000002L, vec, 0))
-        .toDF("vec_id", "embedding", "label"))
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val out = ext.Similarity.xKnnGraph(spark, tmp).collect()
-    assert(out.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("nn_id")),
-      "self-edge in kNN graph")
-    val ranks = out.groupBy(_.getAs[Long]("vec_id"))
-      .map { case (_, rs) => rs.map(_.getAs[Long]("nn_rank")).sorted.toSeq }
-    assert(ranks.forall(rs => rs == (1L to rs.size).toSeq),
-      "per-vector ranks not contiguous from 1")
-    val top1 = out.filter(r => r.getAs[Long]("nn_rank") == 1L)
-      .map(r => r.getAs[Long]("vec_id") ->
-        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cos_sim")))).toMap
-    assert(top1.get(9000001L).exists(t => t._1 == 9000002L && t._2 == 1.0),
-      s"planted twin not rank-1: ${top1.get(9000001L)}")
-    assert(top1.get(9000002L).exists(t => t._1 == 9000001L && t._2 == 1.0),
-      s"planted twin not mutual: ${top1.get(9000002L)}")
-  }
-
-  test("pagerank: planted clique concentrates mass, zero-in-degree nodes hold the base") {
-    import spark.implicits._
-    // Plant six scaled copies of vector 0's direction: identical
-    // direction ⇒ same quantizer cell, rounded cosine 1.0 to each
-    // other beats every stock neighbor (corpus cosines top out ~0.47),
-    // so the seven co-directional vectors (vec 0 + six plants) form a
-    // closed top-5 clique that keeps re-sending its full mass to
-    // itself. Deterministic consequences of the integer update rule:
-    // (a) one score per vector; (b) any node with NO in-edges in the
-    // gated graph holds exactly the 0.15e9 base after every round —
-    // including the largest-id plant, which the cos-then-id tiebreak
-    // structurally shadows out of every clique member's top-5; (c) the
-    // six smaller-id clique members each keep score >= the initial 1e9
-    // (five in-links of score div 5, contributors never dip below 1e9
-    // by the same induction) — the prototypicality signal the operator
-    // exists to measure, >6x any zero-in-degree node.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val clique = (1 to 6).map(i =>
-      (9000000L + i, v.map(_ * (1.0f + 0.01f * i)).toArray, 7))
-    val tmp = java.nio.file.Files.createTempDirectory("pagerank").toString
-    base.unionByName(clique.toDF("vec_id", "embedding", "label"))
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val scores = ext.Similarity.xGraphPagerank(spark, tmp).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score_e9")).toMap
-    val n = spark.read.parquet(s"$tmp/embeddings.parquet").count()
-    assert(scores.size == n, s"expected $n scores, got ${scores.size}")
-    val linked = ext.Similarity.xKnnGraph(spark, tmp)
-      .select("nn_id").distinct().collect().map(_.getLong(0)).toSet
-    val noIn = scores.keySet -- linked
-    assert(noIn.nonEmpty, "corpus unexpectedly has no zero-in-degree node")
-    assert(noIn.forall(id => scores(id) == 150000000L),
-      s"zero-in-degree nodes off the base: ${noIn.filter(scores(_) != 150000000L)}")
-    val members = Seq(0L) ++ (1 to 5).map(9000000L + _)
-    members.foreach { id =>
-      assert(scores(id) >= 1000000000L,
-        s"clique member $id lost mass: ${scores(id)}")
-    }
-    assert(!linked.contains(9000006L) && scores(9000006L) == 150000000L,
-      "largest-id plant should be tiebreak-shadowed to the base score")
-  }
-
-  test("clean pagerank: identical on a dup-free corpus, collapses replica vote-stuffing") {
-    import spark.implicits._
-    // (a) The raw corpus has no bit-identical pair, so keeper pagerank
-    // == base pagerank byte-for-byte (the clean-graph pin: cost changes
-    // on duplicated corpora, semantics never change on clean ones).
-    val base = ext.Similarity.xGraphPagerank(spark, sf).collect().map(_.toString)
-    val clean = ext.Similarity.xGraphPagerank(spark, sf,
-      srcOverride = Some(ext.Dedup.embExactKeepers(spark, sf)))
-      .collect().map(_.toString)
-    assert(base.sameElements(clean), "clean pagerank diverged on a dup-free corpus")
-    // (b) Plant three bit-identical replicas of vector 0: the clean arm
-    // scores only the min-id keeper — replicas never enter the graph,
-    // so a replica set cannot re-vote its region's centrality N×.
-    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = raw.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq((9000001L, v.toArray, 5), (9000002L, v.toArray, 5))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("prclean").toString
-    raw.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val ids = ext.Similarity.xGraphPagerank(spark, tmp,
-      srcOverride = Some(ext.Dedup.embExactKeepers(spark, tmp)))
-      .collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(ids.contains(0L) && !ids.contains(9000001L) && !ids.contains(9000002L),
-      "replicas must collapse to the keeper before centrality")
-    assert(ids.size == raw.count(), "keeper set size must be the distinct corpus")
-  }
-
-  test("pagerank select keeps exactly N, ordered by (score desc, id) at the boundary") {
-    val rows = ext.Similarity.xGraphPagerankSelect(spark, sf).collect()
-    val sel = rows.filter(_.getAs[Long]("selected") == 1L)
-    val unsel = rows.filter(_.getAs[Long]("selected") == 0L)
-    assert(sel.length == 100, s"expected exactly 100 selected, got ${sel.length}")
-    // Total order (score DESC, vec_id ASC): the worst selected row must
-    // still beat the best unselected row.
-    def key(r: org.apache.spark.sql.Row) =
-      (-r.getAs[Long]("score_e9"), r.getAs[Long]("vec_id"))
-    val worstSel = sel.map(key).max
-    val bestUnsel = unsel.map(key).min
-    assert(implicitly[Ordering[(Long, Long)]].lt(worstSel, bestUnsel),
-      s"selection boundary violates the (score desc, id) order: $worstSel !< $bestUnsel")
-    // Scores are the CLEAN arm's scores verbatim (prototype votes count
-    // distinct voters — the collapse-first policy).
-    val clean = ext.Similarity.xGraphPagerank(spark, sf,
-      srcOverride = Some(ext.Dedup.embExactKeepers(spark, sf)))
-      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score_e9")).toMap
-    assert(rows.forall(r => clean(r.getAs[Long]("vec_id")) == r.getAs[Long]("score_e9")),
-      "select arm drifted from the clean pagerank scores")
-  }
-
-  test("weighted pagerank: uniform weights degenerate to equal split, varied weights diverge") {
-    import spark.implicits._
-    // Isolated synthetic corpus: a 7-member co-directional clique
-    // (scaled copies — bit-distinct, all mutual rounded cos 1.0) plus
-    // 15 sign-pattern directions far from it and from each other. The
-    // clique shares one quantizer cell; every clique edge carries the
-    // SAME weight (w = 20001), so the proportional split equals the
-    // equal split EXACTLY (floor(s·20001/100005) = floor(s/5) — the
-    // degeneracy that pins the weighted arithmetic against the
-    // unweighted arm's). The far vectors contribute no clique edges,
-    // so clique scores must agree across arms to the last unit.
-    // Ids 0..22 dense (the quantizer seeds from vec_id < 16, so the
-    // first 16 ids must exist). The 16 far vectors OWN the seed ids:
-    // if clique members seeded, each would sit alone in its own cell
-    // (scaled copies have distinct norms, so each is its own nearest
-    // seed) and no clique edge would exist. As non-seeds they all
-    // assign to one shared nearest-centroid cell — the planted-spec
-    // layout every vector spec here relies on.
-    val rng = new scala.util.Random(7)
-    val far = (0 to 15).map(j =>
-      (j.toLong, Array.fill(64)((if (rng.nextBoolean()) 1f else -1f) *
-        (0.5f + rng.nextFloat())), 1))
-    val clique = (16 to 22).map(i =>
-      (i.toLong, Array.fill(64)(0.25f * (1.0f + 0.01f * (i - 15))), 0))
-    val tmp = java.nio.file.Files.createTempDirectory("prw").toString
-    (clique ++ far).toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    def scores(weighted: Boolean, dir: String) =
-      ext.Similarity.xGraphPagerank(spark, dir,
-        srcOverride = Some(ext.Dedup.embExactKeepers(spark, dir)),
-        weighted = weighted).collect()
-        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score_e9")).toMap
-    val uw = scores(weighted = false, tmp)
-    val w = scores(weighted = true, tmp)
-    (16 to 22).foreach { i =>
-      assert(uw(i.toLong) == w(i.toLong),
-        s"uniform-weight clique member $i diverged: ${uw(i.toLong)} vs ${w(i.toLong)}")
-    }
-    // Six of the seven receive the full 5-in-link mass (the largest id
-    // is tiebreak-shadowed, the base pagerank spec's structural claim).
-    assert((16 to 22).count(i => w(i.toLong) >= 1000000000L) >= 6,
-      s"clique lost mass under uniform weights: ${(16 to 22).map(i => w(i.toLong))}")
-    // On the stock corpus (varied cosines) the proportional split must
-    // actually bite: at least one node's score differs between arms —
-    // while zero-in-degree nodes hold the base in BOTH.
-    val suw = scores(weighted = false, sf)
-    val sw = scores(weighted = true, sf)
-    assert(suw.exists { case (id, s) => sw(id) != s },
-      "weighted arm never diverged from unweighted on varied cosines")
-    val baseOnly = suw.filter(_._2 == 150000000L).keySet
-    assert(baseOnly.forall(id => sw(id) == 150000000L),
-      "a zero-in-degree node gained mass under weighting")
-  }
-
-  test("embedding decontamination flags only cross-split near-dup pairs") {
-    import spark.implicits._
-    // Pick planted ids with KNOWN md5-holdout membership (bucket < 10
-    // of 100 = eval) instead of hardcoding — the bucket is a pure
-    // function of the id, so the test derives it the same way the
-    // operator does. One eval + two train members of a co-directional
-    // near-dup set: both cross-split pairs must be flagged with the
-    // eval id on the eval side, and NO within-split pair may appear.
-    val buckets = (9000001L to 9000200L).toDF("vec_id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val evalId = buckets.toSeq.sortBy(_._1).find(_._2 < 10).get._1
-    val trainIds = buckets.toSeq.sortBy(_._1).filter(_._2 >= 10).take(2).map(_._1)
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (evalId, v.map(_ * 1.01f).toArray, 5),
-      (trainIds(0), v.map(_ * 1.02f).toArray, 5),
-      (trainIds(1), v.map(_ * 1.03f).toArray, 6))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("embcontam").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val out = ext.Similarity.xEmbContamination(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
-    def bucket(id: Long) = buckets.getOrElse(id,
-      // ids outside the probed range (e.g. vec 0 pairing in): recompute
-      Seq(id).toDF("vec_id")
-        .select(ext.TextAnalysis.md5Bucket(100, col("vec_id"))).head.getLong(0))
-    assert(out.nonEmpty, "planted cross-split near-dups not flagged")
-    out.foreach { case (t, e) =>
-      assert(bucket(e) < 10, s"eval side $e is not in the holdout")
-      assert(bucket(t) >= 10, s"train side $t is in the holdout")
-    }
-    assert(out.contains((trainIds(0), evalId)) && out.contains((trainIds(1), evalId)),
-      s"expected both planted cross pairs, got $out")
-    assert(!out.exists { case (t, e) => t == trainIds(0) && e == trainIds(1) } &&
-      !out.exists { case (t, e) => t == trainIds(1) && e == trainIds(0) },
-      "within-train pair leaked into the decontamination verdicts")
-  }
-
-  test("decontaminated prep drops the eval holdout and the leaking train keeper") {
-    import spark.implicits._
-    // Plant a near-dup pair on a NOVEL direction (no corpus vector
-    // approaches it) straddling the split, with the TRAIN id LOWER so
-    // banded dedup alone would KEEP it (the higher-id eval partner is
-    // the dedup loser) — only the leak stage can drop it. The clean
-    // arm must keep that train keeper; the decon arm must drop it AND
-    // every eval-bucket id.
-    val buckets = (9000001L to 9000200L).toDF("vec_id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val trainId = buckets.toSeq.sortBy(_._1).find(_._2 >= 10).get._1
-    val evalId = buckets.toSeq.sortBy(_._1)
-      .find(kv => kv._2 < 10 && kv._1 > trainId).get._1
-    val dirB = Array.fill(64)(0.1f)
-    val planted = Seq(
-      (trainId, dirB.map(_ * 1.02f), 5),
-      (evalId, dirB.map(_ * 1.01f), 6))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("decon").toString
-    spark.read.parquet(s"$sf/embeddings.parquet").unionByName(planted)
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    // The dedup stage must NOT be what drops the train keeper: its only
-    // near-dup partner is the HIGHER-id eval plant, so the banded
-    // verdicts never list it as a loser (id2) — only the leak stage can
-    // remove it. (The composed clean OUTPUT may still cut it at the
-    // per-cell cap, so the no-drop claim anchors on the verdict
-    // operator, not the capped artifact.)
-    val losers = ext.Similarity.xDedupEmbCosineLshClean(spark, tmp).collect()
-      .map(_.getAs[Long]("id2")).toSet
-    assert(!losers.contains(trainId),
-      "dedup dropped the lower-id train plant; the leak claim would be vacuous")
-    assert(losers.contains(evalId),
-      "the higher-id eval plant should be the dedup loser of the planted pair")
-    val decon = ext.Similarity.xEmbCorpusPrepDecon(spark, tmp).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    assert(!decon.contains(trainId),
-      "decon arm must drop the leaking train keeper")
-    assert(decon.nonEmpty, "decon prep produced an empty corpus")
-    val deconBuckets = decon.toSeq.toDF("vec_id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
-      .collect()
-    assert(deconBuckets.forall(_.getLong(1) >= 10),
-      "an eval-holdout id survived into the decontaminated corpus")
-  }
-
-  test("streaming embedding near-dup emits batch candidates incl. planted trio") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Same planted corpus as the batch LSH test: scaled copies of vec 0
-    // (cosine exactly 1.0, bytes differ) under two labels. Streamed in
-    // one micro-batch, the per-bucket keeper is the bucket minimum —
-    // the batch keep-lowest convention — so every verified batch pair's
-    // larger side must appear in the streamed drop set, and every
-    // streamed pair must be a signature-collision candidate.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9000001L, v.map(_ * 1.01f).toArray, 5),
-      (9000002L, v.map(_ * 1.02f).toArray, 5),
-      (9000003L, v.map(_ * 1.03f).toArray, 6))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("lshstream").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val t0 = new java.sql.Timestamp(1700000000000L)
-    val all = spark.read.parquet(s"$tmp/embeddings.parquet")
-    val vecs = all.select("vec_id", "embedding").collect()
-      .map(r => streaming.StreamOps.VecTs(r.getLong(0), t0,
-        r.getSeq[Float](1).toArray))
-    val input = MemoryStream[streaming.StreamOps.VecTs]
-    val query = streaming.StreamOps.dedupNearDupVecs(input.toDS())
-      .writeStream.format("memory").queryName("vec_neardup_out")
-      .outputMode("append").start()
-    input.addData(vecs.toSeq)
-    query.processAllAvailable()
-    val streamed = spark.sql("SELECT kept_doc_id, dup_doc_id FROM vec_neardup_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    query.stop()
-    // batch candidate pairs from the same packed band hits (static DF
-    // through the same codegen'd expressions the stream ran)
-    val hits = ext.Similarity.streamBandHits(
-      all.withColumn("ts", lit(t0)))
-    val cand = hits.as("a").join(hits.as("b"), Seq("bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(streamed.nonEmpty, "planted near-dups must collide")
-    assert(streamed.subsetOf(cand),
-      s"streamed pairs not batch candidates: ${(streamed -- cand).take(5)}")
-    // single micro-batch ⇒ keeper = bucket min ⇒ a vector is dropped iff
-    // it collides with a lower id — exactly the candidates' larger sides
-    assert(streamed.map(_._2) == cand.map(_._2),
-      "streaming drop set must equal the batch candidates' larger sides")
-    // every VERIFIED batch pair is caught online: its larger side drops
-    val verified = ext.Similarity.xDedupEmbCosineLsh(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    assert(verified.map(_._2).subsetOf(streamed.map(_._2)),
-      "a verified near-dup escaped the online index")
-    assert(Set(9000001L, 9000002L, 9000003L).subsetOf(streamed.map(_._2)),
-      s"planted trio not dropped online: $streamed")
-  }
-
-  test("emb corpus prep + SemDeDup stage: a subset of prep, removals real") {
-    // The sem variant differs from x_emb_corpus_prep exactly by the
-    // within-cell semantic stage: same quantizer (trained on the same
-    // cosine-dedup survivors), so every kept (cell, vec_id) must also
-    // appear in the base prep's ASSIGNMENT universe, the kept set must
-    // shrink or hold vs the base, and at the gated threshold the stage
-    // must actually remove vectors (non-vacuous on this corpus).
-    val base = ext.Similarity.xEmbCorpusPrep(spark, sf).collect()
-    val sem = ext.Similarity.xEmbCorpusPrepSem(spark, sf).collect()
-    assert(sem.nonEmpty && sem.length <= base.length)
-    // Removals land UPSTREAM of the per-cell cap, so the capped output
-    // SIZE typically doesn't shrink (full cells backfill from rank 9+);
-    // the real signal is the kept-id set shifting — semantic losers that
-    // were ranked <= 8 leave, later ranks slide in (7 swaps at sf0.001,
-    // 5 at sf0.01 — measured, and the bitwise oracle pins the exact
-    // membership).
-    val baseIds = base.map(_.getAs[Long]("vec_id")).toSet
-    val semIds = sem.map(_.getAs[Long]("vec_id")).toSet
-    assert(semIds != baseIds,
-      "semantic stage changed nothing in the kept set — vacuous composition")
-    // No cosine loser may reappear through the semantic path.
-    val cosLosers = ext.Dedup.xDedupEmbCosine(spark, sf).collect()
-      .map(_.getAs[Long]("id2")).toSet
-    assert(semIds.intersect(cosLosers).isEmpty,
-      "cosine near-dup loser survived the composed sem prep")
-    val perCell = sem.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
-    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
-  }
-
-  test("vector clustering closes planted near-dup chains to min-id components") {
-    import spark.implicits._
-    // Stock corpus first: no cosine clears the 0.8 bar, so the cluster
-    // operator must emit NOTHING (the oracle pins the empty result —
-    // the family's vacuous-gate convention).
-    assert(ext.Similarity.xDedupEmbCluster(spark, sf).collect().isEmpty,
-      "clusterless corpus must produce no clustered rows")
-    // Plant three scaled copies of vec 0 (distinct bytes, cosine exactly
-    // 1.0 pairwise and to vec 0): the component {0, p1, p2, p3} must
-    // label every member with the minimum id 0 and report size 4 —
-    // clustering, not just pairwise keep-lowest.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9200001L, v.map(_ * 1.01f).toArray, 3),
-      (9200002L, v.map(_ * 1.02f).toArray, 4),
-      (9200003L, v.map(_ * 1.03f).toArray, 5))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("embclust").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val rows = ext.Similarity.xDedupEmbCluster(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
-        r.getAs[Long]("cluster_size")))
-    val expected = Set(0L, 9200001L, 9200002L, 9200003L)
-    assert(rows.map(_._1).toSet == expected,
-      s"clustered membership wrong: ${rows.mkString(",")}")
-    rows.foreach { case (id, cid, sz) =>
-      assert(cid == 0L, s"vec $id labeled $cid, expected component min 0")
-      assert(sz == 4L, s"vec $id cluster_size $sz, expected 4")
-    }
-    // The corpus artifact on the same fixture: keeper 0 survives, the
-    // three cluster losers do not, everything unclustered streams
-    // through (size = keepers − losers).
-    val corpus = ext.Similarity.xDedupEmbCorpusNearDup(spark, tmp)
-      .collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(corpus(0L), "cluster keeper 0 must survive the corpus artifact")
-    assert(Seq(9200001L, 9200002L, 9200003L).forall(!corpus(_)),
-      "cluster loser leaked into the cleaned vector corpus")
-    val nKeepers = ext.Dedup.embExactKeepers(spark, tmp).count()
-    assert(corpus.size == nKeepers - 3,
-      s"corpus size ${corpus.size} != keepers $nKeepers - 3 losers")
-    // Keep-central on the same fixture: the scaled chain {1.0, 1.01,
-    // 1.02, 1.03}·v has its exact-integer centroid near 1.015·v, so the
-    // retained member must be one of the two middle scalings — never
-    // the extremes — and exactly one member is kept.
-    val central = ext.Similarity.xDedupEmbKeepCentral(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept")))
-    assert(central.map(_._1).toSet == expected,
-      "keep-central must judge every clustered member")
-    val keptIds = central.filter(_._2 == 1L).map(_._1)
-    assert(keptIds.length == 1, s"one keeper per cluster, got $keptIds")
-    assert(Set(9200001L, 9200002L)(keptIds.head),
-      s"centroid-closest must be a middle scaling, got ${keptIds.head}")
-    // The two corpus artifacts must DISAGREE on this cluster — min-id
-    // retains vec 0, keep-central retains the middle scaling — the
-    // planted-disagreement idiom that proves the retention swap is
-    // live, not cosmetic (the keep-best-vs-lowest-id precedent).
-    val centralCorpus = ext.Similarity.xDedupEmbCorpusCentral(spark, tmp)
-      .collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(!centralCorpus(0L),
-      "min-id member survived the keep-central corpus despite losing the rank")
-    assert(centralCorpus(keptIds.head),
-      "the centroid-closest member must survive its corpus artifact")
-    assert(centralCorpus.size == corpus.size,
-      "both retention policies keep exactly one member per cluster")
-  }
-
-  test("clean vector prep: replicas collapsed, banded losers out, cells capped") {
-    import spark.implicits._
-    // Plant two bit-identical replicas of vec 0 plus one scaled near-dup
-    // (the exact-dedup fixture): the clean prep must never emit a
-    // collapsed replica (they fall to the keeper window before any
-    // similarity stage) nor a banded-chain loser; cells stay capped and
-    // codes bounded (the shared tail's invariants).
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9100001L, v.toArray, 3),
-      (9100002L, v.toArray, 4),
-      (9100003L, v.map(_ * 1.01f).toArray, 5))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("cleanprep").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val rows = ext.Similarity.xEmbCorpusPrepClean(spark, tmp).collect()
-    assert(rows.nonEmpty)
-    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
-    assert(!ids(9100001L) && !ids(9100002L),
-      "collapsed exact replica leaked into the clean prep")
-    val bandedLosers = ext.Similarity.xDedupEmbCosineLshClean(spark, tmp)
-      .collect().map(_.getAs[Long]("id2")).toSet
-    assert(bandedLosers(9100003L),
-      "fixture regression: the scaled near-dup must lose the banded stage")
-    assert(ids.intersect(bandedLosers).isEmpty,
-      "banded near-dup loser survived the clean prep")
-    val perCell = rows.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
-    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
-    rows.foreach { r =>
-      assert(r.getAs[Long]("min_code") >= -127 && r.getAs[Long]("max_code") <= 127)
-    }
-  }
-
-  test("central-retention prep disagrees with the clean prep on the planted cluster") {
-    import spark.implicits._
-    // Same fixture as the cluster spec: vec 0 plus three scaled copies.
-    // The clean prep's pairwise keep-lowest retains vec 0; the central
-    // prep must retain the centroid-closest middle scaling INSTEAD —
-    // the retention swap live inside the composition, the
-    // x_llm_corpus_prep_keepbest disagreement idiom on vectors.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (9300001L, v.map(_ * 1.01f).toArray, 3),
-      (9300002L, v.map(_ * 1.02f).toArray, 4),
-      (9300003L, v.map(_ * 1.03f).toArray, 5))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("centralprep").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val clean = ext.Similarity.xEmbCorpusPrepClean(spark, tmp).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val central = ext.Similarity.xEmbCorpusPrepCentral(spark, tmp).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    assert(central.nonEmpty)
-    val cluster = Set(0L, 9300001L, 9300002L, 9300003L)
-    // keep-lowest survivor of the cluster is vec 0 (whether it clears
-    // the diversity cap is its cell's business — the policy claim is
-    // about which member ENTERS the cap stage, so compare the
-    // cluster-member sets each prep lets through).
-    assert((central & cluster).subsetOf(Set(9300001L, 9300002L)),
-      s"central prep let a non-central cluster member through: ${central & cluster}")
-    assert(!(clean & cluster).exists(id => id != 0L),
-      s"clean prep must keep only the minimum id of the cluster: ${clean & cluster}")
-    val perCell = ext.Similarity.xEmbCorpusPrepCentral(spark, tmp).collect()
-      .groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
-    perCell.foreach { case (c, n) => assert(n <= 8, s"cell $c holds $n > 8") }
-  }
-
-  test("full vector pipeline: semantic stage non-vacuous on top of the clean arm") {
-    // The full arm differs from the clean arm exactly by the within-cell
-    // SemDeDup stage (same survivor set, same quantizer seeds), so the
-    // kept-id sets must DIFFER at the gated threshold (the _sem spec's
-    // non-vacuity claim, here over the production front-end), and no
-    // banded loser may reappear through the semantic path.
-    val clean = ext.Similarity.xEmbCorpusPrepClean(spark, sf).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val full = ext.Similarity.xEmbCorpusPrepFull(spark, sf).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    assert(full.nonEmpty)
-    assert(full != clean,
-      "semantic stage changed nothing over the clean front-end — vacuous")
-    val bandedLosers = ext.Similarity.xDedupEmbCosineLshClean(spark, sf)
-      .collect().map(_.getAs[Long]("id2")).toSet
-    assert(full.intersect(bandedLosers).isEmpty,
-      "banded near-dup loser survived the full vector pipeline")
-  }
-
-  test("winnow-composed prep drops exactly the substring-dup survivors of the other stages") {
-    // First-principles expectation: the winnow stage must remove exactly
-    // (surviving corpus ∩ winnow losers) — documents whose contiguous
-    // overlap cleared >= 8 shared fingerprints but whose BAG overlap
-    // stayed under the Jaccard 0.5 near-dup bar (the class Lee et al.'s
-    // substring dedup exists for; at this SF the planted corpus holds at
-    // least one such doc, or this test would be pinning a vacuous stage).
-    val survivors = ext.CorpusPrep.trainingCorpus(spark, sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    // Policy: only NON-EVAL keepers produce drops (a pair whose lower-id
-    // side is the src0 eval set is decontamination's business, not
-    // dedup's — otherwise survival would hinge on id order vs the eval
-    // doc). sf0.001 plants both shapes: eval-keeper pairs like (0, 50)
-    // that must NOT drop, and the training-keeper pair that must.
-    val evalDocs = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("source") === "src0")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val pairRows = ext.TextAnalysis.xTextWinnowPairs(spark, sf)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairRows.exists { case (a, _) => evalDocs(a) },
-      "no eval-keeper pair at this SF — the policy branch is untested")
-    val losers = pairRows.collect { case (a, b) if !evalDocs(a) => b }.toSet
-    val expectedDrop = survivors.intersect(losers)
-    assert(expectedDrop.nonEmpty,
-      "no winnow loser survives the other stages at this SF — stage vacuous")
-    val base = ext.CorpusPrep.xLlmCorpusPrep(spark, sf).collect()
-      .map(_.getAs[Long]("n_docs")).sum
-    val composed = ext.CorpusPrep.xLlmCorpusPrepWinnow(spark, sf).collect()
-      .map(_.getAs[Long]("n_docs")).sum
-    assert(composed == base - expectedDrop.size,
-      s"composed prep dropped ${base - composed}, expected ${expectedDrop.size}")
-  }
-
-  test("lm heldout: valid logprobs, train docs fully in-vocabulary") {
-    // The smoothed conditional (c2+1)/(c1+V) is always <= 1 (c2 <= c1,
-    // V >= 1) so every score is <= 0; and a TRAIN-split doc contributed
-    // its own bigrams to the LM, so its n_oov must be exactly 0 — the
-    // held-out structure is real, not a re-labeled corpus LM.
-    val rows = ext.TextAnalysis.xTextLmHeldout(spark, sf).collect()
-    assert(rows.nonEmpty)
-    val trainIds = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(100L)).as("b"))
-      .filter(col("b") < 80).collect().map(_.getLong(0)).toSet
-    var heldoutOov = 0L
-    rows.foreach { r =>
-      val (id, nb, noov) = (r.getLong(0), r.getAs[Long]("n_bigrams"),
-        r.getAs[Long]("n_oov"))
-      assert(noov <= nb, s"doc $id: oov > bigrams")
-      if (nb > 0) assert(r.getAs[Double]("avg_logprob") <= 0.0,
-        s"doc $id: smoothed ln p must be <= 0")
-      if (trainIds(id)) assert(noov == 0L,
-        s"train doc $id reports $noov OOV bigrams — LM not trained on it?")
-      else heldoutOov += noov
-    }
-    assert(heldoutOov > 0, "no held-out doc had any OOV bigram — split vacuous?")
-  }
-
-  test("bpe admission: frozen merges cover every admitted doc, monotone") {
-    // Train-once/apply-forever for the tokenizer: the output is exactly
-    // the upper-id half, merges only ever shrink a sequence, and a doc
-    // in BOTH arms must carry identical merged sequences when the full
-    // corpus and the train half agree on the merge list (not asserted
-    // here — the oracle gate pins the sequences; this pins the shape).
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val half = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
-    val rows = ext.TextAnalysis.xTextBpeAdmit(spark, sf).collect()
-    assert(rows.length == docs.filter(col("doc_id") >= half).count(),
-      "every admitted doc must be encoded exactly once")
-    rows.foreach { r =>
-      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"),
-        s"merge grew doc ${r.getLong(0)}")
-      assert(r.getLong(0) >= half, "trained-half doc leaked into admission output")
-    }
-  }
-
-  test("streaming vector admission matches the batch admit assignments") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Freeze the coarse quantizer on the lower-id half (the batch admit
-    // convention), stream the upper half through the stateless
-    // assignment map, and require cell-for-cell equality with
-    // xAnnIvfAdmit — the admission family's runtime shape is streaming
-    // ingest, so the codegen'd nearest_centroid must behave identically
-    // under readStream.
-    val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val split = (e.agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
-    val cents = ext.Similarity.trainCoarseCentroids(
-      e.filter(col("vec_id") < split), 16, 1)
-    val upper = e.filter(col("vec_id") >= split)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps.assignVectors(input.toDS(), cents)
-      .writeStream.format("memory").queryName("vec_admit_out")
-      .outputMode("append").start()
-    input.addData(upper.toSeq)
-    query.processAllAvailable()
-    val streamed = spark.sql("SELECT vec_id, cell FROM vec_admit_out")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    query.stop()
-    val batch = ext.Similarity.xAnnIvfAdmit(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getAs[Long]("cell")).toMap
-    assert(streamed == batch,
-      s"streaming admission diverged from batch (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("streaming PQ encode matches the batch admission codes") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Freeze the m codebooks on the lower-id half (the batch admit
-    // artifact, via the SAME pqAdmitState the gate consumes), stream
-    // the upper half through the stateless encode split across TWO
-    // micro-batches, and require code-for-code equality with
-    // xAnnPqAdmit — batching cannot matter because the map is
-    // stateless, and the shared pqEncode pass makes drift structural
-    // rather than possible.
-    val (split, cbs) = ext.Similarity.pqAdmitState(spark, sf)
-    val upper = spark.read.parquet(s"$sf/embeddings.parquet")
-      .filter(col("vec_id") >= split)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val (b1, b2) = upper.splitAt(upper.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps.encodeVectors(input.toDS(), cbs)
-      .writeStream.format("memory").queryName("pq_encode_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val cols = "vec_id, " + (0 until 8).map(s => s"c$s").mkString(", ")
-    val streamed = spark.sql(s"SELECT $cols FROM pq_encode_out")
-      .collect().map(r => (0 to 8).map(r.getLong).toVector).toSet
-    query.stop()
-    val batch = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
-      .map(r => (0 to 8).map(r.getLong).toVector).toSet
-    assert(batch.nonEmpty, "batch admission coded nothing")
-    assert(streamed == batch,
-      s"streaming encode diverged from batch (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("streaming SQ8 encode matches the gated x_emb_quantize summaries") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The scalar-quantization member of the compression family's
-    // streaming column: stateless map through THE ONE sq8Codes
-    // expression, split across TWO micro-batches; the streamed code
-    // lists rolled up to (n_dims, sum, min, max) must equal the
-    // oracle-gated batch summaries row-for-row.
-    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val (b1, b2) = vecs.splitAt(vecs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps.encodeVectorsSq8(input.toDS())
-      .writeStream.format("memory").queryName("sq8_encode_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT vec_id, sq8_codes FROM sq8_encode_out").collect()
-      .map(r => r.getLong(0) -> {
-        val cs = r.getSeq[Long](1)
-        (cs.length.toLong, cs.sum, cs.min, cs.max)
-      }).toMap
-    query.stop()
-    val batch = ext.Similarity.xEmbQuantize(spark, sf).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(streamed == batch,
-      s"streamed SQ8 summaries diverge (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("streaming JL reduction matches the batch projection bitwise") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The dimensionality-reduction family's streaming half: the ±1 sign
-    // matrix is compile-time frozen, so the stream is a stateless map —
-    // split the corpus across TWO micro-batches and require
-    // coordinate-for-coordinate (raw double, bitwise) equality with the
-    // gated x_emb_rp_reduce relation; the shared rpProjectWide pass
-    // makes drift structural rather than possible.
-    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val (b1, b2) = vecs.splitAt(vecs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps.reduceVectors(input.toDS())
-      .writeStream.format("memory").queryName("rp_reduce_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    def rowKey(r: org.apache.spark.sql.Row): Vector[Any] =
-      r.getLong(0) +: (1 to 32).map(i =>
-        java.lang.Double.doubleToLongBits(r.getDouble(i))).toVector
-    val cols = "vec_id, " + (0 until 32).map(j => f"rp_$j%02d").mkString(", ")
-    val streamed = spark.sql(s"SELECT $cols FROM rp_reduce_out")
-      .collect().map(rowKey).toSet
-    query.stop()
-    val batch = ext.Similarity.xEmbRpReduce(spark, sf).collect()
-      .map(rowKey).toSet
-    assert(batch.nonEmpty, "batch projection produced nothing")
-    assert(streamed == batch,
-      s"streaming projection diverged from batch (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("streaming kNN-graph attach matches the batch admission edges") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Freeze the admission state (split, centroids, admitted inverted
-    // list — the SAME pieces the batch gate consumes via knnAdmitState),
-    // stream the new half through attachGraph split across TWO
-    // micro-batches, and require edge-for-edge equality with
-    // xKnnGraphAdmit: rank, neighbor, and rounded cosine all bitwise —
-    // micro-batch boundaries cannot matter because each vector's
-    // candidates join inside its own batch.
-    val (split, cents, admitted) =
-      ext.Similarity.knnAdmitState(spark, sf)
-    val upper = spark.read.parquet(s"$sf/embeddings.parquet")
-      .filter(col("vec_id") >= split)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val (b1, b2) = upper.splitAt(upper.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps
-      .attachGraph(input.toDS(), cents, admitted)
-      .writeStream.format("memory").queryName("graph_attach_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT vec_id, nn_rank, nn_id, cos_sim FROM graph_attach_out")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .toSet
-    query.stop()
-    val batch = ext.Similarity.xKnnGraphAdmit(spark, sf).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_rank"),
-        r.getAs[Long]("nn_id"), r.getAs[Double]("cos_sim"))).toSet
-    assert(batch.nonEmpty, "batch admission graph emitted no edges")
-    assert(streamed == batch,
-      s"streaming attach diverged from batch (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("streaming contamination screen matches the batch gate across micro-batches") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Plant cross-split near-dups (the decontamination layout: one eval
-    // + two train members on vector 0's direction), freeze the eval
-    // index batch-side, stream EVERY keeper through the screen split
-    // across two micro-batches, and require flag-for-flag equality with
-    // x_emb_contamination: pair AND rounded cosine bitwise.
-    val buckets = (9000001L to 9000200L).toDF("vec_id")
-      .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val evalId = buckets.toSeq.sortBy(_._1).find(_._2 < 10).get._1
-    val trainIds = buckets.toSeq.sortBy(_._1).filter(_._2 >= 10).take(2).map(_._1)
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq(
-      (evalId, v.map(_ * 1.01f).toArray, 5),
-      (trainIds(0), v.map(_ * 1.02f).toArray, 5),
-      (trainIds(1), v.map(_ * 1.03f).toArray, 6))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("screenstream").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val evalIndex = ext.Similarity.contaminationEvalIndex(spark, tmp)
-    val keepers = ext.Dedup.embExactKeepers(spark, tmp)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val (b1, b2) = keepers.splitAt(keepers.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps.screenVectors(input.toDS(), evalIndex)
-      .writeStream.format("memory").queryName("screen_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql("SELECT vec_id, eval_id, cosine FROM screen_out")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val nFlags = spark.sql("SELECT count(*) FROM screen_out").head.getLong(0)
-    // IDEMPOTENCE under re-ingestion (an at-least-once upstream replays
-    // a batch): the flagged pairs' group state blocks a second emission
-    // — zero new rows, not duplicate ScreenOut flags.
-    input.addData(b1.toSeq); query.processAllAvailable()
-    assert(spark.sql("SELECT count(*) FROM screen_out").head.getLong(0)
-      == nFlags, "replayed batch double-flagged a contaminated pair")
-    query.stop()
-    val batch = ext.Similarity.xEmbContamination(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
-        r.getAs[Double]("cosine"))).toSet
-    assert(batch.nonEmpty, "batch gate flagged nothing on the planted corpus")
-    assert(batch.exists(t => t._1 == trainIds(0) && t._2 == evalId),
-      "planted cross pair missing from the batch gate")
-    assert(streamed == batch,
-      s"streaming screen diverged from batch (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("streaming sampling gate reproduces the batch temperature rollup") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Freeze the per-language rates batch-side (the SAME sampleRates
-    // expressions xCorpusSample runs — identical doubles), stream every
-    // document through the stateless gate split across two
-    // micro-batches, and require the per-language kept counts to equal
-    // the batch rollup exactly.
-    val docs = Tables.documents(spark, sf)
-    val rates = ext.TextAnalysis.sampleRates(docs).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val all = docs.select(col("doc_id"), col("lang")).collect()
-      .map(r => streaming.StreamOps.LangDoc(r.getLong(0), r.getString(1)))
-    val (b1, b2) = all.splitAt(all.length / 2)
-    val input = MemoryStream[streaming.StreamOps.LangDoc]
-    val query = streaming.StreamOps.sampleDocs(input.toDS(), rates)
-      .writeStream.format("memory").queryName("sample_gate_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept " +
-        "FROM sample_gate_out GROUP BY lang")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    query.stop()
-    val batch = ext.TextAnalysis.xCorpusSample(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
-    assert(batch.values.exists { case (n, k) => k < n },
-      "vacuous fixture: no language is down-sampled")
-    assert(streamed == batch,
-      s"streaming gate diverged from the batch rollup ($streamed vs $batch)")
-  }
-
-  test("streaming boilerplate screen matches the batch gate and is replay-idempotent") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Freeze the hub fingerprint index batch-side (the SAME
-    // boilerplateHubIndex the gated query consumes), stream every
-    // NON-hub document split across two micro-batches, and require
-    // flag-for-flag equality with x_text_boilerplate_screen — then
-    // replay a batch and require zero new flags (the flagged-pair
-    // group state).
-    val hubFps = ext.TextAnalysis.boilerplateHubIndex(spark, sf)
-      .localCheckpoint()
-    val hubIds = hubFps.select("hub_id").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text")).collect()
-      .filter(r => !hubIds(r.getLong(0)))
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1)))
-    val (b1, b2) = docs.splitAt(docs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.DocIn]
-    val query = streaming.StreamOps
-      .screenDocsBoilerplate(input.toDS(), hubFps)
-      .writeStream.format("memory").queryName("bp_screen_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT doc_id, hub_id, n_shared FROM bp_screen_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val batch = ext.TextAnalysis.xTextBoilerplateScreen(spark, sf).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hub_id"),
-        r.getAs[Long]("n_shared"))).toSet
-    assert(batch.nonEmpty, "vacuous fixture: batch gate flagged nothing")
-    assert(streamed == batch,
-      s"streaming screen diverged from batch (sizes ${streamed.size}/${batch.size})")
-    val nFlags = spark.sql("SELECT count(*) FROM bp_screen_out").head.getLong(0)
-    input.addData(b1.toSeq); query.processAllAvailable()
-    assert(spark.sql("SELECT count(*) FROM bp_screen_out").head.getLong(0)
-      == nFlags, "replayed batch double-flagged a boilerplate pair")
-    query.stop()
-  }
-
-  test("winnow admission: streaming surface matches the batch gate; df bound live") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Parity half: the admitted fingerprint state (winnowAdmitState —
-    // the SAME frozen relation the batch gate derives) streamed against
-    // the new half through screenDocsBoilerplate (the admitted state IS
-    // a hub index with every admitted doc a hub) must reproduce every
-    // xTextWinnowAdmit row, split across micro-batches.
-    val (half, state) = ext.TextAnalysis.winnowAdmitState(spark, sf)
-    val idx = state.localCheckpoint()
-    val newDocs = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= half)
-      .select(col("doc_id"), col("text")).collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1)))
-    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.DocIn]
-    val query = streaming.StreamOps
-      .screenDocsBoilerplate(input.toDS(), idx)
-      .writeStream.format("memory").queryName("winnow_admit_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT doc_id, hub_id, n_shared FROM winnow_admit_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    query.stop()
-    val batch = ext.TextAnalysis.xTextWinnowAdmit(spark, sf).collect()
-      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_adm"),
-        r.getAs[Long]("n_shared"))).toSet
-    assert(batch.nonEmpty, "vacuous fixture: admission flagged nothing")
-    assert(streamed == batch,
-      s"streaming admission diverged from batch (${streamed.size}/${batch.size})")
-
-    // Planted df-bound half: template A saturates the admitted df
-    // (60 > 50 — its prints leave the frozen state, so a new A-doc is
-    // NOT flagged), template B has admitted df 1 (the batch pair
-    // join's lower bound would DROP it; admission must flag it — the
-    // arriving doc is the second occurrence).
-    val tplA = "privacy policy describing collection usage retention " +
-      "disclosure of personal information cookies analytics providers " +
-      "third parties safeguards retention periods access correction rights"
-    val tplB = "shipping returns policy items must be unopened within " +
-      "thirty days original packaging refund issued to original payment " +
-      "method exclusions apply for perishable customized clearance items"
-    val rows =
-      (0L until 60L).map(i => (i, s"page $i " + tplA)) ++
-      (60L until 70L).map(i =>
-        (i, (0 until 30).map(j => s"w${i}x$j").mkString(" "))) ++
-      Seq((70L, "store footer " + tplB),
-        (150L, "another footer " + tplB),
-        (151L, "yet another page " + tplA))
-    val tmp = java.nio.file.Files.createTempDirectory("winadmit").toString
-    rows.toDF("doc_id", "text").write.mode("overwrite")
-      .parquet(s"$tmp/documents.parquet")
-    // half = (151+1)/2 = 76: admitted = the A flood, fillers, and the
-    // single B original; new = the B near-dup (150) and an A page (151)
-    val flags = ext.TextAnalysis.xTextWinnowAdmit(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_adm"))).toSet
-    assert(flags.contains((150L, 70L)),
-      s"admitted-df-1 template B pair missed (the batch lower bound " +
-        s"must NOT apply to admission): $flags")
-    assert(!flags.exists(_._1 == 151L),
-      s"saturated-df template A flagged a new doc despite the bound: $flags")
-  }
-
-  test("frozen boilerplate screen catches a template flood the df-cutoff pair join goes blind to") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The screen's reason to exist: the pair join's df∈[2,50] cutoff —
-    // the guard that keeps the self-join bounded — goes BLIND the
-    // moment a template's document frequency crosses 50, which is
-    // precisely when boilerplate matters most. A hub index FROZEN from
-    // a clean snapshot keeps rejecting at ingest regardless of the
-    // flood's df. Snapshot: 20 fully-unique fillers + a 10-doc
-    // template clique (each 'unique header i' + the same 250-char
-    // template; in-degree 9 each, so all ten rank above the base ties
-    // and are flagged hubs).
-    // Non-repetitive on purpose: a periodic template winnows to a
-    // handful of distinct prints (the window minima repeat with the
-    // period) and pairs never reach the 8-shared threshold.
-    val template =
-      "terms of service agreement covering liability indemnification " +
-      "warranty disclaimers governing law jurisdiction arbitration notices " +
-      "amendments severability waiver assignment entire agreement counterparts " +
-      "electronic signatures effective date all rights reserved worldwide"
-    val fillers = (0L until 20L).map(i =>
-      (i, (0 until 30).map(j => s"u${i}x$j").mkString(" ")))
-    val clique = (100L until 110L).map(i => (i, s"unique header $i " + template))
-    val tmpA = java.nio.file.Files.createTempDirectory("bpsnap").toString
-    (fillers ++ clique).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
-    val hubFps = ext.TextAnalysis.boilerplateHubIndex(spark, tmpA)
-      .localCheckpoint()
-    val hubIds = hubFps.select("hub_id").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val cliqueIds = clique.map(_._1).toSet
-    assert(cliqueIds.subsetOf(hubIds),
-      s"template docs not flagged as hubs: ${cliqueIds -- hubIds}")
-    // The flood: 60 new pages carrying the template. On the FLOODED
-    // corpus the template prints' df is 70 > 50 — the pair join (and
-    // therefore the centrality chain built on it) sees nothing
-    // touching the flood.
-    val flood = (1000L until 1060L).map(i => (i, s"new page $i " + template))
-    val tmpB = java.nio.file.Files.createTempDirectory("bpflood").toString
-    (fillers ++ clique ++ flood).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
-    val pairMembers = ext.TextAnalysis.xTextWinnowPairs(spark, tmpB).collect()
-      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    val floodIds = flood.map(_._1).toSet
-    assert((pairMembers & floodIds).isEmpty,
-      "fixture broke: the df cutoff unexpectedly passed the template flood")
-    // The frozen screen still rejects every flood doc at ingest.
-    val input = MemoryStream[streaming.StreamOps.DocIn]
-    val query = streaming.StreamOps
-      .screenDocsBoilerplate(input.toDS(), hubFps)
-      .writeStream.format("memory").queryName("bp_flood_out")
-      .outputMode("append").start()
-    input.addData(flood.map { case (id, t) =>
-      streaming.StreamOps.DocIn(id, new java.sql.Timestamp(0L), t) })
-    query.processAllAvailable()
-    val flagged = spark.sql("SELECT DISTINCT doc_id FROM bp_flood_out")
-      .collect().map(_.getLong(0)).toSet
-    query.stop()
-    assert(floodIds.subsetOf(flagged),
-      s"flood docs escaped the frozen screen: ${floodIds -- flagged}")
-  }
-
-  test("streaming mix gate reproduces the batch token-budget rollup") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Freeze the per-language (bucket, doc_id) fill cuts batch-side
-    // (mixCuts over the SAME token relation the gated rollup reads),
-    // stream every document through the stateless gate split across
-    // two micro-batches, and require the per-language kept counts to
-    // equal the batch quota rollup exactly — the cumsum-≤-quota fill
-    // and the threshold membership are the same set by monotonicity.
-    val cuts = ext.TextAnalysis.mixCuts(ext.TextAnalysis.wsMixToks(spark, sf))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    val all = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
-      .collect()
-      .map(r => streaming.StreamOps.LangDoc(r.getLong(0), r.getString(1)))
-    val (b1, b2) = all.splitAt(all.length / 2)
-    val input = MemoryStream[streaming.StreamOps.LangDoc]
-    val query = streaming.StreamOps.mixDocs(input.toDS(), cuts)
-      .writeStream.format("memory").queryName("mix_gate_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept " +
-        "FROM mix_gate_out GROUP BY lang")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    query.stop()
-    val batch = ext.TextAnalysis.xCorpusMix(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
-    assert(batch.values.exists { case (n, k) => k < n },
-      "vacuous fixture: no language is budget-squeezed")
-    assert(streamed == batch,
-      s"streaming mix gate diverged from the batch rollup ($streamed vs $batch)")
-    // The gate is budget-UNIT-agnostic: fed BPE-unit cuts (the frozen
-    // admission tokenizer's counts), the same stateless map reproduces
-    // the BPE-budget rollup instead.
-    val bpeCuts = ext.TextAnalysis
-      .mixCuts(ext.TextAnalysis.bpeMixToks(spark, sf))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    val input2 = MemoryStream[streaming.StreamOps.LangDoc]
-    val query2 = streaming.StreamOps.mixDocs(input2.toDS(), bpeCuts)
-      .writeStream.format("memory").queryName("mix_gate_bpe_out")
-      .outputMode("append").start()
-    input2.addData(b1.toSeq); query2.processAllAvailable()
-    input2.addData(b2.toSeq); query2.processAllAvailable()
-    val streamedBpe = spark.sql(
-      "SELECT lang, count(*) AS n_docs, sum(kept) AS n_kept " +
-        "FROM mix_gate_bpe_out GROUP BY lang")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    query2.stop()
-    val batchBpe = ext.TextAnalysis.xCorpusMixBpe(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
-    assert(streamedBpe == batchBpe,
-      s"BPE-unit mix gate diverged ($streamedBpe vs $batchBpe)")
-  }
-
-  test("online exact vector dedup replay reproduces the batch collapse") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Plant two bit-identical replicas of vec 0 at high ids (the
-    // exact-dedup fixture — the stock corpus has no exact dups), stream
-    // the corpus in id order split across two batches, and require
-    // verdict-for-verdict equality with xDedupEmbExact: same keepers,
-    // same is_dup flags, replicas collapsed to the min id seen first.
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val v = base.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0)
-    val planted = Seq((9400001L, v.toArray, 3), (9400002L, v.toArray, 4))
-      .toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("exactonline").toString
-    base.unionByName(planted).write.mode("overwrite")
-      .parquet(s"$tmp/embeddings.parquet")
-    val all = spark.read.parquet(s"$tmp/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-      .sortBy(_.vec_id)
-    val (b1, b2) = all.splitAt(all.length / 2)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps.dedupVectorsExactOnline(input.toDS())
-      .writeStream.format("memory").queryName("exact_online_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql(
-      "SELECT vec_id, keeper_id, is_dup FROM exact_online_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    query.stop()
-    val batch = ext.Dedup.xDedupEmbExact(spark, tmp).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_id"),
-        r.getAs[Long]("is_dup"))).toSet
-    assert(batch.exists(_._3 == 1L), "vacuous fixture: no replica collapsed")
-    assert(streamed == batch,
-      s"online collapse diverged from batch (sizes ${streamed.size}/${batch.size})")
-    // The state-store key is the fixed-width 128-bit content hash, not
-    // the embedding: replicas share it, distinct vectors don't, and
-    // ±0.0 normalizes exactly like the batch window's partition key.
-    val k0 = streaming.StreamOps.embContentKey(v.toArray)
-    assert(streaming.StreamOps.embContentKey(v.toArray) == k0)
-    assert(streaming.StreamOps.embContentKey(v.map(_ * 1.01f).toArray) != k0)
-    assert(streaming.StreamOps.embContentKey(Array(0.0f, 1f)) ==
-      streaming.StreamOps.embContentKey(Array(-0.0f, 1f)),
-      "-0.0 must key with +0.0 (NormalizeFloatingNumbers parity)")
-  }
-
-  test("online SemDeDup replay reproduces every batch verdict") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The evolving-state claim: replaying the WHOLE corpus through the
-    // online operator — batches split mid-corpus, in nondecreasing id
-    // order per the replay contract — must reproduce the batch
-    // xDedupSemantic verdict for EVERY vector (not just an admitted
-    // half): same cells, same keep/drop, bitwise. Centroids are the
-    // batch gate's own (full-corpus Lloyd), the artifact a production
-    // ingest would freeze.
-    val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val cents = ext.Similarity.trainCoarseCentroids(e, 16, 1)
-    val all = e.select(col("vec_id"), col("embedding")).collect()
-      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
-        r.getSeq[Float](1).toArray))
-      .sortBy(_.vec_id)
-    val (b1, b2) = all.splitAt(all.length / 3)
-    val input = MemoryStream[streaming.StreamOps.VecIn]
-    val query = streaming.StreamOps
-      .dedupSemanticOnline(input.toDS(), cents)
-      .writeStream.format("memory").queryName("sem_online_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    val streamed = spark.sql("SELECT vec_id, cell, kept FROM sem_online_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    query.stop()
-    val batch = ext.Similarity.xDedupSemantic(spark, sf).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
-        r.getAs[Long]("kept"))).toSet
-    assert(batch.exists(_._3 == 0L), "vacuous fixture: batch dropped nothing")
-    assert(streamed == batch,
-      s"online replay diverged from batch (sizes ${streamed.size}/${batch.size})")
-  }
-
-  test("ivfadc admission: every new vector coded against frozen state") {
-    val rows = ext.Similarity.xAnnIvfAdcAdmit(spark, sf).collect()
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val split = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
-    assert(rows.length == emb.filter(col("vec_id") >= split).count(),
-      "every admitted vector gets a cell + codes")
-    rows.foreach { r =>
-      assert(r.getLong(0) >= split, "trained-half vector leaked into admission")
-      val cell = r.getAs[Long]("cell")
-      assert(cell >= 0 && cell < 16, s"coarse cell $cell out of range")
-      (0 until 8).foreach { s =>
-        val c = r.getAs[Long](s"c$s")
-        assert(c >= 0 && c < 16, s"residual code c$s=$c out of range")
-      }
-    }
-  }
-
-  test("pq admission: every new vector coded, codes in range, half split") {
-    val rows = ext.Similarity.xAnnPqAdmit(spark, sf).collect()
-    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
-    val split = (spark.read.parquet(s"$sf/embeddings.parquet")
-      .agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
-    assert(rows.length == n - split, "every not-yet-admitted vector gets codes")
-    assert(rows.forall(_.getLong(0) >= split), "admitted half never re-coded")
-    for (s <- 0 until 8)
-      assert(rows.forall { r =>
-        val c = r.getLong(s + 1); c >= 0 && c < 16
-      }, s"subspace $s code out of range")
-  }
-
-  test("c4 rule gate: mask bits imply keep, thresholds exercise both outcomes") {
-    val df = ext.TextAnalysis.xTextC4Rules(spark, sf).cache()
-    val rows = df.collect()
-    assert(rows.nonEmpty)
-    // keep is exactly (fail_mask == 0), and every metric feeding a mask
-    // bit is consistent with the bit actually set.
-    rows.foreach { r =>
-      val mask = r.getAs[Long]("fail_mask")
-      assert(r.getAs[Long]("keep") == (if (mask == 0) 1L else 0L))
-      assert(((mask & 1) != 0) == !(r.getAs[Long]("n_tokens") >= 25 &&
-        r.getAs[Long]("n_tokens") <= 100000))
-      assert(((mask & 8) != 0) == (r.getAs[Long]("top_tok_bp") > 1500))
-    }
-    // the gate must not be degenerate on the test corpus
-    assert(rows.exists(_.getAs[Long]("keep") == 1L))
-    assert(rows.exists(_.getAs[Long]("keep") == 0L))
-    df.unpersist()
-  }
-
-  test("BPE-budget mix picks different docs than the whitespace budget") {
-    import spark.implicits._
-    // Two languages engineered so the budget UNIT decides the mixture:
-    // 'aa' docs are 10 globally-unique tokens each (BPE-incompressible);
-    // 'bb' docs are 12 repetitions of one token, which the 3 frozen
-    // merges learned on the lower-id half collapse to 2 tokens. Under
-    // WHITESPACE counts aa (40) defines the quota and bb (48) is
-    // squeezed; under BPE counts bb collapses to 8, flips into the
-    // quota-defining language, keeps everything, and aa no longer fits
-    // a single doc — the two gates pick different documents from the
-    // same corpus, which is why production budgets must be denominated
-    // in tokenizer tokens.
-    val docs = (0L until 8L).map { id =>
-      if (id % 2 == 1) (id, "bb", Seq.fill(12)("p").mkString(" "))
-      else (id, "aa", (0 until 10).map(t => s"u${id}x$t").mkString(" "))
-    }.toDF("doc_id", "lang", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("mixbpe").toString
-    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val ws = ext.TextAnalysis.xCorpusMix(spark, tmp).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val bpe = ext.TextAnalysis.xCorpusMixBpe(spark, tmp).collect()
-      .map(r => r.getString(0) -> r).toMap
-    assert(ws("aa").getAs[Long]("quota") == 40L &&
-      ws("aa").getAs[Long]("n_kept") == 4L,
-      "whitespace budget: aa defines the quota and keeps everything")
-    assert(ws("bb").getAs[Long]("n_kept") < 4L,
-      "whitespace budget must squeeze the repetitive language")
-    assert(bpe("bb").getAs[Long]("lang_tokens") == 8L,
-      s"frozen merges must collapse bb to 2 tokens/doc, got ${bpe("bb")}")
-    assert(bpe("bb").getAs[Long]("n_kept") == 4L,
-      "BPE budget: bb defines the quota and keeps everything")
-    assert(bpe("aa").getAs[Long]("n_kept") < ws("aa").getAs[Long]("n_kept"),
-      "the budget unit must change which documents fit")
-  }
-
-  test("corpus mix: equal token quota, smallest language keeps everything") {
-    val rows = ext.TextAnalysis.xCorpusMix(spark, sf).collect()
-    assert(rows.length >= 2)
-    val quota = rows.head.getAs[Long]("quota")
-    rows.foreach { r =>
-      assert(r.getAs[Long]("quota") == quota, "quota is a single global scalar")
-      assert(r.getAs[Long]("tokens_kept") <= quota,
-        s"${r.getAs[String]("lang")} overfilled its token budget")
-      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
-    }
-    // the language defining the quota keeps its whole corpus
-    assert(rows.exists(r => r.getAs[Long]("lang_tokens") == quota &&
-      r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs")))
-  }
-
-  test("keep-best admission: a higher-quality arrival cannot displace the frozen keeper") {
-    import spark.implicits._
-    // Admitted half: a planted near-dup pair over an 80-token shared
-    // body — the lower id padded with stopwords (lower quality), the
-    // higher id with distinct words (the frozen quality argmax). New
-    // half: one doc sharing the body with quality ABOVE the keeper's
-    // (the displacement attempt — must attach kept=0 under the frozen
-    // keeper) and one unrelated doc (must pass kept=1).
-    val body = (0 until 80).map(i => s"k${i}tok").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("kbadmit").toString
-    val base = spark.read.parquet(s"$sf/documents.parquet")
-    base.unionByName(Seq(
-        (1000001L, body + " the of and a to the of and a to the of and a to",
-          "en", "srcx", 1L),
-        (1000002L, body + " " + (0 until 15).map(i => s"m${i}x").mkString(" "),
-          "en", "srcx", 1L),
-        (9000010L, body + " " + (0 until 20).map(i => s"n${i}x").mkString(" "),
-          "en", "srcx", 1L),
-        (9000011L, (0 until 40).map(i => s"z${i}solo").mkString(" "),
-          "en", "srcx", 1L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars"))
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    // half = (9000011 + 1) div 2 = 4500006: base + the pair admitted,
-    // the two 9Ms new.
-    val out = ext.Dedup.xDedupKeepBestAdmit(spark, tmp).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val attach = out(9000010L)
-    assert(attach.getAs[Long]("kept") == 0L,
-      s"arrival must not displace the frozen keeper: $attach")
-    assert(attach.getAs[Long]("cluster_id") == 1000001L,
-      s"must attach to the admitted cluster's min-id label: $attach")
-    assert(attach.getAs[Long]("keeper_id") == 1000002L,
-      s"frozen keeper must be the admitted quality argmax: $attach")
-    assert(attach.getAs[Double]("quality_score") >
-      attach.getAs[Double]("keeper_quality"),
-      "fixture broke: the arrival was meant to out-score the keeper")
-    val solo = out(9000011L)
-    assert(solo.getAs[Long]("kept") == 1L && solo.isNullAt(
-      solo.fieldIndex("keeper_id")),
-      s"unrelated arrival must pass with no keeper: $solo")
-    assert(solo.getAs[Long]("cluster_id") == 9000011L)
-  }
-
-  test("screen-composed prep removes the template class where FULL dedups it to one copy") {
-    import spark.implicits._
-    // Self-contained corpus: 30 unique fillers + a 12-carrier template
-    // clique (unique 70-token body + a shared ~250-char template). The
-    // FULL arm's winnow-substring stage flags every carrier pair and
-    // keeps exactly the lowest-id carrier — DEDUP semantics (one copy
-    // of everything, even boilerplate). The screen arm's position is
-    // REMOVAL: the carriers' mutual near-dup votes make them the
-    // centrality hubs, and hubs are the template itself — zero copies
-    // survive. The fillers pin the real-hub guard: the selectN=25 cut
-    // pads with base-score ties, and a padding "hub" must NOT be
-    // dropped (screened == full minus the one carrier, nothing else).
-    val template =
-      "terms service agreement covering liability indemnification " +
-      "warranty disclaimers governing law jurisdiction arbitration notices " +
-      "amendments severability waiver assignment entire agreement counterparts " +
-      "electronic signatures effective date all rights reserved worldwide"
-    val fillers = (0L until 30L).map(i =>
-      (i, (0 until 50).map(j => s"f${i}u$j").mkString(" ") + " the and of",
-        "en", "srcx", 10L))
-    val carriers = (100L until 112L).map(i =>
-      (i, (0 until 70).map(j => s"c${i}u$j").mkString(" ") +
-        " the and of " + template, "en", "srcx", 10L))
-    val tmp = java.nio.file.Files.createTempDirectory("prepscreen").toString
-    (fillers ++ carriers).toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val carrierIds = carriers.map(_._1).toSet
-    val full = ext.CorpusPrep.fullCorpus(spark, tmp)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val screened = ext.CorpusPrep.screenedCorpus(spark, tmp)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert((full & carrierIds) == Set(100L),
-      s"FULL must dedup the clique to its lowest id: ${full & carrierIds}")
-    assert((screened & carrierIds).isEmpty,
-      s"the screen must remove the template class: ${screened & carrierIds}")
-    assert(screened == full - 100L,
-      "the screen must drop ONLY the template (padding hubs are not drops): " +
-        s"extra=${(full - 100L) -- screened} unexpected=${screened -- full}")
-  }
-
-  test("one-topology session+attribution matches both batch operators on real events") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Full-µs timestamps (the attribution parity convention), split
-    // into two micro-batches at the time median — batch 2's minimum ts
-    // is >= batch 1's maximum, so the watermark drops nothing and the
-    // split only exercises cross-batch state handoff.
-    val raw = Tables.events(spark, sf)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .collect()
-      .map { r =>
-        val us = r.getLong(1)
-        val t = new java.sql.Timestamp(us / 1000L)
-        t.setNanos(((us % 1000000L) * 1000L).toInt)
-        streaming.StreamOps.Event(r.getLong(0), t,
-          r.getLong(2), r.getString(3), r.getDouble(4))
-      }.sortBy(e => (e.ts.getTime, e.event_id))
-    val (b1, b2) = raw.splitAt(raw.length / 2)
-    val input = MemoryStream[streaming.StreamOps.Event]
-    val query = streaming.StreamOps.sessionAttribute(input.toDS())
-      .writeStream.format("memory").queryName("sessattr_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    val streamedAttr = spark.sql(
-      """SELECT channel, count(*) AS n, sum(value_e4) AS rev
-        |FROM sessattr_out WHERE kind = 'attr' GROUP BY channel""".stripMargin)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val sessions = spark.sql(
-      "SELECT count(*) FROM sessattr_out WHERE kind = 'session'")
-      .head.getLong(0)
-    query.stop()
-    val batchAttr = ext.EventAnalytics.xAttribution(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_e4"))).toMap
-    assert(streamedAttr == batchAttr,
-      s"composed attribution diverged:\n  stream=$streamedAttr\n  batch=$batchAttr")
-    val b = ext.Sessionize.xSessionize(spark, sf)
-      .agg(sum("n_sessions").as("total"), count(lit(1)).as("users")).head
-    assert(sessions >= b.getLong(0) - b.getLong(1) && sessions <= b.getLong(0),
-      s"sessions=$sessions not in [${b.getLong(0) - b.getLong(1)}, ${b.getLong(0)}]")
-  }
-
-  test("session+attribution: a too-late purchase's attr row carries its own session start") {
-    // The r11 ADVICE catch: a purchase beyond the open session's
-    // backward reach is emitted as its own single-event session, so its
-    // attr row must carry session_start_us = the purchase's own t — not
-    // the strictly-later open session's start, which would claim session
-    // context the purchase doesn't belong to. Parity specs can't see
-    // this (neither batch operator emits session_start_us), so pin the
-    // state function directly.
-    val t0Us = 1700000000000000L
-    val lateUs = t0Us - 31L * 60 * 1000000L // 31 min before the open start
-    val openState = streaming.StreamOps.SessAttrState(
-      start = t0Us, last = t0Us, n = 1,
-      touchType = "click", touchTs = t0Us, touchEvent = 1L,
-      hasSess = true, hasTouch = true)
-    val state = org.apache.spark.sql.streaming.TestGroupState.create[
-        streaming.StreamOps.SessAttrState](
-      org.apache.spark.api.java.Optional.of(openState),
-      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
-      1L, org.apache.spark.api.java.Optional.of(lateUs / 1000L - 1000L), false)
-    val lateTs = new java.sql.Timestamp(lateUs / 1000L)
-    lateTs.setNanos(((lateUs % 1000000L) * 1000L).toInt)
-    val out = streaming.StreamOps.updateSessAttr(7L,
-      Iterator(streaming.StreamOps.Event(9L, lateTs, 7L, "purchase", 2.5)),
-      state).toVector
-    val attr = out.filter(_.kind == "attr")
-    assert(attr.size == 1, s"expected one attr row, got $out")
-    assert(attr.head.session_start_us == lateUs,
-      s"too-late purchase must carry its OWN one-event session start " +
-        s"($lateUs), not the open session's: ${attr.head}")
-    // The touch at t0 is LATER than the purchase — never credited.
-    assert(attr.head.channel == "direct", s"causality guard broke: ${attr.head}")
-    val sess = out.filter(_.kind == "session")
-    assert(sess.size == 1 && sess.head.session_start_us == lateUs &&
-      sess.head.n_events == 1,
-      s"too-late purchase must close as its own single-event session: $out")
-    // The open session survives untouched.
-    assert(state.get.hasSess && state.get.start == t0Us, s"state=${state.get}")
-  }
-
-  test("dq gate: violations surface exactly once, clean rows pass, replay emits nothing") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[streaming.StreamOps.DqRow]
-    val query = streaming.StreamOps.dqGate(input.toDS())
-      .writeStream.format("memory").queryName("dq_out")
-      .outputMode("append").start()
-    // Batch 1: two clean keys, one null key, one same-batch duplicate.
-    input.addData(
-      streaming.StreamOps.DqRow(1L, Some(10L)),
-      streaming.StreamOps.DqRow(2L, Some(20L)),
-      streaming.StreamOps.DqRow(3L, None),
-      streaming.StreamOps.DqRow(4L, Some(10L)))
-    query.processAllAvailable()
-    // Batch 2: a cross-batch duplicate + a replay of batch 1 (at-least-
-    // once upstream) — the replay must emit NOTHING.
-    input.addData(
-      streaming.StreamOps.DqRow(5L, Some(20L)),
-      streaming.StreamOps.DqRow(1L, Some(10L)),
-      streaming.StreamOps.DqRow(3L, None),
-      streaming.StreamOps.DqRow(4L, Some(10L)))
-    query.processAllAvailable()
-    val out = spark.sql("SELECT row_id, check, keeper_id FROM dq_out")
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
-    query.stop()
-    assert(out.length == out.map(_._1).distinct.length,
-      s"a verdict surfaced twice: ${out.mkString(";")}")
-    val m = out.toMap
-    assert(m(1L) == ("ok", 1L) && m(2L) == ("ok", 2L),
-      s"clean rows must pass as keepers: $m")
-    assert(m(3L)._1 == "not_null", s"null key must flag not_null: $m")
-    assert(m(4L) == ("unique", 1L) && m(5L) == ("unique", 2L),
-      s"duplicates must flag against their keepers: $m")
-    // Batch parity: the distinct violated keys match the dbt-style
-    // batch counts on the same data.
-    val batchRows = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option.empty[Long]),
-      (4L, Option(10L)), (5L, Option(20L)))
-      .toDF("row_id", "key")
-    val uniqueViolatedKeys = batchRows.filter(col("key").isNotNull)
-      .groupBy("key").count().filter(col("count") > 1).count()
-    assert(out.count(_._2._1 == "unique").toLong >= uniqueViolatedKeys,
-      "every batch-violated key must surface at least one unique verdict")
-    assert(out.count(_._2._1 == "not_null").toLong ==
-      batchRows.filter(col("key").isNull).count(),
-      "not_null verdicts must match the batch violation count")
-  }
-
-  test("streaming keep-best admission matches the batch gate and is replay-idempotent") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // Frozen state from the batch builder (the one state, two
-    // surfaces rule), new-half docs streamed in two micro-batches,
-    // then the whole stream REPLAYED: rows must equal the batch
-    // admission gate's, and the replay must add nothing.
-    val (half, idx, keepers) = ext.Dedup.keepBestAdmitState(spark, sf)
-    val frozenIdx = idx.localCheckpoint()
-    val frozenKeepers = keepers.localCheckpoint()
-    val newDocs = Tables.documents(spark, sf)
-      .filter(col("doc_id") >= half)
-      .select("doc_id", "text").collect()
-      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
-        new java.sql.Timestamp(0L), r.getString(1)))
-      .sortBy(_.doc_id)
-    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
-    val input = MemoryStream[streaming.StreamOps.DocIn]
-    val query = streaming.StreamOps
-      .admitDocsKeepBest(input.toDS(), frozenIdx, frozenKeepers)
-      .writeStream.format("memory").queryName("kb_admit_out")
-      .outputMode("append").start()
-    input.addData(b1.toSeq)
-    query.processAllAvailable()
-    input.addData(b2.toSeq)
-    query.processAllAvailable()
-    val afterOnce = spark.sql("SELECT count(*) FROM kb_admit_out")
-      .head.getLong(0)
-    input.addData(newDocs.toSeq) // at-least-once replay
-    query.processAllAvailable()
-    val streamed = spark.sql(
-      """SELECT doc_id, cluster_id, quality_score, keeper_id,
-        |  keeper_quality, kept FROM kb_admit_out""".stripMargin)
-      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
-    query.stop()
-    assert(afterOnce == newDocs.length.toLong,
-      s"expected one verdict per doc, got $afterOnce/${newDocs.length}")
-    assert(streamed.size == newDocs.length,
-      s"replay added rows: ${streamed.size} vs ${newDocs.length}")
-    val batch = ext.Dedup.xDedupKeepBestAdmit(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
-    assert(streamed == batch,
-      "streaming keep-best admission diverged from the batch gate: " +
-        s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
-        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
-  }
-
-  test("frozen-artifact shelf materializes every ingest-gate state non-empty") {
-    // The production contract the admission scaladocs cite, made
-    // concrete: one Pipeline stage writes ALL the train-once states
-    // (merge lists, indexes, cut tables, centroids/codebooks, split
-    // ids) as versioned parquet. The gate semantics are pinned by each
-    // gate's own parity spec; this spec pins that the shelf is
-    // complete, readable, and non-degenerate.
-    val tmp = shelfDir
-    val counts = shelfCounts
-    val expected = Set("art_bpe_merges", "art_keepbest_index",
-      "art_keepbest_keepers", "art_winnow_admit_index",
-      "art_span_admit_index", "art_boilerplate_hub_index",
-      "art_mix_cuts", "art_sample_rates",
-      "art_contamination_eval_index", "art_ivf_centroids",
-      "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
-      "art_nb_classes", "art_nb_terms", "art_corpus_v1_members",
-      "art_splits", "art_build_stamp")
-    assert(counts.keySet == expected,
-      s"shelf incomplete: missing=${expected -- counts.keySet} " +
-        s"extra=${counts.keySet -- expected}")
-    counts.foreach { case (k, n) => assert(n > 0, s"$k is empty") }
-    assert(counts("art_dsir_consts") == 1L)
-    assert(counts("art_splits") == 6L)
-    // One stamp row per (non-stamp) artifact — the skew guard's ledger.
-    assert(counts("art_build_stamp") == 17L)
-    // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
-    assert(counts("art_ivf_centroids") == 16L * 64L)
-    assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
-    // Spot roundtrip: the persisted keepers relation is the state
-    // builder's, row for row.
-    val persisted = spark.read.parquet(s"$tmp/art_keepbest_keepers")
-      .collect().map(_.toSeq.toVector).toSet
-    val live = ext.Dedup.keepBestAdmitState(spark, sf)._3
-      .collect().map(_.toSeq.toVector).toSet
-    assert(persisted == live, "persisted keepers diverge from the builder")
-
-    // The CONSUMING half: ArtifactShelf's typed readers rebuild every
-    // Scala-value state BITWISE in the exact shapes the gates take —
-    // ship → load → gate, no trainer in the loop. Doubles compared by
-    // raw bits (parquet binary64 round-trips exactly; this pins it).
-    def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
-    val (bpeHalf, liveMerges) = ext.TextAnalysis.admitMergeList(spark, sf)
-    assert(ArtifactShelf.bpeMerges(spark, tmp) == liveMerges,
-      "loaded merge list diverges from the trainer's")
-    val (knnSplit, liveCents, _) = ext.Similarity.knnAdmitState(spark, sf)
-    val loadedCents = ArtifactShelf.ivfCentroids(spark, tmp)
-    assert(loadedCents.map(_.map(bits).toVector).toVector ==
-      liveCents.map(_.map(bits).toVector).toVector,
-      "loaded IVF centroids diverge bitwise")
-    val (pqSplit, liveCbs) = ext.Similarity.pqAdmitState(spark, sf)
-    val loadedCbs = ArtifactShelf.pqCodebooks(spark, tmp)
-    assert(loadedCbs.map(_.map(_.map(bits).toVector).toVector).toVector ==
-      liveCbs.map(_.map(_.map(bits).toVector).toVector).toVector,
-      "loaded PQ codebooks diverge bitwise")
-    val (liveRatios, liveUnseen, liveCutW, liveCutId) =
-      ext.Selection.dsirFrozen(spark, sf)
-    assert(ArtifactShelf.dsirRatios(spark, tmp).view
-      .mapValues(bits).toMap == liveRatios.view.mapValues(bits).toMap,
-      "loaded DSIR ratios diverge bitwise")
-    assert(ArtifactShelf.dsirConsts(spark, tmp) match {
-      case (u, w, i) => bits(u) == bits(liveUnseen) &&
-        bits(w) == bits(liveCutW) && i == liveCutId
-    }, "loaded DSIR consts diverge bitwise")
-    val liveNb = ext.Selection.nbFrozen(spark, sf)
-    val loadedNb = ArtifactShelf.nbState(spark, tmp)
-    assert(loadedNb.map { case (c, p, d, t) =>
-      (c, bits(p), bits(d), t.view.mapValues(bits).toMap) } ==
-      liveNb.map { case (c, p, d, t) =>
-        (c, bits(p), bits(d), t.view.mapValues(bits).toMap) },
-      "loaded NB state diverges bitwise")
-    assert(ArtifactShelf.splits(spark, tmp) == Map(
-      "bpe_admit" -> bpeHalf, "keepbest_admit" ->
-        ext.Dedup.keepBestAdmitState(spark, sf)._1,
-      "winnow_admit" -> ext.TextAnalysis.winnowAdmitState(spark, sf)._1,
-      "span_admit" -> ext.Dedup.spanAdmitState(spark, sf)._1,
-      "knn_admit" -> knnSplit, "pq_admit" -> pqSplit),
-      "loaded split ids diverge")
-    // One end-to-end gate from loaded state: the frozen-codebook PQ
-    // encode emits code-for-code what the trainer-built state emits.
-    val e = Tables.embeddings(spark, sf)
-    val fromShelf = ext.Similarity.pqEncode(e, loadedCbs)
-      .collect().map(_.toSeq.toVector).toSet
-    val fromTrainer = ext.Similarity.pqEncode(e, liveCbs)
-      .collect().map(_.toSeq.toVector).toSet
-    assert(fromShelf == fromTrainer,
-      "shelf-loaded PQ gate diverges from the trainer-built gate")
-  }
-
-  test("a version-skewed shelf fails loudly at load, in two different gates' states") {
-    // The skew guard's negative test: a shelf whose `art_splits`
-    // half-point was regenerated against different index artifacts (a
-    // partial rebuild) — and one whose `art_ivf_centroids` was — must
-    // fail at LOAD with the version-skew message, not silently feed a
-    // gate wrong admissions. Built as symlink copies of the shared
-    // shelf with exactly one artifact regenerated, so the stamp is the
-    // original build's and the tampered artifact no longer matches it.
-    import java.nio.file.{Files, Paths}
-    def skewCopy(tamper: String)(rewrite: String => Unit): String = {
-      val dir = Files.createTempDirectory(s"shelf_skew_$tamper").toString
-      new java.io.File(shelfDir).listFiles().foreach { f =>
-        if (f.getName != tamper)
-          Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
-      }
-      rewrite(dir)
-      dir
-    }
-    // Gate 1: the doc-side admission splits (the composed ingest gate's
-    // half-point) moved by one doc.
-    val skewSplits = skewCopy("art_splits") { dir =>
-      spark.read.parquet(s"$shelfDir/art_splits")
-        .withColumn("split_id",
-          when(col("gate") === "span_admit", col("split_id") + 1L)
-            .otherwise(col("split_id")))
-        .write.parquet(s"$dir/art_splits")
-    }
-    val e1 = intercept[IllegalArgumentException] {
-      ArtifactShelf.splits(spark, skewSplits)
-    }
-    assert(e1.getMessage.contains("version skew"), e1.getMessage)
-    // Gate 2: the vector-side frozen quantizer, one centroid coordinate
-    // perturbed (same shape, different content — the fingerprint, not
-    // the count, must catch it).
-    val skewCents = skewCopy("art_ivf_centroids") { dir =>
-      spark.read.parquet(s"$shelfDir/art_ivf_centroids")
-        .withColumn("value",
-          when(col("cell") === 0L && col("pos") === 0L, col("value") + 1.0)
-            .otherwise(col("value")))
-        .write.parquet(s"$dir/art_ivf_centroids")
-    }
-    val e2 = intercept[IllegalArgumentException] {
-      ArtifactShelf.ivfCentroids(spark, skewCents)
-    }
-    assert(e2.getMessage.contains("version skew"), e2.getMessage)
-    // Control: an untampered symlink copy loads clean through the
-    // same guard (the stamp travels with the copy).
-    val clean = skewCopy("__none__")(_ => ())
-    assert(ArtifactShelf.splits(spark, clean) ==
-      ArtifactShelf.splits(spark, shelfDir))
-  }
-
-  test("per-gate shelf refresh repairs a skewed artifact and restamps only what it touched") {
-    // The skew guard's positive counterpart: refreshShelfGroup is the
-    // sanctioned partial rebuild — group artifacts and their art_splits
-    // rows move together and get restamped; everything else's stamp
-    // rows survive untouched. Start from a REAL copy of the shared
-    // shelf with art_mix_cuts corrupted (loads must fail), refresh the
-    // mix group (loads must pass and equal the trainer), then refresh a
-    // split-bearing group and require the whole shelf still loads.
-    import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_refresh").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
-    spark.read.parquet(s"$shelfDir/art_mix_cuts")
-      .withColumn("cut_bucket", col("cut_bucket") + 1L)
-      .write.mode("overwrite").parquet(s"$dir/art_mix_cuts")
-    val e = intercept[IllegalArgumentException] {
-      ArtifactShelf.table(spark, dir, "art_mix_cuts")
-    }
-    assert(e.getMessage.contains("version skew"), e.getMessage)
-    val refreshed = Pipeline.refreshShelfGroup(spark, sf, dir, "mix")
-    assert(refreshed.keySet == Set("art_mix_cuts"))
-    val repaired = ArtifactShelf.table(spark, dir, "art_mix_cuts")
-      .collect().map(_.toSeq.toVector).toSet
-    val trainer = ext.TextAnalysis
-      .mixCuts(ext.TextAnalysis.wsMixToks(spark, sf))
-      .collect().map(_.toSeq.toVector).toSet
-    assert(repaired == trainer,
-      "refreshed mix cuts diverge from the trainer's")
-    // A split-bearing group: index AND art_splits move together, both
-    // restamped; the untouched artifacts' stamps survive.
-    Pipeline.refreshShelfGroup(spark, sf, dir, "span")
-    assert(ArtifactShelf.splits(spark, dir) ==
-      ArtifactShelf.splits(spark, shelfDir),
-      "same-corpus refresh must reproduce the split ids")
-    assert(ArtifactShelf.table(spark, dir, "art_span_admit_index").count()
-      == ArtifactShelf.table(spark, shelfDir, "art_span_admit_index").count())
-    assert(ArtifactShelf.table(spark, dir, "art_nb_terms").count() > 0,
-      "untouched artifact must still load through the guard")
-  }
-
-  test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
-    // The r10 audit's BNLJ:6 cluster: five scalar crossJoins more than
-    // needed. The class metadata now rides one exploded literal and
-    // the scalars ride as literals — NB has zero nested-loop joins,
-    // DSIR keeps exactly the Nth-(weight, id) cutoff broadcast.
-    def bnlj(name: String): Int = {
-      val df = SparkEntry.queries(name)(spark, sf)
-      df.count()
-      "BroadcastNestedLoopJoin".r
-        .findAllIn(df.queryExecution.executedPlan.toString).size
-    }
-    val nb = bnlj("x_text_nb_class")
-    assert(nb == 0, s"x_text_nb_class plan has $nb nested-loop joins, want 0")
-    val ds = bnlj("x_dsir_select")
-    assert(ds <= 1, s"x_dsir_select plan has $ds nested-loop joins, want <= 1")
-  }
-
-  test("prep audit attributes every raw doc once and its kept row IS the screen survivors") {
-    // The audit's contract: a PARTITION of the raw pool (each doc
-    // lands in exactly one stage), whose terminal 'kept' class equals
-    // the screen arm's survivor set doc-for-doc — the "every drop
-    // traces to exactly one gated operator" claim, checked as set
-    // algebra instead of prose.
-    val per = ext.CorpusPrep.auditCorpus(spark, sf)
-      .select("doc_id", "stage_ord").collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-    val total = Tables.documents(spark, sf).count()
-    assert(per.length.toLong == total,
-      s"audit covers ${per.length} of $total docs")
-    assert(per.map(_._1).distinct.length == per.length,
-      "a doc carries more than one attribution row")
-    val kept = per.filter(_._2 == 9L).map(_._1).toSet
-    val survivors = ext.CorpusPrep.screenedCorpus(spark, sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept == survivors,
-      s"audit 'kept' diverges from the screen survivors: " +
-        s"only-audit=${(kept -- survivors).take(5)} " +
-        s"only-screen=${(survivors -- kept).take(5)}")
-    val rollup = ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val recount = per.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    assert(rollup == recount, s"funnel rollup $rollup != per-doc $recount")
-  }
-
-  test("corpus diff pins the policy upgrade: argmax rescued as 'added', id-accident keeper 'removed'") {
-    import spark.implicits._
-    // A planted 4-doc corpus where v1 (flagship min-id retention) and
-    // v2 (production keep-best + winnow + DSIR) disagree in BOTH
-    // directions: C = X ++ Y is the bag-similarity BRIDGE between
-    // A = X + 3-token overlap (near-dups C at Jaccard ~0.505) and
-    // B = 3-token overlap + Y (~0.5075) — A and B share only the
-    // 6-token seam (J ~0.02, and far below the winnow pair bar), so
-    // the cluster {A, B, C} forms only through the closure. Qualities:
-    // B (no stopwords) = 1.0 > C (one appended 'the') ~0.995 > A (one
-    // appended 'the') ~0.990. v1 keeps min-id A; v2's keep-best keeps
-    // argmax B, the winnow stage drops only C (both its pairs have a
-    // lower-id partner), DSIR selects everything (4 docs < selectN) —
-    // so the diff must read: A removed, B ADDED (the doc the id
-    // accident sacrificed, rescued by the policy upgrade), C absent
-    // (dropped in both), D (an untouched singleton) unchanged.
-    val xs = (1 to 97).map(i => s"qdifx${i}w")
-    val ys = (1 to 97).map(i => s"qdify${i}w")
-    val X = (xs.take(47) ++ Seq("der", "und", "das") ++ xs.drop(47))
-    val Y = (ys.take(47) ++ Seq("el", "los", "las") ++ ys.drop(47))
-    val aTxt = (X ++ Y.take(3) ++ Seq("the")).mkString(" ")
-    val bTxt = (X.takeRight(3) ++ Y).mkString(" ")
-    val cTxt = (X ++ Y ++ Seq("the")).mkString(" ")
-    val dTxt = ((1 to 47).map(i => s"qdifd${i}w") ++
-      Seq("der", "und", "das")).mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("corpusdiff").toString
-    Seq((9000001L, aTxt, "de", "srcx", aTxt.length.toLong),
-        (9000002L, bTxt, "es", "srcx", bTxt.length.toLong),
-        (9000003L, cTxt, "de", "srcx", cTxt.length.toLong),
-        (9000004L, dTxt, "de", "srcx", dTxt.length.toLong))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val diff = ext.CorpusPrep.xCorpusDiff(spark, tmp).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(diff == Map(9000001L -> "removed", 9000002L -> "added",
-      9000004L -> "unchanged"),
-      s"diff verdicts: $diff")
-  }
-
-  test("content diff pins all three arms: span-modified, majority-removed, untouched") {
-    import spark.implicits._
-    // The diff family's transform member on a planted 3-doc corpus:
-    // M = S ++ T ++ S (96 tokens, 3 spans, the repeated S's second
-    // occurrence removed — kept but MODIFIED, 2·1 ≤ 3), R = S' ×3
-    // (2 of 3 spans removed — majority-duplicated, REMOVED), U unique
-    // (UNCHANGED). Markers ride inside the spans so every doc passes
-    // the prep's language gate; all tokens are corpus-unique so no
-    // cross-doc stage fires.
-    def toks(p: String, n: Int): Seq[String] =
-      (1 to n).map(i => s"$p${i}w")
-    val S = toks("qcdm", 29) ++ Seq("der", "und", "das")
-    val T = toks("qcdt", 32)
-    val Sp = toks("qcdr", 29) ++ Seq("der", "und", "das")
-    val U = toks("qcdu", 47) ++ Seq("der", "und", "das")
-    val tmp = java.nio.file.Files.createTempDirectory("contentdiff").toString
-    Seq((9100001L, (S ++ T ++ S).mkString(" "), "de", "srcx", 1L),
-        (9100002L, U.mkString(" "), "de", "srcx", 1L),
-        (9100003L, (Sp ++ Sp ++ Sp).mkString(" "), "de", "srcx", 1L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val out = ext.CorpusPrep.xCorpusDiffContent(spark, tmp).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out == Map(9100001L -> "modified", 9100002L -> "unchanged",
-      9100003L -> "removed"), s"content-diff verdicts: $out")
-  }
-
-  test("live drift monitor: cards from streamed manifest increments reproduce the batch drift gate") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The drift monitor composed the way production runs it: the
-    // reference half and the live half each streamed through
-    // manifestDocs (micro-batch split + at-least-once replay), rolled
-    // up by the shared cardFromIncrements, compared by the shared
-    // driftBetween — row-for-row equal to the batch x_corpus_drift
-    // gate over the same corpus.
-    val docs = Tables.documents(spark, sf)
-    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
-    def streamedCard(rows: Array[streaming.StreamOps.ManifestDoc],
-        name: String): org.apache.spark.sql.DataFrame = {
-      val input = MemoryStream[streaming.StreamOps.ManifestDoc]
-      val query = streaming.StreamOps.manifestDocs(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      input.addData(b1.toSeq); query.processAllAvailable()
-      input.addData(b2.toSeq); query.processAllAvailable()
-      input.addData(rows.toSeq); query.processAllAvailable() // replay
-      query.stop()
-      streaming.StreamOps.cardFromIncrements(spark.table(name))
-    }
-    val all = docs.select("doc_id", "source", "lang", "text").collect()
-      .map(r => streaming.StreamOps.ManifestDoc(r.getLong(0),
-        r.getString(1), r.getString(2), r.getString(3)))
-      .sortBy(_.doc_id)
-    val live = ext.TextAnalysis.driftBetween(
-        streamedCard(all.filter(_.doc_id < half), "drift_ref_card"),
-        streamedCard(all.filter(_.doc_id >= half), "drift_live_card"))
-      .collect().map(_.toSeq).toSeq
-    val batch = ext.TextAnalysis.xCorpusDrift(spark, sf)
-      .collect().map(_.toSeq).toSeq
-    assert(live == batch,
-      s"streamed drift diverges from the batch gate:\n$live\nvs\n$batch")
-  }
-
-  test("streamed corpus diff equals the batch diff gate across splits and replays") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // The observability column's last batch-only member in streaming
-    // form: arriving per-doc admission verdicts joined against the
-    // shelf's FROZEN v1 membership (stamped load), statuses from the
-    // ONE shared diffStatus builder — row-for-row the batch
-    // x_corpus_diff on the replayed corpus. The surface is stateless,
-    // so micro-batch splits change nothing and a replayed batch
-    // re-emits identical rows (set-compared — the upsert-sink dedup
-    // convention).
-    val v1 = ArtifactShelf.table(spark, shelfDir, "art_corpus_v1_members")
-    val v2 = ext.CorpusPrep.fullCorpus(spark, sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val verdicts = Tables.documents(spark, sf).select("doc_id").collect()
-      .map(r => streaming.StreamOps.DiffDoc(r.getLong(0),
-        if (v2(r.getLong(0))) 1L else 0L)).sortBy(_.doc_id)
-    val input = MemoryStream[streaming.StreamOps.DiffDoc]
-    val query = streaming.StreamOps.diffDocsIncrement(input.toDF(), v1)
-      .writeStream.format("memory").queryName("diff_incs")
-      .outputMode("append").start()
-    val (b1, b2) = verdicts.splitAt(verdicts.length / 2)
-    input.addData(b1.toSeq); query.processAllAvailable()
-    input.addData(b2.toSeq); query.processAllAvailable()
-    input.addData(verdicts.toSeq); query.processAllAvailable() // replay
-    query.stop()
-    val streamed = spark.table("diff_incs").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    val batch = ext.CorpusPrep.xCorpusDiff(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(streamed == batch,
-      s"streamed diff diverges from the batch gate: " +
-        s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
-  }
-
-  test("vector ingest funnel attributes each verdict to its first failing dimension") {
-    import spark.implicits._
-    // The vector gate's funnel mirror of the doc-gate fixture: a dup
-    // that is ALSO flagged must attribute to exact_dup (first in
-    // policy order), a keeper with flags to contamination, clean
-    // keepers to admitted.
-    def v(id: Long, dup: Long, flags: Long): streaming.StreamOps.IngestVecVerdict =
-      streaming.StreamOps.IngestVecVerdict(id, if (dup == 1L) 0L else id,
-        dup, 3L, Seq(1L), Seq(5L), flags,
-        if (dup == 0L && flags == 0L) 1L else 0L)
-    val rows = Seq(v(1, 1, 2), v(2, 1, 0), v(3, 0, 1), v(4, 0, 0), v(5, 0, 0))
-    val out = streaming.StreamOps.ingestVecAuditRollup(rows.toDF()).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    assert(out == Seq((0L, "exact_dup", 2L), (1L, "contamination", 1L),
-      (2L, "admitted", 2L)), s"funnel: $out")
-  }
-
-  test("vector prep audit partitions the pool and its kept row IS the FULL arm's output") {
-    // The embedding-side audit contract (the text audit's twin), pinned
-    // vec-for-vec over the per-vector attribution relation: every raw
-    // vector attributed EXACTLY once, and the terminal 'kept' class is
-    // SET-equal to x_emb_corpus_prep_full's emitted vec_ids (count
-    // equality alone would admit one wrong drop + one wrong keep).
-    val per = ext.Similarity.embAuditVectors(spark, sf)
-      .select("vec_id", "stage").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val total = Tables.embeddings(spark, sf).count()
-    assert(per.length.toLong == total && per.map(_._1).distinct.length == per.length,
-      s"audit attributes ${per.length} rows over $total vectors (must be exactly one each)")
-    val kept = per.filter(_._2 == "kept").map(_._1).toSet
-    val full = ext.Similarity.xEmbCorpusPrepFull(spark, sf)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(kept == full,
-      s"audit kept-set diverges from the FULL arm: extra=${kept -- full}, missing=${full -- kept}")
-    // And the gated rollup is exactly this relation's funnel.
-    val rollup = ext.Similarity.xEmbCorpusPrepAudit(spark, sf).collect()
-      .map(r => (r.getString(1), r.getLong(2))).toMap
-    val want = per.groupBy(_._2).map { case (s, rs) => s -> rs.length.toLong }
-    assert(rollup == want, s"rollup $rollup != per-vector funnel $want")
-  }
-
-  test("drift monitors return an empty report over an empty corpus") {
-    import spark.implicits._
-    // The half-split guard: max(id) over no rows is null — both gates
-    // must return zero rows, not NPE on the driver-collected split.
-    val tmp = java.nio.file.Files.createTempDirectory("emptydrift").toString
-    Seq.empty[(Long, String, String, String, Long)]
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    Seq.empty[(Long, Int, Array[Float])]
-      .toDF("vec_id", "label", "embedding")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    assert(ext.TextAnalysis.xCorpusDrift(spark, tmp).count() == 0L)
-    assert(ext.Similarity.xEmbDrift(spark, tmp).count() == 0L)
-  }
-
-  test("vector drift zero-fills a label present in only one half as pure drift") {
-    import spark.implicits._
-    // A planted corpus where label 7 exists ONLY in the arriving half:
-    // the reference side must zero-fill (ref_share_bp = 0), the delta
-    // equals the live share, and the alarm flag fires — an appearing
-    // source reads as drift instead of vanishing from the report.
-    val tmp = java.nio.file.Files.createTempDirectory("embdrift").toString
-    val rows = (0L until 40L).map { i =>
-      val label = if (i >= 30L) 7 else (i % 3L).toInt // 7 only at ids 30+
-      (i, label, Array.fill(4)(0.1f * (i % 5L + 1L)))
-    }
-    rows.toDF("vec_id", "label", "embedding")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val out = ext.Similarity.xEmbDrift(spark, tmp).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))).toMap
-    // half = 20: ref half ids 0..19 (labels 0,1,2), live half 20..39
-    // (ids 20..29 labels 0,1,2; 30..39 all label 7 = 5000 bp).
-    assert(out(7) == ((0L, 5000L, 5000L, 1L)),
-      s"appearing label must read as pure drift: ${out(7)}")
-    assert(out.keySet == Set(0, 1, 2, 7), s"labels: ${out.keySet}")
-    out.filter(_._1 != 7).values.foreach { case (ref, nw, d, _) =>
-      assert(d == nw - ref)
-    }
-  }
-
-  test("observability artifacts are the gated relations row-for-row") {
-    // The materializeSpanCleanCorpus rule applied to the r13 column:
-    // every published card/audit/drift table must BE its gated
-    // operator's result — a drifted artifact would ship wrong answers
-    // next to the corpus.
-    val tmp = java.nio.file.Files.createTempDirectory("observ").toString
-    val paths = Pipeline.materializeObservability(spark, sf, tmp)
-    val gated = Map(
-      "corpus_card" -> ext.TextAnalysis.xCorpusManifest(spark, sf),
-      "corpus_audit" -> ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sf),
-      "corpus_drift" -> ext.TextAnalysis.xCorpusDrift(spark, sf),
-      "emb_card" -> ext.Similarity.xEmbManifest(spark, sf),
-      "emb_audit" -> ext.Similarity.xEmbCorpusPrepAudit(spark, sf),
-      "emb_drift" -> ext.Similarity.xEmbDrift(spark, sf))
-    assert(paths.keySet == gated.keySet)
-    gated.foreach { case (name, df) =>
-      val artifact = spark.read.parquet(paths(name))
-        .collect().map(_.toSeq).toSet
-      val expect = df.collect().map(_.toSeq).toSet
-      assert(artifact == expect, s"$name artifact diverges from the gate")
-    }
-  }
-
-  test("deployed attribution arm equals the live audits row-for-row") {
-    // The r14 deployed shape: the Pipeline persists the slim per-stage
-    // verdict relations once; auditFromArtifacts/embAuditFromArtifacts
-    // are the id-join + CASE tail over them. Their per-row attribution
-    // must equal the live audit-shaped derivations exactly — the parity
-    // that lets production answer attribution questions without chain
-    // re-runs.
-    val tmp = java.nio.file.Files.createTempDirectory("verd").toString
-    val verdDir = Pipeline.materializePrepVerdicts(spark, sf, tmp)
-    val liveDoc = ext.CorpusPrep.auditCorpus(spark, sf)
-      .select("doc_id", "stage_ord", "stage")
-      .collect().map(_.toSeq).toSet
-    val artDoc = ext.CorpusPrep.auditFromArtifacts(spark, verdDir)
-      .select("doc_id", "stage_ord", "stage")
-      .collect().map(_.toSeq).toSet
-    assert(artDoc == liveDoc,
-      s"text deployed attribution diverges: extra=${(artDoc -- liveDoc).take(3)} " +
-        s"missing=${(liveDoc -- artDoc).take(3)}")
-    val liveVec = ext.Similarity.embAuditVectors(spark, sf)
-      .select("vec_id", "stage_ord", "stage")
-      .collect().map(_.toSeq).toSet
-    val artVec = ext.Similarity.embAuditFromArtifacts(spark, sf, verdDir)
-      .select("vec_id", "stage_ord", "stage")
-      .collect().map(_.toSeq).toSet
-    assert(artVec == liveVec,
-      s"vector deployed attribution diverges: extra=${(artVec -- liveVec).take(3)} " +
-        s"missing=${(liveVec -- artVec).take(3)}")
-  }
-
-  test("ingest audit rollup attributes each verdict to its first failing gate dimension") {
-    import spark.implicits._
-    // One planted verdict per reject class, in every case also failing
-    // a LATER dimension (so the rollup provably attributes to the
-    // FIRST, not to any), plus two admitted rows. The verdict columns
-    // themselves are parity-spec'd against the standalone gates by the
-    // full-matrix spec; this pins the funnel consumer's semantics.
-    def v(id: Long, hub: Long, win: Long, mix: Long, smp: Long,
-        nRem: Long, c4: Long, dsir: Long): streaming.StreamOps.IngestFullVerdict =
-      streaming.StreamOps.IngestFullVerdict(id, "en", 4L, nRem, 10L, "h",
-        hub, win, mix, smp, c4, if (c4 == 0L) 1L else 0L, 10L, Some(1.0),
-        dsir, "c0", 0.5,
-        if (hub == 0L && win == 0L && mix == 1L && smp == 1L &&
-          2L * nRem <= 4L && c4 == 0L && dsir == 1L) 1L else 0L)
-    val rows = Seq(
-      v(1, 2, 1, 0, 0, 3, 7, 0), // hub first, everything else failing too
-      v(2, 0, 1, 0, 0, 3, 7, 0), // winnow
-      v(3, 0, 0, 0, 0, 3, 7, 0), // mix
-      v(4, 0, 0, 1, 0, 3, 7, 0), // sample
-      v(5, 0, 0, 1, 1, 3, 7, 0), // span-majority (2*3 > 4)
-      v(6, 0, 0, 1, 1, 0, 7, 0), // c4
-      v(7, 0, 0, 1, 1, 0, 0, 0), // dsir
-      v(8, 0, 0, 1, 1, 0, 0, 1), // admitted
-      v(9, 0, 0, 1, 1, 2, 0, 1)) // admitted (2*2 <= 4 boundary)
-    assert(rows.count(_.admitted == 1L) == 2, "fixture self-check")
-    val out = streaming.StreamOps.ingestAuditRollup(rows.toDF()).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val want = streaming.StreamOps.ingestAuditStages.zipWithIndex.map {
-      case (s, i) => (i.toLong, s, if (s == "admitted") 2L else 1L)
-    }
-    assert(out.toSeq == want,
-      s"funnel ${out.toSeq} != expected $want")
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared test fixtures — ONE SparkSession and ONE frozen-artifact
+  * shelf build per test JVM, referenced by every suite (object lazy
+  * vals are JVM-global and initialization-synchronized), so the r14
+  * suite split for parallel execution (`Test / testForkedParallel`)
+  * neither multiplies the expensive fixtures nor races their
+  * construction. local[8] (vs the historical per-suite local[4]) gives
+  * the concurrently-running suites task slots to share; every spec's
+  * assertions are partition-count-invariant by construction (content
+  * hashes, explicit orderings, join-strategy plan shapes).
+  */
+object GraftTest {
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-scoped temp warehouse (the bucketed-join specs write
+    // managed tables) — never the repo checkout's ./spark-warehouse.
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ONE frozen-artifact shelf build shared by every shelf-consuming
+  // spec across all suites (the full shelf build runs all 17 trainer
+  // passes — paying it once per JVM, not per suite, keeps the wall
+  // bounded).
+  lazy val shelf: (String, Map[String, Long]) = {
+    val tmp = java.nio.file.Files.createTempDirectory("shelf_shared").toString
+    val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
+    (tmp, counts)
+  }
+}

@@ -10,12 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class KrogerModelsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftTest.spark
 
   private lazy val rawPrices = ops.KrogerDataGen.rawPrices(spark, 500, 10)
   private lazy val rawProducts = ops.KrogerDataGen.rawProducts(spark, 500)

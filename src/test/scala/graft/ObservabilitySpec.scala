@@ -1,0 +1,646 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the dq gate, the stamped artifact shelf, plan-shape
+  * guards, and the observability column (audits, diffs, drift, data
+  * cards, the deployed attribution arm) (split from ExtensionsSpec in
+  * r14; fixtures shared via GraftTest).
+  */
+class ObservabilitySpec extends AnyFunSuite {
+  private val sf = GraftTest.sf
+  lazy val spark: SparkSession = GraftTest.spark
+  lazy val shelfDir: String = GraftTest.shelf._1
+  lazy val shelfCounts: Map[String, Long] = GraftTest.shelf._2
+
+  test("dq gate: violations surface exactly once, clean rows pass, replay emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.DqRow]
+    val query = streaming.StreamOps.dqGate(input.toDS())
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode("append").start()
+    // Batch 1: two clean keys, one null key, one same-batch duplicate.
+    input.addData(
+      streaming.StreamOps.DqRow(1L, Some(10L)),
+      streaming.StreamOps.DqRow(2L, Some(20L)),
+      streaming.StreamOps.DqRow(3L, None),
+      streaming.StreamOps.DqRow(4L, Some(10L)))
+    query.processAllAvailable()
+    // Batch 2: a cross-batch duplicate + a replay of batch 1 (at-least-
+    // once upstream) — the replay must emit NOTHING.
+    input.addData(
+      streaming.StreamOps.DqRow(5L, Some(20L)),
+      streaming.StreamOps.DqRow(1L, Some(10L)),
+      streaming.StreamOps.DqRow(3L, None),
+      streaming.StreamOps.DqRow(4L, Some(10L)))
+    query.processAllAvailable()
+    val out = spark.sql("SELECT row_id, check, keeper_id FROM dq_out")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+    query.stop()
+    assert(out.length == out.map(_._1).distinct.length,
+      s"a verdict surfaced twice: ${out.mkString(";")}")
+    val m = out.toMap
+    assert(m(1L) == ("ok", 1L) && m(2L) == ("ok", 2L),
+      s"clean rows must pass as keepers: $m")
+    assert(m(3L)._1 == "not_null", s"null key must flag not_null: $m")
+    assert(m(4L) == ("unique", 1L) && m(5L) == ("unique", 2L),
+      s"duplicates must flag against their keepers: $m")
+    // Batch parity: the distinct violated keys match the dbt-style
+    // batch counts on the same data.
+    val batchRows = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option.empty[Long]),
+      (4L, Option(10L)), (5L, Option(20L)))
+      .toDF("row_id", "key")
+    val uniqueViolatedKeys = batchRows.filter(col("key").isNotNull)
+      .groupBy("key").count().filter(col("count") > 1).count()
+    assert(out.count(_._2._1 == "unique").toLong >= uniqueViolatedKeys,
+      "every batch-violated key must surface at least one unique verdict")
+    assert(out.count(_._2._1 == "not_null").toLong ==
+      batchRows.filter(col("key").isNull).count(),
+      "not_null verdicts must match the batch violation count")
+  }
+
+  test("streaming keep-best admission matches the batch gate and is replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Frozen state from the batch builder (the one state, two
+    // surfaces rule), new-half docs streamed in two micro-batches,
+    // then the whole stream REPLAYED: rows must equal the batch
+    // admission gate's, and the replay must add nothing.
+    val (half, idx, keepers) = ext.Dedup.keepBestAdmitState(spark, sf)
+    val frozenIdx = idx.localCheckpoint()
+    val frozenKeepers = keepers.localCheckpoint()
+    val newDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= half)
+      .select("doc_id", "text").collect()
+      .map(r => streaming.StreamOps.DocIn(r.getLong(0),
+        new java.sql.Timestamp(0L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.DocIn]
+    val query = streaming.StreamOps
+      .admitDocsKeepBest(input.toDS(), frozenIdx, frozenKeepers)
+      .writeStream.format("memory").queryName("kb_admit_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq)
+    query.processAllAvailable()
+    input.addData(b2.toSeq)
+    query.processAllAvailable()
+    val afterOnce = spark.sql("SELECT count(*) FROM kb_admit_out")
+      .head.getLong(0)
+    input.addData(newDocs.toSeq) // at-least-once replay
+    query.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT doc_id, cluster_id, quality_score, keeper_id,
+        |  keeper_quality, kept FROM kb_admit_out""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    query.stop()
+    assert(afterOnce == newDocs.length.toLong,
+      s"expected one verdict per doc, got $afterOnce/${newDocs.length}")
+    assert(streamed.size == newDocs.length,
+      s"replay added rows: ${streamed.size} vs ${newDocs.length}")
+    val batch = ext.Dedup.xDedupKeepBestAdmit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    assert(streamed == batch,
+      "streaming keep-best admission diverged from the batch gate: " +
+        s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
+  test("frozen-artifact shelf materializes every ingest-gate state non-empty") {
+    // The production contract the admission scaladocs cite, made
+    // concrete: one Pipeline stage writes ALL the train-once states
+    // (merge lists, indexes, cut tables, centroids/codebooks, split
+    // ids) as versioned parquet. The gate semantics are pinned by each
+    // gate's own parity spec; this spec pins that the shelf is
+    // complete, readable, and non-degenerate.
+    val tmp = shelfDir
+    val counts = shelfCounts
+    val expected = Set("art_bpe_merges", "art_keepbest_index",
+      "art_keepbest_keepers", "art_winnow_admit_index",
+      "art_span_admit_index", "art_boilerplate_hub_index",
+      "art_mix_cuts", "art_sample_rates",
+      "art_contamination_eval_index", "art_ivf_centroids",
+      "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
+      "art_nb_classes", "art_nb_terms", "art_corpus_v1_members",
+      "art_splits", "art_build_stamp")
+    assert(counts.keySet == expected,
+      s"shelf incomplete: missing=${expected -- counts.keySet} " +
+        s"extra=${counts.keySet -- expected}")
+    counts.foreach { case (k, n) => assert(n > 0, s"$k is empty") }
+    assert(counts("art_dsir_consts") == 1L)
+    assert(counts("art_splits") == 6L)
+    // One stamp row per (non-stamp) artifact — the skew guard's ledger.
+    assert(counts("art_build_stamp") == 17L)
+    // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
+    assert(counts("art_ivf_centroids") == 16L * 64L)
+    assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
+    // Spot roundtrip: the persisted keepers relation is the state
+    // builder's, row for row.
+    val persisted = spark.read.parquet(s"$tmp/art_keepbest_keepers")
+      .collect().map(_.toSeq.toVector).toSet
+    val live = ext.Dedup.keepBestAdmitState(spark, sf)._3
+      .collect().map(_.toSeq.toVector).toSet
+    assert(persisted == live, "persisted keepers diverge from the builder")
+
+    // The CONSUMING half: ArtifactShelf's typed readers rebuild every
+    // Scala-value state BITWISE in the exact shapes the gates take —
+    // ship → load → gate, no trainer in the loop. Doubles compared by
+    // raw bits (parquet binary64 round-trips exactly; this pins it).
+    def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+    val (bpeHalf, liveMerges) = ext.TextAnalysis.admitMergeList(spark, sf)
+    assert(ArtifactShelf.bpeMerges(spark, tmp) == liveMerges,
+      "loaded merge list diverges from the trainer's")
+    val (knnSplit, liveCents, _) = ext.Similarity.knnAdmitState(spark, sf)
+    val loadedCents = ArtifactShelf.ivfCentroids(spark, tmp)
+    assert(loadedCents.map(_.map(bits).toVector).toVector ==
+      liveCents.map(_.map(bits).toVector).toVector,
+      "loaded IVF centroids diverge bitwise")
+    val (pqSplit, liveCbs) = ext.Similarity.pqAdmitState(spark, sf)
+    val loadedCbs = ArtifactShelf.pqCodebooks(spark, tmp)
+    assert(loadedCbs.map(_.map(_.map(bits).toVector).toVector).toVector ==
+      liveCbs.map(_.map(_.map(bits).toVector).toVector).toVector,
+      "loaded PQ codebooks diverge bitwise")
+    val (liveRatios, liveUnseen, liveCutW, liveCutId) =
+      ext.Selection.dsirFrozen(spark, sf)
+    assert(ArtifactShelf.dsirRatios(spark, tmp).view
+      .mapValues(bits).toMap == liveRatios.view.mapValues(bits).toMap,
+      "loaded DSIR ratios diverge bitwise")
+    assert(ArtifactShelf.dsirConsts(spark, tmp) match {
+      case (u, w, i) => bits(u) == bits(liveUnseen) &&
+        bits(w) == bits(liveCutW) && i == liveCutId
+    }, "loaded DSIR consts diverge bitwise")
+    val liveNb = ext.Selection.nbFrozen(spark, sf)
+    val loadedNb = ArtifactShelf.nbState(spark, tmp)
+    assert(loadedNb.map { case (c, p, d, t) =>
+      (c, bits(p), bits(d), t.view.mapValues(bits).toMap) } ==
+      liveNb.map { case (c, p, d, t) =>
+        (c, bits(p), bits(d), t.view.mapValues(bits).toMap) },
+      "loaded NB state diverges bitwise")
+    assert(ArtifactShelf.splits(spark, tmp) == Map(
+      "bpe_admit" -> bpeHalf, "keepbest_admit" ->
+        ext.Dedup.keepBestAdmitState(spark, sf)._1,
+      "winnow_admit" -> ext.TextAnalysis.winnowAdmitState(spark, sf)._1,
+      "span_admit" -> ext.Dedup.spanAdmitState(spark, sf)._1,
+      "knn_admit" -> knnSplit, "pq_admit" -> pqSplit),
+      "loaded split ids diverge")
+    // One end-to-end gate from loaded state: the frozen-codebook PQ
+    // encode emits code-for-code what the trainer-built state emits.
+    val e = Tables.embeddings(spark, sf)
+    val fromShelf = ext.Similarity.pqEncode(e, loadedCbs)
+      .collect().map(_.toSeq.toVector).toSet
+    val fromTrainer = ext.Similarity.pqEncode(e, liveCbs)
+      .collect().map(_.toSeq.toVector).toSet
+    assert(fromShelf == fromTrainer,
+      "shelf-loaded PQ gate diverges from the trainer-built gate")
+  }
+
+  test("a version-skewed shelf fails loudly at load, in two different gates' states") {
+    // The skew guard's negative test: a shelf whose `art_splits`
+    // half-point was regenerated against different index artifacts (a
+    // partial rebuild) — and one whose `art_ivf_centroids` was — must
+    // fail at LOAD with the version-skew message, not silently feed a
+    // gate wrong admissions. Built as symlink copies of the shared
+    // shelf with exactly one artifact regenerated, so the stamp is the
+    // original build's and the tampered artifact no longer matches it.
+    import java.nio.file.{Files, Paths}
+    def skewCopy(tamper: String)(rewrite: String => Unit): String = {
+      val dir = Files.createTempDirectory(s"shelf_skew_$tamper").toString
+      new java.io.File(shelfDir).listFiles().foreach { f =>
+        if (f.getName != tamper)
+          Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
+      }
+      rewrite(dir)
+      dir
+    }
+    // Gate 1: the doc-side admission splits (the composed ingest gate's
+    // half-point) moved by one doc.
+    val skewSplits = skewCopy("art_splits") { dir =>
+      spark.read.parquet(s"$shelfDir/art_splits")
+        .withColumn("split_id",
+          when(col("gate") === "span_admit", col("split_id") + 1L)
+            .otherwise(col("split_id")))
+        .write.parquet(s"$dir/art_splits")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ArtifactShelf.splits(spark, skewSplits)
+    }
+    assert(e1.getMessage.contains("version skew"), e1.getMessage)
+    // Gate 2: the vector-side frozen quantizer, one centroid coordinate
+    // perturbed (same shape, different content — the fingerprint, not
+    // the count, must catch it).
+    val skewCents = skewCopy("art_ivf_centroids") { dir =>
+      spark.read.parquet(s"$shelfDir/art_ivf_centroids")
+        .withColumn("value",
+          when(col("cell") === 0L && col("pos") === 0L, col("value") + 1.0)
+            .otherwise(col("value")))
+        .write.parquet(s"$dir/art_ivf_centroids")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      ArtifactShelf.ivfCentroids(spark, skewCents)
+    }
+    assert(e2.getMessage.contains("version skew"), e2.getMessage)
+    // Control: an untampered symlink copy loads clean through the
+    // same guard (the stamp travels with the copy).
+    val clean = skewCopy("__none__")(_ => ())
+    assert(ArtifactShelf.splits(spark, clean) ==
+      ArtifactShelf.splits(spark, shelfDir))
+  }
+
+  test("per-gate shelf refresh repairs a skewed artifact and restamps only what it touched") {
+    // The skew guard's positive counterpart: refreshShelfGroup is the
+    // sanctioned partial rebuild — group artifacts and their art_splits
+    // rows move together and get restamped; everything else's stamp
+    // rows survive untouched. Start from a REAL copy of the shared
+    // shelf with art_mix_cuts corrupted (loads must fail), refresh the
+    // mix group (loads must pass and equal the trainer), then refresh a
+    // split-bearing group and require the whole shelf still loads.
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory("shelf_refresh").toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    spark.read.parquet(s"$shelfDir/art_mix_cuts")
+      .withColumn("cut_bucket", col("cut_bucket") + 1L)
+      .write.mode("overwrite").parquet(s"$dir/art_mix_cuts")
+    val e = intercept[IllegalArgumentException] {
+      ArtifactShelf.table(spark, dir, "art_mix_cuts")
+    }
+    assert(e.getMessage.contains("version skew"), e.getMessage)
+    val refreshed = Pipeline.refreshShelfGroup(spark, sf, dir, "mix")
+    assert(refreshed.keySet == Set("art_mix_cuts"))
+    val repaired = ArtifactShelf.table(spark, dir, "art_mix_cuts")
+      .collect().map(_.toSeq.toVector).toSet
+    val trainer = ext.TextAnalysis
+      .mixCuts(ext.TextAnalysis.wsMixToks(spark, sf))
+      .collect().map(_.toSeq.toVector).toSet
+    assert(repaired == trainer,
+      "refreshed mix cuts diverge from the trainer's")
+    // A split-bearing group: index AND art_splits move together, both
+    // restamped; the untouched artifacts' stamps survive.
+    Pipeline.refreshShelfGroup(spark, sf, dir, "span")
+    assert(ArtifactShelf.splits(spark, dir) ==
+      ArtifactShelf.splits(spark, shelfDir),
+      "same-corpus refresh must reproduce the split ids")
+    assert(ArtifactShelf.table(spark, dir, "art_span_admit_index").count()
+      == ArtifactShelf.table(spark, shelfDir, "art_span_admit_index").count())
+    assert(ArtifactShelf.table(spark, dir, "art_nb_terms").count() > 0,
+      "untouched artifact must still load through the guard")
+  }
+
+  test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
+    // The r10 audit's BNLJ:6 cluster: five scalar crossJoins more than
+    // needed. The class metadata now rides one exploded literal and
+    // the scalars ride as literals — NB has zero nested-loop joins,
+    // DSIR keeps exactly the Nth-(weight, id) cutoff broadcast.
+    def bnlj(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      "BroadcastNestedLoopJoin".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    val nb = bnlj("x_text_nb_class")
+    assert(nb == 0, s"x_text_nb_class plan has $nb nested-loop joins, want 0")
+    val ds = bnlj("x_dsir_select")
+    assert(ds <= 1, s"x_dsir_select plan has $ds nested-loop joins, want <= 1")
+  }
+
+  test("prep audit attributes every raw doc once and its kept row IS the screen survivors") {
+    // The audit's contract: a PARTITION of the raw pool (each doc
+    // lands in exactly one stage), whose terminal 'kept' class equals
+    // the screen arm's survivor set doc-for-doc — the "every drop
+    // traces to exactly one gated operator" claim, checked as set
+    // algebra instead of prose.
+    val per = ext.CorpusPrep.auditCorpus(spark, sf)
+      .select("doc_id", "stage_ord").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = Tables.documents(spark, sf).count()
+    assert(per.length.toLong == total,
+      s"audit covers ${per.length} of $total docs")
+    assert(per.map(_._1).distinct.length == per.length,
+      "a doc carries more than one attribution row")
+    val kept = per.filter(_._2 == 9L).map(_._1).toSet
+    val survivors = ext.CorpusPrep.screenedCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == survivors,
+      s"audit 'kept' diverges from the screen survivors: " +
+        s"only-audit=${(kept -- survivors).take(5)} " +
+        s"only-screen=${(survivors -- kept).take(5)}")
+    val rollup = ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val recount = per.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rollup == recount, s"funnel rollup $rollup != per-doc $recount")
+  }
+
+  test("corpus diff pins the policy upgrade: argmax rescued as 'added', id-accident keeper 'removed'") {
+    import spark.implicits._
+    // A planted 4-doc corpus where v1 (flagship min-id retention) and
+    // v2 (production keep-best + winnow + DSIR) disagree in BOTH
+    // directions: C = X ++ Y is the bag-similarity BRIDGE between
+    // A = X + 3-token overlap (near-dups C at Jaccard ~0.505) and
+    // B = 3-token overlap + Y (~0.5075) — A and B share only the
+    // 6-token seam (J ~0.02, and far below the winnow pair bar), so
+    // the cluster {A, B, C} forms only through the closure. Qualities:
+    // B (no stopwords) = 1.0 > C (one appended 'the') ~0.995 > A (one
+    // appended 'the') ~0.990. v1 keeps min-id A; v2's keep-best keeps
+    // argmax B, the winnow stage drops only C (both its pairs have a
+    // lower-id partner), DSIR selects everything (4 docs < selectN) —
+    // so the diff must read: A removed, B ADDED (the doc the id
+    // accident sacrificed, rescued by the policy upgrade), C absent
+    // (dropped in both), D (an untouched singleton) unchanged.
+    val xs = (1 to 97).map(i => s"qdifx${i}w")
+    val ys = (1 to 97).map(i => s"qdify${i}w")
+    val X = (xs.take(47) ++ Seq("der", "und", "das") ++ xs.drop(47))
+    val Y = (ys.take(47) ++ Seq("el", "los", "las") ++ ys.drop(47))
+    val aTxt = (X ++ Y.take(3) ++ Seq("the")).mkString(" ")
+    val bTxt = (X.takeRight(3) ++ Y).mkString(" ")
+    val cTxt = (X ++ Y ++ Seq("the")).mkString(" ")
+    val dTxt = ((1 to 47).map(i => s"qdifd${i}w") ++
+      Seq("der", "und", "das")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("corpusdiff").toString
+    Seq((9000001L, aTxt, "de", "srcx", aTxt.length.toLong),
+        (9000002L, bTxt, "es", "srcx", bTxt.length.toLong),
+        (9000003L, cTxt, "de", "srcx", cTxt.length.toLong),
+        (9000004L, dTxt, "de", "srcx", dTxt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val diff = ext.CorpusPrep.xCorpusDiff(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(9000001L -> "removed", 9000002L -> "added",
+      9000004L -> "unchanged"),
+      s"diff verdicts: $diff")
+  }
+
+  test("content diff pins all three arms: span-modified, majority-removed, untouched") {
+    import spark.implicits._
+    // The diff family's transform member on a planted 3-doc corpus:
+    // M = S ++ T ++ S (96 tokens, 3 spans, the repeated S's second
+    // occurrence removed — kept but MODIFIED, 2·1 ≤ 3), R = S' ×3
+    // (2 of 3 spans removed — majority-duplicated, REMOVED), U unique
+    // (UNCHANGED). Markers ride inside the spans so every doc passes
+    // the prep's language gate; all tokens are corpus-unique so no
+    // cross-doc stage fires.
+    def toks(p: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$p${i}w")
+    val S = toks("qcdm", 29) ++ Seq("der", "und", "das")
+    val T = toks("qcdt", 32)
+    val Sp = toks("qcdr", 29) ++ Seq("der", "und", "das")
+    val U = toks("qcdu", 47) ++ Seq("der", "und", "das")
+    val tmp = java.nio.file.Files.createTempDirectory("contentdiff").toString
+    Seq((9100001L, (S ++ T ++ S).mkString(" "), "de", "srcx", 1L),
+        (9100002L, U.mkString(" "), "de", "srcx", 1L),
+        (9100003L, (Sp ++ Sp ++ Sp).mkString(" "), "de", "srcx", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.CorpusPrep.xCorpusDiffContent(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(9100001L -> "modified", 9100002L -> "unchanged",
+      9100003L -> "removed"), s"content-diff verdicts: $out")
+  }
+
+  test("live drift monitor: cards from streamed manifest increments reproduce the batch drift gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The drift monitor composed the way production runs it: the
+    // reference half and the live half each streamed through
+    // manifestDocs (micro-batch split + at-least-once replay), rolled
+    // up by the shared cardFromIncrements, compared by the shared
+    // driftBetween — row-for-row equal to the batch x_corpus_drift
+    // gate over the same corpus.
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head().getLong(0)
+    def streamedCard(rows: Array[streaming.StreamOps.ManifestDoc],
+        name: String): org.apache.spark.sql.DataFrame = {
+      val input = MemoryStream[streaming.StreamOps.ManifestDoc]
+      val query = streaming.StreamOps.manifestDocs(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      input.addData(rows.toSeq); query.processAllAvailable() // replay
+      query.stop()
+      streaming.StreamOps.cardFromIncrements(spark.table(name))
+    }
+    val all = docs.select("doc_id", "source", "lang", "text").collect()
+      .map(r => streaming.StreamOps.ManifestDoc(r.getLong(0),
+        r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_.doc_id)
+    val live = ext.TextAnalysis.driftBetween(
+        streamedCard(all.filter(_.doc_id < half), "drift_ref_card"),
+        streamedCard(all.filter(_.doc_id >= half), "drift_live_card"))
+      .collect().map(_.toSeq).toSeq
+    val batch = ext.TextAnalysis.xCorpusDrift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(live == batch,
+      s"streamed drift diverges from the batch gate:\n$live\nvs\n$batch")
+  }
+
+  test("streamed corpus diff equals the batch diff gate across splits and replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The observability column's last batch-only member in streaming
+    // form: arriving per-doc admission verdicts joined against the
+    // shelf's FROZEN v1 membership (stamped load), statuses from the
+    // ONE shared diffStatus builder — row-for-row the batch
+    // x_corpus_diff on the replayed corpus. The surface is stateless,
+    // so micro-batch splits change nothing and a replayed batch
+    // re-emits identical rows (set-compared — the upsert-sink dedup
+    // convention).
+    val v1 = ArtifactShelf.table(spark, shelfDir, "art_corpus_v1_members")
+    val v2 = ext.CorpusPrep.fullCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val verdicts = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(r => streaming.StreamOps.DiffDoc(r.getLong(0),
+        if (v2(r.getLong(0))) 1L else 0L)).sortBy(_.doc_id)
+    val input = MemoryStream[streaming.StreamOps.DiffDoc]
+    val query = streaming.StreamOps.diffDocsIncrement(input.toDF(), v1)
+      .writeStream.format("memory").queryName("diff_incs")
+      .outputMode("append").start()
+    val (b1, b2) = verdicts.splitAt(verdicts.length / 2)
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    input.addData(verdicts.toSeq); query.processAllAvailable() // replay
+    query.stop()
+    val streamed = spark.table("diff_incs").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = ext.CorpusPrep.xCorpusDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      s"streamed diff diverges from the batch gate: " +
+        s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+  }
+
+  test("vector ingest funnel attributes each verdict to its first failing dimension") {
+    import spark.implicits._
+    // The vector gate's funnel mirror of the doc-gate fixture: a dup
+    // that is ALSO flagged must attribute to exact_dup (first in
+    // policy order), a keeper with flags to contamination, clean
+    // keepers to admitted.
+    def v(id: Long, dup: Long, flags: Long): streaming.StreamOps.IngestVecVerdict =
+      streaming.StreamOps.IngestVecVerdict(id, if (dup == 1L) 0L else id,
+        dup, 3L, Seq(1L), Seq(5L), flags,
+        if (dup == 0L && flags == 0L) 1L else 0L)
+    val rows = Seq(v(1, 1, 2), v(2, 1, 0), v(3, 0, 1), v(4, 0, 0), v(5, 0, 0))
+    val out = streaming.StreamOps.ingestVecAuditRollup(rows.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, "exact_dup", 2L), (1L, "contamination", 1L),
+      (2L, "admitted", 2L)), s"funnel: $out")
+  }
+
+  test("vector prep audit partitions the pool and its kept row IS the FULL arm's output") {
+    // The embedding-side audit contract (the text audit's twin), pinned
+    // vec-for-vec over the per-vector attribution relation: every raw
+    // vector attributed EXACTLY once, and the terminal 'kept' class is
+    // SET-equal to x_emb_corpus_prep_full's emitted vec_ids (count
+    // equality alone would admit one wrong drop + one wrong keep).
+    val per = ext.Similarity.embAuditVectors(spark, sf)
+      .select("vec_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(per.length.toLong == total && per.map(_._1).distinct.length == per.length,
+      s"audit attributes ${per.length} rows over $total vectors (must be exactly one each)")
+    val kept = per.filter(_._2 == "kept").map(_._1).toSet
+    val full = ext.Similarity.xEmbCorpusPrepFull(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == full,
+      s"audit kept-set diverges from the FULL arm: extra=${kept -- full}, missing=${full -- kept}")
+    // And the gated rollup is exactly this relation's funnel.
+    val rollup = ext.Similarity.xEmbCorpusPrepAudit(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    val want = per.groupBy(_._2).map { case (s, rs) => s -> rs.length.toLong }
+    assert(rollup == want, s"rollup $rollup != per-vector funnel $want")
+  }
+
+  test("drift monitors return an empty report over an empty corpus") {
+    import spark.implicits._
+    // The half-split guard: max(id) over no rows is null — both gates
+    // must return zero rows, not NPE on the driver-collected split.
+    val tmp = java.nio.file.Files.createTempDirectory("emptydrift").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(ext.TextAnalysis.xCorpusDrift(spark, tmp).count() == 0L)
+    assert(ext.Similarity.xEmbDrift(spark, tmp).count() == 0L)
+  }
+
+  test("vector drift zero-fills a label present in only one half as pure drift") {
+    import spark.implicits._
+    // A planted corpus where label 7 exists ONLY in the arriving half:
+    // the reference side must zero-fill (ref_share_bp = 0), the delta
+    // equals the live share, and the alarm flag fires — an appearing
+    // source reads as drift instead of vanishing from the report.
+    val tmp = java.nio.file.Files.createTempDirectory("embdrift").toString
+    val rows = (0L until 40L).map { i =>
+      val label = if (i >= 30L) 7 else (i % 3L).toInt // 7 only at ids 30+
+      (i, label, Array.fill(4)(0.1f * (i % 5L + 1L)))
+    }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = ext.Similarity.xEmbDrift(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // half = 20: ref half ids 0..19 (labels 0,1,2), live half 20..39
+    // (ids 20..29 labels 0,1,2; 30..39 all label 7 = 5000 bp).
+    assert(out(7) == ((0L, 5000L, 5000L, 1L)),
+      s"appearing label must read as pure drift: ${out(7)}")
+    assert(out.keySet == Set(0, 1, 2, 7), s"labels: ${out.keySet}")
+    out.filter(_._1 != 7).values.foreach { case (ref, nw, d, _) =>
+      assert(d == nw - ref)
+    }
+  }
+
+  test("observability artifacts are the gated relations row-for-row") {
+    // The materializeSpanCleanCorpus rule applied to the r13 column:
+    // every published card/audit/drift table must BE its gated
+    // operator's result — a drifted artifact would ship wrong answers
+    // next to the corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("observ").toString
+    val paths = Pipeline.materializeObservability(spark, sf, tmp)
+    val gated = Map(
+      "corpus_card" -> ext.TextAnalysis.xCorpusManifest(spark, sf),
+      "corpus_audit" -> ext.CorpusPrep.xLlmCorpusPrepAudit(spark, sf),
+      "corpus_drift" -> ext.TextAnalysis.xCorpusDrift(spark, sf),
+      "emb_card" -> ext.Similarity.xEmbManifest(spark, sf),
+      "emb_audit" -> ext.Similarity.xEmbCorpusPrepAudit(spark, sf),
+      "emb_drift" -> ext.Similarity.xEmbDrift(spark, sf))
+    assert(paths.keySet == gated.keySet)
+    gated.foreach { case (name, df) =>
+      val artifact = spark.read.parquet(paths(name))
+        .collect().map(_.toSeq).toSet
+      val expect = df.collect().map(_.toSeq).toSet
+      assert(artifact == expect, s"$name artifact diverges from the gate")
+    }
+  }
+
+  test("deployed attribution arm equals the live audits row-for-row") {
+    // The r14 deployed shape: the Pipeline persists the slim per-stage
+    // verdict relations once; auditFromArtifacts/embAuditFromArtifacts
+    // are the id-join + CASE tail over them. Their per-row attribution
+    // must equal the live audit-shaped derivations exactly — the parity
+    // that lets production answer attribution questions without chain
+    // re-runs.
+    val tmp = java.nio.file.Files.createTempDirectory("verd").toString
+    val verdDir = Pipeline.materializePrepVerdicts(spark, sf, tmp)
+    val liveDoc = ext.CorpusPrep.auditCorpus(spark, sf)
+      .select("doc_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    val artDoc = ext.CorpusPrep.auditFromArtifacts(spark, verdDir)
+      .select("doc_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    assert(artDoc == liveDoc,
+      s"text deployed attribution diverges: extra=${(artDoc -- liveDoc).take(3)} " +
+        s"missing=${(liveDoc -- artDoc).take(3)}")
+    val liveVec = ext.Similarity.embAuditVectors(spark, sf)
+      .select("vec_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    val artVec = ext.Similarity.embAuditFromArtifacts(spark, sf, verdDir)
+      .select("vec_id", "stage_ord", "stage")
+      .collect().map(_.toSeq).toSet
+    assert(artVec == liveVec,
+      s"vector deployed attribution diverges: extra=${(artVec -- liveVec).take(3)} " +
+        s"missing=${(liveVec -- artVec).take(3)}")
+  }
+
+  test("ingest audit rollup attributes each verdict to its first failing gate dimension") {
+    import spark.implicits._
+    // One planted verdict per reject class, in every case also failing
+    // a LATER dimension (so the rollup provably attributes to the
+    // FIRST, not to any), plus two admitted rows. The verdict columns
+    // themselves are parity-spec'd against the standalone gates by the
+    // full-matrix spec; this pins the funnel consumer's semantics.
+    def v(id: Long, hub: Long, win: Long, mix: Long, smp: Long,
+        nRem: Long, c4: Long, dsir: Long): streaming.StreamOps.IngestFullVerdict =
+      streaming.StreamOps.IngestFullVerdict(id, "en", 4L, nRem, 10L, "h",
+        hub, win, mix, smp, c4, if (c4 == 0L) 1L else 0L, 10L, Some(1.0),
+        dsir, "c0", 0.5,
+        if (hub == 0L && win == 0L && mix == 1L && smp == 1L &&
+          2L * nRem <= 4L && c4 == 0L && dsir == 1L) 1L else 0L)
+    val rows = Seq(
+      v(1, 2, 1, 0, 0, 3, 7, 0), // hub first, everything else failing too
+      v(2, 0, 1, 0, 0, 3, 7, 0), // winnow
+      v(3, 0, 0, 0, 0, 3, 7, 0), // mix
+      v(4, 0, 0, 1, 0, 3, 7, 0), // sample
+      v(5, 0, 0, 1, 1, 3, 7, 0), // span-majority (2*3 > 4)
+      v(6, 0, 0, 1, 1, 0, 7, 0), // c4
+      v(7, 0, 0, 1, 1, 0, 0, 0), // dsir
+      v(8, 0, 0, 1, 1, 0, 0, 1), // admitted
+      v(9, 0, 0, 1, 1, 2, 0, 1)) // admitted (2*2 <= 4 boundary)
+    assert(rows.count(_.admitted == 1L) == 2, "fixture self-check")
+    val out = streaming.StreamOps.ingestAuditRollup(rows.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = streaming.StreamOps.ingestAuditStages.zipWithIndex.map {
+      case (s, i) => (i.toLong, s, if (s == "admitted") 2L else 1L)
+    }
+    assert(out.toSeq == want,
+      s"funnel ${out.toSeq} != expected $want")
+  }
+}

@@ -12,12 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PropertySpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftTest.spark
 
   private val rowsGen: Gen[List[(Int, Int, Int)]] = Gen.listOfN(60,
     for {

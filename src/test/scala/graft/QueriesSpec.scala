@@ -11,13 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftTest.spark
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

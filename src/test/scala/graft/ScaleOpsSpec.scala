@@ -10,15 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftTest.spark
 
   test("salted join returns the same rows as the plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey")
@@ -390,22 +382,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("collapse_sweep").toString
     base.unionByName(planted).write.mode("overwrite")
       .parquet(s"$tmp/embeddings.parquet")
+    // The GROWN arm (r14): the same replicas planted into a corpus that
+    // ALSO carries distinct-content growth (hash-perturbed synthetic
+    // vectors at high ids — the buildGrownDir construction at spec
+    // scale, perturbation norm ≈ the base norm so nothing synthetic is
+    // a near-dup). The concentration guard must hold under BOTH
+    // regimes: growth fills cells/buckets with DISTINCT occupants, a
+    // different path to the same pair joins.
+    val grownTmp = java.nio.file.Files.createTempDirectory("collapse_grown").toString
+    val synth = base.withColumn("vec_id", col("vec_id") + 8000000L)
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) -> CAST(
+          |  CAST(x AS DOUBLE)
+          |  + (pmod(xxhash64(11L, vec_id, CAST(i AS BIGINT)), 301L) - 150.0) / 500.0
+          |  AS FLOAT))""".stripMargin))
+    base.unionByName(synth).unionByName(planted).write.mode("overwrite")
+      .parquet(s"$grownTmp/embeddings.parquet")
     val rep = replicaIds.toSet
     // Strict half: no replica id may appear in ANY long column of a
     // clean-composed query's output — the exact collapse upstream is
-    // the only way to guarantee that.
-    cleanComposed.toSeq.sorted.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, tmp)
-      val longIdx = df.schema.fields.zipWithIndex
-        .collect { case (f, i) if f.dataType == LongType => i }
-      val leaked = df.collect().filter(r =>
-        longIdx.exists(i => !r.isNullAt(i) && rep(r.getLong(i))))
-      assert(leaked.isEmpty,
-        s"$name is not collapse-first: replica ids reached its output " +
-          s"(${leaked.take(2).mkString("; ")}) — compose it over " +
-          "Dedup.embExactKeepers or declare it a dirty baseline")
-      spark.catalog.clearCache()
-    }
+    // the only way to guarantee that. Run against both regimes.
+    def runStrict(dir: String, regime: String): Unit =
+      cleanComposed.toSeq.sorted.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        val longIdx = df.schema.fields.zipWithIndex
+          .collect { case (f, i) if f.dataType == LongType => i }
+        val leaked = df.collect().filter(r =>
+          longIdx.exists(i => !r.isNullAt(i) && rep(r.getLong(i))))
+        assert(leaked.isEmpty,
+          s"$name is not collapse-first ($regime regime): replica ids " +
+            s"reached its output (${leaked.take(2).mkString("; ")}) — " +
+            "compose it over Dedup.embExactKeepers or declare it a dirty baseline")
+        spark.catalog.clearCache()
+      }
+    runStrict(tmp, "replication")
+    runStrict(grownTmp, "grown")
     // The collapse stage itself: replicas present, but ONLY as is_dup=1
     // verdicts pointing at the stock keeper.
     val verdicts = ext.Dedup.xDedupEmbExact(spark, tmp).collect()
