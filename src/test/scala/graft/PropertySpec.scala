@@ -193,4 +193,31 @@ class PropertySpec extends AnyFunSuite {
       assert(plain.count() == salted.count())
     }
   }
+
+  test("diff increments equal the naive set-algebra diff for any memberships") {
+    import spark.implicits._
+    // The streamed version-diff's status mapping against its naive
+    // specification on arbitrary v1/v2 membership sets (the class of
+    // bug this guards: a null flag off the left join silently nulling
+    // 'added' into 'unchanged' through the shared diffStatus negation).
+    val setGen = for {
+      v1 <- Gen.listOf(Gen.choose(0L, 30L)).map(_.toSet)
+      v2 <- Gen.listOf(Gen.choose(0L, 30L)).map(_.toSet)
+    } yield (v1, v2)
+    val cases = (1 to 6).flatMap(i =>
+      setGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { case (v1, v2) =>
+      val pool = (0L to 30L).toSeq
+      val verdicts = pool.map(id => (id, if (v2(id)) 1L else 0L))
+        .toDF("doc_id", "admitted")
+      val v1Df = v1.toSeq.toDF("doc_id")
+      val got = streaming.StreamOps.diffDocsIncrement(verdicts, v1Df)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = (v1 ++ v2).map { id =>
+        id -> (if (!v2(id)) "removed" else if (!v1(id)) "added" else "unchanged")
+      }.toMap
+      assert(got == want,
+        s"diff mismatch for v1=$v1 v2=$v2: got $got want $want")
+    }
+  }
 }
