@@ -1061,6 +1061,24 @@ object Similarity {
     (split, cents, admitted)
   }
 
+  /** The ANN SERVING state — the pieces an online retrieval deployment
+    * freezes per index build and the streaming search gate
+    * (StreamOps.searchVectors) consumes: the x_ann_ivf coarse
+    * quantizer's centroids (trained on the full corpus, the gated
+    * k=16/r=1 parameterization) and the corpus inverted list
+    * (cell, id2, v2, n2) — the SAME persisted layout knnAdmitState
+    * keeps for the attach gate, here over the whole corpus because
+    * serving searches everything indexed. ONE construction (the
+    * knnAdmitState idiom) so the batch search gate and the streaming
+    * surface cannot desync.
+    */
+  private[graft] def annServeState(spark: SparkSession,
+      dir: String): (Array[Array[Double]], DataFrame) = {
+    val (assigned, cents) = ivfAssigned(spark, dir)
+    (cents, assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2")))
+  }
+
   /** Density-based diversity selection over the kNN graph — the
     * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"
     * position): every vector's density is the basis-point mean of its

@@ -375,6 +375,66 @@ object StreamOps {
       }
   }
 
+  case class SearchOut(query_id: Long, rank: Long, neighbor_id: Long,
+    cosine: Double)
+  case class SearchCand(query_id: Long, neighbor_id: Long, r6: Double,
+    cosine: Double)
+
+  /** Streaming ANN SEARCH — the SERVING half of the ANN family (the
+    * one member every other family already had in streaming form:
+    * assign/encode/attach run at ingest; this runs at QUERY time):
+    * each arriving query vector walks its nProbe nearest frozen cells
+    * (the codegen'd nearest_cells over the batch-trained x_ann_ivf
+    * centroids — Similarity.annServeState, one construction), joins
+    * stream-static against the persisted corpus inverted list on the
+    * cell key — at 100 TB the static side is the cell-partitioned
+    * index table, so each micro-batch of queries reads nProbe/k of the
+    * corpus, never a scan — and is exactly re-ranked to its top-k by
+    * the SAME (round(cosine, 6) DESC, neighbor_id) order the batch
+    * rerankTopK window uses, with the rounding done by the SAME Spark
+    * expressions (bitwise parity by construction, no JVM re-rounding).
+    * The rank runs in a per-query group living only inside the query's
+    * own micro-batch (all of a query's candidates join in its arrival
+    * batch; the group emits immediately) — the attachGraph idiom: the
+    * state store stays empty, results are deterministic per query, and
+    * a replayed query re-emits the same rows (an upsert sink keyed on
+    * (query_id, rank) absorbs at-least-once upstreams). Batch parity
+    * is spec-gated: streaming the gated queries yields x_ann_ivf's
+    * rows exactly, split across micro-batches.
+    */
+  def searchVectors(queries: Dataset[VecIn],
+      centroids: Array[Array[Double]], invList: DataFrame,
+      nProbe: Int = 4, kTop: Int = 5): Dataset[SearchOut] = {
+    import queries.sparkSession.implicits._
+    val vf = graft.functions.VectorFunctions
+    val cands = queries.toDF()
+      .withColumn("n1",
+        sqrt(vf.dotProduct(col("embedding"), col("embedding"))))
+      .select(col("vec_id").as("query_id"), col("embedding"), col("n1"),
+        explode(vf.nearestCells(col("embedding"), centroids, nProbe))
+          .as("cell"))
+      .join(invList, Seq("cell"))
+      .filter(col("query_id") =!= col("id2"))
+      .withColumn("cosine_raw", vf.dotProduct(col("embedding"), col("v2"))
+        / (col("n1") * col("n2")))
+      .select(col("query_id"), col("id2").as("neighbor_id"),
+        round(col("cosine_raw"), 6).as("r6"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .as[SearchCand]
+    cands.groupByKey(_.query_id)
+      .flatMapGroupsWithState[Long, SearchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[SearchCand], _: GroupState[Long]) =>
+          // A corpus vector owns ONE cell, so each neighbor arrives at
+          // most once per query; the in-group distinct is the dedup-
+          // inside-the-group convention (never a stateful distinct).
+          rows.toSeq.distinct
+            .sortBy(c => (-c.r6, c.neighbor_id))
+            .take(kTop).zipWithIndex.map { case (c, i) =>
+              SearchOut(qid, i + 1L, c.neighbor_id, c.cosine) }.iterator
+      }
+  }
+
   case class ScreenOut(vec_id: Long, eval_id: Long, cosine: Double)
 
   /** Streaming contamination screen — the online half of

@@ -851,6 +851,44 @@ class SelectionGraphSpec extends AnyFunSuite {
       s"streaming attach diverged from batch (sizes ${streamed.size}/${batch.size})")
   }
 
+  test("streaming ANN search serves the batch x_ann_ivf top-k exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The SERVING half: freeze the x_ann_ivf quantizer + inverted list
+    // (annServeState — the one construction), stream the gated query
+    // vectors split across TWO micro-batches plus a replay, and require
+    // row-for-row equality with the batch gate: rank, neighbor, and
+    // rounded cosine all bitwise (the rounding happens in the same
+    // Spark expressions). Replays re-emit identical rows (stateless) —
+    // set-compared, the upsert-sink convention.
+    val (cents, invList) = ext.Similarity.annServeState(spark, sf)
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val (b1, b2) = qs.splitAt(qs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.searchVectors(input.toDS(), cents, invList)
+      .writeStream.format("memory").queryName("ann_search_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    input.addData(qs.toSeq); query.processAllAvailable() // replay
+    query.stop()
+    val streamed = spark.table("ann_search_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = SparkEntry.queries("x_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(batch.nonEmpty, "batch IVF search emitted no rows")
+    assert(streamed == batch,
+      s"streaming search diverged from x_ann_ivf " +
+        s"(sizes ${streamed.size}/${batch.size}): " +
+        s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming contamination screen matches the batch gate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
