@@ -47,6 +47,25 @@ object Similarity {
     Array.fill(nTables)(Array.fill(planesPerTable, dims)(rng.nextGaussian()))
   }
 
+  // The banded-dedup DENSITY knob gated as a parameter (the
+  // x_dedup_semantic_k64 precedent): at 100 TB per-table bucket
+  // occupancy is ∝ N/2^P, so P grows ~log2 N and T restores the
+  // high-cosine collision probability 1−(1−(1−acos(c)/π)^P)^T. The
+  // wide arm (T=24, P=14) cuts per-table occupancy 16× for 2× the
+  // signature passes and 2× the (8-byte) exploded rows: collision
+  // stays ≥ 0.997 at the true-near-dup band (c ≥ 0.95) and ~1.0 at
+  // the crawl-duplicate band (c ≥ 0.99), while boundary c = 0.8
+  // candidates trade down to ~0.63 — candidate recall at the
+  // threshold boundary is the documented banding tradeoff; the
+  // verify threshold itself is unchanged. A distinct seed (4242)
+  // keeps the historical 12×10 matrix's RNG stream untouched.
+  private[ext] val nTablesWide = 24
+  private[ext] val planesWide = 14
+  private lazy val tablePlanesWide: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(4242)
+    Array.fill(nTablesWide)(Array.fill(planesWide, dims)(rng.nextGaussian()))
+  }
+
   private def bucketExpr(t: Int) =
     VectorFunctions.hyperplaneSignature(col("embedding"), tablePlanes(t))
 
@@ -578,6 +597,23 @@ object Similarity {
     lshVerifiedPairs(buckets, buckets, e)
   }
 
+  /** The clean banded dedup at the WIDE banding parameterization
+    * (T=24 tables × P=14 planes — see the knob note at the constants):
+    * the gated form of "scale the blocking grid with the corpus" for
+    * the near-dup family, the x_dedup_semantic_k64 precedent applied
+    * to banding. Same keeper source, same collision/verify tail, 16×
+    * sparser buckets per table for 2× the signature work — the
+    * configuration a 100 TB deployment runs where the fixed 12×10 grid
+    * hits the measured density wall (SCALE.md's 100× grown note). The
+    * planted spec pins that crawl-band near-dups (cos ≥ 0.99) are
+    * found identically to the default arm.
+    */
+  def xDedupEmbCosineLshCleanWide(spark: SparkSession, dir: String): DataFrame = {
+    val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
+    val buckets = lshInvertedListWith(e, tablePlanesWide)
+    lshVerifiedPairs(buckets, buckets, e)
+  }
+
   /** EMBEDDING-space eval decontamination — the vector counterpart of
     * x_text_contamination / x_split_leakage: after the deterministic
     * md5-bucket eval holdout (bucket < 10 of 100 on the keeper id —
@@ -721,11 +757,20 @@ object Similarity {
     * 64-double vectors (those join back AFTER candidates dedup — the
     * twin's cd/cpairs shape).
     */
-  private def lshInvertedList(e: DataFrame): DataFrame = {
-    val sig = (0 until nTables).foldLeft(e)((df, t) =>
-      df.withColumn(s"s$t", bucketExpr(t)))
+  private def lshInvertedList(e: DataFrame): DataFrame =
+    lshInvertedListWith(e, tablePlanes)
+
+  /** The inverted-list builder parameterized over the plane matrices —
+    * ONE construction behind the historical 12×10 chain and the wide
+    * density-knob arm (the lloydCentroids k-parameter idiom). */
+  private def lshInvertedListWith(e: DataFrame,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
+    val n = planes.length
+    val sig = (0 until n).foldLeft(e)((df, t) =>
+      df.withColumn(s"s$t",
+        VectorFunctions.hyperplaneSignature(col("embedding"), planes(t))))
     sig.select(col("vec_id"),
-      explode(array((0 until nTables).map(t =>
+      explode(array((0 until n).map(t =>
         struct(lit(t).as("tbl"), col(s"s$t").as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -2398,6 +2443,7 @@ object Similarity {
     // (the 100×-replication cliff measured in SCALE.md). Pairs are the
     // banded operator's verdicts restricted to exact-dup keepers.
     "x_dedup_emb_cosine_lsh_clean" -> (xDedupEmbCosineLshClean _),
+    "x_dedup_emb_cosine_lsh_clean_t24p14" -> (xDedupEmbCosineLshCleanWide _),
     // Embedding-space eval decontamination: train keepers too close
     // (clean banded verdict >= 0.8) to an md5-holdout eval keeper —
     // the semantic-leak class n-gram decontamination misses.
@@ -2439,9 +2485,16 @@ object Similarity {
     * vector-cluster twin compose the identical text (the generator-
     * refactor rule: the pair twin's emitted SQL is byte-stable).
     */
-  private lazy val lshCleanPairCtes: String =
+  private lazy val lshCleanPairCtes: String = lshCleanPairCtesP(tablePlanes)
+
+  /** The clean pair chain parameterized over the plane matrices — the
+    * default emits byte-identical SQL to the historical twin; the wide
+    * density-knob twin passes tablePlanesWide (same chain, 24×14
+    * signature columns embedded verbatim).
+    */
+  private def lshCleanPairCtesP(planes: Array[Array[Array[Double]]]): String =
     s"""$embKeeperCte,
-       |${lshCorpusCtes("uq")},
+       |${lshCorpusCtes("uq", planes = planes)},
        |cd AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM corpus a JOIN corpus b
@@ -2462,15 +2515,17 @@ object Similarity {
     * quantizer chain's `e`); "" emits the historical names byte-for-byte.
     */
   private def lshCorpusCtes(src: String = "embeddings",
-      prefix: String = ""): String = {
+      prefix: String = "",
+      planes: Array[Array[Array[Double]]] = null): String = {
+    val pl = if (planes == null) tablePlanes else planes
     def planeList(p: Array[Double]) = p.mkString("[", ", ", "]")
     def sigT(t: Int): String =
-      tablePlanes(t).foldLeft("0::BIGINT") { (acc, plane) =>
+      pl(t).foldLeft("0::BIGINT") { (acc, plane) =>
         s"($acc * 2 + CASE WHEN list_dot_product(v, ${planeList(plane)}) > 0 THEN 1 ELSE 0 END)"
       }
-    val sigCols = (0 until nTables)
+    val sigCols = pl.indices
       .map(t => s"    ${sigT(t)} AS s$t").mkString(",\n")
-    val unpivotCols = (0 until nTables).map(t => s"s$t").mkString(", ")
+    val unpivotCols = pl.indices.map(t => s"s$t").mkString(", ")
     s"""${prefix}e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -3720,6 +3775,14 @@ object Similarity {
     // signature/collision/verdict chain via the parameterized source.
     "x_dedup_emb_cosine_lsh_clean" ->
       s"""WITH $lshCleanPairCtes
+         |SELECT id1, id2, cosine FROM cpairs
+         |WHERE cosine >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    // Wide banding twin: the SAME generated chain with the 24×14 plane
+    // matrices embedded (the density-knob arm) — only the signature
+    // columns differ from the default twin.
+    "x_dedup_emb_cosine_lsh_clean_t24p14" ->
+      s"""WITH ${lshCleanPairCtesP(tablePlanesWide)}
          |SELECT id1, id2, cosine FROM cpairs
          |WHERE cosine >= 0.8
          |ORDER BY id1, id2""".stripMargin,

@@ -719,6 +719,38 @@ class IngestGateSpec extends AnyFunSuite {
         s"batch-only=${(batchKept -- streamedKept).take(3)}")
   }
 
+  test("wide-banding clean dedup (t24p14) matches the default arm on crawl-band plants") {
+    import spark.implicits._
+    // The density-knob arm's semantics pinned where it matters: at the
+    // crawl-duplicate band (scaled copies — cosine exactly 1.0,
+    // identical hyperplane signs under ANY banding) the 24×14 grid
+    // collides with probability ~1, so the wide arm must report the
+    // SAME verdicts (ids AND rounded cosines) as the default 12×10
+    // clean arm on a planted corpus, while the stock corpus stays
+    // empty under both (no cosine ≥ 0.8 pairs — the empties contract).
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9100001L, v.map(_ * 1.01f).toArray, 5),
+      (9100002L, v.map(_ * 1.02f).toArray, 6))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("lshwide").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    def pairs(f: (SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      f(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val wide = pairs(ext.Similarity.xDedupEmbCosineLshCleanWide)
+    val dflt = pairs(ext.Similarity.xDedupEmbCosineLshClean)
+    assert(wide.exists(p => p._1 == 9100001L && p._2 == 9100002L),
+      s"wide arm missed the planted pair: $wide")
+    assert(dflt == wide,
+      s"banding widths disagree on the planted corpus: default=$dflt wide=$wide")
+    assert(ext.Similarity.xDedupEmbCosineLshCleanWide(spark, sf).count() == 0L,
+      "wide arm must stay empty on the stock corpus")
+  }
+
   test("LSH-blocked emb cosine dedup finds planted near-dups incl. cross-label") {
     import spark.implicits._
     // The stock synthetic vectors top out near cosine 0.47, so BOTH

@@ -20,6 +20,7 @@ class QueriesSpec extends AnyFunSuite {
   test("every query runs and returns a non-degenerate result") {
     val empties = Seq("x_dedup_emb_cosine", "x_dedup_emb_cosine_lsh",
       "x_dedup_emb_cosine_lsh_admit", "x_dedup_emb_cosine_lsh_clean",
+      "x_dedup_emb_cosine_lsh_clean_t24p14",
       "x_dedup_simhash", // may legitimately have 0 pairs
       // the cluster family rides those pair verdicts: clusterless stock
       // corpus → 0 clustered rows / 0 retention verdicts (the planted
@@ -49,6 +50,10 @@ class QueriesSpec extends AnyFunSuite {
     sample.foreach { name =>
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf).collect().map(_.toString).toSeq
+      // A vanished result is a DIFFERENT failure class than ordering
+      // drift (the r14 shared-session cache-race lesson) — name it.
+      assert(a.nonEmpty || name == "x_dedup_emb_cosine",
+        s"$name returned an empty first run")
       val b = fn(spark, sf).collect().map(_.toString).toSeq
       assert(a == b, s"$name differs between runs")
     }
