@@ -28,9 +28,9 @@ object GraftTest {
     .getOrCreate()
 
   // ONE frozen-artifact shelf build shared by every shelf-consuming
-  // spec across all suites (the full shelf build runs all 17 trainer
-  // passes — paying it once per JVM, not per suite, keeps the wall
-  // bounded).
+  // spec across all suites (the full shelf build runs every trainer
+  // pass — 13 refresh groups, 18 relations — paying it once per JVM,
+  // not per suite, keeps the wall bounded).
   lazy val shelf: (String, Map[String, Long]) = {
     val tmp = java.nio.file.Files.createTempDirectory("shelf_shared").toString
     val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
