@@ -288,6 +288,14 @@ object ScaleProbe {
       .collect().map(_.getInt(0)).toSeq
     val maxVid = emb.agg(max("vec_id")).head().getLong(0)
     val nBaseV = emb.count()
+    // The template lookup joins on src_id = pmod(hash, nBaseV), which is
+    // only surjective onto real ids when the base ids are the contiguous
+    // 0..nBaseV-1 range — an id GAP would silently drop the synthetic
+    // rows whose picked template doesn't exist, and every growth ratio
+    // measured from the undersized corpus would understate cost.
+    require(maxVid + 1 == nBaseV,
+      s"grown-dir synthesis needs contiguous base vec_ids 0..${nBaseV - 1}; " +
+        s"got max id $maxVid over $nBaseV rows")
     val synthV = spark.range((nReplicas - 1L) * nBaseV)
       .withColumn("vec_id", col("id") + maxVid + 1L)
       .withColumn("vcohort", expr(s"id div $nBaseV"))

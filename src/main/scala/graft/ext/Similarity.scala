@@ -1453,8 +1453,14 @@ object Similarity {
     */
   private def embPrepCleanStage(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    // Persisted: the banded chain is the clean stage's heaviest piece
+    // and BOTH return values depend on it — the survivor anti-join and
+    // the audit/verdict consumers of the loser ids. Without the persist
+    // each separate action (the audit's flag join, the verdict writes)
+    // re-executes the whole chain; the cached relation is a slim id set
+    // (the `assigned` persist precedent).
     val losers = xDedupEmbCosineLshClean(spark, dir)
-      .select(col("id2").as("vec_id")).distinct()
+      .select(col("id2").as("vec_id")).distinct().persist()
     val surv = Dedup.embExactKeepers(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
     (surv, losers)

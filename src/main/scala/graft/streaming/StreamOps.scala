@@ -369,7 +369,10 @@ object StreamOps {
       .flatMapGroupsWithState[Long, EdgeOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (vecId: Long, rows: Iterator[GraphCand], _: GroupState[Long]) =>
-          rows.toSeq.sortBy(c => (-c.cos_sim, c.nn_id))
+          // sparkDescKey: the NaN-ordering parity guard (see
+          // searchVectors) — identical real-number order, NaN-first
+          // like the batch window's DESC on degenerate inputs.
+          rows.toSeq.sortBy(c => (sparkDescKey(c.cos_sim), c.nn_id))
             .take(kNeighbors).zipWithIndex.map { case (c, i) =>
               EdgeOut(vecId, i + 1L, c.nn_id, c.cos_sim) }.iterator
       }
@@ -429,11 +432,22 @@ object StreamOps {
           // most once per query; the in-group distinct is the dedup-
           // inside-the-group convention (never a stateful distinct).
           rows.toSeq.distinct
-            .sortBy(c => (-c.r6, c.neighbor_id))
+            .sortBy(c => (sparkDescKey(c.r6), c.neighbor_id))
             .take(kTop).zipWithIndex.map { case (c, i) =>
               SearchOut(qid, i + 1L, c.neighbor_id, c.cosine) }.iterator
       }
   }
+
+  /** Ascending sort key replicating Spark's DESCENDING double order
+    * inside a JVM group sort: Spark's nanSafeCompare treats NaN as the
+    * LARGEST double, so `ORDER BY x DESC` ranks NaN first — a negated
+    * Scala TotalOrdering key would rank it last (−NaN is NaN, which
+    * TotalOrdering sorts greatest). Canonicalizing NaN to +∞ before
+    * negation keeps the batch-window parity exact even on degenerate
+    * inputs (a zero vector's 0/0 cosine).
+    */
+  private def sparkDescKey(x: Double): Double =
+    if (x.isNaN) Double.NegativeInfinity else -x
 
   case class ScreenOut(vec_id: Long, eval_id: Long, cosine: Double)
 
@@ -1945,14 +1959,20 @@ object StreamOps {
 
   /** Streaming corpus VERSION-DIFF increments — the observability
     * column's last batch-only member (x_corpus_diff) kept live at
-    * ingest: each arriving per-doc admission verdict (the live gate's
-    * output — ingestDocsFull emits exactly (doc_id, admitted, ...)) is
-    * compared against the FROZEN v1 membership relation (the shelf's
+    * ingest: each arriving per-doc admission verdict is compared
+    * against the FROZEN v1 membership relation (the shelf's
     * `art_corpus_v1_members`, stamped like every frozen state) and
     * emits its x_corpus_diff status on arrival: admitted ∧ in-v1 →
     * 'unchanged', admitted ∧ ¬in-v1 → 'added', ¬admitted ∧ in-v1 →
     * 'removed'; a doc in neither corpus emits nothing (the batch gate
-    * covers v1 ∪ v2 only). The status vocabulary is the ONE shared
+    * covers v1 ∪ v2 only). The v2 POLICY is whatever produced the
+    * verdict stream: the parity spec replays the batch FULL policy's
+    * membership (fullCorpus — x_corpus_diff's own v2) and matches the
+    * gate row-for-row; wiring ingestDocsFull's admitted column instead
+    * diffs the streaming admission matrix against v1 — a valid diff of
+    * a DIFFERENT v2, not the oracle-gated one (the two policies share
+    * no construction, so don't expect x_corpus_diff's statuses from
+    * it). The status vocabulary is the ONE shared
     * builder (CorpusPrep.diffStatus — never a re-derivation), and the
     * surface is STATELESS (one stream-static left join on 8-byte ids +
     * a narrow map), so it is micro-batch-split-proof by construction

@@ -30,13 +30,19 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("bucketed join plans without a shuffle exchange") {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Session-ISOLATED conf: the suites share one SparkSession and run
+    // concurrently (GraftTest + testForkedParallel), so mutating the
+    // shared session's autoBroadcastJoinThreshold — even briefly —
+    // would flip sibling suites' in-flight join plans (the clearCache
+    // race class). newSession() shares the SparkContext and catalog
+    // but owns its SQLConf, so the -1 threshold is visible only here.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // The JVM-shared session may use an earlier suite's warehouse dir;
     // clear both catalog entries and any orphaned locations from prior runs.
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val wh = new java.net.URI(s2.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("li_bucketed", "sup_bucketed").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+      s2.sql(s"DROP TABLE IF EXISTS $t")
       val dir = new java.io.File(wh, t)
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
@@ -46,20 +52,18 @@ class ScaleOpsSpec extends AnyFunSuite {
         rm(dir)
       }
     }
-    try {
-      ext.Bucketing.writeBucketed(
-        Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_extendedprice"),
-        "li_bucketed", buckets = 8, key = "l_suppkey")
-      ext.Bucketing.writeBucketed(
-        Tables.supplier(spark, sf).select("s_suppkey", "s_name"),
-        "sup_bucketed", buckets = 8, key = "s_suppkey")
-      val joined = ext.Bucketing.bucketedJoin(spark,
-        "li_bucketed", "sup_bucketed", "l_suppkey", "s_suppkey")
-      val physical = joined.queryExecution.executedPlan.toString
-      assert(!physical.contains("Exchange"),
-        s"expected shuffle-free bucketed join, got:\n$physical")
-      assert(joined.count() > 0)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ext.Bucketing.writeBucketed(
+      Tables.lineitem(s2, sf).select("l_orderkey", "l_suppkey", "l_extendedprice"),
+      "li_bucketed", buckets = 8, key = "l_suppkey")
+    ext.Bucketing.writeBucketed(
+      Tables.supplier(s2, sf).select("s_suppkey", "s_name"),
+      "sup_bucketed", buckets = 8, key = "s_suppkey")
+    val joined = ext.Bucketing.bucketedJoin(s2,
+      "li_bucketed", "sup_bucketed", "l_suppkey", "s_suppkey")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"expected shuffle-free bucketed join, got:\n$physical")
+    assert(joined.count() > 0)
   }
 
   test("incremental merge equals the full rebuild") {
