@@ -172,12 +172,27 @@ object Pipeline {
     */
   def materializePrepVerdicts(spark: SparkSession, sfDir: String,
       outDir: String): String = {
+    import spark.implicits._
     val verdDir = s"$outDir/prep_verdicts"
-    (ext.CorpusPrep.prepVerdictRelations(spark, sfDir) ++
+    val names = (ext.CorpusPrep.prepVerdictRelations(spark, sfDir) ++
       ext.Similarity.embPrepVerdictRelations(spark, sfDir))
-      .foreach { case (name, df) =>
+      .map { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$verdDir/$name")
+        name
       }
+    // The build STAMP — the r12 shelf guard extended to the one
+    // artifact family that had escaped it (the r14 verdict's gap #1):
+    // every verdict relation's row count + order-independent content
+    // fingerprint as written by THIS build, persisted last. A verdict
+    // dir where one relation was refreshed against a newer corpus
+    // (partial rebuild, mixed-version deploy) would feed
+    // auditFromArtifacts a silently wrong attribution; the stamped
+    // load (ArtifactShelf.table) fails loudly instead.
+    names.map { name =>
+      val df = spark.read.parquet(s"$verdDir/$name")
+      (name, df.count(), ArtifactShelf.fingerprint(df))
+    }.toDF("artifact", "n_rows", "fp")
+      .write.mode("overwrite").parquet(s"$verdDir/art_build_stamp")
     verdDir
   }
 
@@ -422,12 +437,19 @@ object Pipeline {
             t.toSeq.map { case (tok, v) => (c, tok, v) } }
             .toDF("cls", "tok", "term")), Nil)
       case "diff" =>
-        // The frozen v1 MEMBERSHIP relation the streaming version-diff
-        // gate compares arrivals against (StreamOps.diffDocsIncrement):
-        // the flagship policy's survivor ids — x_corpus_diff's v1 side,
-        // persisted once per corpus version like every frozen state.
-        (Seq("art_corpus_v1_members" ->
-          ext.CorpusPrep.trainingCorpus(spark, sfDir).select("doc_id")), Nil)
+        // The frozen MEMBERSHIP relations of BOTH corpus versions: v1
+        // (the flagship policy's survivor ids — the streaming increment
+        // gate's comparison base, StreamOps.diffDocsIncrement) and v2
+        // (the production FULL policy's — r15). With both persisted, a
+        // registry diff between SHIPPED versions is diffFromArtifacts's
+        // one id-join over slim parquet (~the audit-tail shape), never
+        // the two full prep re-runs the audit-shaped x_corpus_diff gate
+        // pays — the r14 verdict's deployed-arm gap #2.
+        (Seq(
+          "art_corpus_v1_members" ->
+            ext.CorpusPrep.trainingCorpus(spark, sfDir).select("doc_id"),
+          "art_corpus_v2_members" ->
+            ext.CorpusPrep.fullCorpus(spark, sfDir).select("doc_id")), Nil)
       case other => throw new IllegalArgumentException(
         s"unknown shelf group: $other (one of ${shelfGroups.mkString(", ")})")
     }

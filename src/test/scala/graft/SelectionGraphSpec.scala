@@ -545,6 +545,42 @@ class SelectionGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-banding composed prep (t24p14) matches the clean prep on crawl-band plants") {
+    import spark.implicits._
+    // The r14 density knob COMPOSED through the production prep: at the
+    // crawl-duplicate band (bit-identical replicas + scaled copies —
+    // cosine exactly 1.0, identical hyperplane signs under ANY banding)
+    // the 24×14 staging must reach the same survivor set, cells, and
+    // codes as the default 12×10 clean prep — the knob only swaps the
+    // blocking grid, never the verdict or the quantizer/cap/int8 tail.
+    // On the stock corpus both stagings are vacuous (no cosine ≥ 0.8
+    // pairs), so the outputs must be row-identical there too.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val v = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val planted = Seq(
+      (9400001L, v.toArray, 3),
+      (9400002L, v.map(_ * 1.01f).toArray, 5))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("wideprep").toString
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    def rowset(dir: String, f: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame) =
+      f(spark, dir).collect().map(r => (r.getAs[Long]("cell"),
+        r.getAs[Long]("rank"), r.getAs[Long]("vec_id"))).toSet
+    val wide = rowset(tmp, ext.Similarity.xEmbCorpusPrepCleanWide)
+    assert(wide.nonEmpty)
+    assert(!wide.exists(r => r._3 == 9400001L || r._3 == 9400002L),
+      "crawl-band plant survived the wide-banding composed prep")
+    assert(wide == rowset(tmp,
+        (s, d) => ext.Similarity.xEmbCorpusPrepClean(s, d)),
+      "banding widths disagree on the planted corpus")
+    assert(rowset(sf, ext.Similarity.xEmbCorpusPrepCleanWide) ==
+      rowset(sf, (s, d) => ext.Similarity.xEmbCorpusPrepClean(s, d)),
+      "banding widths disagree on the stock corpus")
+  }
+
   test("central-retention prep disagrees with the clean prep on the planted cluster") {
     import spark.implicits._
     // Same fixture as the cluster spec: vec 0 plus three scaled copies.
