@@ -622,6 +622,46 @@ object Similarity {
   def xDedupEmbCosineLshCleanWide(spark: SparkSession, dir: String): DataFrame =
     lshCleanPairsWith(spark, dir, tablePlanesWide)
 
+  /** 1-bit multi-probe masks for the wide banding: the identity plus
+    * every single-plane flip — 15 probes/table at P=14 (the x_ann_lsh
+    * 2-bit probe idiom, one bit is enough here: per-table collision at
+    * the c = 0.8 verify boundary is P(Hamming ≤ 1) = q¹⁴ + 14·q¹³(1−q)
+    * ≈ 0.19 at q = 1−acos(0.8)/π ≈ 0.795, so 24 tables give ≈ 0.993
+    * candidate recall — vs ≈ 0.63 unprobed, the documented t24p14
+    * tradeoff). 2-bit probing would cost 106 masks/table for the last
+    * ~0.007; the knee is at 1 bit.
+    */
+  private[ext] lazy val wideProbeMasks: Seq[Long] =
+    0L +: (0 until planesWide).map(1L << _)
+
+  /** The wide-banding clean dedup with 1-bit MULTI-PROBE — the arm
+    * that removes the t24p14 knob's boundary-recall tradeoff: one side
+    * of the collision join probes its bucket plus every 1-bit flip
+    * (bucket XOR mask), so candidate pairs need only Hamming-distance-
+    * ≤ 1 signatures in ANY table instead of exact equality; the exact
+    * round(cosine, 4) ≥ 0.8 verify is unchanged. A pair at Hamming
+    * distance 1 in table t collides through exactly the flipped-bit
+    * mask from the lower id's side (masks are symmetric), so probing
+    * ONE side suffices. Scale shape: the probe explosion is 15× rows
+    * of 8-byte ids against buckets that are 16× sparser than the
+    * 12×10 grid's — per-probe join cost stays below the default arm's
+    * per-bucket cost, and the crawl-band (cos ≥ 0.99) behavior is
+    * identical (exact-signature collisions are a subset of probed
+    * ones). The 100 TB deployment gets the density win AND ≈ 0.99
+    * boundary candidate recall.
+    */
+  def xDedupEmbCosineLshCleanWideProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
+    val buckets = lshInvertedListWith(e, tablePlanesWide)
+    val probes = buckets
+      .select(col("vec_id"), col("tbl"), col("bucket"),
+        explode(typedlit(wideProbeMasks)).as("m"))
+      .select(col("vec_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("m")).as("bucket"))
+    lshVerifiedPairs(probes, buckets, e)
+  }
+
   /** EMBEDDING-space eval decontamination — the vector counterpart of
     * x_text_contamination / x_split_leakage: after the deterministic
     * md5-bucket eval holdout (bucket < 10 of 100 on the keeper id —
@@ -2497,6 +2537,13 @@ object Similarity {
     // banded operator's verdicts restricted to exact-dup keepers.
     "x_dedup_emb_cosine_lsh_clean" -> (xDedupEmbCosineLshClean _),
     "x_dedup_emb_cosine_lsh_clean_t24p14" -> (xDedupEmbCosineLshCleanWide _),
+    // The wide banding's boundary-recall repair: 1-bit multi-probe on
+    // one collision side (the x_ann_lsh probe idiom) lifts c = 0.8
+    // candidate recall from ~0.63 back to ~0.99 while keeping the 16×
+    // bucket-density win — the 100 TB arm that need not choose between
+    // the density wall and boundary recall.
+    "x_dedup_emb_cosine_lsh_clean_t24p14_probe" ->
+      (xDedupEmbCosineLshCleanWideProbe _),
     // Embedding-space eval decontamination: train keepers too close
     // (clean banded verdict >= 0.8) to an md5-holdout eval keeper —
     // the semantic-leak class n-gram decontamination misses.
@@ -3843,6 +3890,31 @@ object Similarity {
     // columns differ from the default twin.
     "x_dedup_emb_cosine_lsh_clean_t24p14" ->
       s"""WITH ${lshCleanPairCtesP(tablePlanesWide)}
+         |SELECT id1, id2, cosine FROM cpairs
+         |WHERE cosine >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    // Multi-probed wide twin: the same keeper + signature chain, one
+    // collision side exploded through the 15 literal 1-bit masks
+    // (xor(), the DuckDB ^-is-power gotcha) before the bucket join —
+    // masks embedded verbatim, the annLshOracleSql idiom.
+    "x_dedup_emb_cosine_lsh_clean_t24p14_probe" ->
+      s"""WITH $embKeeperCte,
+         |${lshCorpusCtes("uq", planes = tablePlanesWide)},
+         |masks(m) AS (VALUES
+         |    ${wideProbeMasks.map(m => s"($m)").mkString(", ")}),
+         |probes AS (
+         |  SELECT c.vec_id, c.tbl, xor(c.bucket, masks.m) AS bucket
+         |  FROM corpus c CROSS JOIN masks),
+         |cd AS (
+         |  SELECT DISTINCT p.vec_id AS id1, b.vec_id AS id2
+         |  FROM probes p JOIN corpus b
+         |    ON p.tbl = b.tbl AND p.bucket = b.bucket AND p.vec_id < b.vec_id),
+         |cpairs AS (
+         |  SELECT cd.id1, cd.id2,
+         |    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+         |  FROM cd
+         |  JOIN e x ON x.vec_id = cd.id1
+         |  JOIN e y ON y.vec_id = cd.id2)
          |SELECT id1, id2, cosine FROM cpairs
          |WHERE cosine >= 0.8
          |ORDER BY id1, id2""".stripMargin,

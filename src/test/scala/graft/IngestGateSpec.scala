@@ -751,6 +751,59 @@ class IngestGateSpec extends AnyFunSuite {
       "wide arm must stay empty on the stock corpus")
   }
 
+  test("multi-probed wide banding recovers boundary-cosine pairs the plain t24p14 misses") {
+    import spark.implicits._
+    // The probe arm's reason to exist, planted: pairs at cosine ≈ 0.82
+    // (just above the verify boundary) collide per-table with prob
+    // ≈ 0.04 under 14-bit signatures — the plain 24×14 grid misses
+    // ~37% of them, the 1-bit probe recovers ≈ 0.99. Six planted
+    // boundary pairs (each a stock vector mixed with an orthogonalized
+    // second stock vector at exactly cos ≈ 0.82): the probed arm must
+    // (a) be a SUPERSET of the plain wide arm (identity mask — holds by
+    // construction, asserted as the contract), (b) find at least one
+    // planted pair the plain arm misses (the recall repair, pinned on
+    // the fixed seed-4242 planes), and (c) agree with the plain arm's
+    // verdict VALUES on every shared pair (probing adds candidates,
+    // never changes cosines).
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    def emb(id: Long): Array[Double] = base.filter(col("vec_id") === id)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+    def mixAt(v: Array[Double], w: Array[Double], c: Double): Array[Float] = {
+      val vv = v.map(x => x * x).sum
+      val vw = v.zip(w).map { case (a, b) => a * b }.sum
+      val u = w.zip(v).map { case (wi, vi) => wi - vw * vi / vv }
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val vn = math.sqrt(vv)
+      v.indices.map(j =>
+        ((c * v(j) / vn + math.sqrt(1 - c * c) * u(j) / un) * vn).toFloat)
+        .toArray
+    }
+    val plants = (0 until 6).map { i =>
+      (9500001L + i, mixAt(emb(i.toLong), emb(i.toLong + 10), 0.82), 7)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("lshprobe").toString
+    base.unionByName(plants.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def pairs(f: (SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      f(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plain = pairs(ext.Similarity.xDedupEmbCosineLshCleanWide)
+    val probed = pairs(ext.Similarity.xDedupEmbCosineLshCleanWideProbe)
+    assert(plain.keySet.subsetOf(probed.keySet),
+      s"probing lost exact-collision pairs: ${plain.keySet -- probed.keySet}")
+    plain.keys.foreach { k =>
+      assert(plain(k) == probed(k), s"verdict value moved under probing: $k")
+    }
+    val planted = (0 until 6).map(i => (i.toLong, 9500001L + i)).toSet
+    val probedPlanted = planted.filter(probed.contains)
+    val plainPlanted = planted.filter(plain.contains)
+    assert((probedPlanted -- plainPlanted).nonEmpty,
+      s"fixture regression: every boundary plant collided exactly under " +
+        s"the plain wide grid (plain=$plainPlanted) — re-seed the plants")
+    assert(probedPlanted.size >= 5,
+      s"probed arm recovered only $probedPlanted of $planted")
+  }
+
   test("LSH-blocked emb cosine dedup finds planted near-dups incl. cross-label") {
     import spark.implicits._
     // The stock synthetic vectors top out near cosine 0.47, so BOTH

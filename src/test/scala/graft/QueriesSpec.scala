@@ -21,6 +21,7 @@ class QueriesSpec extends AnyFunSuite {
     val empties = Seq("x_dedup_emb_cosine", "x_dedup_emb_cosine_lsh",
       "x_dedup_emb_cosine_lsh_admit", "x_dedup_emb_cosine_lsh_clean",
       "x_dedup_emb_cosine_lsh_clean_t24p14",
+      "x_dedup_emb_cosine_lsh_clean_t24p14_probe",
       "x_dedup_simhash", // may legitimately have 0 pairs
       // the cluster family rides those pair verdicts: clusterless stock
       // corpus → 0 clustered rows / 0 retention verdicts (the planted
