@@ -1172,6 +1172,21 @@ object Similarity {
       col("v").as("v2"), col("nrm").as("n2")))
   }
 
+  /** The COMPRESSED serving state — annServeState's inverted list with
+    * each entry's int8 code list attached by THE ONE sq8Codes
+    * expression (built FROM annServeState, never a second derivation):
+    * the layout x_ann_ivfsq8 argues a 100 TB deployment actually
+    * serves, where the per-cell scan reads 4×-smaller integer codes
+    * and raw vectors are touched only for the O(shortlist) exact
+    * re-rank tail (here one table carries both; at scale the raw
+    * column is a separate id-keyed fetch).
+    */
+  private[graft] def annServeStateSq8(spark: SparkSession,
+      dir: String): (Array[Array[Double]], DataFrame) = {
+    val (cents, inv) = annServeState(spark, dir)
+    (cents, inv.withColumn("cc", sq8Codes("v2")))
+  }
+
   /** Density-based diversity selection over the kNN graph — the
     * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"
     * position): every vector's density is the basis-point mean of its
@@ -2073,7 +2088,7 @@ object Similarity {
   // SQ8 shortlist size: same regime as pqShortlist (the ADC comment
   // applies verbatim — on this gap-poor corpus the candidate FRACTION
   // is what holds recall, so probe arms scale it with replication).
-  private val sq8Shortlist = 32
+  private[graft] val sq8Shortlist = 32
 
   /** THE int8 quantize expression — ONE builder (the bpeTrain rule)
     * behind the gated x_emb_quantize summary and both SQ8 search ops:

@@ -438,6 +438,66 @@ object StreamOps {
       }
   }
 
+  case class Sq8Cand(query_id: Long, neighbor_id: Long, idot: Long,
+    r6: Double, cosine: Double)
+
+  /** Streaming ANN search over the COMPRESSED (SQ8) inverted list —
+    * the serving half of x_ann_ivfsq8, completing the serving column
+    * for the index a 100 TB deployment actually ships (the r14 verdict:
+    * searchVectors serves the uncompressed list; production serves
+    * int8 codes): each arriving query is quantized by THE ONE sq8Codes
+    * expression, walks its nProbe frozen cells, joins stream-static
+    * against the cell-partitioned CODED inverted list
+    * (Similarity.annServeStateSq8 — each micro-batch scans nProbe/k of
+    * the corpus as 4×-smaller integer codes), shortlists per query by
+    * the EXACT integer dot (portable longs — no float fold to pin,
+    * x_ann_sq8's own argument), and exactly re-ranks the shortlist by
+    * the batch tail's (round(cosine, 6) DESC, neighbor_id) order. Both
+    * stages run inside the query's own micro-batch group (the
+    * searchVectors idiom — state store stays empty, replays re-emit
+    * identical rows); a candidate probed through several cells enters
+    * once (in-group distinct == the batch dropDuplicates). Batch
+    * parity is spec-gated: streaming the gated queries yields
+    * x_ann_ivfsq8's rows exactly, split across micro-batches.
+    */
+  def searchVectorsSq8(queries: Dataset[VecIn],
+      centroids: Array[Array[Double]], invList: DataFrame,
+      nProbe: Int = 4, kTop: Int = 5,
+      shortlist: Int = graft.ext.Similarity.sq8Shortlist): Dataset[SearchOut] = {
+    import queries.sparkSession.implicits._
+    val vf = graft.functions.VectorFunctions
+    val cands = queries.toDF()
+      .withColumn("n1",
+        sqrt(vf.dotProduct(col("embedding"), col("embedding"))))
+      .withColumn("qc", graft.ext.Similarity.sq8Codes("embedding"))
+      .select(col("vec_id").as("query_id"), col("embedding"), col("n1"),
+        col("qc"),
+        explode(vf.nearestCells(col("embedding"), centroids, nProbe))
+          .as("cell"))
+      .join(invList, Seq("cell"))
+      .filter(col("query_id") =!= col("id2"))
+      .withColumn("idot",
+        expr("aggregate(zip_with(qc, cc, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"))
+      .withColumn("cosine_raw", vf.dotProduct(col("embedding"), col("v2"))
+        / (col("n1") * col("n2")))
+      .select(col("query_id"), col("id2").as("neighbor_id"), col("idot"),
+        round(col("cosine_raw"), 6).as("r6"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .as[Sq8Cand]
+    cands.groupByKey(_.query_id)
+      .flatMapGroupsWithState[Long, SearchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[Sq8Cand], _: GroupState[Long]) =>
+          // Integer shortlist (idot DESC, id — exact longs, no NaN
+          // guard needed), then the exact tail's double order.
+          rows.toSeq.distinct
+            .sortBy(c => (-c.idot, c.neighbor_id)).take(shortlist)
+            .sortBy(c => (sparkDescKey(c.r6), c.neighbor_id))
+            .take(kTop).zipWithIndex.map { case (c, i) =>
+              SearchOut(qid, i + 1L, c.neighbor_id, c.cosine) }.iterator
+      }
+  }
+
   /** Ascending sort key replicating Spark's DESCENDING double order
     * inside a JVM group sort: Spark's nanSafeCompare treats NaN as the
     * LARGEST double, so `ORDER BY x DESC` ranks NaN first — a negated

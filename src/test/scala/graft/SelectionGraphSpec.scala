@@ -925,6 +925,44 @@ class SelectionGraphSpec extends AnyFunSuite {
         s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming SQ8 search serves the batch x_ann_ivfsq8 top-k exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The COMPRESSED serving half (r15): freeze the quantizer + the
+    // SQ8-coded inverted list (annServeStateSq8 — annServeState plus
+    // the one sq8Codes column), stream the gated queries split across
+    // two micro-batches plus a replay, and require row-for-row equality
+    // with x_ann_ivfsq8: the integer-dot shortlist and the exact
+    // re-rank both run in-group, so rank, neighbor, and rounded cosine
+    // must all be bitwise the batch gate's.
+    val (cents, invList) = ext.Similarity.annServeStateSq8(spark, sf)
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val (b1, b2) = qs.splitAt(qs.length / 2)
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val query = streaming.StreamOps.searchVectorsSq8(input.toDS(), cents, invList)
+      .writeStream.format("memory").queryName("ann_sq8_search_out")
+      .outputMode("append").start()
+    input.addData(b1.toSeq); query.processAllAvailable()
+    input.addData(b2.toSeq); query.processAllAvailable()
+    input.addData(qs.toSeq); query.processAllAvailable() // replay
+    query.stop()
+    val streamed = spark.table("ann_sq8_search_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = SparkEntry.queries("x_ann_ivfsq8")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(batch.nonEmpty, "batch IVF+SQ8 search emitted no rows")
+    assert(streamed == batch,
+      s"streaming SQ8 search diverged from x_ann_ivfsq8 " +
+        s"(sizes ${streamed.size}/${batch.size}): " +
+        s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming contamination screen matches the batch gate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
