@@ -110,16 +110,27 @@ object Pipeline {
     * Both artifacts are id-joined rebuilds of gated operators, so the
     * Pipeline spec asserts rebuild parity row-for-row.
     */
+  /** `planes`/`kCells` are the r15 BUILD-SCALE knobs (the SCALE.md
+    * doctrine "scale the blocking grid with the corpus" lifted to the
+    * Pipeline layer): the banding grid the central-retention chain
+    * blocks on and the quantizer cell count the score graph partitions
+    * by. Defaults are the gated operators' parameterizations (the
+    * rebuild-parity specs pin those); a 100×-grown build passes the
+    * wide grid + k ~ √N cells, which is what the deployed probe's
+    * scaled mode measures.
+    */
   def materializeVectorCorpus(spark: SparkSession, sfDir: String,
-      outDir: String): (String, String) = {
+      outDir: String,
+      planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
+      kCells: Int = 16): (String, String) = {
     val corpusPath = s"$outDir/clean_vectors"
-    ext.Similarity.xDedupEmbCorpusCentral(spark, sfDir)
+    ext.Similarity.xDedupEmbCorpusCentral(spark, sfDir, planes = planes)
       .join(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
         Seq("vec_id"))
       .repartition(col("label"))
       .write.mode("overwrite").partitionBy("label").parquet(corpusPath)
     val scoresPath = s"$outDir/vector_scores"
-    ext.Similarity.xGraphPagerankSelect(spark, sfDir)
+    ext.Similarity.xGraphPagerankSelect(spark, sfDir, kCells = kCells)
       .repartition(col("selected"))
       .write.mode("overwrite").partitionBy("selected").parquet(scoresPath)
     (corpusPath, scoresPath)
@@ -138,7 +149,9 @@ object Pipeline {
     * right shape at any corpus size.
     */
   def materializeObservability(spark: SparkSession, sfDir: String,
-      outDir: String): Map[String, String] = {
+      outDir: String,
+      planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
+      kCells: Int = 16): Map[String, String] = {
     def write(name: String, df: DataFrame): (String, String) = {
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       name -> s"$outDir/$name"
@@ -150,7 +163,10 @@ object Pipeline {
     // row-for-row against the gated audit shapes, so the published
     // artifact still IS the gated relation. Later attribution questions
     // re-run only the tail (the ScaleProbe deployed "audit_tail" row).
-    val verdDir = materializePrepVerdicts(spark, sfDir, outDir)
+    // planes/kCells are the r15 build-scale knobs (see
+    // materializeVectorCorpus) — they parameterize the VERDICT chains;
+    // the tail and the published shapes are knob-invariant.
+    val verdDir = materializePrepVerdicts(spark, sfDir, outDir, planes, kCells)
     Map(
       write("corpus_card", ext.TextAnalysis.xCorpusManifest(spark, sfDir)),
       write("corpus_audit", ext.CorpusPrep.auditRollup(
@@ -171,11 +187,13 @@ object Pipeline {
     * tail instead of a pipeline re-run. Returns the verdict directory.
     */
   def materializePrepVerdicts(spark: SparkSession, sfDir: String,
-      outDir: String): String = {
+      outDir: String,
+      planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
+      kCells: Int = 16): String = {
     import spark.implicits._
     val verdDir = s"$outDir/prep_verdicts"
     val names = (ext.CorpusPrep.prepVerdictRelations(spark, sfDir) ++
-      ext.Similarity.embPrepVerdictRelations(spark, sfDir))
+      ext.Similarity.embPrepVerdictRelations(spark, sfDir, planes, kCells))
       .map { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$verdDir/$name")
         name

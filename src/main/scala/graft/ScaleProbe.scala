@@ -211,7 +211,12 @@ object ScaleProbe {
   private def buildGrownDir(spark: SparkSession, base: String,
       work: String, nReplicas: Int): Unit = {
     val marker = new java.io.File(s"$work/_graft_grown_marker")
-    val markerWant = s"$base grown-v3 x$nReplicas"
+    // grown-v4: near-copy TARGETS are re-hashed once when the picked
+    // target is itself a near-copy (a copied copy generated a different
+    // template/noise stream, so the "copy" was near nothing — the r14
+    // ~4.75%-effective-rate dilution). Residual dilution after one
+    // re-hash: ~5% of 5% of copies ≈ 0.01% of all synthetic rows.
+    val markerWant = s"$base grown-v4 x$nReplicas"
     val reuse = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == markerWant finally src.close()
@@ -241,11 +246,19 @@ object ScaleProbe {
       // the same cohort (gen_id), then one position edited below — a
       // copy-of-a-copy reproduces the template's base stream, so edit
       // chains stay within 2 tokens of their cluster root.
+      .withColumn("gen0",
+        col("cohort") * nBase +
+          pmod(xxhash64(lit(707), col("doc_id")), lit(nBase)) + (maxId + 1L))
+      // the grown-v4 re-target: a template that is itself a near-copy
+      // (its own 606-hash fires) owns a different token stream than
+      // the one gen_id would replay — re-hash once to an original
       .withColumn("gen_id",
         when(pmod(xxhash64(lit(606), col("doc_id")), lit(20)) === 0,
-          col("cohort") * nBase +
-            pmod(xxhash64(lit(707), col("doc_id")), lit(nBase)) +
-            (maxId + 1L))
+          when(pmod(xxhash64(lit(606), col("gen0")), lit(20)) === 0,
+            col("cohort") * nBase +
+              pmod(xxhash64(lit(727), col("doc_id")), lit(nBase)) +
+              (maxId + 1L))
+            .otherwise(col("gen0")))
           .otherwise(col("doc_id")))
       .withColumn("len",
         (pmod(xxhash64(lit(101), col("gen_id")), lit(90)) + 10).cast("int"))
@@ -269,7 +282,7 @@ object ScaleProbe {
         length(col("text")).cast("long").as("n_chars"))
     docs.unionByName(synth)
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
-    // GROWN vectors (r14, grown-v3): distinct-content synthetic
+    // GROWN vectors (r14 grown-v3, re-targeted r15 grown-v4): distinct
     // embeddings by the documents' construction — each synthetic vector
     // perturbs a hash-picked base template with a COHORT-shared shift
     // plus per-vector noise (uniform ±0.15/element over 64 dims ⇒
@@ -299,11 +312,18 @@ object ScaleProbe {
     val synthV = spark.range((nReplicas - 1L) * nBaseV)
       .withColumn("vec_id", col("id") + maxVid + 1L)
       .withColumn("vcohort", expr(s"id div $nBaseV"))
+      .withColumn("vgen0",
+        col("vcohort") * nBaseV +
+          pmod(xxhash64(lit(717), col("vec_id")), lit(nBaseV)) + (maxVid + 1L))
+      // grown-v4 re-target (see the doc-side note): copy targets must
+      // be originals or the copy's template/noise stream matches nothing
       .withColumn("vgen_id",
         when(pmod(xxhash64(lit(616), col("vec_id")), lit(20)) === 0,
-          col("vcohort") * nBaseV +
-            pmod(xxhash64(lit(717), col("vec_id")), lit(nBaseV)) +
-            (maxVid + 1L))
+          when(pmod(xxhash64(lit(616), col("vgen0")), lit(20)) === 0,
+            col("vcohort") * nBaseV +
+              pmod(xxhash64(lit(727), col("vec_id")), lit(nBaseV)) +
+              (maxVid + 1L))
+            .otherwise(col("vgen0")))
           .otherwise(col("vec_id")))
       .withColumn("src_id",
         pmod(xxhash64(lit(818), col("vgen_id")), lit(nBaseV)))
@@ -444,6 +464,18 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 10
+    // "scaled" (r15): run the WORK dir's vector layers at the
+    // corpus-scaled grid — the wide banding + k ~ √N quantizer cells —
+    // per the SCALE.md doctrine (at 100× grown the FIXED 12×10/k=16
+    // parameterizations hit their measured density walls: the banded
+    // pair-distinct and the within-cell graph joins exceed single-host
+    // spill). The base dir stays at the gated defaults, so the ratio
+    // column reads "deployed cost when each corpus runs its
+    // size-appropriate grid", which is the production claim.
+    val scaled = args.length > 3 && args(3) == "scaled"
+    val workPlanes = if (scaled) ext.Similarity.tablePlanesWide
+      else ext.Similarity.tablePlanes
+    val workCells = if (scaled) 256 else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -493,19 +525,22 @@ object ScaleProbe {
       Tables.documents(spark, work), hubFps).count())
     // Full DAG rebuild (relational marts + clean corpora + training
     // corpus + vector artifacts) and the five dashboard chart plans.
-    def dag(dir: String, out: String): Double = {
+    def dag(dir: String, out: String,
+        planes: Array[Array[Array[Double]]], kCells: Int): Double = {
       val (_, t) = timed {
         val labels = Some(Pipeline.nearDupLabels(spark, dir))
         Pipeline.run(spark, dir, out, labels)
         Pipeline.materializeTrainingCorpus(spark, dir, out, labels)
-        Pipeline.materializeVectorCorpus(spark, dir, out)
+        Pipeline.materializeVectorCorpus(spark, dir, out, planes, kCells)
         Dashboard.charts(spark, dir, out).toSeq.sortBy(_._1)
           .foreach(_._2.count())
       }
       t
     }
-    val dag1 = dag(base, "/tmp/graft_dag_x1")
-    val dagN = dag(work, s"/tmp/graft_dag_x$nReplicas")
+    val dag1 = dag(base, "/tmp/graft_dag_x1",
+      ext.Similarity.tablePlanes, 16)
+    val dagN = dag(work, s"/tmp/graft_dag_x$nReplicas",
+      workPlanes, workCells)
     // The frozen-artifact SHELF build — the full once-per-corpus-build
     // cost a deployment pays before any gate runs (all 15 trainer
     // passes + parquet writes), at 1× and N×.
@@ -519,7 +554,7 @@ object ScaleProbe {
     val (_, obs1) = timed(Pipeline.materializeObservability(
       spark, base, "/tmp/graft_obs_x1"))
     val (_, obsN) = timed(Pipeline.materializeObservability(
-      spark, work, s"/tmp/graft_obs_x$nReplicas"))
+      spark, work, s"/tmp/graft_obs_x$nReplicas", workPlanes, workCells))
     // The DEPLOYED attribution tail (r14): both audits re-derived from
     // the verdict relations the observability publish just persisted —
     // the cost of answering "why did my corpus shrink?" AFTER the

@@ -42,7 +42,7 @@ object Similarity {
     * WholeStageCodegen (no per-row UDF invoke / Seq boxing), one fused
     * double loop per row.
     */
-  private lazy val tablePlanes: Array[Array[Array[Double]]] = {
+  private[graft] lazy val tablePlanes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
     Array.fill(nTables)(Array.fill(planesPerTable, dims)(rng.nextGaussian()))
   }
@@ -61,7 +61,7 @@ object Similarity {
   // keeps the historical 12×10 matrix's RNG stream untouched.
   private[ext] val nTablesWide = 24
   private[ext] val planesWide = 14
-  private lazy val tablePlanesWide: Array[Array[Array[Double]]] = {
+  private[graft] lazy val tablePlanesWide: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(4242)
     Array.fill(nTablesWide)(Array.fill(planesWide, dims)(rng.nextGaussian()))
   }
@@ -714,10 +714,12 @@ object Similarity {
   }
 
   /** CC labels over the clean banded verdicts — shared by the cluster
-    * gate and the corpus artifact so membership cannot drift. */
-  private def embClusterLabels(spark: SparkSession,
-      dir: String): DataFrame = {
-    val pairs = xDedupEmbCosineLshClean(spark, dir)
+    * gate and the corpus artifact so membership cannot drift. `planes`
+    * scales the blocking grid (the r15 Pipeline-layer knob); the gated
+    * arms keep the default. */
+  private def embClusterLabels(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val pairs = lshCleanPairsWith(spark, dir, planes)
       .select(col("id1").as("d1"), col("id2").as("d2"))
     Dedup.connectedComponents(pairs)._1
   }
@@ -735,8 +737,9 @@ object Similarity {
     * Scale shape: per-dim sums shuffle (cluster_id, pos) longs; the
     * argmax window partitions by cluster over CLUSTERED keepers only.
     */
-  def xDedupEmbKeepCentral(spark: SparkSession, dir: String): DataFrame = {
-    val labels = embClusterLabels(spark, dir)
+  def xDedupEmbKeepCentral(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val labels = embClusterLabels(spark, dir, planes)
       .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
     val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
     val members = labels.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
@@ -770,8 +773,9 @@ object Similarity {
     * x_dedup_emb_corpus_neardup exactly when a cluster's central member
     * is not its minimum id — the planted spec pins that disagreement.
     */
-  def xDedupEmbCorpusCentral(spark: SparkSession, dir: String): DataFrame = {
-    val losers = xDedupEmbKeepCentral(spark, dir)
+  def xDedupEmbCorpusCentral(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val losers = xDedupEmbKeepCentral(spark, dir, planes)
       .filter(col("kept") === 0L).select("vec_id")
     Dedup.embExactKeepers(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
@@ -1350,8 +1354,8 @@ object Similarity {
     * prototype vote must count distinct voters.
     */
   def xGraphPagerankSelect(spark: SparkSession, dir: String,
-      selectN: Int = 100): DataFrame = {
-    val pr = xGraphPagerank(spark, dir,
+      selectN: Int = 100, kCells: Int = 16): DataFrame = {
+    val pr = xGraphPagerank(spark, dir, kCells = kCells,
       srcOverride = Some(Dedup.embExactKeepers(spark, dir)))
     val cut = pr.orderBy(desc("score_e9"), col("vec_id")).limit(selectN)
       .orderBy(col("score_e9"), desc("vec_id")).limit(1)
@@ -1592,10 +1596,11 @@ object Similarity {
     * derivation the survivor anti-join consumed (never a second run of
     * the banded chain, the heaviest stage).
     */
-  private def fullPrepSemStage(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val (surv, bandLosers) = embPrepCleanStage(spark, dir)
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+  private def fullPrepSemStage(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    val (surv, bandLosers) = embPrepCleanStage(spark, dir, planes)
+    val cents = lloydCentroids(surv, kCells, 1, hashSpread = true)
     val assigned = withVecNorm(surv).withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
@@ -1654,8 +1659,11 @@ object Similarity {
     * embeddings never ride into the attribution artifacts.
     */
   private[graft] def embPrepVerdictRelations(spark: SparkSession,
-      dir: String): Seq[(String, DataFrame)] = {
-    val (assigned, semLosers, bandLosers) = fullPrepSemStage(spark, dir)
+      dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): Seq[(String, DataFrame)] = {
+    val (assigned, semLosers, bandLosers) =
+      fullPrepSemStage(spark, dir, planes, kCells)
     val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
     val capLosers = cappedRanks(
         sem.select(col("vec_id"), col("embedding"), col("cell")))
@@ -2571,10 +2579,12 @@ object Similarity {
     "x_dedup_emb_corpus_neardup" -> (xDedupEmbCorpusNearDup _),
     // SemDeDup's keep policy: per cluster, retain the member closest to
     // the exact-integer cluster centroid (ties to lower id).
-    "x_dedup_emb_keep_central" -> (xDedupEmbKeepCentral _),
+    "x_dedup_emb_keep_central" -> ((s: SparkSession, d: String) =>
+      xDedupEmbKeepCentral(s, d)),
     // The corpus artifact under the production retention: keepers minus
     // the keep-central rejects (vs _neardup's min-id retention).
-    "x_dedup_emb_corpus_central" -> (xDedupEmbCorpusCentral _))
+    "x_dedup_emb_corpus_central" -> ((s: SparkSession, d: String) =>
+      xDedupEmbCorpusCentral(s, d)))
 
   /** The DuckDB twin of xAnnLsh. The operator is fully deterministic —
     * seed-42 hyperplanes, sign-of-dot signatures, fixed probe masks — so
