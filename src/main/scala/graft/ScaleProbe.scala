@@ -405,6 +405,48 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** The graph-consuming preps at SCALED knob values — the k ~ √N
+    * doctrine applied to curated/proto, whose within-cell kNN pair
+    * join is the family's quadratic-risk stage: times
+    * xEmbCorpusPrepCurated/Proto at (tablePlanesWide, kCells) over the
+    * N×-grown corpus, the configuration a deployment at that size
+    * actually runs. The constructions' CORRECTNESS is pinned by the
+    * gated t24p14k64 arms' oracles; this probe exists so the 100×
+    * walls row cites the right knob value (k ≈ √200k ≈ 450) instead
+    * of probing a fixed-k gate past its documented density wall.
+    * Usage: runMain graft.ScaleProbe prepknob [base] [work] [replicas]
+    * [kCells]
+    */
+  private def prepKnobMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_grownprobe"
+    val nReplicas = if (args.length > 2) args(2).toInt else 100
+    val kCells = if (args.length > 3) args(3).toInt else 256
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildGrownDir(spark, base, work, nReplicas)
+    def time(f: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = f.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (cw, cn) = time(ext.Similarity.xEmbCorpusPrepCurated(spark, work,
+      planes = ext.Similarity.tablePlanesWide, kCells = kCells))
+    val (pw, pn) = time(ext.Similarity.xEmbCorpusPrepProto(spark, work,
+      planes = ext.Similarity.tablePlanesWide, kCells = kCells))
+    println(f"""{"prepknob":{"curated":{"wall":$cw%.2f,"rows":$cn},"proto":{"wall":$pw%.2f,"rows":$pn}},"kCells":$kCells,"replicas":$nReplicas}""")
+    spark.stop()
+  }
+
   /** The 100×-recall probe (the r11 verdict's task #7): the production
     * ANN shapes' recall gates re-run on the N× corpus — inverted lists
     * and code cells N× fuller. Two regimes: REPLICATION (default —
@@ -592,6 +634,7 @@ object ScaleProbe {
     // text family (see grownMain). "recall" mode: the production ANN
     // shapes' recall gates at N× replication (see recallMain).
     if (args.headOption.contains("grown")) return grownMain(args.drop(1))
+    if (args.headOption.contains("prepknob")) return prepKnobMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"

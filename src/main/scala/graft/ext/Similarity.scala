@@ -1492,12 +1492,14 @@ object Similarity {
     * the clean prep keeps a cluster's minimum id, this arm keeps its
     * central member instead.
     */
-  def xEmbCorpusPrepCentral(spark: SparkSession, dir: String): DataFrame = {
-    val losers = xDedupEmbKeepCentral(spark, dir)
+  def xEmbCorpusPrepCentral(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): DataFrame = {
+    val losers = xDedupEmbKeepCentral(spark, dir, planes)
       .filter(col("kept") === 0L).select("vec_id")
     val surv = Dedup.embExactKeepers(spark, dir)
       .join(losers, Seq("vec_id"), "left_anti")
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val cents = lloydCentroids(surv, kCells, 1, hashSpread = true)
     capAndQuantize(surv.select(col("vec_id"), col("embedding"),
       VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
   }
@@ -1728,13 +1730,15 @@ object Similarity {
     * selection-before-cleaning ordering argument the text pipeline
     * pins); the exclusion and leak anti-joins are id-only.
     */
-  def xEmbCorpusPrepDecon(spark: SparkSession, dir: String): DataFrame = {
+  def xEmbCorpusPrepDecon(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): DataFrame = {
     val leak = xEmbContamination(spark, dir)
       .select(col("train_id").as("vec_id")).distinct()
-    val surv = embPrepSurvivorsClean(spark, dir)
+    val surv = embPrepSurvivorsClean(spark, dir, planes)
       .filter(TextAnalysis.md5Bucket(100, col("vec_id")) >= 10)
       .join(leak, Seq("vec_id"), "left_anti")
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val cents = lloydCentroids(surv, kCells, 1, hashSpread = true)
     capAndQuantize(surv.select(col("vec_id"), col("embedding"),
       VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
   }
@@ -1767,8 +1771,9 @@ object Similarity {
     */
   def xEmbCorpusPrepCurated(spark: SparkSession, dir: String,
       kNeighbors: Int = 5,
-      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
-    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors, planes)
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): DataFrame = {
+    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors, planes, kCells)
     val nn = topk.select(col("id1").as("vec_id"), col("cos_sim"))
     val dens = knnDensity(nn).select("vec_id", "density_e4")
     val wc = org.apache.spark.sql.expressions.Window
@@ -1797,8 +1802,9 @@ object Similarity {
     */
   def xEmbCorpusPrepProto(spark: SparkSession, dir: String,
       kNeighbors: Int = 5,
-      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
-    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors, planes)
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): DataFrame = {
+    val (assigned, topk) = prepCellTopK(spark, dir, kNeighbors, planes, kCells)
     val edges = topk.select(col("id1").as("src"), col("id2").as("dst"))
     val scores = pagerankLoop(edges, assigned.select("vec_id"), 3,
       weighted = false)
@@ -1823,10 +1829,11 @@ object Similarity {
     */
   private def prepCellTopK(spark: SparkSession, dir: String,
       kNeighbors: Int,
-      planes: Array[Array[Array[Double]]] = tablePlanes)
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16)
       : (DataFrame, DataFrame) = {
     val surv = embPrepSurvivorsClean(spark, dir, planes)
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val cents = lloydCentroids(surv, kCells, 1, hashSpread = true)
     val assigned = withVecNorm(surv).withColumn("cell",
       VectorFunctions.nearestCentroid(col("embedding"), cents)).persist()
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
@@ -2456,10 +2463,12 @@ object Similarity {
     "x_emb_corpus_prep_full" -> (xEmbCorpusPrepFull _),
     // The decontaminated prep: clean staging + eval-holdout exclusion
     // + contamination-leak removal before the quantizer/cap/int8 tail.
-    "x_emb_corpus_prep_decon" -> (xEmbCorpusPrepDecon _),
+    "x_emb_corpus_prep_decon" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepDecon(s, d)),
     // The retention-policy swap inside the prep: cluster + keep-central
     // survivors feed the quantizer (the keepbest-composition idiom).
-    "x_emb_corpus_prep_central" -> (xEmbCorpusPrepCentral _),
+    "x_emb_corpus_prep_central" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepCentral(s, d)),
     // The curation-aware prep: the density-select DIVERSITY policy at
     // the cap position — per-cell survivors retained least-dense-first
     // (one kNN-graph + density pass over the clean staging's quantizer
@@ -2471,6 +2480,16 @@ object Similarity {
     // the shared integer pagerank loop) — the curated arm's mirror.
     "x_emb_corpus_prep_proto" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepProto(s, d)),
+    // The graph-consuming preps at BOTH scale knobs (the k ~ √N + wider-
+    // banding doctrine composed together): curated/proto add a within-
+    // cell kNN pair join on top of the clean staging, so at 100× grown
+    // they need the 24×14 grid (banded staging density) AND 4× the
+    // cells (pair-join block size) — one parameterization, zero new
+    // chains; the planted disagreement specs re-run on these arms.
+    "x_emb_corpus_prep_curated_t24p14k64" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepCurated(s, d, planes = tablePlanesWide, kCells = 64)),
+    "x_emb_corpus_prep_proto_t24p14k64" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepProto(s, d, planes = tablePlanesWide, kCells = 64)),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
@@ -2999,8 +3018,10 @@ object Similarity {
     * text as every other prep twin — each spliced piece is the one its
     * standalone gate pins, so the curated cut cannot drift.
     */
-  private def embCorpusPrepCuratedOracleSql(kNeighbors: Int = 5): String =
-    s"""${knnGraphCtes(16, 1, "surv", embCleanSurvPrelude(),
+  private def embCorpusPrepCuratedOracleSql(kNeighbors: Int = 5,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): String =
+    s"""${knnGraphCtes(kCells, 1, "surv", embCleanSurvPrelude(planes = planes),
          hashSpread = true)},
        |${densityCtes(kNeighbors)},
        |bkt AS (
@@ -3029,8 +3050,10 @@ object Similarity {
     * re-ordered by (score_e9 DESC, vec_id) and the common qz/int8
     * tail.
     */
-  private def embCorpusPrepProtoOracleSql(kNeighbors: Int = 5): String =
-    s"""${knnGraphCtes(16, 1, "surv", embCleanSurvPrelude(),
+  private def embCorpusPrepProtoOracleSql(kNeighbors: Int = 5,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): String =
+    s"""${knnGraphCtes(kCells, 1, "surv", embCleanSurvPrelude(planes = planes),
          hashSpread = true)},
        |edg AS MATERIALIZED (
        |  SELECT vec_id AS src, nn_id AS dst,
@@ -3841,6 +3864,10 @@ object Similarity {
       embCorpusPrepOracleSql(clean = true, decon = true),
     "x_emb_corpus_prep_curated" -> embCorpusPrepCuratedOracleSql(),
     "x_emb_corpus_prep_proto" -> embCorpusPrepProtoOracleSql(),
+    "x_emb_corpus_prep_curated_t24p14k64" ->
+      embCorpusPrepCuratedOracleSql(planes = tablePlanesWide, kCells = 64),
+    "x_emb_corpus_prep_proto_t24p14k64" ->
+      embCorpusPrepProtoOracleSql(planes = tablePlanesWide, kCells = 64),
     "x_emb_corpus_prep_audit" -> embCorpusPrepAuditOracleSql,
     "x_emb_drift" -> embDriftOracleSql,
     // SemDeDup twin: shared quantizer chain, vectors joined back to

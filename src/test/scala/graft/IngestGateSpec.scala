@@ -1001,6 +1001,18 @@ class IngestGateSpec extends AnyFunSuite {
     assert(!curated(fStar) && dIds.forall(id => !curated(id)),
       "density cap kept a crowded member the diversity policy must prune")
     assert(curated != clean, "the two retention policies must disagree")
+    // The parameterized arm (r15): the same planted verdicts must
+    // replay on the wide-banding knob — no planted cosine reaches the
+    // 0.8 banding threshold, so swapping the 12×10 grid for 24×14
+    // changes bucket layout but NOT the clean survivors, the cells, or
+    // the density cap. kCells stays 16 (the fixture engineers exactly
+    // 16 hash-spread seeds); the kCells knob's semantics are pinned by
+    // the gated k64 arms' oracle twins.
+    val curatedWide = ext.Similarity.xEmbCorpusPrepCurated(spark, tmp,
+        planes = ext.Similarity.tablePlanesWide).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(curatedWide == curated,
+      "wide-banding curated arm drifted from the fixed grid on a corpus with no near-dups")
   }
 
   test("proto prep caps by centrality — the mirror of the curated density cap") {
@@ -1055,6 +1067,14 @@ class IngestGateSpec extends AnyFunSuite {
     assert(proto != curated, "the two retention policies must disagree")
     // both caps keep singleton fillers (isolated cells are rank 1)
     assert(fillers.tail.forall(id => proto(id) && curated(id)))
+    // The parameterized arm (r15): the centrality verdicts replay on
+    // the wide-banding knob (no planted cosine crosses 0.8 — the grid
+    // swap is semantics-neutral here; see the curated spec's note).
+    val protoWide = ext.Similarity.xEmbCorpusPrepProto(spark, tmp,
+        planes = ext.Similarity.tablePlanesWide).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(protoWide == proto,
+      "wide-banding proto arm drifted from the fixed grid on a corpus with no near-dups")
   }
 
   test("density select keeps the sparse and drops the crowded, integer-exact") {
