@@ -208,6 +208,15 @@ object ScaleProbe {
     * perturbed vectors + ~5% near-copies — see the construction note
     * below); everything else symlinks to the base dir.
     */
+  /** The grown dir's provenance string — ONE definition so builders
+    * (buildGrownDir's reuse check) and consumers that take a grown dir
+    * AS-IS (deployedMain) verify the same (base, synthesis version,
+    * replica count); a stale-version or wrong-N dir then fails loudly
+    * instead of being silently measured under the wrong regime label.
+    */
+  private def grownMarkerWant(base: String, nReplicas: Int): String =
+    s"$base grown-v4 x$nReplicas"
+
   private def buildGrownDir(spark: SparkSession, base: String,
       work: String, nReplicas: Int): Unit = {
     val marker = new java.io.File(s"$work/_graft_grown_marker")
@@ -216,7 +225,7 @@ object ScaleProbe {
     // template/noise stream, so the "copy" was near nothing — the r14
     // ~4.75%-effective-rate dilution). Residual dilution after one
     // re-hash: ~5% of 5% of copies ≈ 0.01% of all synthetic rows.
-    val markerWant = s"$base grown-v4 x$nReplicas"
+    val markerWant = grownMarkerWant(base, nReplicas)
     val reuse = marker.exists() && {
       val src = scala.io.Source.fromFile(marker)
       try src.mkString.trim == markerWant finally src.close()
@@ -243,9 +252,10 @@ object ScaleProbe {
       .withColumn("doc_id", col("id") + maxId + 1L)
       .withColumn("cohort", expr(s"id div $nBase"))
       // ~5% near-copies: token stream generated from a TEMPLATE doc in
-      // the same cohort (gen_id), then one position edited below — a
-      // copy-of-a-copy reproduces the template's base stream, so edit
-      // chains stay within 2 tokens of their cluster root.
+      // the same cohort (gen_id), then one position edited below — the
+      // template must be an ORIGINAL for the copy to be near anything
+      // (a template that is itself a near-copy owns a different
+      // template/noise stream), hence the grown-v4 re-target below.
       .withColumn("gen0",
         col("cohort") * nBase +
           pmod(xxhash64(lit(707), col("doc_id")), lit(nBase)) + (maxId + 1L))
@@ -531,9 +541,20 @@ object ScaleProbe {
     // A work dir carrying a grown-corpus marker is used AS-IS: the
     // deployed shapes then measure the GROWTH regime (distinct
     // content) instead of replication — never overwrite a grown dir
-    // with replicas.
+    // with replicas. The marker CONTENT must match this run's (base,
+    // synthesis version, N) exactly — a stale grown-v3 or wrong-N dir
+    // would otherwise be silently measured and mis-cited against the
+    // current regime's SCALE.md rows.
     val grownMarker = new java.io.File(s"$work/_graft_grown_marker")
-    if (!grownMarker.exists()) buildReplicaDir(spark, base, work, nReplicas)
+    val grownRegime = grownMarker.exists()
+    if (grownRegime) {
+      val src = scala.io.Source.fromFile(grownMarker)
+      val got = try src.mkString.trim finally src.close()
+      require(got == grownMarkerWant(base, nReplicas),
+        s"grown work dir marker is '$got' but this run expects " +
+          s"'${grownMarkerWant(base, nReplicas)}' — rebuild the dir " +
+          "(ScaleProbe grown) before measuring deployed shapes on it")
+    } else buildReplicaDir(spark, base, work, nReplicas)
     def timed[T](f: => T): (T, Double) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -617,7 +638,13 @@ object ScaleProbe {
       f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f},""" +
       f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f},""" +
       f""""audit_tail":{"x1":$tail1%.2f,"x$nReplicas%d":$tailN%.2f,"ratio":${tailN / tail1}%.1f}},""" +
-      f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas}""")
+      f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas,""" +
+      // Provenance: the driver artifact keeps only the tail of the
+      // output, so the regime (replication vs grown) and the vector
+      // grid the work dir ran at must ride the JSON line itself —
+      // a scaled (wide-banding, k~√N) reading adjudicated against a
+      // fixed-grid band (or vice versa) is a false regression.
+      f""""regime":"${if (grownRegime) "grown" else "replicated"}","scaled":$scaled,"work_kcells":$workCells}""")
     spark.stop()
   }
 
@@ -628,7 +655,8 @@ object ScaleProbe {
     // rebuild — the shapes a production system actually pays per
     // ingest/refresh, vs the gated queries' train-composed audit
     // shapes. Usage: runMain graft.ScaleProbe deployed [base] [work]
-    // [replicas]
+    // [replicas] [scaled]  (4th arg "scaled" runs the work dir's
+    // vector layers at tablePlanesWide + k=256)
     if (args.headOption.contains("deployed")) return deployedMain(args.drop(1))
     // "grown" mode: N× DISTINCT-content growth for the df-windowed
     // text family (see grownMain). "recall" mode: the production ANN

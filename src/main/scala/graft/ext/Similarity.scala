@@ -676,8 +676,9 @@ object Similarity {
     * joins — membership is a pure function of the id, so no new
     * shuffle wider than the verdict pairs themselves.
     */
-  def xEmbContamination(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = xDedupEmbCosineLshClean(spark, dir)
+  def xEmbContamination(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+    val pairs = lshCleanPairsWith(spark, dir, planes)
     val ev = Dedup.embExactKeepers(spark, dir).select(col("vec_id"),
       (TextAnalysis.md5Bucket(100, col("vec_id")) < 10).as("is_eval"))
     pairs
@@ -1558,9 +1559,10 @@ object Similarity {
     * arm and the base prep can only differ by the dedup staging.
     */
   def xEmbCorpusPrepClean(spark: SparkSession, dir: String,
-      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): DataFrame = {
     val surv = embPrepSurvivorsClean(spark, dir, planes)
-    val cents = lloydCentroids(surv, 16, 1, hashSpread = true)
+    val cents = lloydCentroids(surv, kCells, 1, hashSpread = true)
     capAndQuantize(surv.select(col("vec_id"), col("embedding"),
       VectorFunctions.nearestCentroid(col("embedding"), cents).as("cell")))
   }
@@ -1585,8 +1587,10 @@ object Similarity {
     * gated operator's verdict; every stage's 100×-replication cost is
     * individually measured (1.0×/1.0×/2.0×-shaped chains — SCALE.md).
     */
-  def xEmbCorpusPrepFull(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, semLosers, _) = fullPrepSemStage(spark, dir)
+  def xEmbCorpusPrepFull(spark: SparkSession, dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes,
+      kCells: Int = 16): DataFrame = {
+    val (assigned, semLosers, _) = fullPrepSemStage(spark, dir, planes, kCells)
     val sem = assigned.join(semLosers, Seq("vec_id"), "left_anti")
     capAndQuantize(sem.select(col("vec_id"), col("embedding"), col("cell")))
   }
@@ -1733,7 +1737,7 @@ object Similarity {
   def xEmbCorpusPrepDecon(spark: SparkSession, dir: String,
       planes: Array[Array[Array[Double]]] = tablePlanes,
       kCells: Int = 16): DataFrame = {
-    val leak = xEmbContamination(spark, dir)
+    val leak = xEmbContamination(spark, dir, planes)
       .select(col("train_id").as("vec_id")).distinct()
     val surv = embPrepSurvivorsClean(spark, dir, planes)
       .filter(TextAnalysis.md5Bucket(100, col("vec_id")) >= 10)
@@ -2460,7 +2464,8 @@ object Similarity {
     // The PRODUCTION vector pipeline: collapse -> banded clean dedup ->
     // frozen survivor quantizer -> within-cell SemDeDup -> cap/int8 --
     // the vector-side twin of x_llm_corpus_prep_full.
-    "x_emb_corpus_prep_full" -> (xEmbCorpusPrepFull _),
+    "x_emb_corpus_prep_full" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepFull(s, d)),
     // The decontaminated prep: clean staging + eval-holdout exclusion
     // + contamination-leak removal before the quantizer/cap/int8 tail.
     "x_emb_corpus_prep_decon" -> ((s: SparkSession, d: String) =>
@@ -2490,6 +2495,14 @@ object Similarity {
       xEmbCorpusPrepCurated(s, d, planes = tablePlanesWide, kCells = 64)),
     "x_emb_corpus_prep_proto_t24p14k64" -> ((s: SparkSession, d: String) =>
       xEmbCorpusPrepProto(s, d, planes = tablePlanesWide, kCells = 64)),
+    // The decontaminated prep at the same two knobs: its leak stage is
+    // the banded contamination chain, so the grid parameter must reach
+    // BOTH the clean staging and the leak verdicts (one `planes`
+    // through xEmbContamination — the twin's leak CTE reuses the
+    // prelude's banded candidates, keeping the two sides aligned by
+    // construction).
+    "x_emb_corpus_prep_decon_t24p14k64" -> ((s: SparkSession, d: String) =>
+      xEmbCorpusPrepDecon(s, d, planes = tablePlanesWide, kCells = 64)),
     "x_dedup_emb_cosine_lsh" -> (xDedupEmbCosineLsh _),
     "x_dedup_emb_cosine_lsh_admit" -> (xDedupEmbCosineLshAdmit _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => xDedupSemantic(s, d)),
@@ -2589,7 +2602,8 @@ object Similarity {
     // Embedding-space eval decontamination: train keepers too close
     // (clean banded verdict >= 0.8) to an md5-holdout eval keeper —
     // the semantic-leak class n-gram decontamination misses.
-    "x_emb_contamination" -> (xEmbContamination _),
+    "x_emb_contamination" -> ((s: SparkSession, d: String) =>
+      xEmbContamination(s, d)),
     // The vector twin of x_dedup_cluster: transitive closure over the
     // clean banded verdicts, min-id cluster labels + sizes.
     "x_dedup_emb_cluster" -> (xDedupEmbCluster _),
@@ -3260,7 +3274,7 @@ object Similarity {
     // owns `e`) and `ke` member aliases (the fold lambda owns `x`).
     val centralPrelude =
       s"""$embKeeperCte,
-         |${lshCorpusCtes("uq", prefix = "x")},
+         |${lshCorpusCtes("uq", prefix = "x", planes = planes)},
          |xcd AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM xcorpus a JOIN xcorpus b
@@ -3868,6 +3882,9 @@ object Similarity {
       embCorpusPrepCuratedOracleSql(planes = tablePlanesWide, kCells = 64),
     "x_emb_corpus_prep_proto_t24p14k64" ->
       embCorpusPrepProtoOracleSql(planes = tablePlanesWide, kCells = 64),
+    "x_emb_corpus_prep_decon_t24p14k64" ->
+      embCorpusPrepOracleSql(clean = true, decon = true, k = 64,
+        planes = tablePlanesWide),
     "x_emb_corpus_prep_audit" -> embCorpusPrepAuditOracleSql,
     "x_emb_drift" -> embDriftOracleSql,
     // SemDeDup twin: shared quantizer chain, vectors joined back to
