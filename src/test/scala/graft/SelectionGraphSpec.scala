@@ -351,6 +351,20 @@ class SelectionGraphSpec extends AnyFunSuite {
       .collect()
     assert(deconBuckets.forall(_.getLong(1) >= 10),
       "an eval-holdout id survived into the decontaminated corpus")
+    // The parameterized arm (r15): the leak and holdout drops replay
+    // at (tablePlanesWide, k=64) — the planted pair sits at cosine
+    // ≈ 1.0 (the crawl band, collision ~1.0 under either grid), and
+    // both claims are id-based (leak verdict + md5 bucket), never
+    // cap-layout-based, so the knob swap cannot move them.
+    val deconWide = ext.Similarity.xEmbCorpusPrepDecon(spark, tmp,
+        planes = ext.Similarity.tablePlanesWide, kCells = 64).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(!deconWide.contains(trainId),
+      "wide-arm decon must drop the leaking train keeper")
+    assert(deconWide.toSeq.toDF("vec_id")
+        .withColumn("b", ext.TextAnalysis.md5Bucket(100, col("vec_id")))
+        .collect().forall(_.getLong(1) >= 10),
+      "an eval-holdout id survived the wide-arm decontaminated corpus")
   }
 
   test("streaming embedding near-dup emits batch candidates incl. planted trio") {
