@@ -390,7 +390,7 @@ object Pipeline {
     */
   private[graft] val shelfGroups: Vector[String] = Vector("bpe",
     "keepbest", "winnow", "span", "hub", "mix", "sample",
-    "contamination", "ivf", "pq", "dsir", "nb", "diff")
+    "contamination", "ivf", "pq", "dsir", "nb", "diff", "serve")
 
   private def shelfGroup(spark: SparkSession, sfDir: String, group: String)
       : (Seq[(String, DataFrame)], Seq[(String, Long)]) = {
@@ -468,6 +468,25 @@ object Pipeline {
             ext.CorpusPrep.trainingCorpus(spark, sfDir).select("doc_id"),
           "art_corpus_v2_members" ->
             ext.CorpusPrep.fullCorpus(spark, sfDir).select("doc_id")), Nil)
+      case "serve" =>
+        // The frozen ANN SERVING index (r15): the full-corpus coarse
+        // quantizer's centroids + the SQ8-coded cell-partitioned
+        // inverted list — the state the streaming search gates consume
+        // (StreamOps.searchVectors / searchVectorsSq8), persisted so a
+        // serving deployment LOADS its frozen index through the stamp
+        // guard (Similarity.annServeStateFromArtifacts) instead of
+        // recomputing it per process. One relation pair serves BOTH
+        // gates: the int8 codes ride the same inverted-list rows as
+        // the raw vectors (the annServeStateSq8 construction — integer
+        // shortlist over `cc`, exact re-rank over `v2`).
+        val (cents, inv) = ext.Similarity.annServeStateSq8(spark, sfDir)
+        (Seq(
+          "art_serve_centroids" ->
+            cents.zipWithIndex.flatMap { case (c, cell) =>
+              c.zipWithIndex.map { case (v, pos) =>
+                (cell.toLong, pos.toLong, v) }
+            }.toSeq.toDF("cell", "pos", "value"),
+          "art_serve_inverted" -> inv), Nil)
       case other => throw new IllegalArgumentException(
         s"unknown shelf group: $other (one of ${shelfGroups.mkString(", ")})")
     }

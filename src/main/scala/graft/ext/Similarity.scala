@@ -1192,6 +1192,29 @@ object Similarity {
     (cents, inv.withColumn("cc", sq8Codes("v2")))
   }
 
+  /** The DEPLOYED serving state: annServeStateSq8's (centroids,
+    * inverted list) loaded back from the STAMPED relations the shelf's
+    * `serve` group persists (Pipeline.shelfGroup) — the frozen index a
+    * serving process ships with, version-skew-guarded like every other
+    * artifact (ArtifactShelf.table verifies count + fingerprint on
+    * load, the r12 guard). The centroid collect is bounded (k×dims
+    * rows); the inverted list stays a cell-partitioned relation whose
+    * rows carry BOTH the raw vectors (exact re-rank) and the int8
+    * codes (integer shortlist), so ONE load serves searchVectors AND
+    * searchVectorsSq8 — parity-spec'd row-for-row against the
+    * live-state gates.
+    */
+  private[graft] def annServeStateFromArtifacts(spark: SparkSession,
+      shelfDir: String): (Array[Array[Double]], DataFrame) = {
+    val crows = graft.ArtifactShelf.table(spark, shelfDir,
+      "art_serve_centroids").collect()
+    val cents = crows.groupBy(_.getAs[Long]("cell")).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[Double]("value")).toArray).toArray
+    (cents,
+      graft.ArtifactShelf.table(spark, shelfDir, "art_serve_inverted"))
+  }
+
   /** Density-based diversity selection over the kNN graph — the
     * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"
     * position): every vector's density is the basis-point mean of its

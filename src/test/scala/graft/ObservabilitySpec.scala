@@ -131,7 +131,8 @@ class ObservabilitySpec extends AnyFunSuite {
       "art_contamination_eval_index", "art_ivf_centroids",
       "art_pq_codebooks", "art_dsir_ratios", "art_dsir_consts",
       "art_nb_classes", "art_nb_terms", "art_corpus_v1_members",
-      "art_corpus_v2_members", "art_splits", "art_build_stamp")
+      "art_corpus_v2_members", "art_serve_centroids",
+      "art_serve_inverted", "art_splits", "art_build_stamp")
     assert(counts.keySet == expected,
       s"shelf incomplete: missing=${expected -- counts.keySet} " +
         s"extra=${counts.keySet -- expected}")
@@ -139,10 +140,15 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(counts("art_dsir_consts") == 1L)
     assert(counts("art_splits") == 6L)
     // One stamp row per (non-stamp) artifact — the skew guard's ledger.
-    assert(counts("art_build_stamp") == 18L)
+    assert(counts("art_build_stamp") == 20L)
     // IVF: 16 cells × 64 dims; PQ: 8 subspaces × 16 cells × 8 dims.
     assert(counts("art_ivf_centroids") == 16L * 64L)
     assert(counts("art_pq_codebooks") == 8L * 16L * 8L)
+    // Serving index (r15): full-corpus quantizer + one inverted-list
+    // row per corpus vector.
+    assert(counts("art_serve_centroids") == 16L * 64L)
+    assert(counts("art_serve_inverted") ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
     // Spot roundtrip: the persisted keepers relation is the state
     // builder's, row for row.
     val persisted = spark.read.parquet(s"$tmp/art_keepbest_keepers")

@@ -977,6 +977,58 @@ class SelectionGraphSpec extends AnyFunSuite {
         s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("artifact-loaded serving index replays both ANN search gates exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The DEPLOYED serving shape (r15): the shelf's `serve` group
+    // persists the frozen index (centroids + SQ8-coded inverted list);
+    // a serving process loads it back through the stamp guard and must
+    // emit row-for-row what the live-state gates emit — for BOTH the
+    // uncompressed walk (vs batch x_ann_ivf) and the compressed
+    // shortlist + exact re-rank (vs batch x_ann_ivfsq8). One loaded
+    // relation serves both because the codes ride the same rows.
+    val (liveCents, _) = ext.Similarity.annServeStateSq8(spark, sf)
+    val (cents, invList) =
+      ext.Similarity.annServeStateFromArtifacts(spark, GraftTest.shelf._1)
+    assert(cents.map(_.toSeq).toSeq == liveCents.map(_.toSeq).toSeq,
+      "centroids drifted through the artifact round-trip")
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    def streamed(name: String,
+        run: org.apache.spark.sql.Dataset[streaming.StreamOps.VecIn]
+          => org.apache.spark.sql.Dataset[streaming.StreamOps.SearchOut])
+        : Set[(Long, Long, Long, Double)] = {
+      val input = MemoryStream[streaming.StreamOps.VecIn]
+      val query = run(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(qs.toSeq); query.processAllAvailable()
+      query.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    def batchRows(key: String): Set[(Long, Long, Long, Double)] =
+      SparkEntry.queries(key)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val ivfArt = streamed("ann_search_art_out",
+      in => streaming.StreamOps.searchVectors(in, cents, invList))
+    val ivfBatch = batchRows("x_ann_ivf")
+    assert(ivfBatch.nonEmpty && ivfArt == ivfBatch,
+      s"artifact-served IVF search diverged from x_ann_ivf " +
+        s"(sizes ${ivfArt.size}/${ivfBatch.size})")
+    val sq8Art = streamed("ann_sq8_search_art_out",
+      in => streaming.StreamOps.searchVectorsSq8(in, cents, invList))
+    val sq8Batch = batchRows("x_ann_ivfsq8")
+    assert(sq8Batch.nonEmpty && sq8Art == sq8Batch,
+      s"artifact-served SQ8 search diverged from x_ann_ivfsq8 " +
+        s"(sizes ${sq8Art.size}/${sq8Batch.size})")
+  }
+
   test("streaming contamination screen matches the batch gate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
