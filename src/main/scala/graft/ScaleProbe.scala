@@ -605,7 +605,7 @@ object ScaleProbe {
     val dagN = dag(work, s"/tmp/graft_dag_x$nReplicas",
       workPlanes, workCells)
     // The frozen-artifact SHELF build — the full once-per-corpus-build
-    // cost a deployment pays before any gate runs (all 15 trainer
+    // cost a deployment pays before any gate runs (every group's trainer
     // passes + parquet writes), at 1× and N×.
     val (_, shelf1) = timed(Pipeline.materializeFrozenArtifacts(
       spark, base, "/tmp/graft_shelf_x1"))
@@ -631,13 +631,44 @@ object ScaleProbe {
     }._2
     val tail1 = auditTail(base, "/tmp/graft_obs_x1")
     val tailN = auditTail(work, s"/tmp/graft_obs_x$nReplicas")
+    // COLD ANN serving (r15): a fresh serving process loads the frozen
+    // index from the shelf just built (the stamped `serve` relations —
+    // stamp-verified read + the bounded centroid collect) and answers
+    // its first 10-query micro-batch through the compressed gate
+    // (searchVectorsSq8 — the index a deployment actually ships). One
+    // number per corpus: index load + first batch, the cold-start
+    // cost; steady-state per-batch cost is strictly smaller.
+    def serveCold(dir: String, shelfDir: String, tag: String): Double = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+          r.getSeq[Float](1).toArray))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val (cents, inv) =
+        ext.Similarity.annServeStateFromArtifacts(spark, shelfDir)
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[streaming.StreamOps.VecIn]
+      val q = streaming.StreamOps.searchVectorsSq8(input.toDS(), cents, inv)
+        .writeStream.format("memory").queryName(s"serve_cold_$tag")
+        .outputMode("append").start()
+      input.addData(qs.toSeq); q.processAllAvailable(); q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val serve1 = serveCold(base, "/tmp/graft_shelf_x1", "x1")
+    val serveN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
+      s"x$nReplicas")
     println(
       f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
       f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
       f""""dag_rebuild":{"x1":$dag1%.2f,"x$nReplicas%d":$dagN%.2f,"ratio":${dagN / dag1}%.1f},""" +
       f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f},""" +
       f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f},""" +
-      f""""audit_tail":{"x1":$tail1%.2f,"x$nReplicas%d":$tailN%.2f,"ratio":${tailN / tail1}%.1f}},""" +
+      f""""audit_tail":{"x1":$tail1%.2f,"x$nReplicas%d":$tailN%.2f,"ratio":${tailN / tail1}%.1f},""" +
+      f""""serve_cold":{"x1":$serve1%.2f,"x$nReplicas%d":$serveN%.2f,"ratio":${serveN / serve1}%.1f}},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas,""" +
       // Provenance: the driver artifact keeps only the tail of the
       // output, so the regime (replication vs grown) and the vector
