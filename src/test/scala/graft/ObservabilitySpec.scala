@@ -302,6 +302,21 @@ class ObservabilitySpec extends AnyFunSuite {
       == ArtifactShelf.table(spark, shelfDir, "art_span_admit_index").count())
     assert(ArtifactShelf.table(spark, dir, "art_nb_terms").count() > 0,
       "untouched artifact must still load through the guard")
+    // The serve group (r15): a refresh rebuilds BOTH index relations
+    // together (centroids + inverted list — the skew the stamp guards
+    // against is exactly a list regenerated against older centroids),
+    // and the reloaded state reproduces the live trainer bitwise.
+    val refreshedServe = Pipeline.refreshShelfGroup(spark, sf, dir, "serve")
+    assert(refreshedServe.keySet ==
+      Set("art_serve_centroids", "art_serve_inverted"))
+    val (artCents, artInv) =
+      ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val (liveCents, _) = ext.Similarity.annServeStateSq8(spark, sf)
+    assert(artCents.map(_.toSeq).toSeq == liveCents.map(_.toSeq).toSeq,
+      "refreshed serve centroids diverge from the trainer's")
+    assert(artInv.count() ==
+      ArtifactShelf.table(spark, shelfDir, "art_serve_inverted").count(),
+      "refreshed inverted list lost rows vs the shared shelf's")
   }
 
   test("NB and DSIR plans carry at most the single Nth-cutoff nested-loop join") {
