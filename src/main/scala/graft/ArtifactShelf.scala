@@ -28,17 +28,26 @@ object ArtifactShelf {
     * non-portable xxhash64 is the right tool (one codegen'd pass, no
     * sort). Used by the build stamp and the load-time skew check.
     */
-  private[graft] def fingerprint(df: DataFrame): Long = {
+  private[graft] def fingerprint(df: DataFrame): Long = stampOf(df)._2
+
+  /** (row count, fingerprint) in ONE scan — the stamp builders and the
+    * load-time check both need the pair, and reading the relation twice
+    * (count, then fingerprint) doubled stamp I/O for no reason (the r15
+    * verdict's minor #8). Same values as before: the count is COUNT(*),
+    * the fingerprint the wrapping sum of per-row xxhash64.
+    */
+  private[graft] def stampOf(df: DataFrame): (Long, Long) = {
     import org.apache.spark.sql.functions._
     // Sum in DECIMAL(38,0) — a raw long sum of ±2⁶³-range hashes
     // overflows under ANSI arithmetic; 38 digits hold millions of
     // them exactly — then fold to a long on the driver.
     val h = df.select(xxhash64(df.columns.map(col): _*)
         .cast("decimal(38,0)").as("h"))
-      .agg(sum("h")).head()
-    if (h.isNullAt(0)) 0L
-    else h.getDecimal(0).toBigInteger
+      .agg(count(lit(1)), sum("h")).head()
+    val fp = if (h.isNullAt(1)) 0L
+    else h.getDecimal(1).toBigInteger
       .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValueExact()
+    (h.getLong(0), fp)
   }
 
   /** A DataFrame-shaped artifact, as written — VERIFIED against the
@@ -61,7 +70,7 @@ object ArtifactShelf {
         IllegalStateException(s"shelf artifact unstamped: $name at " +
           s"$shelfDir is not in art_build_stamp — not written by the " +
           "shelf build that stamped this directory"))
-      val (gotN, gotFp) = (df.count(), fingerprint(df))
+      val (gotN, gotFp) = stampOf(df)
       require(gotN == wantN && gotFp == wantFp,
         s"shelf artifact version skew: $name at $shelfDir has " +
           s"($gotN rows, fp $gotFp) but the build stamp recorded " +
