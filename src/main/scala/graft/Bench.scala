@@ -127,7 +127,7 @@ object Bench {
     * plan, as "Name:count" pairs — the recorded evidence that adjudicates
     * "did AQE flip the join" without re-running the query.
     */
-  private def joinStrategies(df: org.apache.spark.sql.DataFrame): String = {
+  private[graft] def joinStrategies(df: org.apache.spark.sql.DataFrame): String = {
     val plan = df.queryExecution.executedPlan.toString
     // Plain occurrence count: a line-anchored prefix match misses nodes
     // inside WholeStageCodegen spans, which print as "*(4) SortMergeJoin"

@@ -207,8 +207,9 @@ object Pipeline {
     // auditFromArtifacts a silently wrong attribution; the stamped
     // load (ArtifactShelf.table) fails loudly instead.
     names.map { name =>
-      val df = spark.read.parquet(s"$verdDir/$name")
-      (name, df.count(), ArtifactShelf.fingerprint(df))
+      val (n, fp) = ArtifactShelf.stampOf(
+        spark.read.parquet(s"$verdDir/$name"))
+      (name, n, fp)
     }.toDF("artifact", "n_rows", "fp")
       .write.mode("overwrite").parquet(s"$verdDir/art_build_stamp")
     verdDir
@@ -255,28 +256,37 @@ object Pipeline {
     spark.read.parquet(sigStatePath).drop("batch_id")
       .dropDuplicates(Seq("doc_id"))
 
+  /** Content-derived default batch id — ONE derivation (r16, factored
+    * for every versioned-append consumer: the MinHash signature state
+    * and the serve-index delta): replaying the same batch is recognized
+    * without the caller naming it. (min, max, count) alone is NOT
+    * content-unique — two interleaved id sets (e.g. {0,3,9} vs {0,5,9})
+    * collide, silently misclassifying the second as a replay — so the
+    * id also folds an order-independent digest of the full id set
+    * (xor of xxhash64(id): commutative, so partitioning can't change
+    * it). Returns None for an empty batch (no row to fold — callers
+    * short-circuit before committing anything).
+    */
+  private def contentBatchId(df: DataFrame, idCol: String): Option[String] = {
+    val stats = df.agg(count(lit(1)), min(col(idCol)),
+      max(col(idCol)), bit_xor(xxhash64(col(idCol)))).head()
+    if (stats.getLong(0) == 0L) None
+    else Some(
+      s"auto_${stats.getLong(1)}_${stats.getLong(2)}_${stats.getLong(0)}_" +
+        java.lang.Long.toHexString(stats.getLong(3)))
+  }
+
   def admitBatch(spark: SparkSession, sigStatePath: String,
       newDocs: DataFrame, batchId: String = ""): DataFrame = {
-    // Content-derived default id: replaying the same batch is recognized
-    // without the caller naming it. (min, max, count) alone is NOT
-    // content-unique — two interleaved id sets (e.g. {0,3,9} vs {0,5,9})
-    // collide, silently misclassifying the second as a replay — so the
-    // id also folds an order-independent digest of the full id set
-    // (xor of xxhash64(doc_id): commutative, so partitioning can't
-    // change it). An empty batch short-circuits to zero pairs BEFORE
-    // deriving the id (no row to fold) and commits nothing.
-    val stats = newDocs.agg(count(lit(1)), min(col("doc_id")),
-      max(col("doc_id")), bit_xor(xxhash64(col("doc_id")))).head()
-    if (stats.getLong(0) == 0L) {
+    val autoId = contentBatchId(newDocs, "doc_id")
+    if (autoId.isEmpty) {
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("d1", LongType), StructField("d2", LongType),
           StructField("est_jaccard", DoubleType))))
     }
-    val id = if (batchId.nonEmpty) batchId else
-      s"auto_${stats.getLong(1)}_${stats.getLong(2)}_${stats.getLong(0)}_" +
-        java.lang.Long.toHexString(stats.getLong(3))
+    val id = if (batchId.nonEmpty) batchId else autoId.get
     // Safe charset only: the id becomes a literal batch_id=<id> directory,
     // but Spark partition discovery URL-unescapes %xx on read — an id
     // containing '%' would read back as a DIFFERENT value and the replay
@@ -294,6 +304,52 @@ object Pipeline {
     val out = pairs.localCheckpoint()
     commitSigBatch(spark, newSigs, sigStatePath, id)
     out
+  }
+
+  /** INCREMENTAL serve-index maintenance (r16 — the r15 verdict's gap
+    * #3): apply a batch of ADMITTED vector-ingest verdicts to the
+    * SHIPPED serving index as a versioned DELTA relation, instead of a
+    * full `refreshShelfGroup("serve")` rebuild per ingest. `deltaRows`
+    * is `Similarity.serveDeltaRows(verdicts, vectors)` — the admitted
+    * arrivals' (cell, id2, v2, n2, cc) rows under the index's FROZEN
+    * centroids (the gate assigned them in-stream with the same
+    * nearestCentroid expression; re-training per ingest would re-cell
+    * every persisted entry — the xAnnIvfAdmit argument). The load path
+    * (`annServeStateFromArtifacts`) unions base ∪ delta through the
+    * stamp guard; search semantics over the union equal a frozen-
+    * centroid index over (corpus ∪ admitted arrivals) — parity
+    * spec-gated row-for-row.
+    *
+    * VERSIONING / IDEMPOTENCE (the admitBatch contract verbatim): each
+    * batch is one `batch_id=<id>` partition committed by staged-write +
+    * atomic rename — a replayed batch sees its directory and appends
+    * nothing; the content-derived default id recognizes replays without
+    * the caller naming them. The append then RESTAMPS art_serve_delta
+    * UNCONDITIONALLY (count + fingerprint of what is on disk), so a
+    * crash between a committed rename and the restamp fails loudly at
+    * the next load and re-running the append repairs it. Ids follow the
+    * gate's nondecreasing-id contract (each vec_id lives in exactly one
+    * batch); a periodic full serve refresh retires the delta — the
+    * refresh path deletes it, because a rebuilt base already contains
+    * the admitted vectors. Returns the delta relation's total row count.
+    */
+  def appendServeDelta(spark: SparkSession, shelfDir: String,
+      deltaRows: DataFrame, batchId: String = ""): Long = {
+    import spark.implicits._
+    val path = s"$shelfDir/art_serve_delta"
+    val autoId = contentBatchId(deltaRows, "id2")
+    if (autoId.isEmpty && batchId.isEmpty) return 0L
+    val id = if (batchId.nonEmpty) batchId else autoId.get
+    require(id.matches("[A-Za-z0-9_-]+"), s"bad batch id: $id")
+    commitSigBatch(spark, deltaRows, path, id)
+    val (n, fp) = ArtifactShelf.stampOf(spark.read.parquet(path))
+    val others = spark.read.parquet(s"$shelfDir/art_build_stamp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filterNot(_._1 == "art_serve_delta").toSeq
+    (others :+ (("art_serve_delta", n, fp))).sortBy(_._1)
+      .toDF("artifact", "n_rows", "fp")
+      .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
+    n
   }
 
   /** Staged-write + atomic-rename commit of one signature batch; returns
@@ -392,7 +448,24 @@ object Pipeline {
     "keepbest", "winnow", "span", "hub", "mix", "sample",
     "contamination", "ivf", "pq", "dsir", "nb", "diff", "serve")
 
-  private def shelfGroup(spark: SparkSession, sfDir: String, group: String)
+  /** `planes`/`kCells` are the r16 build-scale knobs (the gridFor
+    * schedule threaded one layer DOWN from the r15 DAG layers into the
+    * frozen-trainer builds): `planes` parameterizes the banded trainer
+    * (the contamination eval index — stream gates must sign with the
+    * same grid, see screenVectors), `kCells` the serving quantizer
+    * (`serve` group — the one artifact whose per-query cost is
+    * nProbe/k BY DESIGN, so k must grow ~√N with the indexed corpus).
+    * Defaults are the gated parameterizations — byte-stable shelves
+    * for every existing build. The admission-gate groups (ivf/pq)
+    * deliberately stay at their gated frozen params: their states are
+    * parity-pinned to gated admission operators, and re-parameterizing
+    * a frozen admission quantizer re-cells every persisted verdict
+    * (the xAnnIvfAdmit argument) — scale for THEM is a new corpus
+    * version's full retrain, not a knob.
+    */
+  private def shelfGroup(spark: SparkSession, sfDir: String, group: String,
+      planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
+      kCells: Int = 16)
       : (Seq[(String, DataFrame)], Seq[(String, Long)]) = {
     import spark.implicits._
     group match {
@@ -411,7 +484,20 @@ object Pipeline {
         (Seq("art_winnow_admit_index" -> idx), Seq("winnow_admit" -> half))
       case "span" =>
         val (half, idx) = ext.Dedup.spanAdmitState(spark, sfDir)
-        (Seq("art_span_admit_index" -> idx), Seq("span_admit" -> half))
+        // The span stage's DEPLOYED-diff relations (r16): the published
+        // span-clean artifact's membership and the per-doc removal
+        // verdicts over the non-eval pool — the two slim inputs
+        // CorpusPrep.contentDiffFromArtifacts joins, persisted at build
+        // time so the transform diff never re-runs the span chain (the
+        // diff group's v1/v2-membership treatment applied to content).
+        val nonEval = Tables.documents(spark, sfDir)
+          .filter(col("source") =!= "src0")
+        (Seq("art_span_admit_index" -> idx,
+          "art_span_members" ->
+            ext.CorpusPrep.spansCorpus(spark, sfDir).select("doc_id"),
+          "art_span_verdicts" -> ext.Dedup.spanKeepVerdicts(nonEval)
+            .select(col("doc_id"), col("n_removed"))),
+          Seq("span_admit" -> half))
       case "hub" =>
         (Seq("art_boilerplate_hub_index" ->
           ext.TextAnalysis.boilerplateHubIndex(spark, sfDir)), Nil)
@@ -423,7 +509,7 @@ object Pipeline {
           Tables.documents(spark, sfDir))), Nil)
       case "contamination" =>
         (Seq("art_contamination_eval_index" ->
-          ext.Similarity.contaminationEvalIndex(spark, sfDir)), Nil)
+          ext.Similarity.contaminationEvalIndex(spark, sfDir, planes)), Nil)
       case "ivf" =>
         val (split, cents, _) = ext.Similarity.knnAdmitState(spark, sfDir)
         (Seq("art_ivf_centroids" ->
@@ -479,7 +565,8 @@ object Pipeline {
         // gates: the int8 codes ride the same inverted-list rows as
         // the raw vectors (the annServeStateSq8 construction — integer
         // shortlist over `cc`, exact re-rank over `v2`).
-        val (cents, inv) = ext.Similarity.annServeStateSq8(spark, sfDir)
+        val (cents, inv) = ext.Similarity.annServeStateSq8(spark, sfDir,
+          kCells)
         (Seq(
           "art_serve_centroids" ->
             cents.zipWithIndex.flatMap { case (c, cell) =>
@@ -493,15 +580,14 @@ object Pipeline {
   }
 
   def materializeFrozenArtifacts(spark: SparkSession, sfDir: String,
-      outDir: String): Map[String, Long] = {
+      outDir: String,
+      planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
+      kCells: Int = 16): Map[String, Long] = {
     import spark.implicits._
-    val parts = shelfGroups.map(g => shelfGroup(spark, sfDir, g))
+    val parts = shelfGroups.map(g =>
+      shelfGroup(spark, sfDir, g, planes, kCells))
     val arts: Seq[(String, DataFrame)] = parts.flatMap(_._1) :+
       ("art_splits" -> parts.flatMap(_._2).toDF("gate", "split_id"))
-    val counts = arts.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> spark.read.parquet(s"$outDir/$name").count()
-    }
     // The build STAMP — the version-skew guard: every artifact's row
     // count and order-independent content fingerprint as WRITTEN by
     // this one build, persisted last. A shelf whose art_splits
@@ -510,13 +596,19 @@ object Pipeline {
     // stamp, and ArtifactShelf.table fails loudly instead of letting a
     // gate silently emit wrong admissions. The fingerprint is internal
     // integrity (never oracle-compared), so xxhash64 is fine here.
-    val stamp = counts.map { case (name, n) =>
-      (name, n, ArtifactShelf.fingerprint(
-        spark.read.parquet(s"$outDir/$name")))
-    }.toDF("artifact", "n_rows", "fp")
-    stamp.write.mode("overwrite").parquet(s"$outDir/art_build_stamp")
-    (counts :+ ("art_build_stamp" ->
-      spark.read.parquet(s"$outDir/art_build_stamp").count())).toMap
+    // ONE read-back per relation computes count + fingerprint together
+    // (ArtifactShelf.stampOf — the r15 double-read fix).
+    val stamped = arts.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      val (n, fp) = ArtifactShelf.stampOf(
+        spark.read.parquet(s"$outDir/$name"))
+      (name, n, fp)
+    }
+    stamped.toDF("artifact", "n_rows", "fp")
+      .write.mode("overwrite").parquet(s"$outDir/art_build_stamp")
+    (stamped.map { case (name, n, _) => name -> n } :+
+      ("art_build_stamp" ->
+        spark.read.parquet(s"$outDir/art_build_stamp").count())).toMap
   }
 
   /** Sanctioned PER-GATE shelf refresh — the only way to partially
@@ -535,9 +627,11 @@ object Pipeline {
     * copy). Returns the refreshed artifacts' row counts.
     */
   def refreshShelfGroup(spark: SparkSession, sfDir: String,
-      shelfDir: String, group: String): Map[String, Long] = {
+      shelfDir: String, group: String,
+      planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
+      kCells: Int = 16): Map[String, Long] = {
     import spark.implicits._
-    val (arts, splitUpdates) = shelfGroup(spark, sfDir, group)
+    val (arts, splitUpdates) = shelfGroup(spark, sfDir, group, planes, kCells)
     // Collect the shared tables BEFORE any overwrite (lazy reads over a
     // path being rewritten would race the delete).
     val oldSplits = spark.read.parquet(s"$shelfDir/art_splits").collect()
@@ -555,9 +649,23 @@ object Pipeline {
         .write.mode("overwrite").parquet(s"$shelfDir/art_splits")
       Seq("art_splits")
     })
-    val newStamp = (oldStamp -- touched) ++ touched.map { n =>
-      val df = spark.read.parquet(s"$shelfDir/$n")
-      n -> ((df.count(), ArtifactShelf.fingerprint(df)))
+    // A full serve rebuild RETIRES the delta (r16): the refresh trains
+    // on the dir's corpus snapshot — which includes previously-appended
+    // arrivals — so keeping art_serve_delta would double-index them at
+    // load. Delete it and drop its stamp row with the same restamp.
+    val retired: Seq[String] = if (group == "serve") {
+      val d = new java.io.File(s"$shelfDir/art_serve_delta")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+        Seq("art_serve_delta")
+      } else Nil
+    } else Nil
+    val newStamp = (oldStamp -- touched -- retired) ++ touched.map { n =>
+      n -> ArtifactShelf.stampOf(spark.read.parquet(s"$shelfDir/$n"))
     }
     newStamp.toSeq.sortBy(_._1)
       .map { case (n, (c, f)) => (n, c, f) }

@@ -61,9 +61,75 @@ object Similarity {
   // keeps the historical 12×10 matrix's RNG stream untouched.
   private[ext] val nTablesWide = 24
   private[ext] val planesWide = 14
-  private[graft] lazy val tablePlanesWide: Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(4242)
-    Array.fill(nTablesWide)(Array.fill(planesWide, dims)(rng.nextGaussian()))
+  private[graft] lazy val tablePlanesWide: Array[Array[Array[Double]]] =
+    planeGrid(nTablesWide, planesWide, 4242)
+
+  /** Deterministic hyperplane-grid constructor — ONE fill order (table-
+    * major, then plane × dim off a single seeded RNG stream) behind the
+    * historical 12×10 matrix, the wide 24×14 arm, and any derived next
+    * grid step, so a grid is a pure function of (tables, planes, seed)
+    * and byte-stable across builds/executors.
+    */
+  private[graft] def planeGrid(tables: Int, planes: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables)(Array.fill(planes, dims)(rng.nextGaussian()))
+  }
+
+  /** The GRID SCHEDULE — SCALE.md's banding/cell-count parameter prose
+    * as ONE derivation every build-scale consumer calls (the Pipeline
+    * vector layers, the frozen-artifact shelf build, ScaleProbe's
+    * scaled deployed mode), instead of hand-picked constants per call
+    * site: given the corpus's vector count, the (plane matrices,
+    * coarse-quantizer cell count) the banded/blocked operators run
+    * in budget at. The measured steps (each pinned by a gated arm or a
+    * SCALE.md probe row):
+    *  - ≤ 4k vectors (the gated sf0.1 regime, 2k): the historical
+    *    12×10 grid + k=16 — the byte-stable defaults every oracle pins
+    *  - ≤ 40k (the 10×-grown regime, 20k): 24×14 + k=64 (the gated
+    *    t24p14 / k64 arms — measured CHEAPER than the fixed grid at
+    *    10× on both the banding and the within-cell stages)
+    *  - beyond (the 100×-grown regime, 200k): 24×14 banding + k ≈ √N
+    *    cells (the prepknob k=450 row; per-cell population ~√N keeps
+    *    within-cell pair blocks ∝ N, and serving's nProbe/k scan
+    *    shrinks with k) — √N rounded, floored at the 64 step.
+    * Banding plane count grows ~log2 N (bucket occupancy ∝ N/2^P), so
+    * past the measured range the schedule's next banding step is
+    * [[probeGridFor]]'s occupancy-bounded derivation applied unprobed;
+    * within it, 24×14's measured 100×-grown occupancy (~12/bucket,
+    * the 99.8 s composed-prep row) is the documented in-budget level.
+    */
+  private[graft] def gridFor(nVectors: Long)
+      : (Array[Array[Array[Double]]], Int) =
+    if (nVectors <= 4000L) (tablePlanes, 16)
+    else if (nVectors <= 40000L) (tablePlanesWide, 64)
+    else (tablePlanesWide,
+      math.max(64, math.round(math.sqrt(nVectors.toDouble)).toInt))
+
+  /** The PROBE arm's grid — the "take the next grid step before
+    * probing" doctrine as a derivation: 1-bit multi-probe multiplies
+    * candidate volume ~(P+1)× (15× at P=14 — the measured >70 GB
+    * single-host spill at 100× grown), so the probe arm steps P up
+    * until its estimated candidate-pair volume T·N·(N/2^P)/2·(P+1)
+    * fits the measured single-host budget (~29M unprobed pairs at the
+    * 100×-grown 106.9 s row, +25% headroom). Measured anchor points:
+    * ≤10×-grown probes the unprobed grid as-is (the gated
+    * _t24p14_probe arm, 4.4M pairs), 100×-grown (200k) steps to P=18
+    * — exactly the SCALE.md step the prose named. Same 4242 stream as
+    * the wide grid (the P=14 prefix of a wider grid differs — each
+    * (T,P) is its own byte-stable matrix).
+    */
+  private[graft] def probeGridFor(nVectors: Long)
+      : Array[Array[Array[Double]]] = {
+    val base = gridFor(nVectors)._1
+    val tables = base.length
+    def pairVol(p: Int): Double =
+      tables.toDouble * nVectors * (nVectors.toDouble / (1L << p)) / 2 * (p + 1)
+    val p0 = base(0).length
+    if (pairVol(p0) <= 36e6) base
+    else planeGrid(nTablesWide,
+      Iterator.from(p0 + 1).find(p => pairVol(p) <= 36e6 || p >= 40).get,
+      4242)
   }
 
   private def bucketExpr(t: Int) =
@@ -537,7 +603,7 @@ object Similarity {
   def xAnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(spark, dir, 0L)
 
-  private def annIvf(spark: SparkSession, dir: String,
+  private[graft] def annIvf(spark: SparkSession, dir: String,
       replicaShift: Long, k: Int = 16, rounds: Int = 1,
       hashSpread: Boolean = false): DataFrame = {
     val nProbe = 4
@@ -601,7 +667,7 @@ object Similarity {
     * The composed preps thread their banding through here, so the knob
     * and the standalone gates can never diverge.
     */
-  private def lshCleanPairsWith(spark: SparkSession, dir: String,
+  private[graft] def lshCleanPairsWith(spark: SparkSession, dir: String,
       planes: Array[Array[Array[Double]]]): DataFrame = {
     val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
     val buckets = lshInvertedListWith(e, planes)
@@ -651,12 +717,24 @@ object Similarity {
     * boundary candidate recall.
     */
   def xDedupEmbCosineLshCleanWideProbe(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    lshCleanProbePairsWith(spark, dir, tablePlanesWide)
+
+  /** The probed clean pair chain parameterized over the grid (r16 —
+    * the gated wide probe arm is this at tablePlanesWide, byte-stable:
+    * the 1-bit mask list is a pure function of the grid's plane count
+    * and equals wideProbeMasks at P=14). Exists so the probe doctrine's
+    * NEXT grid step (probeGridFor — P=18 at 200k) is runnable and
+    * measurable, not prose.
+    */
+  private[graft] def lshCleanProbePairsWith(spark: SparkSession,
+      dir: String, planes: Array[Array[Array[Double]]]): DataFrame = {
     val e = withVecNorm(Dedup.embExactKeepers(spark, dir))
-    val buckets = lshInvertedListWith(e, tablePlanesWide)
+    val buckets = lshInvertedListWith(e, planes)
+    val masks: Seq[Long] = 0L +: (0 until planes(0).length).map(1L << _)
     val probes = buckets
       .select(col("vec_id"), col("tbl"), col("bucket"),
-        explode(typedlit(wideProbeMasks)).as("m"))
+        explode(typedlit(masks)).as("m"))
       .select(col("vec_id"), col("tbl"),
         col("bucket").bitwiseXOR(col("m")).as("bucket"))
     lshVerifiedPairs(probes, buckets, e)
@@ -904,15 +982,17 @@ object Similarity {
     * argument — re-signing in-stream would flip earlier verdicts).
     */
   private[graft] def contaminationEvalIndex(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
     val ev = withVecNorm(Dedup.embExactKeepers(spark, dir))
       .filter(TextAnalysis.md5Bucket(100, col("vec_id")) < 10)
-    val sig = (0 until nTables).foldLeft(ev)((df, t) =>
-      df.withColumn(s"s$t", bucketExpr(t)))
+    val sig = (0 until planes.length).foldLeft(ev)((df, t) =>
+      df.withColumn(s"s$t",
+        VectorFunctions.hyperplaneSignature(col("embedding"), planes(t))))
     sig.select(col("vec_id").as("eval_id"), col("v").as("v2"),
       col("nrm").as("n2"),
-      explode(array((0 until nTables).map(t =>
-        (lit(t.toLong * (1L << planesPerTable)) + col(s"s$t")).as("b")): _*))
+      explode(array((0 until planes.length).map(t =>
+        (lit(t.toLong * (1L << planes(0).length)) + col(s"s$t")).as("b")): _*))
         .as("bucket"))
   }
 
@@ -928,19 +1008,24 @@ object Similarity {
     * candidate rows unchanged — the composed vector ingest gate rides
     * this SAME construction keyed by its content-key columns, so the
     * standalone screen and the one-topology gate cannot desync.
+    * `planes` must match the grid the eval index was BUILT at (the
+    * gridFor schedule — stream and index sign with the same matrices
+    * or nothing collides); defaults are the gated 12×10 grid.
     */
   private[graft] def streamScreenCands(vecs: DataFrame,
-      evalIndex: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+      evalIndex: DataFrame, extra: Seq[String] = Nil,
+      planes: Array[Array[Array[Double]]] = tablePlanes): DataFrame = {
     val train = vecs
       .filter(TextAnalysis.md5Bucket(100, col("vec_id")) >= 10)
       .withColumn("n1", sqrt(VectorFunctions.dotProduct(
         col("embedding"), col("embedding"))))
-    val sig = (0 until nTables).foldLeft(train)((df, t) =>
-      df.withColumn(s"s$t", bucketExpr(t)))
+    val sig = (0 until planes.length).foldLeft(train)((df, t) =>
+      df.withColumn(s"s$t",
+        VectorFunctions.hyperplaneSignature(col("embedding"), planes(t))))
     sig.select(col("vec_id") +: extra.map(col) ++: Seq(col("n1"),
       col("embedding"),
-      explode(array((0 until nTables).map(t =>
-        (lit(t.toLong * (1L << planesPerTable)) + col(s"s$t")).as("b")): _*))
+      explode(array((0 until planes.length).map(t =>
+        (lit(t.toLong * (1L << planes(0).length)) + col(s"s$t")).as("b")): _*))
         .as("bucket")): _*)
       .join(evalIndex, Seq("bucket"))
       .select(col("vec_id") +: extra.map(col) ++: Seq(col("eval_id"),
@@ -1170,9 +1255,15 @@ object Similarity {
     * knnAdmitState idiom) so the batch search gate and the streaming
     * surface cannot desync.
     */
+  /** `kCells` is the r16 BUILD-SCALE knob (the gridFor schedule's k —
+    * serving cost is nProbe/k of the corpus per query batch BY DESIGN,
+    * so k must grow ~√N with the indexed corpus or every batch scans
+    * 1/16th of 100 TB); the default is the gated x_ann_ivf
+    * parameterization the parity specs pin.
+    */
   private[graft] def annServeState(spark: SparkSession,
-      dir: String): (Array[Array[Double]], DataFrame) = {
-    val (assigned, cents) = ivfAssigned(spark, dir)
+      dir: String, kCells: Int = 16): (Array[Array[Double]], DataFrame) = {
+    val (assigned, cents) = ivfAssigned(spark, dir, k = kCells)
     (cents, assigned.select(col("cell"), col("vec_id").as("id2"),
       col("v").as("v2"), col("nrm").as("n2")))
   }
@@ -1187,8 +1278,8 @@ object Similarity {
     * column is a separate id-keyed fetch).
     */
   private[graft] def annServeStateSq8(spark: SparkSession,
-      dir: String): (Array[Array[Double]], DataFrame) = {
-    val (cents, inv) = annServeState(spark, dir)
+      dir: String, kCells: Int = 16): (Array[Array[Double]], DataFrame) = {
+    val (cents, inv) = annServeState(spark, dir, kCells)
     (cents, inv.withColumn("cc", sq8Codes("v2")))
   }
 
@@ -1211,9 +1302,41 @@ object Similarity {
     val cents = crows.groupBy(_.getAs[Long]("cell")).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getAs[Long]("pos"))
         .map(_.getAs[Double]("value")).toArray).toArray
-    (cents,
-      graft.ArtifactShelf.table(spark, shelfDir, "art_serve_inverted"))
+    val base = graft.ArtifactShelf.table(spark, shelfDir,
+      "art_serve_inverted")
+    // The versioned DELTA relation (r16 — Pipeline.appendServeDelta):
+    // admitted post-build arrivals' inverted-list rows, unioned under
+    // the same frozen centroids. Absent on a fresh shelf; when present
+    // it loads through the same stamp guard (appends restamp it).
+    val delta = new java.io.File(s"$shelfDir/art_serve_delta")
+    val inv = if (delta.exists())
+      base.unionByName(graft.ArtifactShelf
+        .table(spark, shelfDir, "art_serve_delta").drop("batch_id"))
+    else base
+    (cents, inv)
   }
+
+  /** Inverted-list INSERT rows from a batch of ADMITTED streaming
+    * ingest verdicts (StreamOps.ingestVectors' annotations APPLIED —
+    * the r15 verdict's gap #3: the gate annotated every admitted
+    * arrival with its frozen-centroid cell + codes and nothing consumed
+    * them) joined back to the arrivals' raw vectors: exactly the
+    * art_serve_inverted row shape, with cell and SQ8 codes taken FROM
+    * the verdicts (computed in-stream by the same nearestCentroid /
+    * sq8Codes expressions the base index rides) and v2/n2 derived by
+    * the same norm expression. Feeds Pipeline.appendServeDelta.
+    */
+  private[graft] def serveDeltaRows(verdicts: DataFrame,
+      vecs: DataFrame): DataFrame =
+    verdicts.filter(col("admitted") === 1L)
+      .select(col("vec_id"), col("cell"), col("sq8_codes").as("cc"))
+      .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cell").cast("int").as("cell"),
+        col("vec_id").as("id2"),
+        col("embedding").as("v2"),
+        sqrt(VectorFunctions.dotProduct(col("embedding"), col("embedding")))
+          .as("n2"),
+        col("cc"))
 
   /** Density-based diversity selection over the kNN graph — the
     * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"
@@ -2206,10 +2329,11 @@ object Similarity {
   def xAnnIvfSq8(spark: SparkSession, dir: String): DataFrame =
     annIvfSq8(spark, dir, 0L)
 
-  private[ext] def annIvfSq8(spark: SparkSession, dir: String,
-      replicaShift: Long, shortlist: Int = sq8Shortlist): DataFrame = {
+  private[graft] def annIvfSq8(spark: SparkSession, dir: String,
+      replicaShift: Long, shortlist: Int = sq8Shortlist,
+      kCells: Int = 16): DataFrame = {
     val nProbe = 4
-    val (assigned, refined) = ivfAssigned(spark, dir)
+    val (assigned, refined) = ivfAssigned(spark, dir, k = kCells)
     val coded = assigned.select(col("vec_id").as("neighbor_id"), col("cell"),
       col("v").as("v2"), col("nrm").as("n2"), sq8Codes("embedding").as("cc"))
     val q = assigned.filter(col("vec_id") < 10)

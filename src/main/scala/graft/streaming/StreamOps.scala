@@ -536,9 +536,12 @@ object StreamOps {
     * with a replayed batch emitting nothing new.
     */
   def screenVectors(vecs: Dataset[VecIn],
-      evalIndex: DataFrame): Dataset[ScreenOut] = {
+      evalIndex: DataFrame,
+      planes: Array[Array[Array[Double]]] =
+        graft.ext.Similarity.tablePlanes): Dataset[ScreenOut] = {
     import vecs.sparkSession.implicits._
-    graft.ext.Similarity.streamScreenCands(vecs.toDF(), evalIndex)
+    graft.ext.Similarity.streamScreenCands(vecs.toDF(), evalIndex,
+        planes = planes)
       .as[ScreenOut]
       .groupByKey(c => (c.vec_id, c.eval_id))
       .flatMapGroupsWithState[Long, ScreenOut](
