@@ -495,19 +495,50 @@ object CorpusPrep {
   def xCorpusDiffContent(spark: SparkSession, dir: String): DataFrame = {
     val nonEval = Tables.documents(spark, dir)
       .filter(col("source") =!= "src0")
-    val kept = spansCorpus(spark, dir)
-      .select(col("doc_id")).withColumn("f_kept", lit(1))
-    val rem = Dedup.spanKeepVerdicts(nonEval)
-      .select(col("doc_id"), col("n_removed"))
-    nonEval.select("doc_id")
-      .join(kept, Seq("doc_id"), "left")
-      .join(rem, Seq("doc_id"), "left")
+    contentDiffTail(nonEval,
+      spansCorpus(spark, dir),
+      Dedup.spanKeepVerdicts(nonEval))
+  }
+
+  /** The content-diff 3-status tail — ONE builder (the diffStatus rule)
+    * behind the gated audit shape above and the artifact-backed
+    * deployed arm below: raw pool left-joined to the published
+    * artifact's membership and the span stage's per-doc removal
+    * verdicts. Callers pass relations carrying `doc_id` (+ `n_removed`
+    * on the verdict side); only those columns are consumed.
+    */
+  private def contentDiffTail(pool: DataFrame, kept: DataFrame,
+      verdicts: DataFrame): DataFrame =
+    pool.select("doc_id")
+      .join(kept.select(col("doc_id")).withColumn("f_kept", lit(1)),
+        Seq("doc_id"), "left")
+      .join(verdicts.select(col("doc_id"), col("n_removed")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("f_kept").isNull, "removed")
           .when(coalesce(col("n_removed"), lit(0L)) > 0L, "modified")
           .otherwise("unchanged").as("status"))
       .orderBy("doc_id")
-  }
+
+  /** The DEPLOYED content-diff arm (r16 — the membership diff's r15
+    * treatment applied to the transform diff): the contentDiffTail over
+    * the raw pool plus the span group's two PERSISTED slim relations
+    * (`art_span_members` — the span-clean corpus artifact's keep set;
+    * `art_span_verdicts` — the per-doc n_removed the span stage already
+    * computed at build time). The gated x_corpus_diff_content recomputes
+    * the whole span-clean chain per invocation (the audit shape — r14
+    * isolated band 8.7 s / 52 CPU-s); a production registry answering
+    * "what did the cleaning transform do to the shipped artifact?" runs
+    * THIS: two id-keyed joins over stamped 8/16-byte-row parquet, flat
+    * at any corpus scale. Parity-spec'd row-for-row against the gated
+    * arm.
+    */
+  def contentDiffFromArtifacts(spark: SparkSession, dir: String,
+      shelfDir: String): DataFrame =
+    contentDiffTail(
+      Tables.documents(spark, dir).filter(col("source") =!= "src0"),
+      graft.ArtifactShelf.table(spark, shelfDir, "art_span_members"),
+      graft.ArtifactShelf.table(spark, shelfDir, "art_span_verdicts"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_llm_corpus_prep" -> (xLlmCorpusPrep _),
