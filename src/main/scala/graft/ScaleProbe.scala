@@ -422,8 +422,17 @@ object ScaleProbe {
     * N×-grown corpus, the configuration a deployment at that size
     * actually runs. The constructions' CORRECTNESS is pinned by the
     * gated t24p14k64 arms' oracles; this probe exists so the 100×
-    * walls row cites the right knob value (k ≈ √200k ≈ 450) instead
-    * of probing a fixed-k gate past its documented density wall.
+    * walls row cites the right knob value (k ≈ √200k ≈ 450 — which is
+    * exactly Similarity.gridFor's tail, the probe's default since r16)
+    * instead of probing a fixed-k gate past its documented density
+    * wall. The decon arm (r16) joins because its two banded passes +
+    * quantizer share the same density walls but only had a k=64 gate.
+    * Each reading prints wall AND executor CPU seconds AND the
+    * post-AQE join digest (the r15 ADVICE low: the repo's own
+    * adjudication rule says single-run walls swing up to 4× — a
+    * prepknob row cited as a doctrine band needs CPU + plans
+    * alongside), and the JSON carries "single_run":true so nobody
+    * adjudicates it as a best-of-3 band.
     * Usage: runMain graft.ScaleProbe prepknob [base] [work] [replicas]
     * [kCells]
     */
@@ -431,7 +440,6 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_grownprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 100
-    val kCells = if (args.length > 3) args(3).toInt else 256
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -443,17 +451,94 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildGrownDir(spark, base, work, nReplicas)
-    def time(f: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    val kCells = if (args.length > 3) args(3).toInt
+      else ext.Similarity.gridFor(
+        Tables.embeddings(spark, work).count())._2
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    })
+    def time(f: => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Long, String) = {
       spark.catalog.clearCache()
+      Thread.sleep(30)
+      val cpu0 = cpuNs.get()
       val t0 = System.nanoTime()
-      val n = f.count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      val df = f
+      val n = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(30)
+      val cpu = (cpuNs.get() - cpu0) / 1e9
+      (wall, cpu, n, Bench.joinStrategies(df))
     }
-    val (cw, cn) = time(ext.Similarity.xEmbCorpusPrepCurated(spark, work,
-      planes = ext.Similarity.tablePlanesWide, kCells = kCells))
-    val (pw, pn) = time(ext.Similarity.xEmbCorpusPrepProto(spark, work,
-      planes = ext.Similarity.tablePlanesWide, kCells = kCells))
-    println(f"""{"prepknob":{"curated":{"wall":$cw%.2f,"rows":$cn},"proto":{"wall":$pw%.2f,"rows":$pn}},"kCells":$kCells,"replicas":$nReplicas}""")
+    val wide = ext.Similarity.tablePlanesWide
+    val arms = Seq(
+      "curated" -> (() => ext.Similarity.xEmbCorpusPrepCurated(spark, work,
+        planes = wide, kCells = kCells)),
+      "proto" -> (() => ext.Similarity.xEmbCorpusPrepProto(spark, work,
+        planes = wide, kCells = kCells)),
+      "decon" -> (() => ext.Similarity.xEmbCorpusPrepDecon(spark, work,
+        planes = wide, kCells = kCells)))
+    val rows = arms.map { case (name, f) =>
+      val (w, c, n, p) = time(f())
+      f""""$name":{"wall":$w%.2f,"cpu":$c%.2f,"rows":$n,"plans":"$p"}"""
+    }
+    println(rows.mkString("{\"prepknob\":{", ",",
+      s"""},"kCells":$kCells,"replicas":$nReplicas,"single_run":true}"""))
+    spark.stop()
+  }
+
+  /** The banding-knob head-to-head at N× grown (r16 — the probe
+    * doctrine's missing measurement: "at 100× take the next grid step
+    * BEFORE probing" was arithmetic, not a run): times the clean
+    * near-dup pair chain (a) UNPROBED at the schedule's current grid
+    * (gridFor) and (b) PROBED at the probe schedule's next step
+    * (probeGridFor — P=18 at 200k), walls + executor CPU + pair
+    * counts, so SCALE.md's guards row can cite which wins the
+    * pairs-per-wall trade instead of estimating it. Single-run (the
+    * prepknob label convention).
+    * Usage: runMain graft.ScaleProbe bandknob [base] [work] [replicas]
+    */
+  private def bandKnobMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_grownprobe"
+    val nReplicas = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildGrownDir(spark, base, work, nReplicas)
+    val n = Tables.embeddings(spark, work).count()
+    val cur = ext.Similarity.gridFor(n)._1
+    val next = ext.Similarity.probeGridFor(n)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    })
+    def time(f: => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Long) = {
+      spark.catalog.clearCache()
+      Thread.sleep(30)
+      val cpu0 = cpuNs.get()
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(30)
+      ((wall, (cpuNs.get() - cpu0) / 1e9, rows))
+    }
+    val (uw, uc, un) = time(
+      ext.Similarity.lshCleanPairsWith(spark, work, cur))
+    val (pw, pc, pn) = time(
+      ext.Similarity.lshCleanProbePairsWith(spark, work, next))
+    println(f"""{"bandknob":{"unprobed_current":{"grid":"${cur.length}x${cur(0).length}","wall":$uw%.2f,"cpu":$uc%.2f,"pairs":$un},"probed_next":{"grid":"${next.length}x${next(0).length}","wall":$pw%.2f,"cpu":$pc%.2f,"pairs":$pn}},"n_vectors":$n,"replicas":$nReplicas,"single_run":true}""")
     spark.stop()
   }
 
@@ -516,18 +601,19 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 10
-    // "scaled" (r15): run the WORK dir's vector layers at the
-    // corpus-scaled grid — the wide banding + k ~ √N quantizer cells —
-    // per the SCALE.md doctrine (at 100× grown the FIXED 12×10/k=16
-    // parameterizations hit their measured density walls: the banded
-    // pair-distinct and the within-cell graph joins exceed single-host
-    // spill). The base dir stays at the gated defaults, so the ratio
-    // column reads "deployed cost when each corpus runs its
-    // size-appropriate grid", which is the production claim.
+    // "scaled" (r15): run the WORK dir's vector layers — and, since
+    // r16, its frozen-artifact SHELF build (serve index included) — at
+    // the corpus-scaled grid per the SCALE.md doctrine (at 100× grown
+    // the FIXED 12×10/k=16 parameterizations hit their measured
+    // density walls: the banded pair-distinct and the within-cell
+    // graph joins exceed single-host spill). The grid is DERIVED from
+    // the work corpus's vector count by the one schedule
+    // (Similarity.gridFor — no more hand-picked constants, the r15
+    // verdict's task #2), after the dir is built below. The base dir
+    // stays at the gated defaults, so the ratio column reads "deployed
+    // cost when each corpus runs its size-appropriate grid", which is
+    // the production claim.
     val scaled = args.length > 3 && args(3) == "scaled"
-    val workPlanes = if (scaled) ext.Similarity.tablePlanesWide
-      else ext.Similarity.tablePlanes
-    val workCells = if (scaled) 256 else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -555,6 +641,9 @@ object ScaleProbe {
           s"'${grownMarkerWant(base, nReplicas)}' — rebuild the dir " +
           "(ScaleProbe grown) before measuring deployed shapes on it")
     } else buildReplicaDir(spark, base, work, nReplicas)
+    val (workPlanes, workCells) = if (scaled)
+      ext.Similarity.gridFor(Tables.embeddings(spark, work).count())
+    else (ext.Similarity.tablePlanes, 16)
     def timed[T](f: => T): (T, Double) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -606,11 +695,15 @@ object ScaleProbe {
       workPlanes, workCells)
     // The frozen-artifact SHELF build — the full once-per-corpus-build
     // cost a deployment pays before any gate runs (every group's trainer
-    // passes + parquet writes), at 1× and N×.
+    // passes + parquet writes), at 1× and N×. The N× side builds at the
+    // derived grid (r16): the banded contamination trainer and the
+    // serve index — the one artifact whose per-query cost is nProbe/k
+    // by design — take (workPlanes, workCells), so a scaled run's
+    // shelf+serve rows cite the k ≈ √N configuration.
     val (_, shelf1) = timed(Pipeline.materializeFrozenArtifacts(
       spark, base, "/tmp/graft_shelf_x1"))
     val (_, shelfN) = timed(Pipeline.materializeFrozenArtifacts(
-      spark, work, s"/tmp/graft_shelf_x$nReplicas"))
+      spark, work, s"/tmp/graft_shelf_x$nReplicas", workPlanes, workCells))
     // The observability publish (r13): the six card/audit/drift
     // relations written per corpus build — the deployed cost of the
     // "ships WITH the corpus" column.
@@ -694,6 +787,7 @@ object ScaleProbe {
     // shapes' recall gates at N× replication (see recallMain).
     if (args.headOption.contains("grown")) return grownMain(args.drop(1))
     if (args.headOption.contains("prepknob")) return prepKnobMain(args.drop(1))
+    if (args.headOption.contains("bandknob")) return bandKnobMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
