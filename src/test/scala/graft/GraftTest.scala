@@ -29,7 +29,7 @@ object GraftTest {
 
   // ONE frozen-artifact shelf build shared by every shelf-consuming
   // spec across all suites (the full shelf build runs every trainer
-  // pass — 14 refresh groups, 21 relations — paying it once per JVM,
+  // pass — 14 refresh groups, 23 relations — paying it once per JVM,
   // not per suite, keeps the wall bounded).
   lazy val shelf: (String, Map[String, Long]) = {
     val tmp = java.nio.file.Files.createTempDirectory("shelf_shared").toString

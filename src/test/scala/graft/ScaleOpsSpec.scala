@@ -12,6 +12,40 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftTest.spark
 
+  test("grid schedule pins the measured steps and derives the probe step") {
+    // The r16 derivation (SCALE.md's parameter prose as code): the
+    // measured steps at the documented thresholds, byte-stable at the
+    // gated sizes — the SAME matrices (reference equality: every oracle
+    // embeds them verbatim), never regenerated ones.
+    val S = ext.Similarity
+    assert(S.gridFor(2000L) == ((S.tablePlanes, 16)),
+      "sf0.1 regime (2k vectors) must stay the gated 12x10/k16 defaults")
+    assert(S.gridFor(2000L)._1 eq S.tablePlanes,
+      "base grid must be the one literal matrix, not a regenerated copy")
+    assert(S.gridFor(20000L) == ((S.tablePlanesWide, 64)),
+      "10x-grown regime (20k) is the gated t24p14/k64 step")
+    assert(S.gridFor(20000L)._1 eq S.tablePlanesWide)
+    // 100x-grown: wide banding, k = sqrt(N) (the prepknob k=450 row's
+    // regime — round(sqrt(200000)) = 447).
+    val (p100, k100) = S.gridFor(200000L)
+    assert((p100 eq S.tablePlanesWide) && k100 == 447,
+      s"100x-grown regime must derive (wide, 447), got k=$k100")
+    assert(S.gridFor(1000000L)._2 == 1000, "k ~ sqrt(N) tail")
+    // The probe step: unprobed grids probe as-is while the estimated
+    // probed candidate volume fits the measured single-host budget;
+    // 200k steps to P=18 — exactly the SCALE.md step the prose named.
+    assert(S.probeGridFor(2000L) eq S.tablePlanes)
+    assert(S.probeGridFor(20000L) eq S.tablePlanesWide,
+      "the gated 10x probe arm runs the unprobed wide grid as-is")
+    val probe200k = S.probeGridFor(200000L)
+    assert(probe200k.length == 24 && probe200k(0).length == 18,
+      s"200k probe grid must step to 24x18, got " +
+        s"${probe200k.length}x${probe200k(0).length}")
+    // Deterministic: a derived grid is a pure function of its params.
+    assert(probe200k.map(_.map(_.toVector).toVector).toVector ==
+      S.probeGridFor(200000L).map(_.map(_.toVector).toVector).toVector)
+  }
+
   test("salted join returns the same rows as the plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey")
     val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_name")
