@@ -692,15 +692,24 @@ object Pipeline {
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k: $v rows") }
     val tc = materializeTrainingCorpus(spark, sfDir, outDir, labels)
     println(s"training_corpus: ${spark.read.parquet(tc).count()} rows (split-partitioned)")
-    val (cv, vs) = materializeVectorCorpus(spark, sfDir, outDir)
+    // The production entrypoint DERIVES its vector-layer grid from the
+    // corpus size (the gridFor schedule — gated sf corpora resolve to
+    // the byte-stable defaults, a 100×-grown corpus to the wide
+    // banding + k ≈ √N the fixed grid measurably cannot run at).
+    val (planes, kCells) = ext.Similarity.gridFor(
+      Tables.embeddings(spark, sfDir).count())
+    println(s"grid: ${planes.length}x${planes(0).length} banding, $kCells cells")
+    val (cv, vs) = materializeVectorCorpus(spark, sfDir, outDir, planes, kCells)
     println(s"clean_vectors: ${spark.read.parquet(cv).count()} rows (label-partitioned)")
     println(s"vector_scores: ${spark.read.parquet(vs).count()} rows (selection-partitioned)")
-    materializeFrozenArtifacts(spark, sfDir, outDir).toSeq.sortBy(_._1)
+    materializeFrozenArtifacts(spark, sfDir, outDir, planes, kCells)
+      .toSeq.sortBy(_._1)
       .foreach { case (k, v) => println(s"$k: $v rows (frozen artifact)") }
     val sc = materializeSpanCleanCorpus(spark, sfDir, outDir)
     println(s"clean_documents_spans: ${spark.read.parquet(sc).count()} rows " +
       "(split-partitioned, span-cleaned text)")
-    materializeObservability(spark, sfDir, outDir).toSeq.sortBy(_._1)
+    materializeObservability(spark, sfDir, outDir, planes, kCells)
+      .toSeq.sortBy(_._1)
       .foreach { case (k, p) =>
         println(s"$k: ${spark.read.parquet(p).count()} rows (observability)")
       }

@@ -489,6 +489,51 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** The deployed DIFF tails against an EXISTING shelf (r16): times the
+    * registry's two post-build questions — the membership diff
+    * (diffFromArtifacts over the persisted v1/v2 member relations) and
+    * the transform diff (contentDiffFromArtifacts over the raw pool +
+    * the persisted span verdicts) — as the auditTail idiom: id-joins
+    * over stamped slim parquet, no chain re-runs. Separate from the
+    * deployed sweep so the 100× numbers can be taken from the shelves
+    * a sweep already built without re-paying the whole build.
+    * Usage: runMain graft.ScaleProbe difftail [corpusDir] [shelfDir]
+    */
+  private def diffTailMain(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shelf = if (args.length > 1) args(1) else "/tmp/graft_shelf_x1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    })
+    def time(f: => org.apache.spark.sql.DataFrame): (Double, Double, Long) = {
+      spark.catalog.clearCache()
+      Thread.sleep(30)
+      val cpu0 = cpuNs.get()
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(30)
+      ((wall, (cpuNs.get() - cpu0) / 1e9, rows))
+    }
+    val (mw, mc, mn) = time(ext.CorpusPrep.diffFromArtifacts(spark, shelf))
+    val (cw, cc, cn) = time(
+      ext.CorpusPrep.contentDiffFromArtifacts(spark, dir, shelf))
+    println(f"""{"difftail":{"membership":{"wall":$mw%.2f,"cpu":$mc%.2f,"rows":$mn},"content":{"wall":$cw%.2f,"cpu":$cc%.2f,"rows":$cn}},"dir":"$dir","shelf":"$shelf","single_run":true}""")
+    spark.stop()
+  }
+
   /** The banding-knob head-to-head at N× grown (r16 — the probe
     * doctrine's missing measurement: "at 100× take the next grid step
     * BEFORE probing" was arithmetic, not a run): times the clean
@@ -780,7 +825,8 @@ object ScaleProbe {
     // ingest/refresh, vs the gated queries' train-composed audit
     // shapes. Usage: runMain graft.ScaleProbe deployed [base] [work]
     // [replicas] [scaled]  (4th arg "scaled" runs the work dir's
-    // vector layers at tablePlanesWide + k=256)
+    // vector layers AND its frozen-shelf build at the grid
+    // Similarity.gridFor derives from the corpus's vector count)
     if (args.headOption.contains("deployed")) return deployedMain(args.drop(1))
     // "grown" mode: N× DISTINCT-content growth for the df-windowed
     // text family (see grownMain). "recall" mode: the production ANN
@@ -788,6 +834,7 @@ object ScaleProbe {
     if (args.headOption.contains("grown")) return grownMain(args.drop(1))
     if (args.headOption.contains("prepknob")) return prepKnobMain(args.drop(1))
     if (args.headOption.contains("bandknob")) return bandKnobMain(args.drop(1))
+    if (args.headOption.contains("difftail")) return diffTailMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
