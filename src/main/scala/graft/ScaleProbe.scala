@@ -595,14 +595,20 @@ object ScaleProbe {
     * synthetic vectors, buildGrownDir; no exclusion needed because no
     * ids share content, so replicaShift = 0 and recall measures genuine
     * neighbor recovery among NEW content the quantizers never saw at
-    * base scale — the r13 verdict's untested axis). Usage:
+    * base scale — the r13 verdict's untested axis). An optional 5th
+    * arg (r16) adds one more row: IVF recall at THAT quantizer k —
+    * the guard that the derived serving grid (gridFor's k ≈ √N, the
+    * flat-serve_cold configuration) still recovers true neighbors
+    * through its nProbe=4 walk, not just serves fast. Usage:
     * runMain graft.ScaleProbe recall [base] [work] [replicas] [grown]
+    * [kCells]
     */
   private def recallMain(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
     val nReplicas = if (args.length > 2) args(2).toInt else 100
     val grown = args.length > 3 && args(3) == "grown"
+    val kAt: Option[Int] = if (args.length > 4) Some(args(4).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -631,8 +637,13 @@ object ScaleProbe {
     spark.catalog.clearCache()
     val ivfSq8 = ext.Similarity.probeRecall5IvfSq8(spark, work, shift,
       32 * nReplicas)
+    val kRow = kAt.map { k =>
+      spark.catalog.clearCache()
+      val r = ext.Similarity.probeRecall5Ivf(spark, work, shift, k, 1)
+      f""","ivf_k$k%d":$r%.2f"""
+    }.getOrElse("")
     val regime = if (grown) "grown" else "replicated"
-    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"sq8":$sq8%.2f,"ivfsq8":$ivfSq8%.2f},"replicas":$nReplicas,"regime":"$regime"}""")
+    println(f"""{"recall_x$nReplicas%d":{"ivf":$ivf%.2f,"ivfpq":$ivfPq%.2f,"ivfadc":$ivfAdc%.2f,"sq8":$sq8%.2f,"ivfsq8":$ivfSq8%.2f$kRow},"replicas":$nReplicas,"regime":"$regime"}""")
     spark.stop()
   }
 
