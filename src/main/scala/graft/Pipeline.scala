@@ -463,11 +463,23 @@ object Pipeline {
     * (the xAnnIvfAdmit argument) — scale for THEM is a new corpus
     * version's full retrain, not a knob.
     */
+  /** `sharedLabels` (r16): the near-dup cluster labels — the shingle
+    * self-join + star-contraction chain, the single most expensive
+    * text subtree — passed ONCE per full build so the diff and span
+    * groups' trainingCorpus chains don't each re-run it (the
+    * Pipeline.run labels-sharing discipline applied to the shelf).
+    * A standalone group refresh derives its own (None), and a group
+    * that composes the chain twice (diff: v1 + v2) still shares one
+    * checkpointed pass internally.
+    */
   private def shelfGroup(spark: SparkSession, sfDir: String, group: String,
       planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
-      kCells: Int = 16)
+      kCells: Int = 16,
+      sharedLabels: Option[DataFrame] = None)
       : (Seq[(String, DataFrame)], Seq[(String, Long)]) = {
     import spark.implicits._
+    def labels(): Option[DataFrame] = Some(sharedLabels.getOrElse(
+      nearDupLabels(spark, sfDir).localCheckpoint()))
     group match {
       case "bpe" =>
         val (half, merges) = ext.TextAnalysis.admitMergeList(spark, sfDir)
@@ -490,12 +502,18 @@ object Pipeline {
         // CorpusPrep.contentDiffFromArtifacts joins, persisted at build
         // time so the transform diff never re-runs the span chain (the
         // diff group's v1/v2-membership treatment applied to content).
+        // ONE verdicts pass feeds both relations (localCheckpoint: the
+        // spanKeepVerdicts window over the whole non-eval pool is the
+        // group's dominant cost — members would otherwise re-run it).
         val nonEval = Tables.documents(spark, sfDir)
           .filter(col("source") =!= "src0")
+        val verdicts = ext.Dedup.spanKeepVerdicts(nonEval)
+          .localCheckpoint()
         (Seq("art_span_admit_index" -> idx,
           "art_span_members" ->
-            ext.CorpusPrep.spansCorpus(spark, sfDir).select("doc_id"),
-          "art_span_verdicts" -> ext.Dedup.spanKeepVerdicts(nonEval)
+            ext.CorpusPrep.spansCorpus(spark, sfDir, Some(verdicts),
+              labels()).select("doc_id"),
+          "art_span_verdicts" -> verdicts
             .select(col("doc_id"), col("n_removed"))),
           Seq("span_admit" -> half))
       case "hub" =>
@@ -549,11 +567,14 @@ object Pipeline {
         // one id-join over slim parquet (~the audit-tail shape), never
         // the two full prep re-runs the audit-shaped x_corpus_diff gate
         // pays — the r14 verdict's deployed-arm gap #2.
+        val lbl = labels()
         (Seq(
           "art_corpus_v1_members" ->
-            ext.CorpusPrep.trainingCorpus(spark, sfDir).select("doc_id"),
+            ext.CorpusPrep.trainingCorpus(spark, sfDir, lbl)
+              .select("doc_id"),
           "art_corpus_v2_members" ->
-            ext.CorpusPrep.fullCorpus(spark, sfDir).select("doc_id")), Nil)
+            ext.CorpusPrep.fullCorpus(spark, sfDir, lbl)
+              .select("doc_id")), Nil)
       case "serve" =>
         // The frozen ANN SERVING index (r15): the full-corpus coarse
         // quantizer's centroids + the SQ8-coded cell-partitioned
@@ -584,8 +605,11 @@ object Pipeline {
       planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
       kCells: Int = 16): Map[String, Long] = {
     import spark.implicits._
+    // ONE near-dup label pass for the whole build (diff + span groups'
+    // trainingCorpus chains consume it — the Pipeline.run discipline).
+    val lbl = Some(nearDupLabels(spark, sfDir).localCheckpoint())
     val parts = shelfGroups.map(g =>
-      shelfGroup(spark, sfDir, g, planes, kCells))
+      shelfGroup(spark, sfDir, g, planes, kCells, lbl))
     val arts: Seq[(String, DataFrame)] = parts.flatMap(_._1) :+
       ("art_splits" -> parts.flatMap(_._2).toDF("gate", "split_id"))
     // The build STAMP — the version-skew guard: every artifact's row

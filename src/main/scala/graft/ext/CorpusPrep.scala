@@ -170,17 +170,27 @@ object CorpusPrep {
   def xLlmCorpusPrepSpans(spark: SparkSession, dir: String): DataFrame =
     prepRollup(spansCorpus(spark, dir))
 
-  private[graft] def spansCorpus(spark: SparkSession, dir: String): DataFrame =
-    trainingCorpus(spark, dir)
-      .join(spanDominatedLosers(spark, dir), Seq("doc_id"), "left_anti")
+  /** `verdicts` (r16) lets a caller that ALREADY holds the shared
+    * spanKeepVerdicts relation pass it in instead of re-deriving it —
+    * the shelf's span group builds members AND the per-doc verdict
+    * artifact from ONE checkpointed verdicts pass; the default derives
+    * exactly what it always did (one construction, two entry points).
+    */
+  private[graft] def spansCorpus(spark: SparkSession, dir: String,
+      verdicts: Option[DataFrame] = None,
+      precomputedLabels: Option[DataFrame] = None): DataFrame =
+    trainingCorpus(spark, dir, precomputedLabels)
+      .join(spanDominatedLosers(spark, dir, verdicts),
+        Seq("doc_id"), "left_anti")
 
   /** The span-dominated drop set: majority-duplicated docs under the
     * shared spanKeepVerdicts window over the non-eval corpus.
     */
   private def spanDominatedLosers(spark: SparkSession,
-      dir: String): DataFrame =
-    Dedup.spanKeepVerdicts(Tables.documents(spark, dir)
-        .filter(col("source") =!= "src0"))
+      dir: String, verdicts: Option[DataFrame] = None): DataFrame =
+    verdicts.getOrElse(
+        Dedup.spanKeepVerdicts(Tables.documents(spark, dir)
+          .filter(col("source") =!= "src0")))
       .filter(col("n_removed") * lit(2L) > col("n_spans"))
       .select("doc_id")
 
@@ -241,10 +251,11 @@ object CorpusPrep {
     * the gate; this is what the screen arm composes over and what the
     * planted disagreement specs inspect doc-by-doc).
     */
-  private[graft] def fullCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def fullCorpus(spark: SparkSession, dir: String,
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
     val sel = Selection.xDsirSelect(spark, dir)
       .filter(col("selected") === 1L).select("doc_id")
-    trainingCorpus(spark, dir, keepBest = true)
+    trainingCorpus(spark, dir, precomputedLabels, keepBest = true)
       .join(winnowSubLosers(spark, dir), Seq("doc_id"), "left_anti")
       .join(sel, Seq("doc_id"), "left_semi")
   }
