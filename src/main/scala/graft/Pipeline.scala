@@ -678,15 +678,10 @@ object Pipeline {
     // arrivals — so keeping art_serve_delta would double-index them at
     // load. Delete it and drop its stamp row with the same restamp.
     val retired: Seq[String] = if (group == "serve") {
-      val d = new java.io.File(s"$shelfDir/art_serve_delta")
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(d)
-        Seq("art_serve_delta")
-      } else Nil
+      val d = new org.apache.hadoop.fs.Path(s"$shelfDir/art_serve_delta")
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(d)) { fs.delete(d, true); Seq("art_serve_delta") }
+      else Nil
     } else Nil
     val newStamp = (oldStamp -- touched -- retired) ++ touched.map { n =>
       n -> ArtifactShelf.stampOf(spark.read.parquet(s"$shelfDir/$n"))

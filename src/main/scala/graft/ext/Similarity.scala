@@ -1308,8 +1308,13 @@ object Similarity {
     // admitted post-build arrivals' inverted-list rows, unioned under
     // the same frozen centroids. Absent on a fresh shelf; when present
     // it loads through the same stamp guard (appends restamp it).
-    val delta = new java.io.File(s"$shelfDir/art_serve_delta")
-    val inv = if (delta.exists())
+    // Existence via the Hadoop FS API (the commitSigBatch idiom) —
+    // this is a production load path, not a local-only probe.
+    val deltaPath = new org.apache.hadoop.fs.Path(
+      s"$shelfDir/art_serve_delta")
+    val fs = deltaPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val inv = if (fs.exists(deltaPath))
       base.unionByName(graft.ArtifactShelf
         .table(spark, shelfDir, "art_serve_delta").drop("batch_id"))
     else base
