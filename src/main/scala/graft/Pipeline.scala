@@ -335,18 +335,141 @@ object Pipeline {
     */
   def appendServeDelta(spark: SparkSession, shelfDir: String,
       deltaRows: DataFrame, batchId: String = ""): Long = {
-    import spark.implicits._
     val path = s"$shelfDir/art_serve_delta"
-    val autoId = contentBatchId(deltaRows, "id2")
-    if (autoId.isEmpty && batchId.isEmpty) return 0L
+    // Pin ONE evaluation of the batch (deltaRows is a verdicts→vectors
+    // join): the content id is digested from the SAME rows the commit
+    // writes — a nondeterministic upstream can no longer stamp an id
+    // that doesn't describe the committed batch.
+    val rows = deltaRows.localCheckpoint()
+    val autoId = contentBatchId(rows, "id2")
+    // Empty batch: nothing to index — short-circuit whether or not the
+    // caller named an id (the admitBatch contract; committing an empty
+    // batch_id partition and restamping bought nothing).
+    if (autoId.isEmpty) return existingCount(spark, path)
     val id = if (batchId.nonEmpty) batchId else autoId.get
     require(id.matches("[A-Za-z0-9_-]+"), s"bad batch id: $id")
-    commitSigBatch(spark, deltaRows, path, id)
+    appendIndexBatch(spark, shelfDir, "art_serve_delta", rows, id,
+      guardIds = Some("id2"))
+  }
+
+  /** The delta's MIRROR (r17 — the r16 verdict's gap #2): apply a batch
+    * of REMOVED corpus ids to the shipped serving index as a versioned
+    * tombstone relation, instead of a full serve rebuild per removal.
+    * `removedIds` is one `id2` per vector removed from the corpus since
+    * the index build — in production the corpus version diff's
+    * `removed` verdicts (CorpusPrep.diffFromArtifacts / x_corpus_diff
+    * statuses) mapped to the vector ids being retired. The load path
+    * (annServeStateFromArtifacts) anti-joins the tombstones AFTER the
+    * base ∪ delta union, so search over the served state equals a
+    * frozen-centroid index over (corpus ∪ admitted − removed) — parity
+    * spec-gated; a re-TRAINED rebuild is still never the comparison
+    * (the xAnnIvfAdmit re-cell argument).
+    *
+    * Same machinery as appendServeDelta verbatim (ONE commit+restamp
+    * tail, appendIndexBatch): content-derived batch id, staged-write +
+    * atomic-rename `batch_id=<id>` partitions, unconditional restamp,
+    * replay-idempotent, retired by the serve refresh (the rebuilt base
+    * indexes the refresh corpus snapshot, which no longer contains the
+    * removed vectors). The guard is the delta's INVERTED: a genuinely
+    * new tombstone batch must name ids that ARE currently served
+    * (base ∪ delta) and are NOT already tombstoned — a typo'd removal
+    * id would otherwise no-op silently forever, and a double tombstone
+    * would hide a bookkeeping bug upstream. Returns the tombstone
+    * relation's total row count.
+    */
+  def appendServeTombstones(spark: SparkSession, shelfDir: String,
+      removedIds: DataFrame, batchId: String = ""): Long = {
+    val path = s"$shelfDir/art_serve_tombstones"
+    val rows = removedIds.select(col("id2")).localCheckpoint()
+    val autoId = contentBatchId(rows, "id2")
+    if (autoId.isEmpty) return existingCount(spark, path)
+    val id = if (batchId.nonEmpty) batchId else autoId.get
+    require(id.matches("[A-Za-z0-9_-]+"), s"bad batch id: $id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isReplay = fs.exists(
+      new org.apache.hadoop.fs.Path(path, s"batch_id=$id"))
+    if (!isReplay) {
+      import spark.implicits._
+      val deltaPath = new org.apache.hadoop.fs.Path(
+        s"$shelfDir/art_serve_delta")
+      val served = spark.read.parquet(s"$shelfDir/art_serve_inverted")
+        .select(col("id2")).unionByName(
+          if (fs.exists(deltaPath))
+            spark.read.parquet(s"$shelfDir/art_serve_delta")
+              .select(col("id2"))
+          else spark.emptyDataset[Long].toDF("id2"))
+      val notServed = rows.join(served, Seq("id2"), "left_anti").count()
+      require(notServed == 0L,
+        s"tombstone batch $id names $notServed ids not in the served " +
+          "base ∪ delta — a removal of an unindexed vector is a " +
+          "bookkeeping error upstream, not a no-op")
+      val already = if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        rows.join(spark.read.parquet(path).select(col("id2")),
+          Seq("id2"), "semi").count()
+      else 0L
+      require(already == 0L,
+        s"tombstone batch $id re-removes $already already-tombstoned " +
+          "ids — each removal is one tombstone (the one-batch-per-id " +
+          "contract the delta side keeps)")
+    }
+    appendIndexBatch(spark, shelfDir, "art_serve_tombstones", rows, id,
+      guardIds = None)
+  }
+
+  /** Total rows of a versioned batch relation, 0 when absent (Hadoop FS
+    * existence — production load paths, not local-only probes).
+    */
+  private def existingCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+  }
+
+  /** Shared commit+restamp tail for the serve index's versioned batch
+    * relations (`art_serve_delta`, `art_serve_tombstones` — ONE
+    * machinery, the appendServeDelta contract): atomic-rename commit of
+    * `batch_id=<id>`, then an UNCONDITIONAL restamp of the relation
+    * (crash between rename and restamp fails loudly at the next load;
+    * re-running repairs). `guardIds` names the id column to enforce the
+    * nondecreasing-id contract on BEFORE a genuinely new partition
+    * commits: a delta batch whose ids already live in the served base ∪
+    * delta would silently double-index those vectors in every top-k —
+    * fail loudly instead (one agg over the slim id columns). Replays
+    * (the batch directory already exists) skip the guard — their ids
+    * are SUPPOSED to be present.
+    */
+  private def appendIndexBatch(spark: SparkSession, shelfDir: String,
+      artifact: String, rows: DataFrame, id: String,
+      guardIds: Option[String]): Long = {
+    import spark.implicits._
+    val path = s"$shelfDir/$artifact"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isReplay = fs.exists(
+      new org.apache.hadoop.fs.Path(path, s"batch_id=$id"))
+    guardIds.foreach { idCol =>
+      if (!isReplay) {
+        val served = spark.read.parquet(s"$shelfDir/art_serve_inverted")
+          .select(col("id2")).unionByName(
+            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+              spark.read.parquet(path).select(col("id2"))
+            else spark.emptyDataset[Long].toDF("id2"))
+        val maxServed = served.agg(max(col("id2"))).head().getLong(0)
+        val minNew = rows.agg(min(col(idCol))).head().getLong(0)
+        require(minNew > maxServed,
+          s"$artifact batch $id violates the nondecreasing-id contract: " +
+            s"min new id $minNew <= max served id $maxServed — an " +
+            "overlapping id would double-index that vector in the " +
+            "base ∪ delta union")
+      }
+    }
+    commitSigBatch(spark, rows, path, id)
     val (n, fp) = ArtifactShelf.stampOf(spark.read.parquet(path))
     val others = spark.read.parquet(s"$shelfDir/art_build_stamp")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .filterNot(_._1 == "art_serve_delta").toSeq
-    (others :+ (("art_serve_delta", n, fp))).sortBy(_._1)
+      .filterNot(_._1 == artifact).toSeq
+    (others :+ ((artifact, n, fp))).sortBy(_._1)
       .toDF("artifact", "n_rows", "fp")
       .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
     n
@@ -673,15 +796,19 @@ object Pipeline {
         .write.mode("overwrite").parquet(s"$shelfDir/art_splits")
       Seq("art_splits")
     })
-    // A full serve rebuild RETIRES the delta (r16): the refresh trains
-    // on the dir's corpus snapshot — which includes previously-appended
-    // arrivals — so keeping art_serve_delta would double-index them at
-    // load. Delete it and drop its stamp row with the same restamp.
+    // A full serve rebuild RETIRES the delta (r16) AND the tombstones
+    // (r17): the refresh trains on the dir's corpus snapshot — which
+    // includes previously-appended arrivals and no longer contains
+    // removed vectors — so keeping art_serve_delta would double-index
+    // the arrivals and keeping art_serve_tombstones would re-hide ids
+    // a future corpus version may legitimately reuse. Delete both and
+    // drop their stamp rows with the same restamp.
     val retired: Seq[String] = if (group == "serve") {
-      val d = new org.apache.hadoop.fs.Path(s"$shelfDir/art_serve_delta")
-      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(d)) { fs.delete(d, true); Seq("art_serve_delta") }
-      else Nil
+      Seq("art_serve_delta", "art_serve_tombstones").flatMap { name =>
+        val d = new org.apache.hadoop.fs.Path(s"$shelfDir/$name")
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(d)) { fs.delete(d, true); Seq(name) } else Nil
+      }
     } else Nil
     val newStamp = (oldStamp -- touched -- retired) ++ touched.map { n =>
       n -> ArtifactShelf.stampOf(spark.read.parquet(s"$shelfDir/$n"))

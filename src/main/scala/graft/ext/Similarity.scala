@@ -42,10 +42,8 @@ object Similarity {
     * WholeStageCodegen (no per-row UDF invoke / Seq boxing), one fused
     * double loop per row.
     */
-  private[graft] lazy val tablePlanes: Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(42)
-    Array.fill(nTables)(Array.fill(planesPerTable, dims)(rng.nextGaussian()))
-  }
+  private[graft] lazy val tablePlanes: Array[Array[Array[Double]]] =
+    planeGrid(nTables, planesPerTable, 42)
 
   // The banded-dedup DENSITY knob gated as a parameter (the
   // x_dedup_semantic_k64 precedent): at 100 TB per-table bucket
@@ -94,17 +92,56 @@ object Similarity {
     *    within-cell pair blocks ∝ N, and serving's nProbe/k scan
     *    shrinks with k) — √N rounded, floored at the 64 step.
     * Banding plane count grows ~log2 N (bucket occupancy ∝ N/2^P), so
-    * past the measured range the schedule's next banding step is
-    * [[probeGridFor]]'s occupancy-bounded derivation applied unprobed;
-    * within it, 24×14's measured 100×-grown occupancy (~12/bucket,
-    * the 99.8 s composed-prep row) is the documented in-budget level.
+    * past the measured range (200k, the 100×-grown regime) the
+    * schedule applies [[probeGridFor]]'s occupancy-bounded derivation
+    * UNPROBED (r17, closing this docstring's own promise): the
+    * smallest P whose estimated candidate-pair volume T·N·(N/2^P)/2
+    * fits [[singleHostPairBudget]] — P=16 at 400k, P=21 at 2M, P=27 at
+    * 20M, growing ~2·log2 N as the volume formula says it must. The
+    * derivation is CONTINUOUS with the measured steps: at n = 200k it
+    * returns exactly P=14 (29.3M pairs, the measured 106.9 s row), and
+    * every ≤200k return stays the byte-stable [[tablePlanesWide]] BY
+    * REFERENCE (the knob rule — oracles and measured rows must not
+    * move); within the measured range 24×14's 100×-grown occupancy
+    * (~12/bucket, the 99.8 s composed-prep row) is the documented
+    * in-budget level.
     */
   private[graft] def gridFor(nVectors: Long)
       : (Array[Array[Array[Double]]], Int) =
     if (nVectors <= 4000L) (tablePlanes, 16)
     else if (nVectors <= 40000L) (tablePlanesWide, 64)
-    else (tablePlanesWide,
-      math.max(64, math.round(math.sqrt(nVectors.toDouble)).toInt))
+    else {
+      val k = math.max(64, math.round(math.sqrt(nVectors.toDouble)).toInt)
+      val p = unprobedPlanesFor(nVectors)
+      (if (p == planesWide) tablePlanesWide
+       else planeGrid(nTablesWide, p, 4242), k)
+    }
+
+  /** The measured SINGLE-HOST candidate-pair budget the grid schedule
+    * sizes banding against — ONE constant (r17; it was a literal inside
+    * probeGridFor while gridFor's unprobed extension also needs it).
+    * Provenance: the 100×-grown 24×14 unprobed clean-pair pass ran
+    * 106.9 s at ~29M candidate pairs (SCALE.md's banding table — the
+    * in-budget anchor), while the same corpus probed at P=14 (~15×
+    * volume) spilled >70 GB and died on a 32-thread/128 GiB host (the
+    * measured wall). 29M + ~25% headroom = 36M. A cluster deployment
+    * re-measures this once per executor shape; every derived grid step
+    * then moves together.
+    */
+  private[graft] val singleHostPairBudget: Double = 36e6
+
+  /** Smallest plane count P ≥ the wide step whose UNPROBED estimated
+    * candidate volume T·N·(N/2^P)/2 fits [[singleHostPairBudget]] —
+    * shared by gridFor's past-measured-range extension (applied
+    * unprobed) and capped at 40 like the probe derivation (2^40
+    * buckets outruns any corpus this formula will meet).
+    */
+  private def unprobedPlanesFor(nVectors: Long): Int = {
+    def vol(p: Int): Double =
+      nTablesWide.toDouble * nVectors * (nVectors.toDouble / (1L << p)) / 2
+    Iterator.from(planesWide)
+      .find(p => vol(p) <= singleHostPairBudget || p >= 40).get
+  }
 
   /** The PROBE arm's grid — the "take the next grid step before
     * probing" doctrine as a derivation: 1-bit multi-probe multiplies
@@ -126,9 +163,10 @@ object Similarity {
     def pairVol(p: Int): Double =
       tables.toDouble * nVectors * (nVectors.toDouble / (1L << p)) / 2 * (p + 1)
     val p0 = base(0).length
-    if (pairVol(p0) <= 36e6) base
+    if (pairVol(p0) <= singleHostPairBudget) base
     else planeGrid(nTablesWide,
-      Iterator.from(p0 + 1).find(p => pairVol(p) <= 36e6 || p >= 40).get,
+      Iterator.from(p0 + 1)
+        .find(p => pairVol(p) <= singleHostPairBudget || p >= 40).get,
       4242)
   }
 
@@ -1314,10 +1352,29 @@ object Similarity {
       s"$shelfDir/art_serve_delta")
     val fs = deltaPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val inv = if (fs.exists(deltaPath))
+    val unioned = if (fs.exists(deltaPath))
       base.unionByName(graft.ArtifactShelf
         .table(spark, shelfDir, "art_serve_delta").drop("batch_id"))
     else base
+    // The versioned TOMBSTONE relation (r17 — Pipeline.
+    // appendServeTombstones): ids REMOVED from the corpus since the
+    // index build (the version diff's `removed` verdicts), anti-joined
+    // out of the served union so a deleted vector stops appearing in
+    // top-k without a full serve rebuild — the delta's mirror. Slim by
+    // construction (one id per removal), so the anti-join broadcasts;
+    // loads through the same stamp guard (appends restamp it). A full
+    // serve refresh retires it with the delta: the rebuilt base indexes
+    // the refresh corpus SNAPSHOT, which no longer contains the
+    // removed vectors.
+    val tombPath = new org.apache.hadoop.fs.Path(
+      s"$shelfDir/art_serve_tombstones")
+    val inv = if (fs.exists(tombPath))
+      unioned.join(
+        org.apache.spark.sql.functions.broadcast(graft.ArtifactShelf
+          .table(spark, shelfDir, "art_serve_tombstones")
+          .select("id2")),
+        Seq("id2"), "left_anti")
+    else unioned
     (cents, inv)
   }
 

@@ -616,6 +616,156 @@ class ObservabilitySpec extends AnyFunSuite {
       "refreshed index must be base-only (sf corpus) again")
   }
 
+  test("serve tombstones remove ids from the served union like a rebuild after the removals, replay idempotently, and retire on refresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r17 (the r16 verdict's gap #2 — the delta's mirror): a vector
+    // removed from the corpus must stop appearing in top-k WITHOUT a
+    // full serve rebuild. appendServeTombstones commits removed ids as
+    // versioned batches (the appendServeDelta machinery verbatim);
+    // the load path anti-joins them AFTER the base ∪ delta union.
+    // Pinned end-to-end:
+    //  (1) the loaded state is ROW-FOR-ROW the frozen-centroid
+    //      inverted list over (corpus ∪ admitted − removed) — i.e.
+    //      exactly what a rebuild under the SAME centroids after the
+    //      removals would serve (a re-TRAINED rebuild is never the
+    //      comparison: re-celling, the xAnnIvfAdmit argument) — and
+    //      the compressed search gate over it matches that state's
+    //      live twin row-for-row;
+    //  (2) tombstones compose with the delta: a tombstoned ARRIVAL
+    //      (delta row) disappears too;
+    //  (3) replaying the batch appends nothing; the guards fail
+    //      loudly on unserved and already-tombstoned ids;
+    //  (4) a full serve refresh retires tombstones with the delta.
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory("shelf_tomb").toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    // A delta batch first (distinct-content arrivals above stock max),
+    // so the tombstone pass exercises the FULL union, not just base.
+    val arrivals = stock.take(8).zipWithIndex.map { case (v, i) =>
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        v.embedding.map(x => x * 0.6f + 0.02f * ((i % 3) + 1)))
+    }
+    val cbs = ArtifactShelf.pqCodebooks(spark, dir)
+    val evalIndex = ArtifactShelf
+      .table(spark, dir, "art_contamination_eval_index").localCheckpoint()
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps.ingestVectors(input.toDS(), cents, cbs,
+        evalIndex)
+      .writeStream.format("memory").queryName("serve_tomb_ingest")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("serve_tomb_ingest").localCheckpoint()
+    val admittedIds = verdicts.filter(col("admitted") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds.nonEmpty, "vacuous fixture: nothing admitted")
+    Pipeline.appendServeDelta(spark, dir,
+      ext.Similarity.serveDeltaRows(verdicts, arrivals.toSeq.toDF()))
+    // Remove 3 base vectors and 1 admitted arrival.
+    val removed = Set(stock(1).vec_id, stock(5).vec_id,
+      stock(11).vec_id, admittedIds.min)
+    val n1 = Pipeline.appendServeTombstones(spark, dir,
+      removed.toSeq.sorted.toDF("id2"))
+    assert(n1 == removed.size.toLong,
+      s"tombstone relation holds $n1 rows, removed ${removed.size}")
+    // (1) structural parity with the frozen-centroid index over
+    // (corpus ∪ admitted − removed).
+    val vf = graft.functions.VectorFunctions
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector,
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        r.getSeq[Long](4).toVector)
+    }.toSet
+    val union = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .unionByName(arrivals.toSeq.toDF()
+        .filter(col("vec_id").isin(admittedIds.toSeq: _*)))
+      .filter(!col("vec_id").isin(removed.toSeq: _*))
+    val live = union.select(
+      vf.nearestCentroid(col("embedding"), cents).as("cell"),
+      col("vec_id").as("id2"), col("embedding").as("v2"),
+      sqrt(vf.dotProduct(col("embedding"), col("embedding"))).as("n2"),
+      ext.Similarity.sq8Codes("embedding").as("cc"))
+    val (cents2, loadedInv) =
+      ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val loaded = key(loadedInv.select("cell", "id2", "v2", "n2", "cc"))
+    val expected = key(live)
+    assert(loaded == expected,
+      s"base ∪ delta − tombstones diverges from the frozen-centroid " +
+        s"index after the removals: " +
+        s"loaded-only=${(loaded -- expected).take(2).map(_._2)} " +
+        s"live-only=${(expected -- loaded).take(2).map(_._2)}")
+    assert(!loaded.exists(r => removed(r._2)),
+      "a tombstoned id survived in the served state")
+    // ...and the compressed search gate agrees with its live twin.
+    def searched(name: String, inv: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long, Double)] = {
+      val qs = stock.take(6)
+      val in = MemoryStream[streaming.StreamOps.VecIn]
+      val query = streaming.StreamOps.searchVectorsSq8(in.toDS(), cents, inv)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      in.addData(qs.toSeq); query.processAllAvailable(); query.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    val artSearch = searched("tomb_search_art", loadedInv)
+    val liveSearch = searched("tomb_search_live", live)
+    assert(artSearch.nonEmpty && artSearch == liveSearch,
+      s"search over the tombstoned state diverges from the " +
+        s"rebuild-after-removals twin (${artSearch.size}/${liveSearch.size})")
+    assert(!artSearch.exists(r => removed(r._3)),
+      "a tombstoned id reached a top-k result")
+    // (3) replay: same batch, nothing appended, state unchanged.
+    val n2 = Pipeline.appendServeTombstones(spark, dir,
+      removed.toSeq.sorted.toDF("id2"))
+    assert(n2 == n1, s"replayed tombstone batch grew the relation: $n1 -> $n2")
+    assert(key(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      .select("cell", "id2", "v2", "n2", "cc")) == expected)
+    // Guards: an unserved id and a re-removal both fail loudly.
+    intercept[IllegalArgumentException] {
+      Pipeline.appendServeTombstones(spark, dir,
+        Seq(maxId + 500L).toDF("id2"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.appendServeTombstones(spark, dir,
+        Seq(stock(1).vec_id, stock(7).vec_id).toDF("id2"))
+    }
+    assert(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      .count() == expected.size.toLong,
+      "a refused batch must leave the served state untouched")
+    // An empty batch short-circuits without committing a partition
+    // (the admitBatch contract — ADVICE r16), even with a named id.
+    val nEmpty = Pipeline.appendServeTombstones(spark, dir,
+      Seq.empty[Long].toDF("id2"), batchId = "named_empty")
+    assert(nEmpty == n1 && !new java.io.File(
+      s"$dir/art_serve_tombstones/batch_id=named_empty").exists(),
+      "empty tombstone batch must not commit a partition")
+    // (4) a full serve refresh retires tombstones with the delta.
+    Pipeline.refreshShelfGroup(spark, sf, dir, "serve")
+    assert(!new java.io.File(s"$dir/art_serve_tombstones").exists(),
+      "full serve rebuild must delete the tombstones")
+    assert(ArtifactShelf.table(spark, dir, "art_build_stamp")
+      .filter(col("artifact").isin("art_serve_tombstones",
+        "art_serve_delta")).count() == 0L,
+      "retired relations must lose their stamp rows")
+    assert(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2.count()
+      == stock.length.toLong,
+      "refreshed index must be base-only (sf corpus) again")
+  }
+
   test("deployed content diff over span artifacts equals the gated transform diff") {
     import spark.implicits._
     // r16 (the membership diff's r15 treatment applied to the transform

@@ -31,6 +31,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert((p100 eq S.tablePlanesWide) && k100 == 447,
       s"100x-grown regime must derive (wide, 447), got k=$k100")
     assert(S.gridFor(1000000L)._2 == 1000, "k ~ sqrt(N) tail")
+    // r17: past the measured range (200k) the banding step is the
+    // occupancy-bounded derivation applied UNPROBED — smallest P with
+    // T·N·(N/2^P)/2 ≤ singleHostPairBudget. The derivation is
+    // continuous with the measured steps: at 200k it lands exactly on
+    // P=14 (29.3M pairs, the measured 106.9 s row), so every ≤200k
+    // return stays the one wide matrix BY REFERENCE; past it P grows
+    // ~2·log2 N.
+    assert(S.gridFor(200000L)._1 eq S.tablePlanesWide,
+      "the 200k boundary must still return the byte-stable wide matrix")
+    val g400k = S.gridFor(400000L)
+    assert(g400k._1.length == 24 && g400k._1(0).length == 16 &&
+      g400k._2 == 632,
+      s"400k must derive 24x16/k=632, got ${g400k._1.length}x" +
+        s"${g400k._1(0).length}/k=${g400k._2}")
+    val g2m = S.gridFor(2000000L)
+    assert(g2m._1.length == 24 && g2m._1(0).length == 21,
+      s"2M must derive 24x21 (the P≈21 occupancy step), got " +
+        s"${g2m._1.length}x${g2m._1(0).length}")
+    assert(S.gridFor(20000000L)._1(0).length == 27,
+      "20M must derive P=27 (~2·log2 N growth)")
+    // Derived grids are pure functions of (T, P, seed): the 2M grid is
+    // planeGrid(24, 21, 4242) value-for-value, and the budget check
+    // holds at the derived P while failing one step below it.
+    assert(g2m._1.map(_.map(_.toVector).toVector).toVector ==
+      S.planeGrid(24, 21, 4242).map(_.map(_.toVector).toVector).toVector)
+    def unprobedVol(n: Long, p: Int): Double =
+      24.0 * n * (n.toDouble / (1L << p)) / 2
+    assert(unprobedVol(2000000L, 21) <= S.singleHostPairBudget &&
+      unprobedVol(2000000L, 20) > S.singleHostPairBudget,
+      "2M's derived P must be the SMALLEST in-budget plane count")
     // The probe step: unprobed grids probe as-is while the estimated
     // probed candidate volume fits the measured single-host budget;
     // 200k steps to P=18 — exactly the SCALE.md step the prose named.
