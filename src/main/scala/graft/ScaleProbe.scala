@@ -653,6 +653,10 @@ object ScaleProbe {
     * DAG rebuild + dashboard chart evaluation — the dbt-style
     * full-refresh story at scale. Prints one JSON line.
     */
+  private def groupsJson(t: Map[String, Double]): String =
+    t.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+
   private def deployedMain(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
@@ -756,10 +760,16 @@ object ScaleProbe {
     // serve index — the one artifact whose per-query cost is nProbe/k
     // by design — take (workPlanes, workCells), so a scaled run's
     // shelf+serve rows cite the k ≈ √N configuration.
-    val (_, shelf1) = timed(Pipeline.materializeFrozenArtifacts(
-      spark, base, "/tmp/graft_shelf_x1"))
-    val (_, shelfN) = timed(Pipeline.materializeFrozenArtifacts(
-      spark, work, s"/tmp/graft_shelf_x$nReplicas", workPlanes, workCells))
+    // Per-group wall attribution rides the timed build (r17 — task #8:
+    // the 100×-grown 8.9× build needed to say WHICH trainer dominates);
+    // printed for both sides so the N× column reads next to its 1×.
+    val ((_, groups1), shelf1) = timed(
+      Pipeline.materializeFrozenArtifactsTimed(
+        spark, base, "/tmp/graft_shelf_x1"))
+    val ((_, groupsN), shelfN) = timed(
+      Pipeline.materializeFrozenArtifactsTimed(
+        spark, work, s"/tmp/graft_shelf_x$nReplicas", workPlanes,
+        workCells))
     // The observability publish (r13): the six card/audit/drift
     // relations written per corpus build — the deployed cost of the
     // "ships WITH the corpus" column.
@@ -810,6 +820,59 @@ object ScaleProbe {
     val serve1 = serveCold(base, "/tmp/graft_shelf_x1", "x1")
     val serveN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
       s"x$nReplicas")
+    // serve_cold with a POPULATED delta + tombstones (r17 — task #5:
+    // the base-only band extrapolated the union-load claim). Append
+    // `deltaBatches` admitted micro-batches through the production
+    // gate (ingestVectors over the shelf's frozen state — the
+    // serveDeltaStream wiring) plus one tombstone batch, then re-run
+    // the cold measurement: the load now pays the stamped delta read,
+    // the unionByName, and the tombstone anti-join.
+    val deltaBatches = 3
+    val tombstonesPerShelf = 8
+    def populateDelta(dir: String, shelfDir: String, tag: String): Unit = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val (cents, _) =
+        ext.Similarity.annServeStateFromArtifacts(spark, shelfDir)
+      val cbs = ArtifactShelf.pqCodebooks(spark, shelfDir)
+      val evalIndex = ArtifactShelf
+        .table(spark, shelfDir, "art_contamination_eval_index")
+        .localCheckpoint()
+      val seeds = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 24)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      val maxId = Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id"))).head().getLong(0)
+      (0 until deltaBatches).foreach { b =>
+        val arrivals = (0 until 24).map { i =>
+          val g = b * 24 + i
+          streaming.StreamOps.VecIn(maxId + 1L + g,
+            seeds(i % seeds.length)
+              .map(x => x * 0.6f + 0.01f * ((g % 9) + 1)))
+        }
+        val input =
+          org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[streaming.StreamOps.VecIn]
+        val q = streaming.StreamOps.ingestVectors(input.toDS(), cents,
+            cbs, evalIndex)
+          .writeStream.format("memory")
+          .queryName(s"delta_populate_${tag}_$b")
+          .outputMode("append").start()
+        input.addData(arrivals); q.processAllAvailable(); q.stop()
+        Pipeline.appendServeDelta(spark, shelfDir,
+          ext.Similarity.serveDeltaRows(
+            spark.table(s"delta_populate_${tag}_$b"),
+            arrivals.toDF()))
+      }
+      Pipeline.appendServeTombstones(spark, shelfDir,
+        (0L until tombstonesPerShelf.toLong).toDF("id2"))
+    }
+    populateDelta(base, "/tmp/graft_shelf_x1", "x1")
+    populateDelta(work, s"/tmp/graft_shelf_x$nReplicas", s"x$nReplicas")
+    val serveD1 = serveCold(base, "/tmp/graft_shelf_x1", "d1")
+    val serveDN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
+      s"d$nReplicas")
     println(
       f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
       f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
@@ -817,7 +880,11 @@ object ScaleProbe {
       f""""shelf_build":{"x1":$shelf1%.2f,"x$nReplicas%d":$shelfN%.2f,"ratio":${shelfN / shelf1}%.1f},""" +
       f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f},""" +
       f""""audit_tail":{"x1":$tail1%.2f,"x$nReplicas%d":$tailN%.2f,"ratio":${tailN / tail1}%.1f},""" +
-      f""""serve_cold":{"x1":$serve1%.2f,"x$nReplicas%d":$serveN%.2f,"ratio":${serveN / serve1}%.1f}},""" +
+      f""""serve_cold":{"x1":$serve1%.2f,"x$nReplicas%d":$serveN%.2f,"ratio":${serveN / serve1}%.1f},""" +
+      f""""serve_cold_delta":{"x1":$serveD1%.2f,"x$nReplicas%d":$serveDN%.2f,"ratio":${serveDN / serveD1}%.1f}},""" +
+      s""""delta_batches":$deltaBatches,"tombstones":$tombstonesPerShelf,""" +
+      s""""shelf_groups_x1":${groupsJson(groups1)},""" +
+      s""""shelf_groups_x$nReplicas":${groupsJson(groupsN)},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas,""" +
       // Provenance: the driver artifact keeps only the tail of the
       // output, so the regime (replication vs grown) and the vector

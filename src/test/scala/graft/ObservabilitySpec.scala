@@ -766,6 +766,97 @@ class ObservabilitySpec extends AnyFunSuite {
       "refreshed index must be base-only (sf corpus) again")
   }
 
+  test("serve-delta streaming topology applies exactly one delta row per admitted arrival across a checkpoint restart") {
+    import spark.implicits._
+    // r17 (the r16 verdict's gap #3): the loop composed END-TO-END —
+    // Pipeline.serveDeltaStream runs ingestVectors over a REAL file
+    // source and applies each micro-batch's admitted verdicts to the
+    // shipped index inside foreachBatch, under a checkpoint. The
+    // query is STOPPED COLD between waves and restarted from the
+    // checkpoint, with wave 2 also RE-DELIVERING half of wave 1 (the
+    // at-least-once upstream): re-delivered ids are in the recovered
+    // state and emit no verdicts, so they can't re-enter the delta —
+    // and a replayed micro-batch re-derives the same content id and
+    // no-ops against its committed partition. Done-criteria pinned:
+    // exactly one delta row per admitted arrival, >= 2 versioned batch
+    // partitions (one per wave), and the served state row-for-row the
+    // frozen-centroid index over (corpus ∪ admitted) — the same parity
+    // target as the hand-driven path.
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory("shelf_stream").toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    def synth(i: Int): streaming.StreamOps.VecIn =
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        stock(i % 12).embedding.map(x => x * 0.65f + 0.015f * ((i % 7) + 1)))
+    val wave1 = (0 until 10).map(synth)
+    val wave2 = (10 until 18).map(synth)
+    val dirs = Files.createTempDirectory("servedelta_stream")
+    val (in, ckpt) = (s"$dirs/in", s"$dirs/ckpt")
+    wave1.toDF().write.mode("append").parquet(in)
+    val q1 = Pipeline.serveDeltaStream(spark, dir, in, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // Wave 2 + an at-least-once re-delivery of half of wave 1.
+    (wave2 ++ wave1.take(5)).toDF().write.mode("append").parquet(in)
+    val q2 = Pipeline.serveDeltaStream(spark, dir, in, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    // Which arrivals SHOULD be admitted: the batch gate's own verdict
+    // over the same frozen state (the one-shot reference path).
+    val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val allArrivals = (wave1 ++ wave2).sortBy(_.vec_id)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val qRef = streaming.StreamOps.ingestVectors(input.toDS(), cents,
+        ArtifactShelf.pqCodebooks(spark, dir),
+        ArtifactShelf.table(spark, dir, "art_contamination_eval_index")
+          .localCheckpoint())
+      .writeStream.format("memory").queryName("serve_stream_ref")
+      .outputMode("append").start()
+    input.addData(allArrivals); qRef.processAllAvailable(); qRef.stop()
+    val admittedIds = spark.table("serve_stream_ref")
+      .filter(col("admitted") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds.nonEmpty, "vacuous fixture: nothing admitted")
+    val delta = spark.read.parquet(s"$dir/art_serve_delta")
+    assert(delta.count() == admittedIds.size.toLong &&
+      delta.select("id2").distinct().count() == admittedIds.size.toLong,
+      s"exactly one delta row per admitted arrival: " +
+        s"${delta.count()} rows / ${admittedIds.size} admitted")
+    assert(delta.select("batch_id").distinct().count() >= 2L,
+      "each wave must commit its own versioned batch partition")
+    // Served-state parity with the frozen-centroid union index.
+    val vf = graft.functions.VectorFunctions
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector,
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        r.getSeq[Long](4).toVector)
+    }.toSet
+    val live = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .unionByName(allArrivals.toDF()
+        .filter(col("vec_id").isin(admittedIds.toSeq: _*)))
+      .select(
+        vf.nearestCentroid(col("embedding"), cents).as("cell"),
+        col("vec_id").as("id2"), col("embedding").as("v2"),
+        sqrt(vf.dotProduct(col("embedding"), col("embedding"))).as("n2"),
+        ext.Similarity.sq8Codes("embedding").as("cc"))
+    val loaded = key(ext.Similarity.annServeStateFromArtifacts(spark, dir)
+      ._2.select("cell", "id2", "v2", "n2", "cc"))
+    val expected = key(live)
+    assert(loaded == expected,
+      s"streamed delta state diverges from the frozen-centroid union " +
+        s"index: loaded-only=${(loaded -- expected).take(2).map(_._2)} " +
+        s"live-only=${(expected -- loaded).take(2).map(_._2)}")
+  }
+
   test("deployed content diff over span artifacts equals the gated transform diff") {
     import spark.implicits._
     // r16 (the membership diff's r15 treatment applied to the transform

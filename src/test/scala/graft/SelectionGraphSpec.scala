@@ -1104,6 +1104,89 @@ class SelectionGraphSpec extends AnyFunSuite {
         s"construction (sizes ${artEval.size}/${liveEval.size})")
   }
 
+  test("serve delta on a knob-built shelf rides the SHELF's centroids, not the gated default") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r17 (composing the two r16 specs that stopped one step apart):
+    // the serve-delta parity spec ran at the default grid, the
+    // knob-shelf spec stopped at search parity — so nothing pinned
+    // that serveDeltaRows' cell assignment follows the shelf being
+    // appended to. Refresh the serve group at kCells = 32, ingest
+    // arrivals through the gate WITH THE SHELF'S centroids (the
+    // serveDeltaStream wiring), append, and require the loaded state
+    // row-for-row equal to the frozen-K32-centroid index over
+    // (corpus ∪ admitted) — a delta celled at the default k=16 would
+    // land rows in cells the k=32 walk never probes and fail the
+    // structural compare.
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory("shelf_knob_delta").toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    Pipeline.refreshShelfGroup(spark, sf, dir, "serve", kCells = 32)
+    val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    assert(cents.length == 32, "fixture: serve group must be k=32")
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    val arrivals = stock.take(10).zipWithIndex.map { case (v, i) =>
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        v.embedding.map(x => x * 0.55f + 0.025f * ((i % 5) + 1)))
+    }
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps.ingestVectors(input.toDS(), cents,
+        ArtifactShelf.pqCodebooks(spark, dir),
+        ArtifactShelf.table(spark, dir, "art_contamination_eval_index")
+          .localCheckpoint())
+      .writeStream.format("memory").queryName("knob_delta_ingest")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("knob_delta_ingest").localCheckpoint()
+    val admittedIds = verdicts.filter(col("admitted") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds.nonEmpty, "vacuous fixture: nothing admitted")
+    Pipeline.appendServeDelta(spark, dir,
+      ext.Similarity.serveDeltaRows(verdicts, arrivals.toSeq.toDF()))
+    val vf = graft.functions.VectorFunctions
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector,
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        r.getSeq[Long](4).toVector)
+    }.toSet
+    val live = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .unionByName(arrivals.toSeq.toDF()
+        .filter(col("vec_id").isin(admittedIds.toSeq: _*)))
+      .select(
+        vf.nearestCentroid(col("embedding"), cents).as("cell"),
+        col("vec_id").as("id2"), col("embedding").as("v2"),
+        sqrt(vf.dotProduct(col("embedding"), col("embedding"))).as("n2"),
+        ext.Similarity.sq8Codes("embedding").as("cc"))
+    val loaded = key(ext.Similarity.annServeStateFromArtifacts(spark, dir)
+      ._2.select("cell", "id2", "v2", "n2", "cc"))
+    val expected = key(live)
+    assert(loaded == expected,
+      s"k=32 delta state diverges from the frozen-K32-centroid union: " +
+        s"loaded-only=${(loaded -- expected).take(2).map(_._2)} " +
+        s"live-only=${(expected -- loaded).take(2).map(_._2)}")
+    // The delta rows genuinely exercise the wider grid (some cell >= 16
+    // across the union's arrivals) — otherwise the test is vacuous at
+    // k=32 vs k=16.
+    assert(key(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      .filter(col("id2") > maxId).select("cell", "id2", "v2", "n2", "cc"))
+      .nonEmpty, "no delta rows present")
+    val deltaCells = spark.read.parquet(s"$dir/art_serve_delta")
+      .select("cell").collect().map(_.getInt(0)).toSet
+    val liveCells = live.filter(col("id2") > maxId)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(deltaCells == liveCells,
+      s"delta cells $deltaCells diverge from the k=32 assignment $liveCells")
+  }
+
   test("streaming contamination screen matches the batch gate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
