@@ -650,10 +650,20 @@ object Pipeline {
     * that composes the chain twice (diff: v1 + v2) still shares one
     * checkpointed pass internally.
     */
+  /** `sharedMetrics` (r17): the three per-doc metric relations
+    * (predLang / quality / contamination) every trainingCorpus-chain
+    * group joins — the r17 attribution measured the diff + span groups
+    * as the build's dominant cost precisely because each re-ran these
+    * chains (3× per full build: v1, v2, span). The full build computes
+    * them once (localCheckpoint, the labels discipline); a standalone
+    * group refresh derives its own (None — the chains are per-corpus,
+    * so a refresh against a new snapshot must not reuse stale ones).
+    */
   private def shelfGroup(spark: SparkSession, sfDir: String, group: String,
       planes: Array[Array[Array[Double]]] = ext.Similarity.tablePlanes,
       kCells: Int = 16,
-      sharedLabels: Option[DataFrame] = None)
+      sharedLabels: Option[DataFrame] = None,
+      sharedMetrics: Option[(DataFrame, DataFrame, DataFrame)] = None)
       : (Seq[(String, DataFrame)], Seq[(String, Long)]) = {
     import spark.implicits._
     def labels(): Option[DataFrame] = Some(sharedLabels.getOrElse(
@@ -690,7 +700,7 @@ object Pipeline {
         (Seq("art_span_admit_index" -> idx,
           "art_span_members" ->
             ext.CorpusPrep.spansCorpus(spark, sfDir, Some(verdicts),
-              labels()).select("doc_id"),
+              labels(), sharedMetrics).select("doc_id"),
           "art_span_verdicts" -> verdicts
             .select(col("doc_id"), col("n_removed"))),
           Seq("span_admit" -> half))
@@ -748,10 +758,11 @@ object Pipeline {
         val lbl = labels()
         (Seq(
           "art_corpus_v1_members" ->
-            ext.CorpusPrep.trainingCorpus(spark, sfDir, lbl)
+            ext.CorpusPrep.trainingCorpus(spark, sfDir, lbl,
+              precomputedMetrics = sharedMetrics)
               .select("doc_id"),
           "art_corpus_v2_members" ->
-            ext.CorpusPrep.fullCorpus(spark, sfDir, lbl)
+            ext.CorpusPrep.fullCorpus(spark, sfDir, lbl, sharedMetrics)
               .select("doc_id")), Nil)
       case "serve" =>
         // The frozen ANN SERVING index (r15): the full-corpus coarse
@@ -823,6 +834,14 @@ object Pipeline {
     // localCheckpoint is eager, so the chain's cost lands here.
     val lbl = timed("labels")(
       Some(nearDupLabels(spark, sfDir).localCheckpoint()))
+    // ONE metric pass likewise (r17 — the attribution's answer applied:
+    // diff-v1 + diff-v2 + span each join predLang/quality/contamination,
+    // previously 3 full chain runs per build).
+    val mets = timed("metrics") {
+      val (lang, qual, cont) = ext.CorpusPrep.prepDocMetrics(spark, sfDir)
+      Some((lang.localCheckpoint(), qual.localCheckpoint(),
+        cont.localCheckpoint()))
+    }
     // The build STAMP — the version-skew guard: every artifact's row
     // count and order-independent content fingerprint as WRITTEN by
     // this one build, persisted last. A shelf whose art_splits
@@ -841,7 +860,8 @@ object Pipeline {
     }
     val perGroup = shelfGroups.map { g =>
       timed(g) {
-        val (arts, splits) = shelfGroup(spark, sfDir, g, planes, kCells, lbl)
+        val (arts, splits) =
+          shelfGroup(spark, sfDir, g, planes, kCells, lbl, mets)
         (arts.map { case (name, df) => writeStamped(name, df) }, splits)
       }
     }

@@ -653,6 +653,53 @@ object ScaleProbe {
     * DAG rebuild + dashboard chart evaluation — the dbt-style
     * full-refresh story at scale. Prints one JSON line.
     */
+  /** Focused shelf-build timing (r17): ONE timed
+    * materializeFrozenArtifactsTimed run against an existing grown work
+    * dir at its derived grid, printing the per-group attribution —
+    * the measurement loop for shelf-build optimizations without the
+    * full deployed sweep. Usage:
+    * runMain graft.ScaleProbe shelfbuild [base] [work] [replicas]
+    */
+  private def shelfBuildMain(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_grown100"
+    val nReplicas = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildGrownDir(spark, base, work, nReplicas)
+    val (planes, kCells) = ext.Similarity.gridFor(
+      Tables.embeddings(spark, work).count())
+    // Executor CPU alongside the wall (the bandknob listener): group
+    // walls swing ±2× run-to-run on this host, so a build-shape change
+    // adjudicates on CPU, not single-run walls (the sweep doctrine).
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    })
+    spark.catalog.clearCache()
+    Thread.sleep(30)
+    val cpu0 = cpuNs.get()
+    val t0 = System.nanoTime()
+    val (_, groups) = Pipeline.materializeFrozenArtifactsTimed(
+      spark, work, s"/tmp/graft_shelfbuild_x$nReplicas", planes, kCells)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(30)
+    val cpu = (cpuNs.get() - cpu0) / 1e9
+    println(f"""{"shelfbuild":{"wall":$wall%.1f,"cpu":$cpu%.1f,"groups":${groupsJson(groups)}},""" +
+      s""""replicas":$nReplicas,"work_kcells":$kCells,""" +
+      s""""grid":"${planes.length}x${planes(0).length}"}""")
+    spark.stop()
+  }
+
   private def groupsJson(t: Map[String, Double]): String =
     t.toSeq.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
@@ -912,6 +959,7 @@ object ScaleProbe {
     if (args.headOption.contains("grown")) return grownMain(args.drop(1))
     if (args.headOption.contains("prepknob")) return prepKnobMain(args.drop(1))
     if (args.headOption.contains("bandknob")) return bandKnobMain(args.drop(1))
+    if (args.headOption.contains("shelfbuild")) return shelfBuildMain(args.drop(1))
     if (args.headOption.contains("difftail")) return diffTailMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

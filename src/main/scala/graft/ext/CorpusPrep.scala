@@ -74,24 +74,46 @@ object CorpusPrep {
     * those labels instead of re-running the shingle self-join and the
     * star-contraction loop — the pipeline's most expensive stage.
     */
+  /** The three per-doc METRIC relations every prep-policy chain joins
+    * (language ID, quality, eval-overlap contamination) — exposed as
+    * one triple so a caller that composes SEVERAL policy chains over
+    * the same corpus (the frozen-shelf build: diff-group v1 + v2 and
+    * the span group each run trainingCorpus — the r17 attribution's
+    * dominant cost) computes them ONCE (localCheckpoint) and passes
+    * them through, the precomputedLabels discipline. The default arm
+    * joins exactly these relations in exactly the same tree, so
+    * passing the triple changes nothing but the pass count (parity
+    * spec-pinned row-for-row).
+    */
+  private[graft] def prepDocMetrics(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    (predLang(spark, docs), TextAnalysis.qualityScores(docs),
+      contamination(docs))
+  }
+
   def trainingCorpus(spark: SparkSession, dir: String,
       precomputedLabels: Option[DataFrame] = None,
-      keepBest: Boolean = false): DataFrame = {
+      keepBest: Boolean = false,
+      precomputedMetrics: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
     val docs = Tables.documents(spark, dir)
     val labels = precomputedLabels.getOrElse {
       val pairs = Dedup.ngramJaccardPairs(spark, dir)
         .filter(col("jaccard") >= 0.5).select("d1", "d2")
       Dedup.connectedComponents(pairs)._1
     }
+    val (lang, qual, cont) = precomputedMetrics.getOrElse(
+      prepDocMetrics(spark, dir))
     val splitBucket = TextAnalysis.md5Bucket(100)
     val deduped =
       if (keepBest) Dedup.dedupCorpusKeepBest(docs, labels)
       else Dedup.dedupCorpusNearDup(docs, labels)
     deduped
       .filter(col("source") =!= "src0")
-      .join(predLang(spark, docs), Seq("doc_id"))
-      .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
-      .join(contamination(docs), Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
       .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
       .filter(col("pred_lang") =!= "und"
         && col("quality_score") >= 0.4 && col("contamination") <= 0.2)
@@ -178,8 +200,11 @@ object CorpusPrep {
     */
   private[graft] def spansCorpus(spark: SparkSession, dir: String,
       verdicts: Option[DataFrame] = None,
-      precomputedLabels: Option[DataFrame] = None): DataFrame =
-    trainingCorpus(spark, dir, precomputedLabels)
+      precomputedLabels: Option[DataFrame] = None,
+      precomputedMetrics: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame =
+    trainingCorpus(spark, dir, precomputedLabels,
+        precomputedMetrics = precomputedMetrics)
       .join(spanDominatedLosers(spark, dir, verdicts),
         Seq("doc_id"), "left_anti")
 
@@ -252,10 +277,13 @@ object CorpusPrep {
     * planted disagreement specs inspect doc-by-doc).
     */
   private[graft] def fullCorpus(spark: SparkSession, dir: String,
-      precomputedLabels: Option[DataFrame] = None): DataFrame = {
+      precomputedLabels: Option[DataFrame] = None,
+      precomputedMetrics: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
     val sel = Selection.xDsirSelect(spark, dir)
       .filter(col("selected") === 1L).select("doc_id")
-    trainingCorpus(spark, dir, precomputedLabels, keepBest = true)
+    trainingCorpus(spark, dir, precomputedLabels, keepBest = true,
+        precomputedMetrics = precomputedMetrics)
       .join(winnowSubLosers(spark, dir), Seq("doc_id"), "left_anti")
       .join(sel, Seq("doc_id"), "left_semi")
   }

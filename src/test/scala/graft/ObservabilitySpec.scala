@@ -857,6 +857,87 @@ class ObservabilitySpec extends AnyFunSuite {
         s"live-only=${(expected -- loaded).take(2).map(_._2)}")
   }
 
+  test("precomputed metric relations leave every trainingCorpus-chain policy row-identical") {
+    // r17 (the shelf attribution's answer spec-pinned): the full build
+    // now computes predLang/quality/contamination ONCE and passes the
+    // triple into the diff/span groups' chains. The default arm joins
+    // the SAME constructions in the SAME tree, so the shared arm must
+    // be row-for-row identical for every policy that takes it.
+    val m = {
+      val (l, q, c) = ext.CorpusPrep.prepDocMetrics(spark, sf)
+      Some((l.localCheckpoint(), q.localCheckpoint(), c.localCheckpoint()))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSet
+    val v1 = rows(ext.CorpusPrep.trainingCorpus(spark, sf))
+    assert(v1 == rows(ext.CorpusPrep.trainingCorpus(spark, sf,
+      precomputedMetrics = m)) && v1.nonEmpty,
+      "shared-metrics trainingCorpus diverges from the default arm")
+    val v2 = rows(ext.CorpusPrep.fullCorpus(spark, sf))
+    assert(v2 == rows(ext.CorpusPrep.fullCorpus(spark, sf, None, m)) &&
+      v2.nonEmpty,
+      "shared-metrics fullCorpus diverges from the default arm")
+    val sp = rows(ext.CorpusPrep.spansCorpus(spark, sf))
+    assert(sp == rows(ext.CorpusPrep.spansCorpus(spark, sf, None, None, m))
+      && sp.nonEmpty,
+      "shared-metrics spansCorpus diverges from the default arm")
+  }
+
+  test("a full shelf rebuild into a reused dir retires stale delta and tombstone relations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r17: the refreshShelfGroup("serve") retirement argument applies
+    // to the FULL build too — a rebuild trains on the dir's corpus
+    // snapshot, so a leftover delta would double-index its arrivals
+    // and leftover tombstones would re-hide ids; and since the fresh
+    // stamp carries no rows for them, they'd otherwise fail every
+    // subsequent load loudly (the orphaned-relation trap ScaleProbe's
+    // reused /tmp shelves would hit). Pin: populate both versioned
+    // relations, rebuild in place, and require them gone + the served
+    // state base-only.
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory("shelf_rebuild").toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val arrivals = stock.take(5).zipWithIndex.map { case (v, i) =>
+      streaming.StreamOps.VecIn(stock.last.vec_id + 1L + i,
+        v.embedding.map(x => x * 0.45f + 0.03f * (i + 1)))
+    }
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps.ingestVectors(input.toDS(), cents,
+        ArtifactShelf.pqCodebooks(spark, dir),
+        ArtifactShelf.table(spark, dir, "art_contamination_eval_index")
+          .localCheckpoint())
+      .writeStream.format("memory").queryName("rebuild_retire_ingest")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); q.processAllAvailable(); q.stop()
+    Pipeline.appendServeDelta(spark, dir, ext.Similarity.serveDeltaRows(
+      spark.table("rebuild_retire_ingest"), arrivals.toSeq.toDF()))
+    Pipeline.appendServeTombstones(spark, dir,
+      Seq(stock(2).vec_id, stock(3).vec_id).toDF("id2"))
+    assert(new java.io.File(s"$dir/art_serve_delta").exists() &&
+      new java.io.File(s"$dir/art_serve_tombstones").exists(),
+      "fixture: both versioned relations populated")
+    Pipeline.materializeFrozenArtifacts(spark, sf, dir)
+    assert(!new java.io.File(s"$dir/art_serve_delta").exists() &&
+      !new java.io.File(s"$dir/art_serve_tombstones").exists(),
+      "full rebuild must retire stale delta + tombstones")
+    assert(ArtifactShelf.table(spark, dir, "art_build_stamp")
+      .filter(col("artifact").isin("art_serve_delta",
+        "art_serve_tombstones")).count() == 0L)
+    assert(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      .count() == stock.length.toLong,
+      "rebuilt index must serve the corpus snapshot base-only")
+  }
+
   test("deployed content diff over span artifacts equals the gated transform diff") {
     import spark.implicits._
     // r16 (the membership diff's r15 treatment applied to the transform

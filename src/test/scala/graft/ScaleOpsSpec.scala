@@ -61,6 +61,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(unprobedVol(2000000L, 21) <= S.singleHostPairBudget &&
       unprobedVol(2000000L, 20) > S.singleHostPairBudget,
       "2M's derived P must be the SMALLEST in-budget plane count")
+    // The probe arm composes past the measured range too: at 400k the
+    // derived unprobed step is 24×16, and its 1-bit-probed next step
+    // derives 24×21 (the measured bandknob-200 arm).
+    assert(S.probeGridFor(400000L)(0).length == 21,
+      s"400k probe grid must derive P=21, got " +
+        s"${S.probeGridFor(400000L)(0).length}")
     // The probe step: unprobed grids probe as-is while the estimated
     // probed candidate volume fits the measured single-host budget;
     // 200k steps to P=18 — exactly the SCALE.md step the prose named.
