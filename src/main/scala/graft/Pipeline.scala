@@ -267,9 +267,19 @@ object Pipeline {
     * it). Returns None for an empty batch (no row to fold — callers
     * short-circuit before committing anything).
     */
+  /** r18 (ADVICE r17): the digest folds the DISTINCT ids — xor cancels
+    * on duplicated ids (h ⊕ h = 0), so a batch whose rows were
+    * duplicated between a crash and its replay (the same arrival
+    * delivered twice into one micro-batch) would otherwise derive a
+    * DIFFERENT id than its committed partition and wedge the replay in
+    * a loud guard-crash loop instead of no-oping. Unique-id batches —
+    * every batch the contract admits — digest identically to the
+    * historical derivation (distinct is the identity on them), so
+    * already-committed ids stay stable across this change.
+    */
   private def contentBatchId(df: DataFrame, idCol: String): Option[String] = {
-    val stats = df.agg(count(lit(1)), min(col(idCol)),
-      max(col(idCol)), bit_xor(xxhash64(col(idCol)))).head()
+    val stats = df.select(col(idCol)).distinct().agg(count(lit(1)),
+      min(col(idCol)), max(col(idCol)), bit_xor(xxhash64(col(idCol)))).head()
     if (stats.getLong(0) == 0L) None
     else Some(
       s"auto_${stats.getLong(1)}_${stats.getLong(2)}_${stats.getLong(0)}_" +
@@ -370,11 +380,15 @@ object Pipeline {
     * content-derived batch id recognizes the re-emitted batch; (3) the
     * atomic-rename commit makes the recognized replay a no-op. A batch
     * with no admitted arrivals appends nothing (the empty
-    * short-circuit). The raw vectors each delta row carries are joined
-    * back from the source directory by vec_id inside the batch —
-    * a per-batch id-join against the append-only arrival log, the
-    * production shape (the serving index stores vectors; the ingest
-    * stream carries them once).
+    * short-circuit). The raw vector each delta row carries rides the
+    * ADMITTED verdict itself (r18 — the ingest stream really does
+    * carry each vector once now): the r17 wiring joined every
+    * micro-batch back against the ENTIRE arrival directory, a
+    * cumulative O(batches × log size) re-scan over an append-only log
+    * that also fanned a verdict into duplicate delta rows when a
+    * duplicated arrival landed in the same batch as its original;
+    * the foreachBatch now builds serveDeltaRows from the verdicts
+    * alone — per-batch cost is O(batch), whatever the log has grown to.
     */
   def serveDeltaStream(spark: SparkSession, shelfDir: String,
       srcDir: String, checkpointDir: String)
@@ -399,9 +413,55 @@ object Pipeline {
         (verdicts: org.apache.spark.sql.Dataset[
            streaming.StreamOps.IngestVecVerdict], _: Long) =>
           appendServeDelta(spark, shelfDir,
-            ext.Similarity.serveDeltaRows(verdicts.toDF(),
-              spark.read.parquet(srcDir)
-                .select(col("vec_id"), col("embedding"))))
+            ext.Similarity.serveDeltaRows(verdicts.toDF()))
+          ()
+      }
+      .start()
+  }
+
+  /** The removal MIRROR of [[serveDeltaStream]] (r18 — the r17
+    * verdict's gap #2: arrivals flowed end-to-end while removals were
+    * batch-only): a file source of per-doc admission verdicts
+    * (doc_id, admitted — whatever corpus policy produced them) → the
+    * streaming version diff against the SHELF's frozen v1 membership
+    * (StreamOps.removedVecsOnce, whose diff side IS diffDocsIncrement
+    * — one status construction) → foreachBatch committing each
+    * micro-batch's newly-removed vector ids to the shipped index as
+    * one versioned tombstone batch. `docToVec` is the registry
+    * relation mapping corpus doc ids to their indexed vector ids
+    * (slim, id-keyed — pinned once at start like the v1 membership).
+    *
+    * EXACTLY-ONCE tombstone application from the same three composed
+    * contracts as the delta side: (1) the checkpoint replays a failed
+    * micro-batch against its PRE-batch state, so the emit-once stage
+    * re-emits the same ids deterministically — and re-deliveries in
+    * LATER batches emit nothing (their ids are in state), which is
+    * what keeps appendServeTombstones' double-removal guard a
+    * bookkeeping-bug detector instead of a crash on every
+    * at-least-once upstream; (2) the content-derived batch id
+    * recognizes the re-emitted batch; (3) the atomic-rename commit
+    * no-ops the recognized replay. A batch with no removals appends
+    * nothing (the empty short-circuit).
+    */
+  def serveTombstoneStream(spark: SparkSession, shelfDir: String,
+      srcDir: String, checkpointDir: String, docToVec: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val v1 = ArtifactShelf
+      .table(spark, shelfDir, "art_corpus_v1_members").localCheckpoint()
+    val mapping = docToVec.select(col("doc_id"), col("id2"))
+      .localCheckpoint()
+    val sch = org.apache.spark.sql.Encoders
+      .product[streaming.StreamOps.DiffDoc].schema
+    streaming.StreamOps.removedVecsOnce(
+        spark.readStream.schema(sch).parquet(srcDir).toDF(), v1, mapping)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch {
+        (removed: org.apache.spark.sql.Dataset[
+           streaming.StreamOps.RemovedVec], _: Long) =>
+          appendServeTombstones(spark, shelfDir,
+            removed.toDF().select(col("id2")))
           ()
       }
       .start()
@@ -435,7 +495,13 @@ object Pipeline {
   def appendServeTombstones(spark: SparkSession, shelfDir: String,
       removedIds: DataFrame, batchId: String = ""): Long = {
     val path = s"$shelfDir/art_serve_tombstones"
-    val rows = removedIds.select(col("id2")).localCheckpoint()
+    // Distinct ids: the same removal delivered twice WITHIN one batch
+    // is a re-delivery, not a second removal — absorb it (r18, the
+    // contentBatchId distinct-digest rationale); the double-removal
+    // guard below keeps catching repeats across batches, which ARE
+    // bookkeeping bugs.
+    val rows = removedIds.select(col("id2"))
+      .dropDuplicates(Seq("id2")).localCheckpoint()
     val autoId = contentBatchId(rows, "id2")
     if (autoId.isEmpty) return existingCount(spark, path)
     val id = if (batchId.nonEmpty) batchId else autoId.get
@@ -445,16 +511,8 @@ object Pipeline {
     val isReplay = fs.exists(
       new org.apache.hadoop.fs.Path(path, s"batch_id=$id"))
     if (!isReplay) {
-      import spark.implicits._
-      val deltaPath = new org.apache.hadoop.fs.Path(
-        s"$shelfDir/art_serve_delta")
-      val served = spark.read.parquet(s"$shelfDir/art_serve_inverted")
-        .select(col("id2")).unionByName(
-          if (fs.exists(deltaPath))
-            spark.read.parquet(s"$shelfDir/art_serve_delta")
-              .select(col("id2"))
-          else spark.emptyDataset[Long].toDF("id2"))
-      val notServed = rows.join(served, Seq("id2"), "left_anti").count()
+      val notServed = rows.join(servedIds(spark, shelfDir),
+        Seq("id2"), "left_anti").count()
       require(notServed == 0L,
         s"tombstone batch $id names $notServed ids not in the served " +
           "base ∪ delta — a removal of an unindexed vector is a " +
@@ -470,6 +528,92 @@ object Pipeline {
     }
     appendIndexBatch(spark, shelfDir, "art_serve_tombstones", rows, id,
       guardIds = None)
+  }
+
+  /** The served id set, (base ∪ delta) — ONE construction for the two
+    * append guards (r18: appendServeTombstones' served-set check and
+    * appendIndexBatch's nondecreasing-id check each hand-built it).
+    * DELIBERATE stamp-guard bypass (ADVICE r17 adjudicated): these are
+    * pre-commit GUARD reads inside appends that restamp the relation
+    * immediately after — loading through ArtifactShelf.table would
+    * re-fingerprint the full relation per append, exactly the
+    * O(relation) append cost the r18 incremental restamp removes, and
+    * a skewed shelf still fails loudly at every SERVING load (every
+    * consumer goes through the stamped path). The worst a stale
+    * relation can do here is mis-accept/mis-reject one batch, and the
+    * batch's own restamp-vs-load check surfaces the skew on the next
+    * read.
+    */
+  private def servedIds(spark: SparkSession, shelfDir: String): DataFrame = {
+    import spark.implicits._
+    val deltaPath = new org.apache.hadoop.fs.Path(
+      s"$shelfDir/art_serve_delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$shelfDir/art_serve_inverted").select(col("id2"))
+      .unionByName(
+        if (fs.exists(deltaPath))
+          spark.read.parquet(s"$shelfDir/art_serve_delta")
+            .select(col("id2"))
+        else spark.emptyDataset[Long].toDF("id2"))
+  }
+
+  /** COMPACTION of the serve index under its FROZEN centroids (r18 —
+    * the r17 verdict's top task, completing the lifecycle the r15–r17
+    * arc built: build → append → tombstone → fold): rewrite
+    * `art_serve_inverted` as the exact served union
+    * (base ∪ delta) − tombstones — annServeStateFromArtifacts' own
+    * load, ONE construction, so search over the compacted base is
+    * identical BY CONSTRUCTION — delete the versioned
+    * delta/tombstone relations, and restamp the serve group's touched
+    * relations together (the refreshShelfGroup discipline). The
+    * centroids are UNTOUCHED: this is a fold, never a retrain — a
+    * `refreshShelfGroup("serve")` RE-TRAINS the quantizer from the
+    * corpus snapshot and re-cells every entry (the xAnnIvfAdmit
+    * argument), which is exactly what months of micro-batch appends
+    * must not pay just to stop the load-time union from carrying
+    * hundreds of partitions and every append guard from scanning them.
+    * Post-compaction appends start a fresh delta under the same
+    * nondecreasing-id contract (the folded base now holds the old
+    * delta's ids, so max-served is unchanged).
+    *
+    * CRASH CONTRACT: the fold is pinned (localCheckpoint) before the
+    * base it reads is overwritten, so no window loses data that is not
+    * still recoverable from delta+tombstones; a crash between the
+    * rewrite and the restamp leaves a base that fails LOUDLY at every
+    * stamped load (the r12 guard — spec-pinned), and the repair is
+    * `refreshShelfGroup(spark, sfDir, dir, "serve")` against the
+    * current corpus snapshot. An object-store deployment would swap
+    * the in-place overwrite for its staged-write + manifest-commit
+    * primitive. Returns the compacted base's row count.
+    */
+  def compactServeIndex(spark: SparkSession, shelfDir: String): Long = {
+    import spark.implicits._
+    // The exact serving union, loaded through the stamp guard (a
+    // skewed shelf must fail loudly BEFORE its fold becomes the new
+    // base), pinned eagerly: the write below overwrites the very
+    // relation the lazy plan would re-read.
+    val folded = ext.Similarity.annServeStateFromArtifacts(spark, shelfDir)
+      ._2.localCheckpoint()
+    val n = folded.count()
+    folded.write.mode("overwrite")
+      .parquet(s"$shelfDir/art_serve_inverted")
+    val retired = Seq("art_serve_delta", "art_serve_tombstones")
+      .filter { name =>
+        val d = new org.apache.hadoop.fs.Path(s"$shelfDir/$name")
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(d)) { fs.delete(d, true); true } else false
+      }
+    val newStamp = spark.read.parquet(s"$shelfDir/art_build_stamp")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .--(retired)
+      .updated("art_serve_inverted", ArtifactShelf.stampOf(
+        spark.read.parquet(s"$shelfDir/art_serve_inverted")))
+    newStamp.toSeq.sortBy(_._1)
+      .map { case (name, (c, f)) => (name, c, f) }
+      .toDF("artifact", "n_rows", "fp")
+      .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
+    n
   }
 
   /** Total rows of a versioned batch relation, 0 when absent (Hadoop FS
@@ -499,32 +643,81 @@ object Pipeline {
       guardIds: Option[String]): Long = {
     import spark.implicits._
     val path = s"$shelfDir/$artifact"
+    // The id becomes a batch_id=<id> partition VALUE that the
+    // incremental restamp reads back standalone: a purely-numeric id
+    // would partition-type-infer differently under a single-partition
+    // read vs the full relation (int vs the mixed set's string), and
+    // the composed stamp would silently diverge from the full-scan
+    // stamp. Every auto id carries "auto_"; named ids must carry at
+    // least one non-digit too.
+    require(id.exists(c => !c.isDigit),
+      s"batch id must contain a non-digit character: $id (a numeric id " +
+        "partition-type-infers unstably between single-partition and " +
+        "full-relation reads, breaking the composed stamp)")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val isReplay = fs.exists(
       new org.apache.hadoop.fs.Path(path, s"batch_id=$id"))
     guardIds.foreach { idCol =>
       if (!isReplay) {
-        val served = spark.read.parquet(s"$shelfDir/art_serve_inverted")
-          .select(col("id2")).unionByName(
-            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-              spark.read.parquet(path).select(col("id2"))
-            else spark.emptyDataset[Long].toDF("id2"))
-        val maxServed = served.agg(max(col("id2"))).head().getLong(0)
-        val minNew = rows.agg(min(col(idCol))).head().getLong(0)
+        // Slim-column aggs over (base ∪ delta) ids — the ONE servedIds
+        // construction (its scaladoc records the deliberate
+        // stamp-guard bypass).
+        val maxServed = servedIds(spark, shelfDir)
+          .agg(max(col("id2"))).head().getLong(0)
+        val stats = rows.agg(min(col(idCol)), count(lit(1)),
+          count_distinct(col(idCol))).head()
+        val minNew = stats.getLong(0)
         require(minNew > maxServed,
           s"$artifact batch $id violates the nondecreasing-id contract: " +
             s"min new id $minNew <= max served id $maxServed — an " +
             "overlapping id would double-index that vector in the " +
             "base ∪ delta union")
+        // Within-batch duplicates pass the nondecreasing check silently
+        // (min > max-served says nothing about rows sharing an id) but
+        // double-index the vector in every top-k all the same —
+        // ADVICE r17. The verdict-only serveDeltaRows arm cannot
+        // produce them (one verdict per id by the gate's state);
+        // hand-built delta rows get caught here.
+        require(stats.getLong(1) == stats.getLong(2),
+          s"$artifact batch $id carries duplicate $idCol rows " +
+            s"(${stats.getLong(1)} rows over ${stats.getLong(2)} " +
+            "distinct ids) — a duplicated insert double-indexes that " +
+            "vector in every top-k")
       }
     }
-    commitSigBatch(spark, rows, path, id)
-    val (n, fp) = ArtifactShelf.stampOf(spark.read.parquet(path))
-    val others = spark.read.parquet(s"$shelfDir/art_build_stamp")
+    val committed = commitSigBatch(spark, rows, path, id)
+    // Restamp in O(batch), not O(relation) (r18 — the r17 verdict's
+    // task #4): the fingerprint is a wrapping SUM of per-row xxhash64
+    // mod Long.MaxValue (ArtifactShelf.stampOf) — additive — so a
+    // fresh commit derives the relation's new stamp from (old stamp
+    // row + the committed partition's own stamp) without re-scanning
+    // every earlier batch; under frequent micro-batches the full-scan
+    // restamp was cumulatively quadratic in delta size. The batch is
+    // stamped from its READ-BACK partition (basePath keeps the
+    // batch_id column, so per-row hashes match what a full scan
+    // hashes), and a REPLAY keeps the full scan: its stamp may be
+    // repairing a crash between a committed rename and the restamp,
+    // where the old stamp row is stale and composition would bake the
+    // staleness in. Composed == full-scan is spec-pinned.
+    val old = spark.read.parquet(s"$shelfDir/art_build_stamp")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .filterNot(_._1 == artifact).toSeq
-    (others :+ ((artifact, n, fp))).sortBy(_._1)
+    val (n, fp) = if (isReplay || !committed)
+      ArtifactShelf.stampOf(spark.read.parquet(path))
+    else {
+      val (bn, bfp) = ArtifactShelf.stampOf(
+        spark.read.option("basePath", path)
+          .parquet(s"$path/batch_id=$id"))
+      val (on, ofp) = old.find(_._1 == artifact)
+        .map(r => (r._2, r._3)).getOrElse((0L, 0L))
+      (on + bn,
+        java.math.BigInteger.valueOf(ofp)
+          .add(java.math.BigInteger.valueOf(bfp))
+          .mod(java.math.BigInteger.valueOf(Long.MaxValue))
+          .longValueExact())
+    }
+    (old.filterNot(_._1 == artifact).toSeq :+ ((artifact, n, fp)))
+      .sortBy(_._1)
       .toDF("artifact", "n_rows", "fp")
       .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
     n

@@ -875,8 +875,10 @@ object ScaleProbe {
     // the cold measurement: the load now pays the stamped delta read,
     // the unionByName, and the tombstone anti-join.
     val deltaBatches = 3
+    val deepBatches = 10
     val tombstonesPerShelf = 8
-    def populateDelta(dir: String, shelfDir: String, tag: String): Unit = {
+    def populateDelta(dir: String, shelfDir: String, tag: String,
+        fromB: Int, toB: Int, tombFrom: Long, tombTo: Long): Unit = {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
       val (cents, _) =
@@ -891,7 +893,7 @@ object ScaleProbe {
         .map(r => r.getSeq[Float](1).toArray)
       val maxId = Tables.embeddings(spark, dir)
         .agg(max(col("vec_id"))).head().getLong(0)
-      (0 until deltaBatches).foreach { b =>
+      (fromB until toB).foreach { b =>
         val arrivals = (0 until 24).map { i =>
           val g = b * 24 + i
           streaming.StreamOps.VecIn(maxId + 1L + g,
@@ -907,19 +909,45 @@ object ScaleProbe {
           .queryName(s"delta_populate_${tag}_$b")
           .outputMode("append").start()
         input.addData(arrivals); q.processAllAvailable(); q.stop()
+        // The verdict-only arm (r18): delta rows from the admitted
+        // verdicts' carried embeddings — the serveDeltaStream shape.
         Pipeline.appendServeDelta(spark, shelfDir,
           ext.Similarity.serveDeltaRows(
-            spark.table(s"delta_populate_${tag}_$b"),
-            arrivals.toDF()))
+            spark.table(s"delta_populate_${tag}_$b")))
       }
       Pipeline.appendServeTombstones(spark, shelfDir,
-        (0L until tombstonesPerShelf.toLong).toDF("id2"))
+        (tombFrom until tombTo).toDF("id2"))
     }
-    populateDelta(base, "/tmp/graft_shelf_x1", "x1")
-    populateDelta(work, s"/tmp/graft_shelf_x$nReplicas", s"x$nReplicas")
+    populateDelta(base, "/tmp/graft_shelf_x1", "x1",
+      0, deltaBatches, 0L, tombstonesPerShelf.toLong)
+    populateDelta(work, s"/tmp/graft_shelf_x$nReplicas", s"x$nReplicas",
+      0, deltaBatches, 0L, tombstonesPerShelf.toLong)
     val serveD1 = serveCold(base, "/tmp/graft_shelf_x1", "d1")
     val serveDN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
       s"d$nReplicas")
+    // The LONG-DELTA + COMPACTION regime (r18 — the r17 verdict's task
+    // #6: the 3-batch band said the union is cheap NOW; nobody had
+    // measured 10+, and nobody had priced the fold that retires them).
+    // Grow each shelf to `deepBatches` delta partitions plus a second
+    // tombstone batch, re-measure cold serving at the populated peak,
+    // COMPACT (the frozen-centroid fold — never a retrain), and
+    // re-measure: the three rows justify the compaction cadence.
+    populateDelta(base, "/tmp/graft_shelf_x1", "x1deep",
+      deltaBatches, deepBatches, tombstonesPerShelf.toLong,
+      2L * tombstonesPerShelf)
+    populateDelta(work, s"/tmp/graft_shelf_x$nReplicas",
+      s"x${nReplicas}deep", deltaBatches, deepBatches,
+      tombstonesPerShelf.toLong, 2L * tombstonesPerShelf)
+    val serveDD1 = serveCold(base, "/tmp/graft_shelf_x1", "dd1")
+    val serveDDN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
+      s"dd$nReplicas")
+    val (_, compact1) = timed(
+      Pipeline.compactServeIndex(spark, "/tmp/graft_shelf_x1"))
+    val (_, compactN) = timed(
+      Pipeline.compactServeIndex(spark, s"/tmp/graft_shelf_x$nReplicas"))
+    val serveC1 = serveCold(base, "/tmp/graft_shelf_x1", "c1")
+    val serveCN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
+      s"c$nReplicas")
     println(
       f"""{"deployed":{"mix_bpe_replay":{"x1":$mix1%.2f,"x$nReplicas%d":$mixN%.2f,"ratio":${mixN / mix1}%.1f},""" +
       f""""screen_ingest":{"x1":$scr1%.2f,"x$nReplicas%d":$scrN%.2f,"ratio":${scrN / scr1}%.1f},""" +
@@ -928,8 +956,11 @@ object ScaleProbe {
       f""""observability_publish":{"x1":$obs1%.2f,"x$nReplicas%d":$obsN%.2f,"ratio":${obsN / obs1}%.1f},""" +
       f""""audit_tail":{"x1":$tail1%.2f,"x$nReplicas%d":$tailN%.2f,"ratio":${tailN / tail1}%.1f},""" +
       f""""serve_cold":{"x1":$serve1%.2f,"x$nReplicas%d":$serveN%.2f,"ratio":${serveN / serve1}%.1f},""" +
-      f""""serve_cold_delta":{"x1":$serveD1%.2f,"x$nReplicas%d":$serveDN%.2f,"ratio":${serveDN / serveD1}%.1f}},""" +
-      s""""delta_batches":$deltaBatches,"tombstones":$tombstonesPerShelf,""" +
+      f""""serve_cold_delta":{"x1":$serveD1%.2f,"x$nReplicas%d":$serveDN%.2f,"ratio":${serveDN / serveD1}%.1f},""" +
+      f""""serve_cold_delta_deep":{"x1":$serveDD1%.2f,"x$nReplicas%d":$serveDDN%.2f,"ratio":${serveDDN / serveDD1}%.1f},""" +
+      f""""compact":{"x1":$compact1%.2f,"x$nReplicas%d":$compactN%.2f},""" +
+      f""""serve_cold_compacted":{"x1":$serveC1%.2f,"x$nReplicas%d":$serveCN%.2f,"ratio":${serveCN / serveC1}%.1f}},""" +
+      s""""delta_batches":$deltaBatches,"delta_batches_deep":$deepBatches,"tombstones":$tombstonesPerShelf,""" +
       s""""shelf_groups_x1":${groupsJson(groups1)},""" +
       s""""shelf_groups_x$nReplicas":${groupsJson(groupsN)},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas,""" +

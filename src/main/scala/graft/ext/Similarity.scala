@@ -1390,15 +1390,42 @@ object Similarity {
     */
   private[graft] def serveDeltaRows(verdicts: DataFrame,
       vecs: DataFrame): DataFrame =
-    verdicts.filter(col("admitted") === 1L)
+    serveDeltaTail(verdicts.filter(col("admitted") === 1L)
       .select(col("vec_id"), col("cell"), col("sq8_codes").as("cc"))
-      .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("cell").cast("int").as("cell"),
-        col("vec_id").as("id2"),
-        col("embedding").as("v2"),
-        sqrt(VectorFunctions.dotProduct(col("embedding"), col("embedding")))
-          .as("n2"),
-        col("cc"))
+      // One embedding row per vec_id: the gate emits exactly one
+      // verdict per id (the stateful group dedupes), but an
+      // at-least-once upstream can land a duplicated arrival row in
+      // the SAME micro-batch as its original — joining it raw would
+      // fan that one verdict into duplicate delta rows that
+      // double-index the vector in every top-k (ADVICE r17). The
+      // survivor is arbitrary but correct: two rows sharing a vec_id
+      // carry the same content by the ingest contract.
+      .join(vecs.select(col("vec_id"), col("embedding"))
+        .dropDuplicates(Seq("vec_id")), Seq("vec_id")))
+
+  /** The verdict-only arm (r18): ingestVectors now carries each
+    * ADMITTED row's embedding on the verdict itself, so the streaming
+    * consumer (Pipeline.serveDeltaStream's foreachBatch) builds the
+    * insert rows from the micro-batch's verdicts alone — no join back
+    * against the arrival log (the r17 topology re-scanned the ENTIRE
+    * source directory per batch: O(batches × log size) cumulative).
+    */
+  private[graft] def serveDeltaRows(verdicts: DataFrame): DataFrame =
+    serveDeltaTail(verdicts.filter(col("admitted") === 1L)
+      .select(col("vec_id"), col("cell"), col("sq8_codes").as("cc"),
+        col("embedding")))
+
+  /** ONE projection from (vec_id, cell, cc, embedding) to the
+    * art_serve_inverted row shape — shared by both serveDeltaRows arms
+    * so the n2/cast expressions cannot desync.
+    */
+  private def serveDeltaTail(withEmb: DataFrame): DataFrame =
+    withEmb.select(col("cell").cast("int").as("cell"),
+      col("vec_id").as("id2"),
+      col("embedding").as("v2"),
+      sqrt(VectorFunctions.dotProduct(col("embedding"), col("embedding")))
+        .as("n2"),
+      col("cc"))
 
   /** Density-based diversity selection over the kNN graph — the
     * graph-CONSUMING curation op (the D4/SemDeDup "prune dense regions"

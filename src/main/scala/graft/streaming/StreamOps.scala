@@ -1759,12 +1759,24 @@ object StreamOps {
   case class KeyedVec(h1: Long, h2: Long, vec_id: Long,
     embedding: Array[Float])
   case class IngestVecCand(h1: Long, h2: Long, vec_id: Long, kind: Int,
-    cell: Long, codes: Seq[Long], sq8: Seq[Long], eval_id: Long)
+    cell: Long, codes: Seq[Long], sq8: Seq[Long], eval_id: Long,
+    embedding: Array[Float])
   case class IngestVecState(keeper: Long, maxSeen: Long,
     emitted: List[Long])
+  /** `embedding` (r18) rides ONLY the admitted verdicts (null
+    * otherwise — rejected rows stay slim): the serve-delta consumer
+    * (Pipeline.serveDeltaStream → Similarity.serveDeltaRows) builds
+    * its inverted-list insert rows from the verdict alone, so the
+    * foreachBatch never re-reads the arrival log — the r17 topology
+    * joined each micro-batch back against the ENTIRE source directory
+    * (O(batches × log size) cumulative, and a within-batch duplicate
+    * arrival fanned one verdict into duplicate delta rows). A column
+    * on the verdict row, never state: the state store still holds
+    * only (keeper, maxSeen, emitted ids).
+    */
   case class IngestVecVerdict(vec_id: Long, keeper_id: Long, is_dup: Long,
     cell: Long, codes: Seq[Long], sq8_codes: Seq[Long], n_flags: Long,
-    admitted: Long)
+    admitted: Long, embedding: Array[Float])
 
   /** The COMPOSED vector ingest gate — ingestDocsFull's mirror for the
     * embedding side (the r11 verdict's task #4), the production vector
@@ -1825,19 +1837,21 @@ object StreamOps {
     val mainB = graft.ext.Similarity.pqEncode(
         keyed.withColumn("cell", cellExpr(centroids))
           .withColumn("sq8", graft.ext.Similarity.sq8Codes("embedding")),
-        codebooks, extra = Seq("h1", "h2", "cell", "sq8"))
+        codebooks, extra = Seq("h1", "h2", "cell", "sq8", "embedding"))
       .select(col("h1"), col("h2"), col("vec_id"), lit(0).as("kind"),
         col("cell"),
         array((0 until graft.ext.Similarity.pqM).map(s => col(s"c$s")): _*)
           .as("codes"),
         col("sq8"),
-        lit(-1L).as("eval_id"))
+        lit(-1L).as("eval_id"),
+        col("embedding"))
     val screenB = graft.ext.Similarity
       .streamScreenCands(keyed, evalIndex, extra = Seq("h1", "h2"))
       .select(col("h1"), col("h2"), col("vec_id"), lit(1).as("kind"),
         lit(-1L).as("cell"), lit(null).cast("array<bigint>").as("codes"),
         lit(null).cast("array<bigint>").as("sq8"),
-        col("eval_id"))
+        col("eval_id"),
+        lit(null).cast("array<float>").as("embedding"))
     mainB.unionByName(screenB).as[IngestVecCand]
       .groupByKey(c => (c.h1, c.h2))
       .flatMapGroupsWithState[IngestVecState, IngestVecVerdict](
@@ -1861,9 +1875,10 @@ object StreamOps {
                 val nFlags = rs.filter(_.kind == 1).map(_.eval_id)
                   .distinct.size.toLong
                 val isDup = if (id == st.keeper) 0L else 1L
+                val adm = if (isDup == 0L && nFlags == 0L) 1L else 0L
                 out += IngestVecVerdict(id, st.keeper, isDup, m.cell,
-                  m.codes, m.sq8, nFlags,
-                  if (isDup == 0L && nFlags == 0L) 1L else 0L)
+                  m.codes, m.sq8, nFlags, adm,
+                  if (adm == 1L) m.embedding else null)
                 st = st.copy(maxSeen = math.max(st.maxSeen, id),
                   emitted = id :: st.emitted)
               }
@@ -2059,6 +2074,49 @@ object StreamOps {
       .select(col("doc_id"),
         graft.ext.CorpusPrep.diffStatus(
           col("f_v1") === 1, col("admitted") === 1L).as("status"))
+
+  case class RemovedVec(id2: Long)
+  case class TombSeen(emitted: Boolean)
+
+  /** Streaming REMOVAL feed for the serve index (r18 — the r17
+    * verdict's missing mirror: arrivals flowed end-to-end through
+    * serveDeltaStream while removals were batch-only): the version
+    * diff's `removed` statuses, mapped to the served vector ids and
+    * emitted EXACTLY ONCE each. The diff side IS [[diffDocsIncrement]]
+    * (one status construction — the diffStatus builder, never a
+    * re-derivation); `docToVec` is the registry relation linking
+    * corpus doc ids to their indexed vector ids (static side — slim,
+    * id-keyed). The trailing stateful stage (one boolean per removed
+    * id) exists because diffDocsIncrement is deliberately STATELESS:
+    * an at-least-once upstream re-delivering a ¬admitted verdict in a
+    * LATER micro-batch would re-emit 'removed', and the tombstone
+    * append's double-removal guard would then fail loudly on a
+    * re-delivery that is NOT a bookkeeping error — so re-deliveries
+    * are absorbed in state like every ingest gate, and the guard
+    * keeps catching genuine double removals from distinct callers.
+    * Replay contract: a replayed micro-batch re-runs with its
+    * pre-batch state and re-emits the same ids deterministically —
+    * the content-derived batch id downstream then no-ops the append
+    * (the serveDeltaStream three-contract story, removal side).
+    */
+  def removedVecsOnce(verdicts: DataFrame, v1Members: DataFrame,
+      docToVec: DataFrame): Dataset[RemovedVec] = {
+    import verdicts.sparkSession.implicits._
+    diffDocsIncrement(verdicts, v1Members)
+      .filter(col("status") === "removed")
+      .join(docToVec.select(col("doc_id"), col("id2")), Seq("doc_id"))
+      .select(col("id2")).as[RemovedVec]
+      .groupByKey(_.id2)
+      .flatMapGroupsWithState[TombSeen, RemovedVec](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, _: Iterator[RemovedVec], state: GroupState[TombSeen]) =>
+          if (state.exists && state.get.emitted) Iterator.empty
+          else {
+            state.update(TombSeen(emitted = true))
+            Iterator.single(RemovedVec(id))
+          }
+      }
+  }
 
   case class DqRow(row_id: Long, key: Option[Long])
   case class DqState(keeper: Long, maxSeen: Long)

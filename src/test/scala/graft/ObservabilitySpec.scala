@@ -801,6 +801,13 @@ class ObservabilitySpec extends AnyFunSuite {
     val wave2 = (10 until 18).map(synth)
     val dirs = Files.createTempDirectory("servedelta_stream")
     val (in, ckpt) = (s"$dirs/in", s"$dirs/ckpt")
+    // Wave 1 lands TWICE before the first trigger (ADVICE r17: a
+    // duplicated arrival in the SAME micro-batch as its original) —
+    // the gate's stateful group emits one verdict per vec_id and the
+    // verdict-only delta arm carries the embedding in-row, so the
+    // duplicate can no longer fan one verdict into duplicate delta
+    // rows; the one-row-per-admitted assertion below pins it.
+    wave1.toDF().write.mode("append").parquet(in)
     wave1.toDF().write.mode("append").parquet(in)
     val q1 = Pipeline.serveDeltaStream(spark, dir, in, ckpt)
     q1.processAllAvailable(); q1.stop()
@@ -938,6 +945,271 @@ class ObservabilitySpec extends AnyFunSuite {
       "rebuilt index must serve the corpus snapshot base-only")
   }
 
+  /** ONE real-directory shelf copy per caller (the serve specs all
+    * need a writable shelf; symlink-copy shelves are read-only by
+    * design).
+    */
+  private def copyShelf(prefix: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory(prefix).toString
+    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
+      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    dir
+  }
+
+  test("compaction folds base ∪ delta − tombstones under frozen centroids: search-identical, versioned relations retired, fresh appends resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r18 (the r17 verdict's top task): compactServeIndex rewrites
+    // art_serve_inverted as the exact served union — the
+    // annServeStateFromArtifacts load, ONE construction — deletes the
+    // versioned delta/tombstone relations, and restamps together.
+    // Pinned: (1) the served state and the compressed search gate are
+    // IDENTICAL before/after (fold, never a retrain); (2) both
+    // versioned relations and their stamp rows are gone and the
+    // compacted base loads through the stamp guard; (3) appends resume
+    // on a fresh delta under the same nondecreasing-id contract
+    // (overlap and within-batch duplicates still fail loudly).
+    val dir = copyShelf("shelf_compact")
+    val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    val arrivals = stock.take(10).zipWithIndex.map { case (v, i) =>
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        v.embedding.map(x => x * 0.55f + 0.02f * ((i % 4) + 1)))
+    }
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps.ingestVectors(input.toDS(), cents,
+        ArtifactShelf.pqCodebooks(spark, dir),
+        ArtifactShelf.table(spark, dir, "art_contamination_eval_index")
+          .localCheckpoint())
+      .writeStream.format("memory").queryName("compact_ingest")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("compact_ingest").localCheckpoint()
+    val admitted = verdicts.filter(col("admitted") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty, "vacuous fixture: nothing admitted")
+    // The verdict-only delta arm (r18): rows built from the admitted
+    // verdicts' own carried embeddings — parity with the join arm is
+    // implied by the served-state checks below riding on it.
+    Pipeline.appendServeDelta(spark, dir,
+      ext.Similarity.serveDeltaRows(verdicts))
+    Pipeline.appendServeTombstones(spark, dir,
+      Seq(stock(2).vec_id, stock(9).vec_id, admitted.min).toDF("id2"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector,
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        r.getSeq[Long](4).toVector)
+    }.toSet
+    def searched(name: String): Set[(Long, Long, Long, Double)] = {
+      val inv = ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      val in = MemoryStream[streaming.StreamOps.VecIn]
+      val query = streaming.StreamOps.searchVectorsSq8(in.toDS(), cents, inv)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      in.addData(stock.take(6).toSeq); query.processAllAvailable()
+      query.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    val before = key(ext.Similarity.annServeStateFromArtifacts(spark, dir)
+      ._2.select("cell", "id2", "v2", "n2", "cc"))
+    val searchBefore = searched("compact_search_before")
+    val n = Pipeline.compactServeIndex(spark, dir)
+    assert(n == before.size.toLong,
+      s"compacted base holds $n rows, served union had ${before.size}")
+    // (2) retirement + the compacted base loads stamped.
+    assert(!new java.io.File(s"$dir/art_serve_delta").exists() &&
+      !new java.io.File(s"$dir/art_serve_tombstones").exists(),
+      "compaction must delete the versioned batch relations")
+    assert(ArtifactShelf.table(spark, dir, "art_build_stamp")
+      .filter(col("artifact").isin("art_serve_delta",
+        "art_serve_tombstones")).count() == 0L,
+      "retired relations must lose their stamp rows")
+    val after = key(ArtifactShelf.table(spark, dir, "art_serve_inverted")
+      .select("cell", "id2", "v2", "n2", "cc"))
+    assert(after == before,
+      s"compaction changed the served state: " +
+        s"lost=${(before -- after).take(2).map(_._2)} " +
+        s"gained=${(after -- before).take(2).map(_._2)}")
+    // (1) the search gate agrees row-for-row.
+    assert(searched("compact_search_after") == searchBefore &&
+      searchBefore.nonEmpty,
+      "search over the compacted base diverges from pre-compaction")
+    // (3) appends resume: fresh ids above the folded max commit to a
+    // NEW delta; an overlapping id and a within-batch duplicate fail.
+    val foldMax = after.map(_._2).max
+    def handRows(ids: Seq[Long]) = ids.map { i =>
+      (3, i, Seq(0.1f, 0.2f), 1.0, Seq(1L, 2L))
+    }.toDF("cell", "id2", "v2", "n2", "cc")
+      .select(col("cell").cast("int").as("cell"), col("id2"),
+        col("v2"), col("n2"), col("cc"))
+    assert(Pipeline.appendServeDelta(spark, dir,
+      handRows(Seq(foldMax + 1L))) == 1L,
+      "post-compaction append must start a fresh delta")
+    intercept[IllegalArgumentException] {
+      Pipeline.appendServeDelta(spark, dir, handRows(Seq(admitted.min)))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.appendServeDelta(spark, dir,
+        handRows(Seq(foldMax + 5L, foldMax + 5L, foldMax + 6L)))
+    }
+    assert(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      .count() == before.size.toLong + 1L,
+      "refused batches must leave the served state untouched")
+  }
+
+  test("a crash between the compaction rewrite and its restamp fails loudly at the stamped load, and the serve refresh repairs it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The compactServeIndex crash contract: the rewrite lands, the
+    // restamp doesn't — every stamped load of the base must refuse
+    // (the r12 guard), and refreshShelfGroup("serve") is the
+    // documented repair. Simulated with the method's own fold
+    // construction (annServeStateFromArtifacts — one construction).
+    val dir = copyShelf("shelf_crash")
+    Pipeline.appendServeTombstones(spark, dir,
+      Seq(3L, 5L).toDF("id2"))
+    val folded = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+      ._2.localCheckpoint()
+    folded.write.mode("overwrite").parquet(s"$dir/art_serve_inverted")
+    intercept[IllegalArgumentException] {
+      ArtifactShelf.table(spark, dir, "art_serve_inverted")
+    }
+    intercept[IllegalArgumentException] {
+      ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    }
+    Pipeline.refreshShelfGroup(spark, sf, dir, "serve")
+    assert(ext.Similarity.annServeStateFromArtifacts(spark, dir)._2
+      .count() == spark.read.parquet(s"$sf/embeddings.parquet").count(),
+      "the serve refresh must repair the half-compacted shelf")
+  }
+
+  test("append restamps compose in O(batch) to the full-scan stamp, and a crash replay repairs via the full scan") {
+    import spark.implicits._
+    // r18 (the r17 verdict's task #4): the fingerprint is an additive
+    // wrapping sum, so a fresh append derives the relation stamp from
+    // (old stamp + the committed partition's stamp) without reading
+    // earlier batches. Pinned: after each of three appends the stamp
+    // row EQUALS ArtifactShelf.stampOf over the full relation (and the
+    // stamped load passes); a partition committed WITHOUT its restamp
+    // (crash between rename and restamp) fails loudly, and replaying
+    // the append with the same batch id repairs via the full scan.
+    val dir = copyShelf("shelf_stampinc")
+    val baseMax = spark.read.parquet(s"$dir/art_serve_inverted")
+      .agg(max(col("id2"))).head().getLong(0)
+    def rows(ids: Seq[Long]) = ids.map { i =>
+      ((i % 7).toInt, i, Seq(0.3f, 0.4f), 2.0, Seq(4L, 5L))
+    }.toDF("cell", "id2", "v2", "n2", "cc")
+      .select(col("cell").cast("int").as("cell"), col("id2"),
+        col("v2"), col("n2"), col("cc"))
+    (0 until 3).foreach { b =>
+      val ids = (0 until 6).map(i => baseMax + 1L + b * 6 + i)
+      Pipeline.appendServeDelta(spark, dir, rows(ids))
+      val want = ArtifactShelf.stampOf(
+        spark.read.parquet(s"$dir/art_serve_delta"))
+      val got = spark.read.parquet(s"$dir/art_build_stamp")
+        .filter(col("artifact") === "art_serve_delta")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      assert(got == want,
+        s"composed stamp $got diverges from the full-scan stamp $want " +
+          s"after append ${b + 1}")
+      ArtifactShelf.table(spark, dir, "art_serve_delta")
+    }
+    // Crash sim: a rename that committed without its restamp.
+    val crashRows = rows((0 until 4).map(i => baseMax + 100L + i))
+      .localCheckpoint()
+    crashRows.write.mode("overwrite")
+      .parquet(s"$dir/art_serve_delta/batch_id=crash_x")
+    intercept[IllegalArgumentException] {
+      ArtifactShelf.table(spark, dir, "art_serve_delta")
+    }
+    // Replay with the same id: commit no-ops, restamp takes the
+    // full-scan repair path, the load passes again.
+    Pipeline.appendServeDelta(spark, dir, crashRows, batchId = "crash_x")
+    val repaired = spark.read.parquet(s"$dir/art_build_stamp")
+      .filter(col("artifact") === "art_serve_delta")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(repaired == ArtifactShelf.stampOf(
+      spark.read.parquet(s"$dir/art_serve_delta")),
+      "the replay must repair the stamp from the full scan")
+    ArtifactShelf.table(spark, dir, "art_serve_delta")
+    // A purely-numeric batch id is refused (partition-type inference
+    // would make the composed stamp diverge from the full scan).
+    intercept[IllegalArgumentException] {
+      Pipeline.appendServeDelta(spark, dir,
+        rows(Seq(baseMax + 200L)), batchId = "123")
+    }
+  }
+
+  test("streaming tombstone topology applies exactly one tombstone per removed doc across a checkpoint restart") {
+    import spark.implicits._
+    // r18 (the r17 verdict's task #3 — serveDeltaStream's removal
+    // mirror): per-doc admission verdicts → the version diff against
+    // the shelf's frozen v1 membership (diffDocsIncrement, one status
+    // construction) → emit-once state → appendServeTombstones under a
+    // checkpoint. The query is stopped COLD between waves and wave 2
+    // RE-DELIVERS all of wave 1 (the at-least-once upstream): the
+    // recovered emit-once state absorbs the re-delivery, so the
+    // double-removal guard never fires on it. Pinned: exactly one
+    // tombstone per removed v1 doc, one versioned batch per emitting
+    // wave, the served state excludes exactly the mapped ids, and the
+    // final state equals the batch-applied path on a twin shelf.
+    val dir = copyShelf("shelf_tombstream")
+    val twin = copyShelf("shelf_tombstream_twin")
+    val v1Docs = ArtifactShelf.table(spark, dir, "art_corpus_v1_members")
+      .orderBy("doc_id").limit(6).collect().map(_.getLong(0))
+    assert(v1Docs.length == 6, "fixture needs 6 v1 member docs")
+    val stockIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .orderBy("vec_id").limit(8).collect().map(_.getLong(0))
+    // Removed docs map to distinct served vector ids; one verdict
+    // covers a doc OUTSIDE v1 (emits nothing) and one v1 doc arrives
+    // admitted (unchanged — no tombstone).
+    val docToVec = Seq(
+      v1Docs(0) -> stockIds(1), v1Docs(1) -> stockIds(3),
+      v1Docs(2) -> stockIds(5)).toDF("doc_id", "id2")
+    val wave1 = Seq(
+      streaming.StreamOps.DiffDoc(v1Docs(0), 0L),
+      streaming.StreamOps.DiffDoc(v1Docs(1), 0L),
+      streaming.StreamOps.DiffDoc(v1Docs(3), 1L),
+      streaming.StreamOps.DiffDoc(99999999L, 0L))
+    val wave2 = Seq(streaming.StreamOps.DiffDoc(v1Docs(2), 0L))
+    val dirs = java.nio.file.Files.createTempDirectory("tombstream")
+    val (in, ckpt) = (s"$dirs/in", s"$dirs/ckpt")
+    wave1.toDS().write.mode("append").parquet(in)
+    val q1 = Pipeline.serveTombstoneStream(spark, dir, in, ckpt, docToVec)
+    q1.processAllAvailable(); q1.stop()
+    (wave2 ++ wave1).toDS().write.mode("append").parquet(in)
+    val q2 = Pipeline.serveTombstoneStream(spark, dir, in, ckpt, docToVec)
+    q2.processAllAvailable(); q2.stop()
+    val tombs = spark.read.parquet(s"$dir/art_serve_tombstones")
+    val removedVecs = Set(stockIds(1), stockIds(3), stockIds(5))
+    assert(tombs.select("id2").collect().map(_.getLong(0)).toSet
+      == removedVecs && tombs.count() == 3L,
+      s"exactly one tombstone per removed doc: ${tombs.collect().toSeq}")
+    assert(tombs.select("batch_id").distinct().count() == 2L,
+      "each emitting wave commits its own versioned batch")
+    def key(d: String) =
+      ext.Similarity.annServeStateFromArtifacts(spark, d)._2
+        .select("id2").collect().map(_.getLong(0)).toSet
+    val served = key(dir)
+    assert(removedVecs.forall(!served.contains(_)),
+      "a streamed tombstone id survived in the served state")
+    // Batch-applied parity on the twin shelf.
+    Pipeline.appendServeTombstones(spark, twin,
+      removedVecs.toSeq.sorted.toDF("id2"))
+    assert(served == key(twin),
+      "streamed tombstones diverge from the batch-applied path")
+  }
+
   test("deployed content diff over span artifacts equals the gated transform diff") {
     import spark.implicits._
     // r16 (the membership diff's r15 treatment applied to the transform
@@ -997,7 +1269,8 @@ class ObservabilitySpec extends AnyFunSuite {
     def v(id: Long, dup: Long, flags: Long): streaming.StreamOps.IngestVecVerdict =
       streaming.StreamOps.IngestVecVerdict(id, if (dup == 1L) 0L else id,
         dup, 3L, Seq(1L), Seq(5L), flags,
-        if (dup == 0L && flags == 0L) 1L else 0L)
+        if (dup == 0L && flags == 0L) 1L else 0L,
+        if (dup == 0L && flags == 0L) Array(0.1f, 0.2f) else null)
     val rows = Seq(v(1, 1, 2), v(2, 1, 0), v(3, 0, 1), v(4, 0, 0), v(5, 0, 0))
     val out = streaming.StreamOps.ingestVecAuditRollup(rows.toDF()).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
