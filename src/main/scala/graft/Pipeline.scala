@@ -275,7 +275,12 @@ object Pipeline {
     * a loud guard-crash loop instead of no-oping. Unique-id batches —
     * every batch the contract admits — digest identically to the
     * historical derivation (distinct is the identity on them), so
-    * already-committed ids stay stable across this change.
+    * already-committed ids stay stable across this change. (The one
+    * un-recognized legacy shape: a pre-r18 partition whose COMMITTED
+    * rows contain in-batch duplicates — only reachable via the r17
+    * duplicate fan-out this round removed, and no shipped shelf
+    * carries one; if one ever surfaces, delete that partition and
+    * replay the batch.)
     */
   private def contentBatchId(df: DataFrame, idCol: String): Option[String] = {
     val stats = df.select(col(idCol)).distinct().agg(count(lit(1)),
@@ -588,6 +593,11 @@ object Pipeline {
     */
   def compactServeIndex(spark: SparkSession, shelfDir: String): Long = {
     import spark.implicits._
+    // Same-JVM mutual exclusion with the append tails (stampLock —
+    // see appendIndexBatch's concurrency note): a delta/tombstone
+    // append interleaving with the fold would commit into a relation
+    // being deleted or restamp against the half-rewritten base.
+    stampLock.synchronized {
     // The exact serving union, loaded through the stamp guard (a
     // skewed shelf must fail loudly BEFORE its fold becomes the new
     // base), pinned eagerly: the write below overwrites the very
@@ -614,6 +624,7 @@ object Pipeline {
       .toDF("artifact", "n_rows", "fp")
       .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
     n
+    }
   }
 
   /** Total rows of a versioned batch relation, 0 when absent (Hadoop FS
@@ -644,16 +655,31 @@ object Pipeline {
     import spark.implicits._
     val path = s"$shelfDir/$artifact"
     // The id becomes a batch_id=<id> partition VALUE that the
-    // incremental restamp reads back standalone: a purely-numeric id
-    // would partition-type-infer differently under a single-partition
-    // read vs the full relation (int vs the mixed set's string), and
-    // the composed stamp would silently diverge from the full-scan
-    // stamp. Every auto id carries "auto_"; named ids must carry at
-    // least one non-digit too.
-    require(id.exists(c => !c.isDigit),
-      s"batch id must contain a non-digit character: $id (a numeric id " +
-        "partition-type-infers unstably between single-partition and " +
-        "full-relation reads, breaking the composed stamp)")
+    // incremental restamp reads back standalone: an id Spark's
+    // partition-type inference can parse as int/long/decimal/date
+    // ("123", "-1", "2020-01-01") would infer differently under a
+    // single-partition read vs the mixed full relation, and the
+    // composed stamp would silently diverge from the full-scan stamp.
+    // A LEADING letter/underscore kills every non-string parse
+    // (Integer/Long/BigDecimal/date/timestamp all reject it). Every
+    // auto id starts with "auto_"; named ids must lead likewise.
+    require(id.matches("[A-Za-z_][A-Za-z0-9_-]*"),
+      s"batch id must start with a letter or underscore: $id (an id " +
+        "that partition-type-infers as int/decimal/date reads back " +
+        "differently under single-partition vs full-relation scans, " +
+        "breaking the composed stamp)")
+    // The guard + commit + restamp run under ONE JVM-level lock
+    // (r18): the delta and tombstone STREAMS legitimately run
+    // concurrently against one shelf (serveDeltaStream +
+    // serveTombstoneStream — both foreachBatch bodies execute on this
+    // driver), and the restamp is a read-modify-write of the whole
+    // stamp relation — two interleaved appends would each write the
+    // OTHER artifact's stamp row stale (a lost update that fails every
+    // subsequent load on a healthy shelf). Cross-PROCESS concurrent
+    // appenders remain out of contract (the atomic-rename commit keeps
+    // them from corrupting data, but their restamps can still race —
+    // a multi-writer deployment serializes appends upstream).
+    stampLock.synchronized {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val isReplay = fs.exists(
@@ -662,7 +688,11 @@ object Pipeline {
       if (!isReplay) {
         // Slim-column aggs over (base ∪ delta) ids — the ONE servedIds
         // construction (its scaladoc records the deliberate
-        // stamp-guard bypass).
+        // stamp-guard bypass). This id-column scan is the append's
+        // remaining O(relation) term — column-pruned to 8-byte ids,
+        // deliberately kept (a wrong accept corrupts search results;
+        // composing max-served/tombstone digests onto the stamp row
+        // is the recorded next step if id-scan cost ever shows up).
         val maxServed = servedIds(spark, shelfDir)
           .agg(max(col("id2"))).head().getLong(0)
         val stats = rows.agg(min(col(idCol)), count(lit(1)),
@@ -721,7 +751,14 @@ object Pipeline {
       .toDF("artifact", "n_rows", "fp")
       .write.mode("overwrite").parquet(s"$shelfDir/art_build_stamp")
     n
+    }
   }
+
+  /** Serializes every stamp read-modify-write in this JVM — the
+    * append tails and the compaction fold (see appendIndexBatch's
+    * concurrency note).
+    */
+  private val stampLock = new Object
 
   /** Staged-write + atomic-rename commit of one signature batch; returns
     * false (a no-op) when the batch directory already exists — either a

@@ -877,8 +877,13 @@ object ScaleProbe {
     val deltaBatches = 3
     val deepBatches = 10
     val tombstonesPerShelf = 8
+    // Returns the per-batch append wall (gate excluded — just the
+    // guard + commit + incremental restamp): flat across batches 1..10
+    // evidences the r18 O(batch) restamp claim with data; a growing
+    // tail would be the guard's slim id-scan term surfacing (the
+    // recorded next step if it ever does).
     def populateDelta(dir: String, shelfDir: String, tag: String,
-        fromB: Int, toB: Int, tombFrom: Long, tombTo: Long): Unit = {
+        fromB: Int, toB: Int, tombFrom: Long, tombTo: Long): Seq[Double] = {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
       val (cents, _) =
@@ -893,12 +898,20 @@ object ScaleProbe {
         .map(r => r.getSeq[Float](1).toArray)
       val maxId = Tables.embeddings(spark, dir)
         .agg(max(col("vec_id"))).head().getLong(0)
-      (fromB until toB).foreach { b =>
+      val appendWalls = (fromB until toB).map { b =>
         val arrivals = (0 until 24).map { i =>
           val g = b * 24 + i
+          // Offset distinct per GLOBAL index g (r18 review fix): the
+          // old (g % 9) offset made batches b and b+3 byte-identical
+          // (24 ≡ 6 mod 9), and since each populateDelta wave starts
+          // a fresh gate, the deep regime would have measured a
+          // double-indexed state the checkpointed production stream
+          // can never produce (it would reject the dups as is_dup=1
+          // and append empty batches). Distinct content per arrival
+          // keeps every committed partition production-reachable.
           streaming.StreamOps.VecIn(maxId + 1L + g,
             seeds(i % seeds.length)
-              .map(x => x * 0.6f + 0.01f * ((g % 9) + 1)))
+              .map(x => x * 0.6f + 0.003f * (g + 1)))
         }
         val input =
           org.apache.spark.sql.execution.streaming.runtime
@@ -911,12 +924,13 @@ object ScaleProbe {
         input.addData(arrivals); q.processAllAvailable(); q.stop()
         // The verdict-only arm (r18): delta rows from the admitted
         // verdicts' carried embeddings — the serveDeltaStream shape.
-        Pipeline.appendServeDelta(spark, shelfDir,
-          ext.Similarity.serveDeltaRows(
-            spark.table(s"delta_populate_${tag}_$b")))
+        val rows = ext.Similarity.serveDeltaRows(
+          spark.table(s"delta_populate_${tag}_$b")).localCheckpoint()
+        timed(Pipeline.appendServeDelta(spark, shelfDir, rows))._2
       }
       Pipeline.appendServeTombstones(spark, shelfDir,
         (tombFrom until tombTo).toDF("id2"))
+      appendWalls
     }
     populateDelta(base, "/tmp/graft_shelf_x1", "x1",
       0, deltaBatches, 0L, tombstonesPerShelf.toLong)
@@ -932,12 +946,14 @@ object ScaleProbe {
     // tombstone batch, re-measure cold serving at the populated peak,
     // COMPACT (the frozen-centroid fold — never a retrain), and
     // re-measure: the three rows justify the compaction cadence.
-    populateDelta(base, "/tmp/graft_shelf_x1", "x1deep",
+    val appendW1 = populateDelta(base, "/tmp/graft_shelf_x1", "x1deep",
       deltaBatches, deepBatches, tombstonesPerShelf.toLong,
       2L * tombstonesPerShelf)
-    populateDelta(work, s"/tmp/graft_shelf_x$nReplicas",
+    val appendWN = populateDelta(work, s"/tmp/graft_shelf_x$nReplicas",
       s"x${nReplicas}deep", deltaBatches, deepBatches,
       tombstonesPerShelf.toLong, 2L * tombstonesPerShelf)
+    def wallsJson(ws: Seq[Double]): String =
+      ws.map(w => f"$w%.2f").mkString("[", ",", "]")
     val serveDD1 = serveCold(base, "/tmp/graft_shelf_x1", "dd1")
     val serveDDN = serveCold(work, s"/tmp/graft_shelf_x$nReplicas",
       s"dd$nReplicas")
@@ -961,6 +977,8 @@ object ScaleProbe {
       f""""compact":{"x1":$compact1%.2f,"x$nReplicas%d":$compactN%.2f},""" +
       f""""serve_cold_compacted":{"x1":$serveC1%.2f,"x$nReplicas%d":$serveCN%.2f,"ratio":${serveCN / serveC1}%.1f}},""" +
       s""""delta_batches":$deltaBatches,"delta_batches_deep":$deepBatches,"tombstones":$tombstonesPerShelf,""" +
+      s""""append_walls_deep":{"x1":${wallsJson(appendW1)},""" +
+      s""""x$nReplicas":${wallsJson(appendWN)}},""" +
       s""""shelf_groups_x1":${groupsJson(groups1)},""" +
       s""""shelf_groups_x$nReplicas":${groupsJson(groupsN)},""" +
       f""""artifact_s":{"merge_train":$tTrain%.2f,"hub_index":$tHub%.2f},"base":"$base","replicas":$nReplicas,""" +

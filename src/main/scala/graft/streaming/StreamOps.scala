@@ -2086,7 +2086,14 @@ object StreamOps {
     * (one status construction — the diffStatus builder, never a
     * re-derivation); `docToVec` is the registry relation linking
     * corpus doc ids to their indexed vector ids (static side — slim,
-    * id-keyed). The trailing stateful stage (one boolean per removed
+    * id-keyed). The registry join is INNER by contract: a removed doc
+    * with no registry row is an UNINDEXED doc (not every corpus doc
+    * has a vector) and correctly produces no tombstone — the registry
+    * is the source of truth for what was indexed, so it must ship
+    * WITH the shelf build that indexed those vectors (a stale
+    * registry is shelf version skew, the same class the stamp guard
+    * exists for; docs mapped to a retired vector still fail loudly
+    * downstream at appendServeTombstones' served-set guard). The trailing stateful stage (one boolean per removed
     * id) exists because diffDocsIncrement is deliberately STATELESS:
     * an at-least-once upstream re-delivering a ¬admitted verdict in a
     * LATER micro-batch would re-emit 'removed', and the tombstone

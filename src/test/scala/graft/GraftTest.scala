@@ -36,4 +36,23 @@ object GraftTest {
     val counts = Pipeline.materializeFrozenArtifacts(spark, sf, tmp)
     (tmp, counts)
   }
+
+  /** ONE writable real-directory copy of the shared shelf per caller
+    * (r18, hoisted from the per-spec inline walk loops): the serve
+    * append/compaction specs mutate their shelf, and symlink-copy
+    * shelves are read-only by design. Closes the walk stream (it holds
+    * directory handles; suites share one long-lived JVM).
+    */
+  def copyShelf(prefix: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val dir = Files.createTempDirectory(prefix).toString
+    scala.util.Using.resource(Files.walk(Paths.get(shelf._1))) { walk =>
+      walk.forEach { (p: Path) =>
+        val t = Paths.get(dir, Paths.get(shelf._1).relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    dir
+  }
 }

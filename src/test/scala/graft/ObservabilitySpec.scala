@@ -271,12 +271,7 @@ class ObservabilitySpec extends AnyFunSuite {
     // mix group (loads must pass and equal the trainer), then refresh a
     // split-bearing group and require the whole shelf still loads.
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_refresh").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_refresh")
     spark.read.parquet(s"$shelfDir/art_mix_cuts")
       .withColumn("cut_bucket", col("cut_bucket") + 1L)
       .write.mode("overwrite").parquet(s"$dir/art_mix_cuts")
@@ -531,12 +526,7 @@ class ObservabilitySpec extends AnyFunSuite {
     //      base indexes the refresh corpus; keeping the delta would
     //      double-index the arrivals).
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_delta").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_delta")
     val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
     val stock = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
@@ -638,12 +628,7 @@ class ObservabilitySpec extends AnyFunSuite {
     //      loudly on unserved and already-tombstoned ids;
     //  (4) a full serve refresh retires tombstones with the delta.
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_tomb").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_tomb")
     val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
     val stock = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
@@ -783,12 +768,7 @@ class ObservabilitySpec extends AnyFunSuite {
     // frozen-centroid index over (corpus ∪ admitted) — the same parity
     // target as the hand-driven path.
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_stream").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_stream")
     val stock = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => streaming.StreamOps.VecIn(r.getLong(0),
@@ -864,6 +844,66 @@ class ObservabilitySpec extends AnyFunSuite {
         s"live-only=${(expected -- loaded).take(2).map(_._2)}")
   }
 
+  test("compaction interleaves with the streaming delta topology: the resumed stream appends to a fresh delta over the folded base") {
+    import spark.implicits._
+    // r18 — the operational sequence a long-running deployment actually
+    // performs: ingest stream runs, operator compacts BETWEEN
+    // micro-batch waves (the stream stopped cold, the checkpoint
+    // kept), stream resumes. Pinned: the resumed stream's appends land
+    // in a FRESH art_serve_delta (the folded base absorbed the old
+    // one), the nondecreasing-id guard holds against the folded base's
+    // max (which includes the pre-compaction arrivals), and the final
+    // served state is row-identical to the no-compaction twin topology
+    // fed the same waves — compaction is invisible to the stream's
+    // semantics, exactly the frozen-centroid fold contract.
+    import java.nio.file.Files
+    val dir = copyShelf("shelf_compactstream")
+    val twin = copyShelf("shelf_compactstream_twin")
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    def synth(i: Int): streaming.StreamOps.VecIn =
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        stock(i % 9).embedding.map(x => x * 0.58f + 0.012f * ((i % 6) + 1)))
+    val wave1 = (0 until 8).map(synth)
+    val wave2 = (8 until 14).map(synth)
+    def runWaves(shelf: String, tag: String,
+        between: () => Unit): Unit = {
+      val dirs = Files.createTempDirectory(s"compactstream_$tag")
+      val (in, ckpt) = (s"$dirs/in", s"$dirs/ckpt")
+      wave1.toDF().write.mode("append").parquet(in)
+      val q1 = Pipeline.serveDeltaStream(spark, shelf, in, ckpt)
+      q1.processAllAvailable(); q1.stop()
+      between()
+      wave2.toDF().write.mode("append").parquet(in)
+      val q2 = Pipeline.serveDeltaStream(spark, shelf, in, ckpt)
+      q2.processAllAvailable(); q2.stop()
+    }
+    runWaves(dir, "c", () => { Pipeline.compactServeIndex(spark, dir); () })
+    runWaves(twin, "t", () => ())
+    // The resumed stream's appends landed in a FRESH delta: only
+    // wave-2 ids, one batch partition.
+    val delta = spark.read.parquet(s"$dir/art_serve_delta")
+    assert(delta.select("id2").collect().map(_.getLong(0)).toSet
+      .subsetOf(wave2.map(_.vec_id).toSet),
+      "post-compaction delta must hold only resumed-stream arrivals")
+    assert(delta.select("batch_id").distinct().count() == 1L,
+      "the folded base absorbed wave 1 — one fresh batch expected")
+    def key(d: String) =
+      ext.Similarity.annServeStateFromArtifacts(spark, d)._2
+        .select("cell", "id2", "v2", "n2", "cc").collect().map { r =>
+          (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector,
+            java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+            r.getSeq[Long](4).toVector)
+        }.toSet
+    val compacted = key(dir)
+    assert(compacted == key(twin) && compacted.nonEmpty,
+      "mid-stream compaction changed the served state vs the " +
+        "no-compaction twin topology")
+  }
+
   test("precomputed metric relations leave every trainingCorpus-chain policy row-identical") {
     // r17 (the shelf attribution's answer spec-pinned): the full build
     // now computes predLang/quality/contamination ONCE and passes the
@@ -903,12 +943,7 @@ class ObservabilitySpec extends AnyFunSuite {
     // relations, rebuild in place, and require them gone + the served
     // state base-only.
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_rebuild").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_rebuild")
     val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
     val stock = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
@@ -945,20 +980,11 @@ class ObservabilitySpec extends AnyFunSuite {
       "rebuilt index must serve the corpus snapshot base-only")
   }
 
-  /** ONE real-directory shelf copy per caller (the serve specs all
-    * need a writable shelf; symlink-copy shelves are read-only by
-    * design).
+  /** Writable shelf copies come from the ONE fixture-level builder
+    * (GraftTest.copyShelf — r18 hoist of six inline walk loops).
     */
-  private def copyShelf(prefix: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory(prefix).toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
-    dir
-  }
+  private def copyShelf(prefix: String): String =
+    GraftTest.copyShelf(prefix)
 
   test("compaction folds base ∪ delta − tombstones under frozen centroids: search-identical, versioned relations retired, fresh appends resume") {
     import spark.implicits._
@@ -1246,12 +1272,7 @@ class ObservabilitySpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
     import java.nio.file.{Files, Path, Paths}
-    val copy = Files.createTempDirectory("cdiff_shelf").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(copy, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val copy = GraftTest.copyShelf("cdiff_shelf")
     Pipeline.refreshShelfGroup(spark, corpus, copy, "span")
     val dep2 = ext.CorpusPrep.contentDiffFromArtifacts(spark, corpus, copy)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

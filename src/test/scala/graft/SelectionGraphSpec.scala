@@ -1045,12 +1045,7 @@ class SelectionGraphSpec extends AnyFunSuite {
     // the whole serve column at a non-default grid: train → persist →
     // stamp-guarded load → serve.
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_knob").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_knob")
     Pipeline.refreshShelfGroup(spark, sf, dir, "serve", kCells = 32)
     Pipeline.refreshShelfGroup(spark, sf, dir, "contamination",
       planes = ext.Similarity.tablePlanesWide)
@@ -1119,12 +1114,7 @@ class SelectionGraphSpec extends AnyFunSuite {
     // land rows in cells the k=32 walk never probes and fail the
     // structural compare.
     import java.nio.file.{Files, Path, Paths}
-    val dir = Files.createTempDirectory("shelf_knob_delta").toString
-    Files.walk(Paths.get(shelfDir)).forEach { (p: Path) =>
-      val t = Paths.get(dir, Paths.get(shelfDir).relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t)
-    }
+    val dir = GraftTest.copyShelf("shelf_knob_delta")
     Pipeline.refreshShelfGroup(spark, sf, dir, "serve", kCells = 32)
     val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
     assert(cents.length == 32, "fixture: serve group must be k=32")
