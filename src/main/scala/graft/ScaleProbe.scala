@@ -534,6 +534,27 @@ object ScaleProbe {
     spark.stop()
   }
 
+  private def serveCardMain(args: Array[String]): Unit = {
+    val shelf = args.headOption.getOrElse("/tmp/graft_shelf_x1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val card = ext.Similarity.serveIndexCard(spark, shelf).collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .mkString(",")
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"serve_card":{$card},"wall":$wall%.2f,"shelf":"$shelf"}""")
+    spark.stop()
+  }
+
   /** The banding-knob head-to-head at N× grown (r16 — the probe
     * doctrine's missing measurement: "at 100× take the next grid step
     * BEFORE probing" was arithmetic, not a run): times the clean
@@ -1010,6 +1031,14 @@ object ScaleProbe {
     if (args.headOption.contains("bandknob")) return bandKnobMain(args.drop(1))
     if (args.headOption.contains("shelfbuild")) return shelfBuildMain(args.drop(1))
     if (args.headOption.contains("difftail")) return diffTailMain(args.drop(1))
+    // "servecard" mode: print a shelf's serve-index manifest card
+    // (Similarity.serveIndexCard) as one JSON line — the operational
+    // read of the compaction-cadence inputs (versioned batch counts)
+    // and the cell-occupancy skew at whatever population the shelf
+    // currently carries. Usage: runMain graft.ScaleProbe servecard
+    // <shelfDir>
+    if (args.headOption.contains("servecard"))
+      return serveCardMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"

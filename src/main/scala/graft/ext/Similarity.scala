@@ -1378,6 +1378,85 @@ object Similarity {
     (cents, inv)
   }
 
+  /** The SERVE-INDEX manifest card — the observability column's
+    * serving row (TextAnalysis.manifestCard / embManifestCard cover
+    * the corpora; this covers the shipped index): long-format
+    * (metric, value) integers over the STAMPED serve relations.
+    * Populations first — base / delta / tombstone row counts and the
+    * versioned BATCH counts, which are the compaction-cadence inputs
+    * (the recorded fold trigger is partition count, and this card is
+    * where an operator reads it) — then the served row count after
+    * the (base ∪ delta) − tombstones fold the loader applies, and the
+    * cell-occupancy distribution over the SERVED state (occupied
+    * cells, exact nearest-rank p50 / p99, max): the gridFor schedule
+    * fixes MEAN occupancy at ~√N by design but says nothing about
+    * skew, and a hot cell is the per-probe latency tail at scale —
+    * occ_max drifting away from occ_p50 is the re-cell signal a
+    * latency dashboard can't give (slow probes also hide behind host
+    * noise). All-integer → bitwise at any size. Cost: slim
+    * column-pruned scans plus one k-row aggregate (k = cells, never
+    * corpus-sized; the k-row occupancy relation is pinned for its
+    * four consumers and released before return). Absent versioned
+    * relations read as zero rows / zero batches — a fresh or freshly
+    * compacted shelf — and every load rides the stamp guard, so the
+    * card fails loudly on a skewed shelf rather than reporting it.
+    * Deliberately NOT materialized with the corpus observability
+    * relations (materializeObservability): those snapshot a corpus
+    * build, while this card reads the index's CURRENT population — a
+    * persisted copy goes stale at the first append, and every input
+    * here is already a stamped relation.
+    */
+  def serveIndexCard(spark: SparkSession, shelfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, inv) = annServeStateFromArtifacts(spark, shelfDir)
+    val fs = new org.apache.hadoop.fs.Path(shelfDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versioned(name: String): (Long, Long) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$shelfDir/$name"))) {
+        val r = graft.ArtifactShelf.table(spark, shelfDir, name)
+          .agg(count(lit(1)), countDistinct(col("batch_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      } else (0L, 0L)
+    val baseRows = graft.ArtifactShelf
+      .table(spark, shelfDir, "art_serve_inverted").count()
+    val (deltaRows, deltaBatches) = versioned("art_serve_delta")
+    val (tombRows, tombBatches) = versioned("art_serve_tombstones")
+    val occ = inv.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .persist()
+    val nOcc = occ.count()
+    val ranked = occ.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("occ").asc, col("cell").asc)))
+    def atRank(q: Double): Long =
+      if (nOcc == 0L) 0L
+      else ranked
+        .filter(col("r") === math.max(1L, math.ceil(q * nOcc).toLong))
+        .select(col("occ")).head().getLong(0)
+    val servedRows =
+      if (nOcc == 0L) 0L else occ.agg(sum(col("occ"))).head().getLong(0)
+    val card = Seq(
+      "base_rows" -> baseRows,
+      "delta_rows" -> deltaRows,
+      "delta_batches" -> deltaBatches,
+      "tombstone_rows" -> tombRows,
+      "tombstone_batches" -> tombBatches,
+      "served_rows" -> servedRows,
+      "cells_total" -> cents.length.toLong,
+      "cells_occupied" -> nOcc,
+      "dims" -> cents.headOption.map(_.length.toLong).getOrElse(0L),
+      "occ_p50" -> atRank(0.5),
+      "occ_p99" -> atRank(0.99),
+      "occ_max" ->
+        (if (nOcc == 0L) 0L
+         else occ.agg(max(col("occ"))).head().getLong(0)))
+    // Fully consumed above — the returned card is literal rows, so the
+    // pinned occupancy relation releases safely (nothing downstream
+    // references it; contrast embPrepCleanStage, whose return VALUES
+    // ride its persist).
+    occ.unpersist()
+    card.toDF("metric", "value")
+  }
+
   /** Inverted-list INSERT rows from a batch of ADMITTED streaming
     * ingest verdicts (StreamOps.ingestVectors' annotations APPLIED —
     * the r15 verdict's gap #3: the gate annotated every admitted

@@ -904,6 +904,77 @@ class ObservabilitySpec extends AnyFunSuite {
         "no-compaction twin topology")
   }
 
+  test("serve-index card tracks populations and occupancy through the lifecycle; compaction zeroes the versioned relations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r18 — the observability column's serving row: the card reads the
+    // compaction-cadence inputs (versioned batch counts) and the
+    // cell-occupancy skew off the STAMPED relations. Pinned across the
+    // full lifecycle: fresh shelf (zero versioned rows, served ==
+    // base), populated (delta/tombstone populations exact, served ==
+    // base + delta − tombstoned), compacted (versioned rows back to
+    // zero, served unchanged — the fold is invisible to the card's
+    // served metrics).
+    val dir = GraftTest.copyShelf("shelf_card")
+    def card(d: String): Map[String, Long] =
+      ext.Similarity.serveIndexCard(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c0 = card(dir)
+    assert(c0("delta_rows") == 0L && c0("delta_batches") == 0L &&
+      c0("tombstone_rows") == 0L && c0("tombstone_batches") == 0L,
+      s"fresh shelf must read zero versioned populations: $c0")
+    assert(c0("served_rows") == c0("base_rows") && c0("base_rows") > 0L)
+    assert(c0("cells_occupied") <= c0("cells_total") &&
+      c0("occ_p50") <= c0("occ_p99") && c0("occ_p99") <= c0("occ_max"))
+    assert(c0("dims") == 64L)
+    // One admitted delta batch + two tombstones (the tombstone spec's
+    // hand-driven construction) — the card must track them exactly.
+    val (cents, _) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    val arrivals = stock.take(6).zipWithIndex.map { case (v, i) =>
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        v.embedding.map(x => x * 0.57f + 0.017f * ((i % 4) + 1)))
+    }
+    val cbs = ArtifactShelf.pqCodebooks(spark, dir)
+    val evalIndex = ArtifactShelf
+      .table(spark, dir, "art_contamination_eval_index").localCheckpoint()
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps.ingestVectors(input.toDS(), cents, cbs,
+        evalIndex)
+      .writeStream.format("memory").queryName("serve_card_ingest")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("serve_card_ingest").localCheckpoint()
+    val nAdmitted = verdicts.filter(col("admitted") === 1L).count()
+    assert(nAdmitted > 0L, "vacuous fixture: nothing admitted")
+    Pipeline.appendServeDelta(spark, dir,
+      ext.Similarity.serveDeltaRows(verdicts))
+    val removed = Seq(stock(2).vec_id, stock(7).vec_id)
+    Pipeline.appendServeTombstones(spark, dir, removed.toDF("id2"))
+    val c1 = card(dir)
+    assert(c1("delta_rows") == nAdmitted && c1("delta_batches") == 1L,
+      s"card delta population diverged: $c1 vs admitted $nAdmitted")
+    assert(c1("tombstone_rows") == 2L && c1("tombstone_batches") == 1L)
+    assert(c1("served_rows") ==
+      c1("base_rows") + nAdmitted - removed.size,
+      "served fold must read base + delta − tombstoned (the tombstone " +
+        "guard pins every removed id as served)")
+    Pipeline.compactServeIndex(spark, dir)
+    val c2 = card(dir)
+    assert(c2("base_rows") == c1("served_rows") &&
+      c2("served_rows") == c1("served_rows"),
+      s"compaction changed the card's served metrics: $c1 -> $c2")
+    assert(c2("delta_rows") == 0L && c2("delta_batches") == 0L &&
+      c2("tombstone_rows") == 0L && c2("tombstone_batches") == 0L,
+      "compaction must retire both versioned relations from the card")
+    assert(c2("occ_p50") <= c2("occ_p99") &&
+      c2("occ_p99") <= c2("occ_max"))
+  }
+
   test("precomputed metric relations leave every trainingCorpus-chain policy row-identical") {
     // r17 (the shelf attribution's answer spec-pinned): the full build
     // now computes predLang/quality/contamination ONCE and passes the
