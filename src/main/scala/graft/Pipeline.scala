@@ -496,6 +496,15 @@ object Pipeline {
     * id would otherwise no-op silently forever, and a double tombstone
     * would hide a bookkeeping bug upstream. Returns the tombstone
     * relation's total row count.
+    *
+    * An UPDATE (content re-embedded under a new encoder or revision)
+    * is deliberately NOT a third operation: it is a tombstone of the
+    * old vector id plus a delta append under a FRESH id. Ids are
+    * immutable content handles by the nondecreasing-id contract — an
+    * in-place mutation would rewrite a committed batch partition
+    * (breaking replay idempotence and the composed stamp), and the
+    * id→content registry (docToVec) re-points at the new id as part
+    * of the same corpus-version diff that emitted the removal.
     */
   def appendServeTombstones(spark: SparkSession, shelfDir: String,
       removedIds: DataFrame, batchId: String = ""): Long = {

@@ -555,6 +555,60 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Steady-state serving probe (r18): ONE loaded serve state — the
+    * stamped relations' fold pinned resident via localCheckpoint, what
+    * a serving process holds between batches — then `nBatches`
+    * consecutive 10-query micro-batches through the compressed gate,
+    * every wall reported. serve_cold is load + FIRST batch (the
+    * restart cost); this is every batch after — the number a serving
+    * latency SLO is actually written against, and the spread across
+    * batches is the micro-batch overhead floor at this corpus size.
+    * Usage: runMain graft.ScaleProbe servewarm <shelfDir> [sfDir]
+    * [batches]
+    */
+  private def serveWarmMain(args: Array[String]): Unit = {
+    val shelf = args.headOption.getOrElse("/tmp/graft_shelf_x1")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val nBatches = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    val (cents, inv) =
+      ext.Similarity.annServeStateFromArtifacts(spark, shelf)
+    val pinned = inv.localCheckpoint()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps
+      .searchVectorsSq8(input.toDS(), cents, pinned)
+      .writeStream.format("memory").queryName("serve_warm")
+      .outputMode("append").start()
+    val walls = (0 until nBatches).map { _ =>
+      val t0 = System.nanoTime()
+      input.addData(qs.toSeq); q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q.stop()
+    val sorted = walls.sorted
+    println(f"""{"serve_warm":{"walls":${
+        walls.map(w => f"$w%.3f").mkString("[", ",", "]")
+      },"first":${walls.head}%.3f,"median":${
+        sorted(nBatches / 2)}%.3f},"shelf":"$shelf","batches":$nBatches}""")
+    spark.stop()
+  }
+
   /** The banding-knob head-to-head at N× grown (r16 — the probe
     * doctrine's missing measurement: "at 100× take the next grid step
     * BEFORE probing" was arithmetic, not a run): times the clean
@@ -1039,6 +1093,10 @@ object ScaleProbe {
     // <shelfDir>
     if (args.headOption.contains("servecard"))
       return serveCardMain(args.drop(1))
+    // "servewarm" mode: steady-state per-batch search walls over ONE
+    // resident serve state (serveWarmMain) — serve_cold's complement.
+    if (args.headOption.contains("servewarm"))
+      return serveWarmMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
