@@ -904,6 +904,69 @@ class ObservabilitySpec extends AnyFunSuite {
         "no-compaction twin topology")
   }
 
+  test("concurrent delta and tombstone appends serialize on the stamp lock: both stamps land full-scan-exact, every load passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // r18 — the stampLock's pin: the delta and tombstone STREAMS run
+    // concurrently against one shelf, and each append is a
+    // read-modify-write of the whole stamp relation. Two simultaneous
+    // appends of independent batches must both land with stamps equal
+    // to the full-scan stamps (without the lock, the loser's stamp row
+    // is written stale by the winner — a lost update that fails every
+    // later stamped load on a healthy shelf; this spec fails
+    // nondeterministically on that regression, which is still a
+    // regression caught).
+    val dir = GraftTest.copyShelf("shelf_race")
+    val (cents, inv0) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    val nBase = inv0.count()
+    val stock = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => streaming.StreamOps.VecIn(r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val maxId = stock.last.vec_id
+    val arrivals = stock.take(5).zipWithIndex.map { case (v, i) =>
+      streaming.StreamOps.VecIn(maxId + 1L + i,
+        v.embedding.map(x => x * 0.59f + 0.013f * ((i % 5) + 1)))
+    }
+    val cbs = ArtifactShelf.pqCodebooks(spark, dir)
+    val evalIndex = ArtifactShelf
+      .table(spark, dir, "art_contamination_eval_index").localCheckpoint()
+    val input = MemoryStream[streaming.StreamOps.VecIn]
+    val q = streaming.StreamOps.ingestVectors(input.toDS(), cents, cbs,
+        evalIndex)
+      .writeStream.format("memory").queryName("serve_race_ingest")
+      .outputMode("append").start()
+    input.addData(arrivals.toSeq); q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("serve_race_ingest").localCheckpoint()
+    val deltaRows = ext.Similarity.serveDeltaRows(verdicts)
+      .localCheckpoint()
+    val nDelta = deltaRows.count()
+    assert(nDelta > 0L, "vacuous fixture: nothing admitted")
+    val tombIds = Seq(stock(3).vec_id, stock(9).vec_id)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def runner(f: => Unit) = new Thread(() =>
+      try f catch { case t: Throwable => errs.add(t) })
+    val t1 = runner { Pipeline.appendServeDelta(spark, dir, deltaRows); () }
+    val t2 = runner {
+      Pipeline.appendServeTombstones(spark, dir, tombIds.toDF("id2")); ()
+    }
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"concurrent append threw: ${errs.peek()}")
+    val stamps = spark.read.parquet(s"$dir/art_build_stamp").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (a <- Seq("art_serve_delta", "art_serve_tombstones")) {
+      assert(stamps.contains(a),
+        s"$a stamp row missing after concurrent appends (lost update)")
+      assert(stamps(a) ==
+        ArtifactShelf.stampOf(spark.read.parquet(s"$dir/$a")),
+        s"$a stamp diverges from its full scan after concurrent appends")
+      ArtifactShelf.table(spark, dir, a).count()
+    }
+    val (_, served) = ext.Similarity.annServeStateFromArtifacts(spark, dir)
+    assert(served.count() == nBase + nDelta - tombIds.size,
+      "served state after concurrent appends must fold both batches")
+  }
+
   test("serve-index card tracks populations and occupancy through the lifecycle; compaction zeroes the versioned relations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
