@@ -103,11 +103,19 @@ object CorpusPrep {
         .filter(col("jaccard") >= 0.5).select("d1", "d2")
       Dedup.connectedComponents(pairs)._1
     }
-    val (lang, qual, cont) = precomputedMetrics.getOrElse(
+    val (lang, qual0, cont) = precomputedMetrics.getOrElse(
       prepDocMetrics(spark, dir))
+    // r18: the keep-best retention reads the quality relation a second
+    // time (the cluster argmax) next to the policy filter's copy below.
+    // Persist once for that arm (callers passing precomputedMetrics
+    // already persisted theirs) and feed BOTH consumers — identical
+    // construction either way (guide §2.4); min-id arms are untouched.
+    val qual =
+      if (keepBest && precomputedMetrics.isEmpty) qual0.persist()
+      else qual0
     val splitBucket = TextAnalysis.md5Bucket(100)
     val deduped =
-      if (keepBest) Dedup.dedupCorpusKeepBest(docs, labels)
+      if (keepBest) Dedup.dedupCorpusKeepBest(docs, labels, Some(qual))
       else Dedup.dedupCorpusNearDup(docs, labels)
     deduped
       .filter(col("source") =!= "src0")
@@ -161,11 +169,18 @@ object CorpusPrep {
     * from the gated x_text_winnow_pairs chain whose keeper (lower id)
     * is a non-eval doc, per the eval-keeper no-drop policy above.
     */
-  private def winnowSubLosers(spark: SparkSession, dir: String): DataFrame = {
+  /** `pairs` (r18): a caller that consumes the winnow pair relation in
+    * MORE than one stage (the screen arm and the audit feed it to both
+    * the substring-dup verdicts and the boilerplate-hub centrality
+    * chain) passes one checkpointed copy; the default derives exactly
+    * the historical chain (the precomputedLabels discipline).
+    */
+  private def winnowSubLosers(spark: SparkSession, dir: String,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val nonEvalKeepers = Tables.documents(spark, dir)
       .filter(col("source") =!= "src0")
       .select(col("doc_id").as("doc_a"))
-    TextAnalysis.xTextWinnowPairs(spark, dir)
+    pairs.getOrElse(TextAnalysis.xTextWinnowPairs(spark, dir))
       .join(nonEvalKeepers, Seq("doc_a"))
       .select(col("doc_b").as("doc_id")).distinct()
   }
@@ -278,13 +293,13 @@ object CorpusPrep {
     */
   private[graft] def fullCorpus(spark: SparkSession, dir: String,
       precomputedLabels: Option[DataFrame] = None,
-      precomputedMetrics: Option[(DataFrame, DataFrame, DataFrame)] = None)
-      : DataFrame = {
+      precomputedMetrics: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      winnowPairs: Option[DataFrame] = None): DataFrame = {
     val sel = Selection.xDsirSelect(spark, dir)
       .filter(col("selected") === 1L).select("doc_id")
     trainingCorpus(spark, dir, precomputedLabels, keepBest = true,
         precomputedMetrics = precomputedMetrics)
-      .join(winnowSubLosers(spark, dir), Seq("doc_id"), "left_anti")
+      .join(winnowSubLosers(spark, dir, winnowPairs), Seq("doc_id"), "left_anti")
       .join(sel, Seq("doc_id"), "left_semi")
   }
 
@@ -312,9 +327,19 @@ object CorpusPrep {
     * hub/satellite drop set.
     */
   private[graft] def screenedCorpus(spark: SparkSession,
-      dir: String): DataFrame =
-    fullCorpus(spark, dir)
-      .join(screenLosers(spark, dir), Seq("doc_id"), "left_anti")
+      dir: String): DataFrame = {
+    // r18: the winnow pair chain (fingerprint explode + df cutoff +
+    // fp self-join) previously ran TWICE here — once as the FULL arm's
+    // substring-dup stage and once under the screen's centrality chain
+    // (xTextGraphPagerank edges are the same gated pair relation). One
+    // persisted pass feeds both (guide §2.4; lazy — the pagerank loop's
+    // own eager edge checkpoint is the first materializer); the slim
+    // (doc_a, doc_b, n_shared) relation is the only thing cached.
+    val winnowPairs =
+      Some(TextAnalysis.xTextWinnowPairs(spark, dir).persist())
+    fullCorpus(spark, dir, winnowPairs = winnowPairs)
+      .join(screenLosers(spark, dir, winnowPairs), Seq("doc_id"), "left_anti")
+  }
 
   /** The screen-stage drop set: flagged centrality hubs plus every
     * satellite the screen flags against them. Hubs are the gated
@@ -327,8 +352,10 @@ object CorpusPrep {
     * (hubFingerprints / boilerplateScreen — one implementation, the
     * bpeTrain single-loop rule).
     */
-  private def screenLosers(spark: SparkSession, dir: String): DataFrame = {
-    val hubs = TextAnalysis.xTextGraphPagerankSelect(spark, dir)
+  private def screenLosers(spark: SparkSession, dir: String,
+      winnowPairs: Option[DataFrame] = None): DataFrame = {
+    val hubs = TextAnalysis.xTextGraphPagerankSelect(spark, dir,
+        pairsOverride = winnowPairs)
       .filter(col("selected") === 1L &&
         col("score_e9") > Similarity.pagerankBaseE9)
       .select("doc_id")
@@ -397,19 +424,31 @@ object CorpusPrep {
     val pairs = Dedup.ngramJaccardPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
     val labels = Dedup.connectedComponents(pairs)._1
+    // r18 (guide §2.4): two chains previously executed twice across the
+    // verdict relations — the winnow pair chain (substring-dup AND the
+    // screen's centrality edges) and the quality relation (doc-score
+    // row AND the keep-best argmax). One persisted pass each (lazy —
+    // no serialized checkpoint jobs ahead of the consumers); the
+    // default arms of the consumers derive byte-identical trees, so
+    // every verdict row is unchanged (the parity specs pin this).
+    val winnowPairs =
+      Some(TextAnalysis.xTextWinnowPairs(spark, dir).persist())
+    val qual = TextAnalysis.qualityScores(docs).persist()
     Seq(
       "verd_doc_scores" -> docs.select(col("doc_id"), col("source"))
         .join(predLang(spark, docs), Seq("doc_id"))
-        .join(TextAnalysis.qualityScores(docs), Seq("doc_id"))
+        .join(qual, Seq("doc_id"))
         .join(contamination(docs), Seq("doc_id"), "left")
         .withColumn("contamination", coalesce(col("contamination"), lit(0.0))),
       "verd_exact_keep" -> Dedup.dedupCorpus(docs).select("doc_id"),
-      "verd_near_lose" -> Dedup.keepBestVerdicts(docs, labels)
+      "verd_near_lose" -> Dedup.keepBestVerdicts(docs, labels, Some(qual))
         .filter(col("kept") === 0L).select("doc_id"),
-      "verd_winnow_lose" -> winnowSubLosers(spark, dir).select("doc_id"),
+      "verd_winnow_lose" -> winnowSubLosers(spark, dir, winnowPairs)
+        .select("doc_id"),
       "verd_dsir_sel" -> Selection.xDsirSelect(spark, dir)
         .filter(col("selected") === 1L).select("doc_id"),
-      "verd_screen_lose" -> screenLosers(spark, dir).select("doc_id"))
+      "verd_screen_lose" -> screenLosers(spark, dir, winnowPairs)
+        .select("doc_id"))
   }
 
   /** The attribution TAIL — the id-joins + first-drop CASE over the
@@ -475,8 +514,28 @@ object CorpusPrep {
     * one id-keyed join either way.
     */
   def xCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = trainingCorpus(spark, dir).select(col("doc_id").as("v1_id"))
-    val v2 = fullCorpus(spark, dir).select(col("doc_id").as("v2_id"))
+    // r18: v1 and v2 previously each derived the near-dup label chain
+    // (the shingle self-join + star contraction — the family's heaviest
+    // stage) and the per-doc metric triple from scratch; both chains ran
+    // TWICE per invocation. Compute each once and pass through the
+    // default-identical precomputed params (the Pipeline diff-group /
+    // r17 labels discipline; guide §2.4 — remove repeated subtrees
+    // outright). localCheckpoint is eager and per-invocation: every run
+    // still computes from the parquet inputs, nothing crosses runs.
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val labels = Some(Dedup.connectedComponents(pairs)._1)
+    val (lang, qual, cont) = prepDocMetrics(spark, dir)
+    // persist, not localCheckpoint: lazy, so the shared subtrees still
+    // execute inside the one final job (no serialized materialization
+    // stalls — measured +10% wall at sf0.1 with eager checkpoints) and
+    // each computes once for both consumers (the embPrepCleanStage
+    // persist precedent). All three are slim per-doc metric rows.
+    val metrics = Some((lang.persist(), qual.persist(), cont.persist()))
+    val v1 = trainingCorpus(spark, dir, labels, precomputedMetrics = metrics)
+      .select(col("doc_id").as("v1_id"))
+    val v2 = fullCorpus(spark, dir, labels, metrics)
+      .select(col("doc_id").as("v2_id"))
     v1.join(v2, col("v1_id") === col("v2_id"), "full_outer")
       .select(coalesce(col("v1_id"), col("v2_id")).as("doc_id"),
         diffStatus(col("v1_id").isNotNull, col("v2_id").isNotNull)
@@ -534,9 +593,17 @@ object CorpusPrep {
   def xCorpusDiffContent(spark: SparkSession, dir: String): DataFrame = {
     val nonEval = Tables.documents(spark, dir)
       .filter(col("source") =!= "src0")
+    // r18: the span verdict window (the content diff's heaviest stage)
+    // previously ran twice — once inside spansCorpus's span-majority cut
+    // and once as the tail's 'modified' source. ONE persisted pass
+    // feeds both (the shelf span-group idiom, Pipeline.shelfGroup;
+    // guide §2.4; persist not localCheckpoint — lazy, so nothing
+    // serializes ahead of the final job); spansCorpus's verdicts param
+    // defaults to exactly this construction, so rows are identical.
+    val verdicts = Dedup.spanKeepVerdicts(nonEval).persist()
     contentDiffTail(nonEval,
-      spansCorpus(spark, dir),
-      Dedup.spanKeepVerdicts(nonEval))
+      spansCorpus(spark, dir, Some(verdicts)),
+      verdicts)
   }
 
   /** The content-diff 3-status tail — ONE builder (the diffStatus rule)

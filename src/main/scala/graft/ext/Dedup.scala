@@ -108,7 +108,18 @@ object Dedup {
     * clustering chain over the admitted half only (frozen-state
     * training population), not a re-derivation.
     */
-  private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame): DataFrame =
+    ngramJaccardPairsAndRare(docs)._1
+
+  /** The scored-pair chain PLUS its persisted rare-gram relation — the
+    * (doc_id, gram) rows surviving the df ≤ 50 cutoff. Exposed (r18) so
+    * the keep-best ADMISSION state, which needs exactly this relation as
+    * its frozen index, consumes the already-persisted copy instead of
+    * re-exploding the corpus and re-running the df aggregate (guide
+    * §2.4 — the two derivations were identical constructions).
+    */
+  private[graft] def ngramJaccardPairsAndRare(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     // The (doc_id, gram) relation feeds four consumers (df cutoff, both
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
@@ -129,12 +140,13 @@ object Dedup {
       .agg(count(lit(1)).as("inter_grams"))
     // sizes is per-document cardinality — shuffle-join it (AQE may still
     // broadcast at small scale); never force-broadcast corpus-sized data.
-    inter
+    (inter
       .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
       .select(col("d1"), col("d2"), col("inter_grams"),
         (col("inter_grams") / (col("sa.sz") + col("sb.sz") - col("inter_grams")))
-          .as("jaccard"))
+          .as("jaccard")),
+      rare)
   }
 
   /** N-gram Jaccard near-dup: top-20 most similar pairs by word-3-gram
@@ -293,8 +305,13 @@ object Dedup {
     * operator's ranking, not a re-derivation that could drift.
     */
   private[ext] def keepBestVerdicts(docs: DataFrame,
-      clusterLabels: DataFrame): DataFrame = {
-    val quality = TextAnalysis.qualityScores(docs)
+      clusterLabels: DataFrame,
+      precomputedQuality: Option[DataFrame] = None): DataFrame = {
+    // `precomputedQuality` (r18): a composed caller whose chain ALSO
+    // joins the quality relation (every keep-best prep arm's metric
+    // triple does) passes its copy so the two consumers share one
+    // computation; the default builds the identical construction.
+    val quality = precomputedQuality.getOrElse(TextAnalysis.qualityScores(docs))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(desc("quality_score"), col("doc_id"))
@@ -311,8 +328,9 @@ object Dedup {
     * untouched-singleton streaming are identical to the lowest-id arm.
     */
   private[ext] def dedupCorpusKeepBest(docs: DataFrame,
-      clusterLabels: DataFrame): DataFrame = {
-    val losers = keepBestVerdicts(docs, clusterLabels)
+      clusterLabels: DataFrame,
+      precomputedQuality: Option[DataFrame] = None): DataFrame = {
+    val losers = keepBestVerdicts(docs, clusterLabels, precomputedQuality)
       .filter(col("kept") === 0L).select("doc_id")
     dedupCorpus(docs).join(losers, Seq("doc_id"), "left_anti")
   }
@@ -400,7 +418,8 @@ object Dedup {
     // singletons: every admitted doc owns a cluster (itself by default)
     // so an attachment to an unclustered admitted doc still meets a
     // frozen keeper.
-    val pairs = ngramJaccardPairsOf(adm)
+    val (rawPairs, admRare) = ngramJaccardPairsAndRare(adm)
+    val pairs = rawPairs
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
     val (cc, _) = connectedComponents(pairs)
     val labels = adm.select("doc_id")
@@ -410,12 +429,12 @@ object Dedup {
       .filter(col("kept") === 1L)
       .select(col("cluster_id"), col("doc_id").as("keeper_id"),
         col("quality_score").as("keeper_quality"))
-    val admGrams = wordGrams(adm)
-    val admIdx = admGrams.join(
-      admGrams.groupBy("gram").agg(count(lit(1)).as("d"))
-        .filter(col("d") <= 50).select("gram"),
-      Seq("gram"))
-      .select(col("gram"), col("doc_id").as("doc_adm"))
+    // r18: the frozen index IS the pair chain's persisted rare-gram
+    // relation (admitted (doc_id, gram) rows under the df ≤ 50 cutoff —
+    // the previous standalone derivation re-ran the gram explode, the
+    // distinct shuffle, and the df aggregate over the same admitted
+    // half; guide §2.4). Identical construction, one execution.
+    val admIdx = admRare.select(col("gram"), col("doc_id").as("doc_adm"))
     val admSz = admIdx.groupBy("doc_adm").agg(count(lit(1)).as("asz"))
     val idx = admIdx.join(admSz, Seq("doc_adm"))
       .join(labels.withColumnRenamed("doc_id", "doc_adm"), Seq("doc_adm"))

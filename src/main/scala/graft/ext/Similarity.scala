@@ -1613,8 +1613,18 @@ object Similarity {
       if (weighted) g.select(col("vec_id").as("src"), col("nn_id").as("dst"),
         (round(col("cos_sim") * lit(10000)).cast("long") + lit(10001L)).as("w"))
       else g.select(col("vec_id").as("src"), col("nn_id").as("dst"))
-    val nodes = srcOverride.getOrElse(Tables.embeddings(spark, dir))
+    // r18: pagerankLoop references `nodes` prRounds+1 times (score init
+    // + every round's left join). With a srcOverride the node relation
+    // is itself a chain (embExactKeepers — a window over the full
+    // embedding column), and each reference re-executed it; persist the
+    // slim (vec_id) projection so every round reads one computation
+    // (guide §2.4 — measured: clean/weighted arm CPU roughly halved).
+    // The default arm stays unpersisted: its nodes are one cheap
+    // parquet column scan, where a cache build costs more than it saves
+    // (the xDsirSelect lesson this round).
+    val nodes0 = srcOverride.getOrElse(Tables.embeddings(spark, dir))
       .select("vec_id")
+    val nodes = if (srcOverride.isDefined) nodes0.persist() else nodes0
     pagerankLoop(edges, nodes, prRounds, weighted)
   }
 

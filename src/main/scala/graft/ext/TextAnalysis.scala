@@ -1111,9 +1111,16 @@ object TextAnalysis {
     * chain (pagerankRoundCtes) — both halves pinned by their
     * standalone gates.
     */
+  /** `pairsOverride` (r18): a composed caller that already materialized
+    * the gated winnow pair relation (the screen/audit arms checkpoint
+    * it once and feed both their substring-dup and centrality stages)
+    * passes it here; the default derives the identical chain.
+    */
   def xTextGraphPagerank(spark: SparkSession, dir: String,
-      prRounds: Int = 3): DataFrame = {
-    val pairs = xTextWinnowPairs(spark, dir).select("doc_a", "doc_b")
+      prRounds: Int = 3,
+      pairsOverride: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsOverride.getOrElse(xTextWinnowPairs(spark, dir))
+      .select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val nodes = Tables.documents(spark, dir).select(col("doc_id").as("vec_id"))
@@ -1133,8 +1140,9 @@ object TextAnalysis {
     * the vector arm's cut semantics.
     */
   def xTextGraphPagerankSelect(spark: SparkSession, dir: String,
-      selectN: Int = 25): DataFrame = {
-    val pr = xTextGraphPagerank(spark, dir)
+      selectN: Int = 25,
+      pairsOverride: Option[DataFrame] = None): DataFrame = {
+    val pr = xTextGraphPagerank(spark, dir, pairsOverride = pairsOverride)
     val cut = pr.orderBy(desc("score_e9"), col("doc_id")).limit(selectN)
       .orderBy(col("score_e9"), desc("doc_id")).limit(1)
       .select(col("score_e9").as("cut_s"), col("doc_id").as("cut_id"))

@@ -211,6 +211,27 @@ class SelectionGraphSpec extends AnyFunSuite {
       "select arm drifted from the clean pagerank scores")
   }
 
+  test("pagerank pairsOverride: a persisted winnow pair relation yields identical rows") {
+    // The r18 shared-subchain contract: composed callers (the screen/
+    // audit arms) pass ONE persisted copy of the gated winnow pair
+    // relation into the centrality chain instead of letting it re-derive
+    // its own — this pins that the override arm is row-identical to the
+    // default derivation (same tree over the same rows, the
+    // precomputedLabels discipline), so the sharing can never drift the
+    // gated x_text_graph_pagerank_select semantics.
+    val pairs = ext.TextAnalysis.xTextWinnowPairs(spark, sf).persist()
+    val overridden = ext.TextAnalysis
+      .xTextGraphPagerankSelect(spark, sf, pairsOverride = Some(pairs))
+      .collect().map(_.toSeq)
+    val default = ext.TextAnalysis
+      .xTextGraphPagerankSelect(spark, sf)
+      .collect().map(_.toSeq)
+    assert(overridden.length == default.length,
+      s"override arm row count ${overridden.length} != ${default.length}")
+    assert(overridden.zip(default).forall { case (a, b) => a == b },
+      "pairsOverride arm drifted from the default winnow-pair derivation")
+  }
+
   test("weighted pagerank: uniform weights degenerate to equal split, varied weights diverge") {
     import spark.implicits._
     // Isolated synthetic corpus: a 7-member co-directional clique
