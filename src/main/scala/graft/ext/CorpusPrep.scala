@@ -520,8 +520,9 @@ object CorpusPrep {
     // TWICE per invocation. Compute each once and pass through the
     // default-identical precomputed params (the Pipeline diff-group /
     // r17 labels discipline; guide §2.4 — remove repeated subtrees
-    // outright). localCheckpoint is eager and per-invocation: every run
-    // still computes from the parquet inputs, nothing crosses runs.
+    // outright). The label chain's own checkpoint is per-invocation:
+    // every run still computes from the parquet inputs, nothing
+    // crosses runs.
     val pairs = Dedup.ngramJaccardPairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("d1", "d2")
     val labels = Some(Dedup.connectedComponents(pairs)._1)

@@ -78,15 +78,28 @@ object Dedup {
       .distinct()
 
   /** User-facing composed API: the deduplicated corpus itself — keep the
-    * lowest doc_id per normalized content hash. One shuffle on the hash;
-    * the winner is re-joined by (hash, doc_id) so the output carries the
-    * full document row without shuffling the text twice (the hash join's
-    * build side is one slim row per group).
+    * lowest doc_id per normalized content hash.
+    *
+    * Shape (r18, guide §2.3 — shuffle keys, not payloads): the LOSER ids
+    * are derived on a slim (hash, doc_id) projection (the text is read
+    * to hash it but never rides an exchange), then removed by one
+    * anti-join on 8-byte ids — the dedupCorpusNearDup staging applied to
+    * the exact stage itself. The previous form joined the full document
+    * rows against the corpus-sized keeper relation on (hash, doc_id),
+    * which at cluster scale shuffles the text column; losers are
+    * bounded by the duplicate count (typically a small fraction, so the
+    * anti-join's build side broadcasts), and a dup-heavy corpus
+    * degrades to an id-keyed shuffle — still never the text by hash.
+    * Row-identical either way: keepers are exactly the rows whose id is
+    * their hash group's minimum.
     */
   def dedupCorpus(docs: DataFrame): DataFrame = {
-    val hashed = docs.withColumn("__h", md5(lowerS(trim(col("text")))))
-    val keep = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-    hashed.join(keep, Seq("__h", "doc_id")).drop("__h")
+    val slim = docs.select(col("doc_id"),
+      md5(lowerS(trim(col("text")))).as("__h"))
+    val keep = slim.groupBy(col("__h")).agg(min(col("doc_id")).as("keep_id"))
+    val losers = slim.join(keep, Seq("__h"))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Exact dedup: group by content hash, keep lowest doc_id per group. */

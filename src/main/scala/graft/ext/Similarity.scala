@@ -1613,18 +1613,17 @@ object Similarity {
       if (weighted) g.select(col("vec_id").as("src"), col("nn_id").as("dst"),
         (round(col("cos_sim") * lit(10000)).cast("long") + lit(10001L)).as("w"))
       else g.select(col("vec_id").as("src"), col("nn_id").as("dst"))
-    // r18: pagerankLoop references `nodes` prRounds+1 times (score init
-    // + every round's left join). With a srcOverride the node relation
-    // is itself a chain (embExactKeepers — a window over the full
-    // embedding column), and each reference re-executed it; persist the
-    // slim (vec_id) projection so every round reads one computation
-    // (guide §2.4 — measured: clean/weighted arm CPU roughly halved).
-    // The default arm stays unpersisted: its nodes are one cheap
-    // parquet column scan, where a cache build costs more than it saves
-    // (the xDsirSelect lesson this round).
-    val nodes0 = srcOverride.getOrElse(Tables.embeddings(spark, dir))
+    // r18 note: persisting this node relation was tried (it is
+    // referenced prRounds+1 times by pagerankLoop, and the srcOverride
+    // arms' nodes are the embExactKeepers window chain) and REVERTED —
+    // a three-session A/B against the pre-round base showed the select
+    // arm's warm CPU roughly DOUBLING under the persist (12–17 → 28–37
+    // CPU-s) while the apparent clean/density wins dissolved into the
+    // documented session-multiplier noise. The lazy repeats are partly
+    // exchange-reused; the cache build is not free (the xDsirSelect
+    // lesson, OPTIMIZATION_r18.md change 4).
+    val nodes = srcOverride.getOrElse(Tables.embeddings(spark, dir))
       .select("vec_id")
-    val nodes = if (srcOverride.isDefined) nodes0.persist() else nodes0
     pagerankLoop(edges, nodes, prRounds, weighted)
   }
 
