@@ -185,7 +185,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r19: let AQE coalesce inside CACHED plans too (default false).
+      // The shared-subtree persists (r14/r18) otherwise materialize and
+      // re-scan at full shuffle-partition width regardless of size —
+      // measured at sf0.1 local[32]: 3–4× the executor CPU on every
+      // text-prep composite (keepbest 38–54 → 11.7 CPU-s, audit 47–49
+      // → 17, x_llm_corpus_prep 37–42 → ~10) with walls flat-to-better.
+      // Scale-correct, not a local[32] tune: AQE sizes partitions by
+      // advisory bytes, so corpus-scale cache builds keep parallelism.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

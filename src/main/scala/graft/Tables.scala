@@ -41,6 +41,29 @@ object Tables {
     }
   }
 
+  /** Keyless repartition UP to the session's default parallelism when a
+    * narrow relation arrives with fewer partitions (r19). A small corpus
+    * is one unsplittable parquet split, so every downstream wide
+    * transform's FIRST stage — the expensive explode/hash/recode maps —
+    * runs on 1–2 tasks while the rest of the session idles (guide §2.5:
+    * repartition unsplittable inputs right after the read; measured: the
+    * BPE r12 arm's wall ≈ its CPU before, −66% wall at both 8 and 32
+    * cores after). Inert at cluster scale, where scans arrive pre-split
+    * wider than the session — this never DOWN-partitions. CONTRACT: call
+    * only on NARROW plans (scan/filter/project); the width probe reads
+    * df.rdd.getNumPartitions, and under AQE that finalizes + executes
+    * any shuffle stages in the plan (double-execution risk otherwise).
+    * Apply where the repartition amortizes: iterative loops and chains
+    * whose first stage dominates their CPU — not blanket on every scan
+    * (the sub-second relational tail would pay a shuffle for nothing).
+    */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

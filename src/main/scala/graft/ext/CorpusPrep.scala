@@ -32,7 +32,10 @@ object CorpusPrep {
     * TextAnalysis.markers — shared, not copied.
     */
   private def predLang(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // widen (r19): the lower+split+explode map is the chain's CPU and
+    // runs in the scan's stage — 1–2 tasks on a single-split corpus.
+    // The slim doc_id spine below stays on the unwidened scan.
+    val toks = Tables.widen(docs).select(col("doc_id"),
       explode(split(TextAnalysis.lowerS(col("text")), " ")).as("tok"))
     val markers = spark.createDataFrame(TextAnalysis.markers).toDF("tok", "cand_lang")
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("n"), col("cand_lang"))
@@ -49,7 +52,8 @@ object CorpusPrep {
     * callers left-join and coalesce to 0 (clean).
     */
   private def contamination(docs: DataFrame): DataFrame = {
-    val grams = docs
+    // widen (r19): the gram explode is this chain's CPU (see predLang).
+    val grams = Tables.widen(docs)
       .withColumn("ws", split(TextAnalysis.lowerS(col("text")), " "))
       .select(col("doc_id"), col("source"), explode(
         when(size(col("ws")) >= 3,

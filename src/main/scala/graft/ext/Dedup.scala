@@ -131,8 +131,13 @@ object Dedup {
     * re-exploding the corpus and re-running the df aggregate (guide
     * §2.4 — the two derivations were identical constructions).
     */
-  private[graft] def ngramJaccardPairsAndRare(docs: DataFrame)
+  private[graft] def ngramJaccardPairsAndRare(docs0: DataFrame)
       : (DataFrame, DataFrame) = {
+    // Widen the corpus before the shingle explode (r19): the explode +
+    // simple_lower + gram-hash map is this chain's dominant CPU and runs
+    // in the SCAN's stage — 1–2 tasks on a single-split corpus. Every
+    // caller passes a narrow scan/filter chain (the widen contract).
+    val docs = graft.Tables.widen(docs0)
     // The (doc_id, gram) relation feeds four consumers (df cutoff, both
     // self-join sides, per-doc sizes); persist it instead of re-exploding
     // the corpus each time. At cluster scale this is a parquet-materialized
@@ -202,14 +207,27 @@ object Dedup {
   private[graft] def connectedComponents(pairs: DataFrame, maxRounds: Int = 64,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // eager=false (r19): a lazy checkpoint still truncates lineage at
+    // mark time (the plan becomes a LogicalRDD immediately) but defers
+    // the block materialization into the FIRST consuming job — each
+    // round's fixpoint count then computes large-star + small-star +
+    // persists both generations + counts in ONE job, where the eager
+    // form paid two dedicated materialization jobs (each ending in a
+    // pass over the edge set) plus the count. Relations that must
+    // exist before their inputs' blocks are dropped (nodes, labels)
+    // stay eager.
+    def snap(df: DataFrame, eager: Boolean = true): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     def drop(df: DataFrame): Unit =
       org.apache.spark.sql.GraftSqlBridge.dropCheckpointBlocks(df)
-    // canonical strictly larger→smaller orientation, one row per edge
+    // canonical strictly larger→smaller orientation, one row per edge.
+    // Lazy: the eager `nodes` job below materializes it (nodes must be
+    // eager — its blocks are consumed only at the END, after the loop
+    // has dropped the initial edge generation it derives from).
     var edges = snap(pairs
       .select(greatest(col("d1"), col("d2")).as("u"), least(col("d1"), col("d2")).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+      .filter(col("u") =!= col("v")).distinct(), eager = false)
     val nodes = snap(edges.select(col("u")).union(edges.select(col("v")))
       .distinct().withColumnRenamed("u", "doc_id"))
     var rounds = 0
@@ -224,17 +242,19 @@ object Dedup {
       val mL = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       // checkpointed: the small-star stage consumes it twice (mS and the
       // withM join) — without materialization the whole large-star
-      // union+groupBy+join would execute twice per round.
+      // union+groupBy+join would execute twice per round. Lazy: both
+      // consumers sit inside the SAME count job below; its first stage
+      // over this relation persists the blocks, the second reads them.
       val afterLarge = snap(nbrs.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct())
+        .filter(col("u") =!= col("v")).distinct(), eager = false)
       // small-star: all edges now point larger→smaller, so Γ⁻(u) is just
       // u's out-neighbors; link them and u itself to their minimum.
       val mS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
       val withM = afterLarge.join(mS, "u")
       val afterSmall = snap(withM.select(col("u"), col("m").as("v"))
         .union(withM.select(col("v").as("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct())
+        .filter(col("u") =!= col("v")).distinct(), eager = false)
       // exact fixpoint test: equal cardinality + next ⊆ prev ⇒ equal sets
       // (both sides distinct); runs on two checkpointed slim relations.
       // prev's cardinality is carried from its own round — one job saved.
@@ -535,7 +555,10 @@ object Dedup {
     * the persistable dedup STATE: 64 longs per document, text read once.
     */
   private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
-    val grams = wordGramStrings(docs)
+    // widen (r19): the gram explode + Horner hash is the signature
+    // build's CPU and otherwise runs in the scan's 1–2-task stage
+    // (callers pass narrow scan/filter chains — the widen contract).
+    val grams = wordGramStrings(Tables.widen(docs))
       .select(col("doc_id"),
         graft.functions.VectorFunctions.hornerHash(col("gram_str"), SketchP).as("g"))
       .distinct()
@@ -687,7 +710,8 @@ object Dedup {
     * from 16-bit band collisions; emit hamming ≤ 6.
     */
   def xDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // widen (r19): the token explode + 64 affine votes are the CPU.
+    val toks = Tables.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(lowerS(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h",
@@ -870,7 +894,9 @@ object Dedup {
   private[graft] def spanKeepVerdicts(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("span_id"))
-    spanHashes(docs).withColumn("rn", row_number().over(w))
+    // widen (r19): the span tokenize+hash explode is the verdict
+    // build's CPU (callers pass narrow chains — the widen contract).
+    spanHashes(Tables.widen(docs)).withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L)))

@@ -47,9 +47,12 @@ object TextAnalysis {
     round(least(lit(1.0), size(col("tk")) / 100.0)
       * (lit(1.0) - col("n_stop") / size(col("tk"))), 4)
 
-  /** (doc_id, quality_score) for composition. */
+  /** (doc_id, quality_score) for composition. widen (r19): the
+    * tokenize/stopword map is the chain's CPU and otherwise runs in the
+    * scan's 1–2-task stage (callers pass narrow scan/filter chains —
+    * the Tables.widen contract). */
   private[graft] def qualityScores(docs: DataFrame): DataFrame =
-    withQualityInputs(docs)
+    withQualityInputs(Tables.widen(docs))
       .select(col("doc_id"), qualityScoreCol.as("quality_score"))
 
   /** qualityScoreCol as ONE standalone column over `text` — for
@@ -405,9 +408,26 @@ object TextAnalysis {
       onRound: (Int, Double) => Unit = (_, _) => (),
       checkpointEvery: Int = bpeCheckpointEvery)
       : (Vector[(Long, String, String, Long)], DataFrame) = {
-    var docs = docs0
+    // Parallelize the K-round loop's input ONCE (r19): a small corpus
+    // arrives as one parquet split, so every round's pair-count (and
+    // every checkpoint) otherwise runs its heavy explode+aggregate
+    // stage on 1–2 tasks while the session's other cores idle — at
+    // sf0.1 the r12 arm's wall ≈ its CPU, the signature of a serial
+    // stage. One Tables.widen is amortized over the K passes; every
+    // caller passes a narrow scan/filter chain (the widen contract).
+    var docs = Tables.widen(docs0)
     val merges = Vector.newBuilder[(Long, String, String, Long)]
     var exhausted = false
+    // Checkpoint-generation bookkeeping (r19, the connectedComponents
+    // hygiene applied here): `marked` is a lazy checkpoint whose blocks
+    // materialize during the NEXT round's pair-count job; once that job
+    // has run, the PREVIOUS generation's blocks back nothing (docs'
+    // lineage roots at the new generation) and are dropped explicitly —
+    // the loop previously leaked every generation for the whole train
+    // (K/cadence × corpus residency at scale). The final generation is
+    // never dropped: the returned relation reads from it.
+    var marked: Option[DataFrame] = None
+    var backing: Option[DataFrame] = None
     for (r <- 1 to rounds if !exhausted) {
       val t0 = System.nanoTime()
       val top = docs.select(explode(expr(
@@ -420,14 +440,31 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .collect().headOption
       onRound(r, (System.nanoTime() - t0) / 1e9)
+      // The collect above materialized any marked generation; the one it
+      // replaced is now unreferenced — release its blocks.
+      marked.foreach { m =>
+        backing.foreach(org.apache.spark.sql.GraftSqlBridge.dropCheckpointBlocks)
+        backing = Some(m)
+        marked = None
+      }
       top match {
         case None => exhausted = true
         case Some(row) =>
           val (a, b) = (row.getString(0), row.getString(1))
           merges += ((r.toLong, a, b, row.getLong(2)))
           docs = docs.withColumn("toks", bpeMergeExpr(a, b))
-          if (r % checkpointEvery == 0 && r < rounds)
-            docs = docs.localCheckpoint()
+          // LAZY checkpoint (r19): the docs chain is narrow (scan +
+          // recode layers, no shuffle), so an eager localCheckpoint is
+          // a dedicated full-corpus materialization pass. eager=false
+          // defers it into the NEXT round's pair-count job — one pass
+          // computes recode + persists blocks + counts pairs — saving
+          // one corpus pass per cadence window (measured: BpeProbe
+          // depth, sf0.1). Lineage truncation is unchanged: the plan
+          // becomes a LogicalRDD at mark time either way.
+          if (r % checkpointEvery == 0 && r < rounds) {
+            docs = docs.localCheckpoint(false)
+            marked = Some(docs)
+          }
       }
     }
     (merges.result(), docs)
@@ -1076,7 +1113,9 @@ object TextAnalysis {
     * scan.
     */
   def xTextWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = Tables.documents(spark, dir)
+    // widen (r19): the winnow fingerprint scan is the chain's CPU and
+    // otherwise runs in the corpus scan's 1–2-task stage.
+    val fps = Tables.widen(Tables.documents(spark, dir))
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.VectorFunctions.winnowFingerprints(col("text"))))

@@ -20,6 +20,10 @@ object GraftTest {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Cached-plan AQE (r19, mirrors the Bench/Verify sessions): specs
+    // must exercise the persisted shared subtrees under the same
+    // partition-coalescing behavior the gate and bench run with.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // Session-scoped temp warehouse (the bucketed-join specs write
     // managed tables) — never the repo checkout's ./spark-warehouse.
     .config("spark.sql.warehouse.dir",
